@@ -1,0 +1,138 @@
+"""Keyed merge (dedup w/ merge rules) + multi-source enrichment join.
+
+Reference semantics: `DataSetCollection` (`src/Model/DataSetCollection.php`):
+rows stream in arrival order into a map keyed by a unique index (default
+``upc``); per-field merge rules combine colliding rows — ``min`` / ``max`` /
+``addArray`` (append, arrival order) / default last-write-wins; rows whose
+key is NULL or ``''`` are dropped (:70-71). `addFieldsFromCollection`
+(:86-109) is the multi-source enrichment: left-join a leg onto the base by
+key, overwriting listed fields where the leg has a value.
+
+Spark-first restatement:
+  * arrival order is IMPLICIT in PHP (one thread, one array); under
+    distributed execution it must be explicit — every scan attaches a
+    ``_seq`` long (leg_index ⊗ partition ⊗ row offset, or any caller-supplied
+    total order). All order-dependent rules read it.
+  * the merge is ONE ``groupBy(key)`` with hash-partial aggregation:
+    map-side combine happens before the shuffle, so 100 TB with hot keys
+    still moves only one partial row per key per task. ``max_by(col, _seq)``
+    = last-write-wins; ``min``/``max`` direct; ``addArray`` =
+    ``array_sort(collect_list(struct(_seq, col)))`` then field-extract
+    (exact arrival order, deterministic under any partitioning).
+  * enrichment legs are typically small (supplier dimension feeds) →
+    broadcast-joinable; AQE promotes them at runtime, or pass
+    ``broadcast=True`` to force.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+SEQ_COL = "_seq"
+
+VALID_RULES = {"min", "max", "addArray"}
+
+
+def with_seq(df: DataFrame, leg: int = 0, seq_expr: Column | None = None) -> DataFrame:
+    """Attach the explicit arrival-order column ``_seq``.
+
+    Default: ``monotonically_increasing_id()`` encodes (partition, row
+    offset) — deterministic for a given file listing, which matches the
+    reference's file-order × row-order arrival contract without a shuffle or
+    a global sort. Callers with a real event-order column (the scalable
+    choice at 100 TB, and what correctness oracles use) pass ``seq_expr``.
+    ``leg`` offsets multi-source legs into disjoint ranges so later legs
+    always win last-write-wins ties (legs are processed in config order,
+    `Aggregator.php:112-128`).
+    """
+    seq = seq_expr if seq_expr is not None else F.monotonically_increasing_id()
+    return df.withColumn(SEQ_COL, seq.cast("long") + F.lit(int(leg) << 52))
+
+
+def keyed_merge(
+    df: DataFrame,
+    key: str,
+    merge_rules: dict[str, str] | None = None,
+    seq_col: str = SEQ_COL,
+    drop_seq: bool = True,
+) -> DataFrame:
+    """Group by ``key`` applying per-column merge rules (§2.4 of SURVEY.md).
+
+    Columns without a rule get last-write-wins by ``seq_col``. Null/empty
+    keys are dropped before the shuffle (filter is pushed to the scan).
+    """
+    merge_rules = dict(merge_rules or {})
+    bad = {r for r in merge_rules.values()} - VALID_RULES
+    if bad:
+        raise ValueError(f"unknown merge rules: {sorted(bad)}")
+
+    if seq_col not in df.columns:
+        df = with_seq(df)
+        seq_col = SEQ_COL
+
+    kc = F.col(key)
+    df = df.filter(kc.isNotNull() & (kc.cast("string") != ""))
+
+    aggs: list[Column] = []
+    for c in df.columns:
+        if c == key or c == seq_col:
+            continue
+        rule = merge_rules.get(c)
+        if rule == "min":
+            aggs.append(F.min(c).alias(c))
+        elif rule == "max":
+            aggs.append(F.max(c).alias(c))
+        elif rule == "addArray":
+            # exact arrival order: sort the (seq, value) pairs, then project
+            pairs = F.array_sort(
+                F.collect_list(F.struct(F.col(seq_col).alias("s"), F.col(c).alias("v")))
+            )
+            aggs.append(F.transform(pairs, lambda x: x["v"]).alias(c))
+        else:
+            aggs.append(F.max_by(c, F.col(seq_col)).alias(c))
+    if not drop_seq:
+        aggs.append(F.max(seq_col).alias(seq_col))
+    return df.groupBy(key).agg(*aggs)
+
+
+def enrich(
+    base: DataFrame,
+    leg: DataFrame,
+    base_key: str,
+    leg_key: str,
+    fields: list[str],
+    seq_col: str = SEQ_COL,
+    broadcast: bool = True,
+) -> DataFrame:
+    """Left-join enrichment (`DataSetCollection::addFieldsFromCollection`).
+
+    Leg rows are first deduped to last-per-key (the reference's "last
+    occurrence per key wins", :94-105); leg rows whose key is absent from the
+    base are discarded (left join does this); base rows with no match keep
+    their values (coalesce). Only ``fields`` are copied. Overlapping columns:
+    leg value overwrites when present, else the base value survives.
+    """
+    leg_proj = leg.select(
+        F.col(leg_key).alias("__leg_key"),
+        *[F.col(f) for f in fields],
+        *([F.col(seq_col)] if seq_col in leg.columns else []),
+    )
+    leg_last = keyed_merge(leg_proj, "__leg_key", {}, seq_col=seq_col)
+    renamed = leg_last.select(
+        "__leg_key", *[F.col(f).alias(f"__leg_{f}") for f in fields]
+    )
+    if broadcast:
+        renamed = F.broadcast(renamed)
+
+    joined = base.join(renamed, base[base_key] == renamed["__leg_key"], "left")
+    out_cols: list[Column] = []
+    for c in base.columns:
+        if c in fields:
+            out_cols.append(F.coalesce(F.col(f"__leg_{c}"), base[c]).alias(c))
+        else:
+            out_cols.append(base[c])
+    for f in fields:
+        if f not in base.columns:
+            out_cols.append(F.col(f"__leg_{f}").alias(f))
+    return joined.select(*out_cols)

@@ -1,0 +1,331 @@
+"""Query suite: one named query per implemented operator (SURVEY.md §2),
+each with a DuckDB-runnable ANSI-SQL oracle producing identical columns.
+
+Conventions that make the oracle comparison deterministic:
+  * explicit arrival order — every order-dependent query derives ``_seq``
+    from data (``l_orderkey*8 + l_linenumber`` is unique per lineitem row),
+    never from file order;
+  * double aggregation goes through exact DECIMAL partials, final cast to
+    double (order-independent, so Spark's parallel sum == DuckDB's);
+  * every computed column is aliased identically on both sides.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_edi_data_scrapper_spark.operators.mapper import map_columns
+from etl_edi_data_scrapper_spark.operators.merge import SEQ_COL, enrich, keyed_merge, with_seq
+from etl_edi_data_scrapper_spark.plans.pipeline import aggregate
+from etl_edi_data_scrapper_spark.sources.registry import read_local
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLES: dict[str, str] = {}
+
+
+def register(name: str, oracle: str | None = None):
+    def deco(fn: QueryFn) -> QueryFn:
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# Shared dirty-feed synthesis (identical SQL text on both engines): turns the
+# clean TPC-H lineitem into the reference's supplier-feed shape (FIXTURES.md
+# §2) so the cleaning functions have something to clean.
+# ---------------------------------------------------------------------------
+
+# Unique, engine-agnostic arrival order: (l_orderkey, l_linenumber) is NOT
+# unique in the synthetic data, so disambiguate with a row_number over the
+# remaining columns INSIDE the (orderkey, linenumber) partition — partitions
+# are tiny (≤6 rows), so this scales, and residual ties are fully identical
+# rows (interchangeable). Same SQL text runs on Spark and DuckDB.
+_SEQ_SQL = (
+    "(l_orderkey * 8 + l_linenumber) * 4096 + row_number() OVER ("
+    "PARTITION BY l_orderkey, l_linenumber "
+    "ORDER BY l_quantity, l_extendedprice, l_discount, l_tax, "
+    "l_returnflag, l_linestatus, l_shipdate, l_partkey, l_suppkey)"
+)
+
+_DIRTY_EXPRS = {
+    "seq": _SEQ_SQL,
+    "UPC": "CASE WHEN l_partkey % 97 = 0 THEN '' ELSE CAST(l_partkey AS STRING) END",
+    "ASIN": (
+        "CASE WHEN l_suppkey % 3 = 0 THEN CONCAT('#', CAST(l_suppkey AS STRING)) "
+        "ELSE CONCAT('b', LPAD(CAST(l_suppkey AS STRING), 9, '0')) END"
+    ),
+    "Quantity": "CONCAT(' ', CAST(l_quantity AS STRING), ' u')",
+    "Wholesale": "CONCAT('$', REPLACE(CAST(l_extendedprice AS STRING), '.', ','))",
+    "Sublocation": "l_returnflag",
+    "ProductName": "l_linestatus",
+}
+
+# same text, DuckDB spelling (STRING → VARCHAR)
+_DIRTY_SQL = ",\n      ".join(
+    f"{expr.replace('AS STRING', 'AS VARCHAR')} AS {alias}"
+    for alias, expr in _DIRTY_EXPRS.items()
+)
+_DIRTY_CTE = f"SELECT\n      {_DIRTY_SQL}\n    FROM lineitem"
+
+# DuckDB replica of functions.clean (same regex classes, same leading-float
+# parse; try_cast ≈ Spark non-ANSI cast-to-null)
+_SQL_CLEAN_STRING = "regexp_replace({c}, '[^a-zA-Zа-яА-Я0-9.]', '', 'g')"
+_SQL_CLEAN_UPC = f"substring({_SQL_CLEAN_STRING}, 1, 13)"
+_SQL_CLEAN_INT = (
+    "coalesce(try_cast(regexp_replace({c}, '[^0-9]', '', 'g') AS BIGINT), 0)"
+)
+_SQL_CLEAN_FLOAT = (
+    "coalesce(try_cast(regexp_extract(regexp_replace("
+    + _SQL_CLEAN_STRING.format(c="replace({c}, ',', '.')")
+    + ", '[^0-9.]', '', 'g'), '^([0-9]*\\.?[0-9]*)', 1) AS DOUBLE), 0.0)"
+)
+_SQL_ASIN = (
+    "CASE WHEN regexp_matches(upper(trim({c})), '^[A-Z0-9]{{10}}$') "
+    "THEN upper(trim({c})) ELSE NULL END"
+)
+
+
+def _dirty_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select(
+        *[F.expr(e).alias(a) for a, e in _DIRTY_EXPRS.items()]
+    )
+
+
+# ---------------------------------------------------------------------------
+# Core engine operators (SURVEY.md §2.3-§2.5, §3)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "map_clean",
+    oracle=f"""
+    WITH feed AS ({_DIRTY_CTE})
+    SELECT
+      {_SQL_CLEAN_UPC.format(c="UPC")} AS upc,
+      {_SQL_ASIN.format(c="ASIN")} AS asin,
+      {_SQL_CLEAN_INT.format(c="Quantity")} AS qty,
+      {_SQL_CLEAN_FLOAT.format(c="Wholesale")} AS price,
+      ProductName AS product_name,
+      CAST(102 AS BIGINT) AS supplier_id,
+      CAST(1 AS BIGINT) AS version
+    FROM feed
+    """,
+)
+def q_map_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mapper: project/rename + name-dispatched cleaning + literal stamps
+    (`Mapper.php:55-133`). Pure narrow projection — no shuffle."""
+    feed = _dirty_feed(spark, sf_dir)
+    out, _ = map_columns(
+        feed,
+        {
+            "upc": "UPC",
+            "asin": "ASIN",
+            "qty": "Quantity",
+            "price": "Wholesale",
+            "product_name": "ProductName",
+        },
+        supplier_id=102,
+        version=1,
+    )
+    return out
+
+
+@register(
+    "keyed_merge",
+    oracle=f"""
+    WITH feed AS ({_DIRTY_CTE}),
+    mapped AS (
+      SELECT seq,
+        {_SQL_CLEAN_UPC.format(c="UPC")} AS upc,
+        {_SQL_ASIN.format(c="ASIN")} AS asin,
+        {_SQL_CLEAN_INT.format(c="Quantity")} AS qty,
+        {_SQL_CLEAN_FLOAT.format(c="Wholesale")} AS price,
+        Sublocation AS status
+      FROM feed
+    )
+    SELECT upc,
+      (arg_max(struct_pack(v := asin), seq)).v AS asin,
+      min(qty) AS qty,
+      max(price) AS price,
+      list(status ORDER BY seq) AS status,
+      CAST(102 AS BIGINT) AS supplier_id,
+      CAST(1 AS BIGINT) AS version
+    FROM mapped
+    WHERE upc IS NOT NULL AND upc <> ''
+    GROUP BY upc
+    """,
+)
+def q_keyed_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: mapper + keyed merge with all four merge rules + null/empty
+    key drop (`DataSetCollection.php:23-74`). One shuffle, map-side partials."""
+    feed = _dirty_feed(spark, sf_dir).withColumnRenamed("seq", SEQ_COL)
+    mapped, merge_rules = map_columns(
+        feed,
+        {
+            "upc": "UPC",
+            "asin": "ASIN",
+            "qty": ["Quantity", "min"],
+            "price": ["Wholesale", "max"],
+            "status": ["Sublocation", "addArray"],
+        },
+        supplier_id=102,
+        version=1,
+        keep=[SEQ_COL],
+    )
+    return keyed_merge(mapped, "upc", merge_rules)
+
+
+@register(
+    "enrich_join",
+    oracle="""
+    WITH seqd AS (
+      SELECT *, (l_orderkey * 8 + l_linenumber) * 4096 + row_number() OVER (PARTITION BY l_orderkey, l_linenumber ORDER BY l_quantity, l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus, l_shipdate, l_partkey, l_suppkey) AS seq FROM lineitem
+    ),
+    base AS (
+      SELECT l_partkey,
+        arg_max(l_quantity, seq) AS l_quantity,
+        arg_max(l_extendedprice, seq) AS l_extendedprice
+      FROM seqd GROUP BY l_partkey
+    )
+    SELECT b.l_partkey AS partkey, b.l_quantity AS qty, b.l_extendedprice AS price,
+           p.p_name AS p_name, p.p_retailprice AS p_retailprice
+    FROM base b LEFT JOIN part p ON p.p_partkey = b.l_partkey
+    """,
+)
+def q_enrich_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source enrichment: base re-key (LWW) + broadcast left join copy
+    of listed fields (`DataSetCollection::addFieldsFromCollection`)."""
+    li = (
+        with_seq(_t(spark, sf_dir, "lineitem"), leg=0, seq_expr=F.expr(_SEQ_SQL))
+        .select("l_partkey", "l_quantity", "l_extendedprice", SEQ_COL)
+    )
+    base = keyed_merge(li, "l_partkey", {}, drop_seq=False)
+    part = with_seq(_t(spark, sf_dir, "part"), leg=1)
+    out = enrich(base, part, "l_partkey", "p_partkey", ["p_name", "p_retailprice"])
+    return out.select(
+        F.col("l_partkey").alias("partkey"),
+        F.col("l_quantity").alias("qty"),
+        F.col("l_extendedprice").alias("price"),
+        "p_name",
+        "p_retailprice",
+    )
+
+
+@register(
+    "pipeline_e2e",
+    oracle=f"""
+    WITH seqd AS (
+      SELECT *, (l_orderkey * 8 + l_linenumber) * 4096 + row_number() OVER (PARTITION BY l_orderkey, l_linenumber ORDER BY l_quantity, l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus, l_shipdate, l_partkey, l_suppkey) AS seq FROM lineitem
+    ),
+    base AS (
+      SELECT l_partkey, arg_max(l_quantity, seq) AS l_quantity, max(seq) AS seq
+      FROM seqd GROUP BY l_partkey
+    ),
+    enriched AS (
+      SELECT b.*, p.p_name, p.p_retailprice
+      FROM base b LEFT JOIN part p ON p.p_partkey = b.l_partkey
+    )
+    SELECT
+      {_SQL_CLEAN_UPC.format(c="CAST(l_partkey AS VARCHAR)")} AS upc,
+      {_SQL_CLEAN_INT.format(c="CAST(l_quantity AS VARCHAR)")} AS qty,
+      {_SQL_CLEAN_FLOAT.format(c="CAST(p_retailprice AS VARCHAR)")} AS price,
+      p_name AS name,
+      CAST(7 AS BIGINT) AS supplier_id,
+      CAST(3 AS BIGINT) AS version
+    FROM enriched
+    """,
+)
+def q_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full config→plan compile: multi-source job (parquet legs) through
+    `plans.aggregate` — scan ⊕ re-key ⊕ enrich ⊕ map ⊕ merge."""
+    cfg = {
+        "supplier_id": 7,
+        "type_id": None,
+        "source": [
+            {
+                "type_id": 3,
+                "filename": f"{sf_dir}/lineitem.parquet",
+                "key": "l_partkey",
+                "fields": ["l_quantity"],
+            },
+            {
+                "type_id": 3,
+                "filename": f"{sf_dir}/part.parquet",
+                "key": "p_partkey",
+                "fields": ["p_name", "p_retailprice"],
+            },
+        ],
+        "column_map_rules": {
+            "upc": "l_partkey",
+            "qty": ["l_quantity", "min"],
+            "price": ["p_retailprice", "max"],
+            "name": "p_name",
+        },
+        "version": 3,
+        "seq_expr": [_SEQ_SQL, None],
+    }
+    return aggregate(spark, cfg, {3: read_local})
+
+
+@register(
+    "tpch_q1",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+      CAST(sum(CAST(l_quantity AS DECIMAL(14,2))) AS DOUBLE) AS sum_qty,
+      CAST(sum(CAST(l_extendedprice AS DECIMAL(16,2))) AS DOUBLE) AS sum_base_price,
+      CAST(sum(CAST(l_extendedprice AS DECIMAL(16,2)) *
+               (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+        AS sum_disc_price,
+      CAST(sum(CAST(l_extendedprice AS DECIMAL(16,2)) *
+               (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))) *
+               (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE)
+        AS sum_charge,
+      CAST(sum(CAST(l_quantity AS DECIMAL(14,2))) AS DOUBLE) / count(*) AS avg_qty,
+      CAST(sum(CAST(l_extendedprice AS DECIMAL(16,2))) AS DOUBLE) / count(*) AS avg_price,
+      CAST(sum(CAST(l_discount AS DECIMAL(14,2))) AS DOUBLE) / count(*) AS avg_disc,
+      count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pricing-summary aggregation (the engine's generalized groupBy/agg).
+    DECIMAL partials keep the parallel sum order-independent and exact."""
+    li = _t(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast("decimal(14,2)")
+    price = F.col("l_extendedprice").cast("decimal(16,2)")
+    one = F.lit(1).cast("decimal(3,2)")
+    disc = F.col("l_discount").cast("decimal(4,2)")
+    tax = F.col("l_tax").cast("decimal(4,2)")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(qty).cast("double").alias("sum_qty"),
+            F.sum(price).cast("double").alias("sum_base_price"),
+            F.sum(price * (one - disc)).cast("double").alias("sum_disc_price"),
+            F.sum(price * (one - disc) * (one + tax)).cast("double").alias("sum_charge"),
+            (F.sum(qty).cast("double") / F.count(F.lit(1))).alias("avg_qty"),
+            (F.sum(price).cast("double") / F.count(F.lit(1))).alias("avg_price"),
+            (
+                F.sum(F.col("l_discount").cast("decimal(14,2)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )

@@ -1,0 +1,111 @@
+"""Operator-level semantics tests: mapper, keyed merge, enrichment join.
+
+Covers the reference behaviors the oracle queries also exercise, plus edge
+cases on tiny hand-built frames (null-key drop, merge-rule arming — the
+reference's P0 bug implemented as intended, §2.8.1)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_edi_data_scrapper_spark.operators.mapper import (
+    MissingSourceColumnsError,
+    map_columns,
+)
+from etl_edi_data_scrapper_spark.operators.merge import enrich, keyed_merge, with_seq
+
+
+def feed(spark):
+    rows = [
+        # (seq, UPC, Quantity, Wholesale, Sublocation)
+        (1, "42", "10", "5.00", "A"),
+        (2, "42", "3", "7,50", "B"),
+        (3, "", "99", "1.00", "X"),      # empty key → dropped at merge
+        (4, None, "99", "1.00", "X"),    # null key → dropped at merge
+        (5, "42", "7", "6.25", "C"),
+        (6, "77", "1", "2.00", "D"),
+    ]
+    return spark.createDataFrame(
+        rows, "_seq long, UPC string, Quantity string, Wholesale string, Sublocation string"
+    )
+
+
+RULES = {
+    "upc": "UPC",
+    "qty": ["Quantity", "min"],
+    "price": ["Wholesale", "max"],
+    "status": ["Sublocation", "addArray"],
+}
+
+
+def test_map_columns_projects_and_stamps(spark):
+    out, merge_rules = map_columns(feed(spark), RULES, 9, 2, keep=["_seq"])
+    assert set(out.columns) == {"upc", "qty", "price", "status", "supplier_id", "version", "_seq"}
+    assert merge_rules == {"qty": "min", "price": "max", "status": "addArray"}
+    row = out.filter(F.col("_seq") == 2).first()
+    assert row.qty == 3 and row.price == 7.5 and row.supplier_id == 9 and row.version == 2
+
+
+def test_map_columns_missing_source_raises(spark):
+    with pytest.raises(MissingSourceColumnsError):
+        map_columns(feed(spark), {"upc": "NOPE"}, 1, 1)
+
+
+def test_keyed_merge_rules_and_key_drop(spark):
+    mapped, merge_rules = map_columns(feed(spark), RULES, 9, 2, keep=["_seq"])
+    out = keyed_merge(mapped, "upc", merge_rules)
+    rows = {r.upc: r for r in out.collect()}
+    assert set(rows) == {"42", "77"}          # null/empty keys dropped
+    assert rows["42"].qty == 3                # min
+    assert rows["42"].price == 7.5            # max
+    assert rows["42"].status == ["A", "B", "C"]  # addArray in arrival order
+    assert rows["77"].status == ["D"]
+
+
+def test_keyed_merge_last_write_wins(spark):
+    df = spark.createDataFrame(
+        [(1, "k", "first", None), (2, "k", None, "x"), (3, "k", "last", None)],
+        "_seq long, key string, a string, b string",
+    )
+    out = keyed_merge(df, "key", {}).first()
+    assert out.a == "last"
+    assert out.b is None  # LWW takes the value of the LAST row even if null
+
+
+def test_keyed_merge_rejects_unknown_rule(spark):
+    df = spark.createDataFrame([(1, "k", "v")], "_seq long, key string, a string")
+    with pytest.raises(ValueError):
+        keyed_merge(df, "key", {"a": "bogus"})
+
+
+def test_enrich_overwrites_and_keeps(spark):
+    base = spark.createDataFrame(
+        [("42", "old_name", 1), ("77", "keep_me", 2)],
+        "upc string, name string, _seq long",
+    )
+    leg = spark.createDataFrame(
+        [("42", "new_name", "extra42", 10), ("99", "discard", "x", 11)],
+        "sku string, name string, extra string, _seq long",
+    )
+    out = enrich(base, leg, "upc", "sku", ["name", "extra"])
+    rows = {r.upc: r for r in out.collect()}
+    assert rows["42"].name == "new_name"      # leg overwrites
+    assert rows["42"].extra == "extra42"      # new column copied
+    assert rows["77"].name == "keep_me"       # no match → base survives
+    assert rows["77"].extra is None
+    assert "99" not in rows                   # leg-only keys discarded
+
+
+def test_enrich_leg_last_occurrence_wins(spark):
+    base = spark.createDataFrame([("42", 1)], "upc string, _seq long")
+    leg = spark.createDataFrame(
+        [("42", "v1", 10), ("42", "v2", 11)], "sku string, f string, _seq long"
+    )
+    out = enrich(base, leg, "upc", "sku", ["f"]).first()
+    assert out.f == "v2"
+
+
+def test_with_seq_leg_offsets(spark):
+    df = spark.createDataFrame([("a",)], "x string")
+    s0 = with_seq(df, leg=0).first()._seq
+    s1 = with_seq(df, leg=1).first()._seq
+    assert s1 - s0 == 1 << 52
