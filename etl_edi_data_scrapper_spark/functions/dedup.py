@@ -1,0 +1,241 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard,
+embedding-cosine near-dup.
+
+Scale design (the point of these):
+  * NEVER all-pairs at corpus scale. Every near-dup path goes
+    candidate-generation (hash/band/bucket equi-join — a shuffle on a
+    small key) → exact verification only on candidates.
+  * hashes are md5-based and engine-agnostic (same hex strings in any SQL
+    engine), so results are reproducible and oracle-checkable; lexicographic
+    MIN over hex strings replaces integer minhash (no 64-bit parsing needed).
+  * all exprs are built-in Column functions — no Python UDFs; the explode →
+    groupBy(min) shingle signature is one shuffle with map-side partials.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from etl_edi_data_scrapper_spark.functions.text import normalize_text, tokens
+
+
+def shingles(text: Column | str, n: int = 3) -> Column:
+    """Distinct word n-gram shingles. Short docs (< n tokens) yield their
+    whole token string as one shingle (slice truncates — same as DuckDB's
+    list slicing)."""
+    t = tokens(text)
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(t) - (n - 1), F.lit(1))),
+            lambda i: F.array_join(F.slice(t, i, n), " "),
+        )
+    )
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact duplicate groups by normalized-text md5: one shuffle on the
+    16-byte hash (never on the full text). Returns fingerprint → canonical
+    (min id) + group size."""
+    return (
+        df.select(F.md5(normalize_text(text_col)).alias("fingerprint"), F.col(id_col))
+        .groupBy("fingerprint")
+        .agg(F.min(id_col).alias("canonical_id"), F.count(F.lit(1)).alias("n_dups"))
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 12,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """MinHash signature per doc: h_j = min over shingles of md5('j:'+s).
+
+    One explode + one groupBy (map-side combine keeps the shuffle at
+    n_docs × n_hashes hex strings regardless of document length).
+    """
+    sh = df.select(F.col(id_col), F.explode(shingles(text_col, shingle_n)).alias("s"))
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{j}:"), F.col("s")))).alias(f"h{j}")
+        for j in range(n_hashes)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def lsh_band_keys(
+    sig: DataFrame, id_col: str = "doc_id", n_hashes: int = 12, bands: int = 4
+) -> DataFrame:
+    """(doc, band, band_key) — band_key = md5 of the band's concatenated
+    signature rows. Join on (band, band_key) finds candidates without any
+    all-pairs comparison."""
+    rows = n_hashes // bands
+    out = []
+    for b in range(bands):
+        cols = [F.col(f"h{b * rows + r}") for r in range(rows)]
+        out.append(
+            sig.select(
+                F.col(id_col),
+                F.lit(b).alias("band"),
+                F.md5(F.concat(*cols)).alias("band_key"),
+            )
+        )
+    res = out[0]
+    for o in out[1:]:
+        res = res.unionByName(o)
+    return res
+
+
+def minhash_candidate_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 12,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Distinct candidate pairs (a < b) sharing ≥1 LSH band."""
+    sig = minhash_signatures(df, id_col, text_col, n_hashes, shingle_n)
+    bk = lsh_band_keys(sig, id_col, n_hashes, bands)
+    left = bk.select(F.col(id_col).alias("a"), "band", "band_key")
+    right = bk.select(F.col(id_col).alias("b"), "band", "band_key")
+    return (
+        left.join(right, ["band", "band_key"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    threshold: float = 0.0,
+) -> DataFrame:
+    """Exact shingle-set Jaccard for candidate pairs (verification stage).
+
+    Joins the (small) candidate set against per-doc shingle arrays twice —
+    both joins are equi-joins on the id; the shingle frame is reused.
+    """
+    sh = df.select(
+        F.col(id_col), shingles(text_col, shingle_n).alias("sh")
+    )
+    a = sh.select(F.col(id_col).alias("a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col(id_col).alias("b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return (
+        pairs.join(a, "a")
+        .join(b, "b")
+        .select(
+            "a",
+            "b",
+            (inter.cast("double") / union.cast("double")).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# --- SimHash -----------------------------------------------------------------
+
+_HEX = "0123456789abcdef"
+
+
+def _hex_val(c: Column) -> Column:
+    """hex char → 0..15 via instr arithmetic (portable to any SQL engine)."""
+    return F.instr(F.lit(_HEX), c) - 1
+
+
+def simhash(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 32
+) -> DataFrame:
+    """SimHash signature: bit_i = sign of Σ_tokens (±1 by bit i of
+    md5(token)). Explode + single groupBy with `bits` conditional-sum
+    aggregates — one shuffle, map-side partials.
+
+    Bits come from md5 hex chars via instr arithmetic, so an external SQL
+    oracle computes the identical signature.
+    """
+    tok = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("t"))
+    tok = tok.withColumn("h", F.md5(F.col("t")))
+    aggs = []
+    for i in range(bits):
+        nibble = _hex_val(F.substring(F.col("h"), i // 4 + 1, 1))
+        # floor (not cast) — double→int casts round in some engines
+        bit = F.floor(nibble / (2 ** (3 - i % 4))).cast("int") % 2
+        contrib = F.when(bit == 1, 1).otherwise(-1)
+        aggs.append(F.sum(contrib).alias(f"b{i}"))
+    sums = tok.groupBy(id_col).agg(*aggs)
+    sig = sums.select(
+        F.col(id_col),
+        sum(
+            (F.when(F.col(f"b{i}") > 0, F.lit(2**i)).otherwise(F.lit(0)) for i in range(bits)),
+            F.lit(0),
+        ).cast("long").alias("simhash"),
+    )
+    return sig
+
+
+def simhash_near_pairs(
+    sig: DataFrame, id_col: str = "doc_id", max_hamming: int = 3, prefix_bits: int = 16
+) -> DataFrame:
+    """Near-dup pairs by Hamming distance, blocked on the signature's high
+    bits (documents differing only in low bits collide in a block; a
+    production sweep rotates the block mask to catch all splits)."""
+    blk = (F.col("simhash") / F.lit(2**prefix_bits)).cast("long")
+    a = sig.select(F.col(id_col).alias("a"), F.col("simhash").alias("sh_a"), blk.alias("blk"))
+    b = sig.select(F.col(id_col).alias("b"), F.col("simhash").alias("sh_b"), blk.alias("blk"))
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        a.join(b, "blk")
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", ham.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+# --- Embedding near-dup --------------------------------------------------------
+
+
+def cosine_expr(a: Column, b: Column) -> Column:
+    """Cosine of two float-array columns via zip_with/aggregate — sequential
+    double accumulation in index order (deterministic, engine-parity)."""
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")))
+    nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")))
+    return dot / (na * nb)
+
+
+def embedding_near_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: str | None = "label",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Near-duplicate vectors by cosine ≥ threshold.
+
+    Blocked all-pairs within `block_col` (cluster id, shard, LSH bucket —
+    see similarity.hyperplane_lsh_buckets for hash-derived blocks when no
+    natural one exists). The equi-join on the block key keeps the pair count
+    at Σ block² instead of N²."""
+    cols = [F.col(id_col), F.col(vec_col)] + ([F.col(block_col)] if block_col else [F.lit(0).alias("__blk")])
+    blk = block_col or "__blk"
+    base = df.select(*cols)
+    a = base.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va"), F.col(blk).alias("blk"))
+    b = base.select(F.col(id_col).alias("b"), F.col(vec_col).alias("vb"), F.col(blk).alias("blk"))
+    sim = cosine_expr(F.col("va"), F.col("vb"))
+    return (
+        a.join(b, "blk")
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", sim.alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )

@@ -1,0 +1,98 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths, same operator surface:
+  * ``cosine_topk`` — exact brute force: query×corpus join, windowed top-k.
+    The baseline, and correct at any scale where #queries × corpus fits a
+    shuffle (queries are broadcast — the corpus is never replicated).
+  * ``lsh_topk`` — random-hyperplane LSH: bucket both sides on sign
+    signatures, equi-join buckets, rerank exactly within candidates. The
+    100 TB path: corpus pairs drop from N×Q to collisions only. Hyperplanes
+    are derived deterministically from md5 arithmetic (reproducible across
+    runs/engines, no RNG state to ship).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from etl_edi_data_scrapper_spark.functions.dedup import _hex_val, cosine_expr
+
+
+def cosine_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    q_id: str = "q_id",
+    q_vec: str = "q_vec",
+    c_id: str = "vec_id",
+    c_vec: str = "embedding",
+) -> DataFrame:
+    """Exact top-k by cosine per query (broadcast queries × corpus scan +
+    partitioned window — ties broken by corpus id for determinism)."""
+    qs = F.broadcast(queries.select(F.col(q_id), F.col(q_vec)))
+    joined = corpus.select(F.col(c_id), F.col(c_vec)).crossJoin(qs)
+    sim = cosine_expr(F.col(q_vec), F.col(c_vec)).alias("cosine")
+    w = W.partitionBy(q_id).orderBy(F.col("cosine").desc(), F.col(c_id))
+    return (
+        joined.select(q_id, c_id, sim)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def hyperplane_signature(vec: Column, n_planes: int, dim: int) -> Column:
+    """Sign signature under `n_planes` deterministic pseudo-random
+    hyperplanes. Plane weights are md5-derived: w[p][d] = hexval(md5('p:d'))
+    - 7.5 — fixed, engine-reproducible, no RNG.
+
+    Returns a string key '0|1|...' usable directly as an LSH bucket id.
+    """
+    import hashlib
+
+    bits = []
+    for p in range(n_planes):
+        dot = None
+        for d in range(dim):
+            h = hashlib.md5(f"{p}:{d}".encode()).hexdigest()
+            wgt = float(int(h[0], 16)) - 7.5
+            term = vec[d].cast("double") * F.lit(wgt)
+            dot = term if dot is None else dot + term
+        bits.append(F.when(dot >= 0, F.lit("1")).otherwise(F.lit("0")))
+    return F.concat_ws("", *bits)
+
+
+def lsh_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    n_planes: int = 8,
+    dim: int = 64,
+    q_id: str = "q_id",
+    q_vec: str = "q_vec",
+    c_id: str = "vec_id",
+    c_vec: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: equi-join on hyperplane bucket, exact rerank inside.
+
+    Recall < 1.0 by construction (bucket boundaries); production raises it
+    with multi-probe (flip one bit) or multiple tables — both are unions of
+    the same plan shape.
+    """
+    qb = F.broadcast(
+        queries.select(
+            F.col(q_id), F.col(q_vec), hyperplane_signature(F.col(q_vec), n_planes, dim).alias("bucket")
+        )
+    )
+    cb = corpus.select(
+        F.col(c_id), F.col(c_vec), hyperplane_signature(F.col(c_vec), n_planes, dim).alias("bucket")
+    )
+    sim = cosine_expr(F.col(q_vec), F.col(c_vec)).alias("cosine")
+    w = W.partitionBy(q_id).orderBy(F.col("cosine").desc(), F.col(c_id))
+    return (
+        cb.join(qb, "bucket")
+        .select(q_id, c_id, sim)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

@@ -1,0 +1,116 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+Beyond the reference's scope (its scalar lib is the per-name cleaning in
+`Mapper.php:95-111`); these are the document-level operators a 100 TB
+text-corpus pipeline needs: tokenization, quality scoring, language ID,
+fingerprinting. All pure `pyspark.sql.functions` Column exprs — JVM-side,
+codegen'd, no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword lists (heuristic language ID — deterministic,
+# dictionary-based; a production pipeline would plug fastText/CLD3 via a
+# Pandas UDF, same operator shape).
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "de": ("der", "die", "das", "und", "ist", "nicht", "mit", "ein"),
+    "en": ("the", "a", "of", "and", "to", "in", "is", "it"),
+    "es": ("el", "la", "los", "las", "y", "es", "en", "un"),
+    "fr": ("le", "la", "les", "et", "est", "un", "une", "dans"),
+    "zh": ("的", "是", "在", "了", "和", "有", "我", "不"),
+}
+
+EN_STOPWORDS = LANG_STOPWORDS["en"]
+
+
+def tokens(c: Column | str) -> Column:
+    """Whitespace tokenization (single-space corpus; regex split for the
+    general case would be F.split(c, r'\\s+'))."""
+    c = F.col(c) if isinstance(c, str) else c
+    return F.split(c, " ")
+
+
+def token_count(c: Column | str) -> Column:
+    return F.size(tokens(c))
+
+
+def stopword_hits(toks: Column, words: tuple[str, ...]) -> Column:
+    """# tokens found in a dictionary — the building block for both quality
+    scoring and language ID. array_contains-free: filter + size (codegen'd)."""
+    arr = F.array(*[F.lit(w) for w in words])
+    return F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+
+
+def quality_features(text: Column | str) -> dict[str, Column]:
+    """Per-document quality signals (length, token stats, stopword ratio,
+    lexical diversity). Ratios are double divisions of exact ints —
+    deterministic across engines."""
+    text = F.col(text) if isinstance(text, str) else text
+    toks = tokens(text)
+    n_tokens = F.size(toks)
+    n_chars = F.length(text)
+    n_uniq = F.size(F.array_distinct(toks))
+    n_stop = stopword_hits(toks, EN_STOPWORDS)
+    avg_token_len = (
+        (n_chars - (n_tokens - F.lit(1))).cast("double") / n_tokens.cast("double")
+    )
+    stopword_ratio = n_stop.cast("double") / n_tokens.cast("double")
+    uniq_ratio = n_uniq.cast("double") / n_tokens.cast("double")
+    return {
+        "n_chars": n_chars.cast("long"),
+        "n_tokens": n_tokens.cast("long"),
+        "avg_token_len": avg_token_len,
+        "stopword_ratio": stopword_ratio,
+        "uniq_ratio": uniq_ratio,
+    }
+
+
+def quality_score(text: Column | str) -> Column:
+    """Composite [0,1]-ish score: favors mid-length docs with some stopwords
+    and diverse vocabulary (the usual heuristic pre-filter before expensive
+    model-based scoring)."""
+    f = quality_features(text)
+    length_term = F.least(f["n_tokens"].cast("double") / F.lit(100.0), F.lit(1.0))
+    return (
+        F.lit(0.4) * length_term
+        + F.lit(0.3) * F.least(f["stopword_ratio"] * 4, F.lit(1.0))
+        + F.lit(0.3) * f["uniq_ratio"]
+    )
+
+
+def lang_scores(text: Column | str) -> dict[str, Column]:
+    """Per-language stopword-hit counts."""
+    toks = tokens(text)
+    return {lang: stopword_hits(toks, words) for lang, words in LANG_STOPWORDS.items()}
+
+
+def lang_id(text: Column | str) -> Column:
+    """argmax language with deterministic tiebreak (language code ascending);
+    all-zero scores → 'und' (undetermined)."""
+    scores = lang_scores(text)
+    # fold: keep (best_score, best_lang); strict > keeps earlier (asc) lang on tie
+    best_score, best_lang = None, None
+    for lang in sorted(scores):
+        s = scores[lang]
+        if best_score is None:
+            best_score, best_lang = s, F.lit(lang)
+        else:
+            cond = s > best_score
+            best_lang = F.when(cond, F.lit(lang)).otherwise(best_lang)
+            best_score = F.when(cond, s).otherwise(best_score)
+    return F.when(best_score > 0, best_lang).otherwise(F.lit("und"))
+
+
+def normalize_text(c: Column | str) -> Column:
+    """Lowercase, strip non-alphanumerics to single spaces, trim — the
+    canonical form for fingerprinting/exact dedup."""
+    c = F.col(c) if isinstance(c, str) else c
+    return F.trim(F.regexp_replace(F.lower(c), "[^a-z0-9]+", " "))
+
+
+def fingerprint(c: Column | str) -> Column:
+    """Deterministic document fingerprint: md5 of the normalized text."""
+    return F.md5(normalize_text(c))

@@ -565,3 +565,247 @@ def q_union_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         a.unionByName(b).distinct().groupBy("l_returnflag").agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Training-data pipeline operators (BASELINE.json north star): text analysis,
+# dedup (exact / MinHash-LSH / SimHash / n-gram Jaccard), embedding
+# similarity. Implementations in functions/{text,dedup,similarity}.py.
+# ---------------------------------------------------------------------------
+
+_SQL_EN_STOP = "['the','a','of','and','to','in','is','it']"
+# DuckDB replica of functions.dedup.shingles (3-gram words, distinct)
+_SQL_SHINGLES = (
+    "list_distinct(list_transform(generate_series(1, greatest(len({t})-2, 1)), "
+    "i -> array_to_string({t}[i:i+2], ' ')))"
+)
+# DuckDB replica of functions.dedup.cosine_expr — bit-identical to Spark's
+# zip_with/aggregate (sequential double accumulation; the builtin
+# list_cosine_similarity computes in float32 and does NOT match)
+_SQL_COSINE = (
+    "list_sum(list_transform(list_zip({a}, {b}), x -> x[1]::DOUBLE * x[2]::DOUBLE)) / "
+    "(sqrt(list_sum(list_transform({a}, x -> x::DOUBLE*x::DOUBLE))) * "
+    "sqrt(list_sum(list_transform({b}, x -> x::DOUBLE*x::DOUBLE))))"
+)
+
+
+@register(
+    "text_quality",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, text, string_split(text, ' ') AS t FROM documents)
+    SELECT doc_id,
+      length(text)::BIGINT AS n_chars,
+      len(t)::BIGINT AS n_tokens,
+      (length(text) - (len(t) - 1))::DOUBLE / len(t)::DOUBLE AS avg_token_len,
+      len(list_filter(t, x -> list_contains({_SQL_EN_STOP}, x)))::DOUBLE
+        / len(t)::DOUBLE AS stopword_ratio,
+      len(list_distinct(t))::DOUBLE / len(t)::DOUBLE AS uniq_ratio,
+      0.4 * least(len(t)::DOUBLE / 100.0, 1.0)
+        + 0.3 * least((len(list_filter(t, x -> list_contains({_SQL_EN_STOP}, x)))::DOUBLE
+                       / len(t)::DOUBLE) * 4, 1.0)
+        + 0.3 * (len(list_distinct(t))::DOUBLE / len(t)::DOUBLE) AS quality
+    FROM tok
+    """,
+)
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality features + composite score (functions.text) —
+    pure narrow projection, no shuffle, codegen'd."""
+    from etl_edi_data_scrapper_spark.functions.text import quality_features, quality_score
+
+    docs = _t(spark, sf_dir, "documents")
+    feats = quality_features(F.col("text"))
+    return docs.select(
+        "doc_id",
+        feats["n_chars"].alias("n_chars"),
+        feats["n_tokens"].alias("n_tokens"),
+        feats["avg_token_len"].alias("avg_token_len"),
+        feats["stopword_ratio"].alias("stopword_ratio"),
+        feats["uniq_ratio"].alias("uniq_ratio"),
+        quality_score(F.col("text")).alias("quality"),
+    )
+
+
+def _sql_lang_score(words: tuple[str, ...]) -> str:
+    arr = "[" + ",".join(f"'{w}'" for w in words) + "]"
+    return f"len(list_filter(t, x -> list_contains({arr}, x)))"
+
+
+@register(
+    "lang_id",
+    oracle=None,  # filled below (generated SQL)
+)
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dictionary-based language ID (argmax stopword hits, asc-code
+    tiebreak, 'und' when all zero) + doc fingerprint."""
+    from etl_edi_data_scrapper_spark.functions.text import fingerprint, lang_id
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        "lang",
+        lang_id(F.col("text")).alias("lang_pred"),
+        fingerprint(F.col("text")).alias("fingerprint"),
+    )
+
+
+def _lang_id_oracle() -> str:
+    from etl_edi_data_scrapper_spark.functions.text import LANG_STOPWORDS
+
+    scores = ", ".join(
+        f"{_sql_lang_score(w)} AS s_{lang}" for lang, w in sorted(LANG_STOPWORDS.items())
+    )
+    langs = sorted(LANG_STOPWORDS)
+    mx = "greatest(" + ", ".join(f"s_{lg}" for lg in langs) + ")"
+    pick = " ".join(f"WHEN s_{lg} = {mx} THEN '{lg}'" for lg in langs[:-1])
+    return f"""
+    WITH tok AS (SELECT doc_id, lang, text, string_split(text, ' ') AS t FROM documents),
+    sc AS (SELECT doc_id, lang, text, {scores} FROM tok)
+    SELECT doc_id, lang,
+      CASE WHEN {mx} = 0 THEN 'und' {pick} ELSE '{langs[-1]}' END AS lang_pred,
+      md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fingerprint
+    FROM sc
+    """
+
+
+ORACLES["lang_id"] = _lang_id_oracle()
+
+
+@register(
+    "dedup_exact",
+    oracle="""
+    SELECT md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fingerprint,
+           min(doc_id) AS canonical_id,
+           count(*) AS n_dups
+    FROM documents GROUP BY 1
+    """,
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup groups: shuffle on the 16-byte fingerprint, never on the
+    text itself."""
+    from etl_edi_data_scrapper_spark.functions.dedup import exact_dedup
+
+    return exact_dedup(_t(spark, sf_dir, "documents"))
+
+
+def _minhash_oracle(n_hashes: int = 12, bands: int = 4) -> str:
+    rows = n_hashes // bands
+    hs = ", ".join(f"min(md5('{j}:' || s)) AS h{j}" for j in range(n_hashes))
+    band_rows = "\n      UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, md5("
+        + " || ".join(f"h{b * rows + r}" for r in range(rows))
+        + ") AS band_key FROM sig"
+        for b in range(bands)
+    )
+    sh = _SQL_SHINGLES.format(t="t")
+    return f"""
+    WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    shingled AS (SELECT doc_id, {sh} AS shingles FROM tok),
+    ex AS (SELECT doc_id, unnest(shingles) AS s FROM shingled),
+    sig AS (SELECT doc_id, {hs} FROM ex GROUP BY doc_id),
+    bands AS ({band_rows}),
+    cand AS (
+      SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+      FROM bands l JOIN bands r ON l.band = r.band AND l.band_key = r.band_key
+      WHERE l.doc_id < r.doc_id),
+    verified AS (
+      SELECT a, b,
+        len(list_intersect(sa.shingles, sb.shingles))::DOUBLE /
+        (len(sa.shingles) + len(sb.shingles)
+         - len(list_intersect(sa.shingles, sb.shingles)))::DOUBLE AS jaccard
+      FROM cand
+      JOIN shingled sa ON sa.doc_id = a
+      JOIN shingled sb ON sb.doc_id = b)
+    SELECT a, b, jaccard FROM verified
+    """
+
+
+@register("minhash_lsh", oracle=_minhash_oracle())
+def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup candidates with exact Jaccard verification —
+    candidate generation is a band-key equi-join (NO all-pairs); verify
+    touches only collided pairs."""
+    from etl_edi_data_scrapper_spark.functions.dedup import (
+        jaccard_pairs,
+        minhash_candidate_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    cand = minhash_candidate_pairs(docs, n_hashes=12, bands=4)
+    return jaccard_pairs(docs, cand)
+
+
+def _simhash_oracle(bits: int = 32) -> str:
+    terms = []
+    for i in range(bits):
+        pos, div = i // 4 + 1, 2 ** (3 - i % 4)
+        bit = (
+            f"CAST(floor((instr('0123456789abcdef', substring(h, {pos}, 1)) - 1)"
+            f" / {div}) AS INT) % 2"
+        )
+        terms.append(f"sum(CASE WHEN {bit} = 1 THEN 1 ELSE -1 END) AS b{i}")
+    sums = ", ".join(terms)
+    recomb = " + ".join(f"CASE WHEN b{i} > 0 THEN {2**i} ELSE 0 END" for i in range(bits))
+    return f"""
+    WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+    hashed AS (SELECT doc_id, md5(t) AS h FROM tok),
+    sums AS (SELECT doc_id, {sums} FROM hashed GROUP BY doc_id)
+    SELECT doc_id, CAST({recomb} AS BIGINT) AS simhash FROM sums
+    """
+
+
+@register("simhash", oracle=_simhash_oracle())
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash signatures: explode tokens → one groupBy with 32
+    conditional sums (single shuffle, map-side partials)."""
+    from etl_edi_data_scrapper_spark.functions.dedup import simhash
+
+    return simhash(_t(spark, sf_dir, "documents"), bits=32)
+
+
+@register(
+    "embed_neardup",
+    oracle=f"""
+    SELECT a.vec_id AS a, b.vec_id AS b,
+           {_SQL_COSINE.format(a="a.embedding", b="b.embedding")} AS cosine
+    FROM embeddings a JOIN embeddings b
+      ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE {_SQL_COSINE.format(a="a.embedding", b="b.embedding")} >= 0.3
+    """,
+)
+def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs: label-blocked all-pairs + cosine filter
+    (Σ block² pairs, not N²; hash-derived blocks when no natural key —
+    functions.similarity.hyperplane_signature)."""
+    from etl_edi_data_scrapper_spark.functions.dedup import embedding_near_pairs
+
+    return embedding_near_pairs(
+        _t(spark, sf_dir, "embeddings"), block_col="label", threshold=0.3
+    )
+
+
+@register(
+    "ann_topk",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id < 5),
+    scored AS (
+      SELECT q.q_id, c.vec_id,
+             {_SQL_COSINE.format(a="q.q_vec", b="c.embedding")} AS cosine
+      FROM embeddings c CROSS JOIN q),
+    ranked AS (
+      SELECT q_id, vec_id, cosine,
+             row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rank
+      FROM scored)
+    SELECT q_id, vec_id, cosine, rank FROM ranked WHERE rank <= 5
+    """,
+)
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k (the exact ANN baseline): broadcast queries
+    × corpus scan, partitioned window rank. LSH-bucketed approximate path in
+    functions.similarity.lsh_topk."""
+    from etl_edi_data_scrapper_spark.functions.similarity import cosine_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    return cosine_topk(queries, emb, k=5)

@@ -1,0 +1,129 @@
+"""Tests for the training-data pipeline operators: text analysis, dedup
+(exact/MinHash/SimHash/Jaccard/embedding), similarity search, multimodal
+plumbing."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_edi_data_scrapper_spark.functions import dedup, multimodal, similarity, text
+
+
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy cat"),  # near-dup of 0
+        (2, "completely different words here nothing shared at all"),
+        (3, "the quick brown fox jumps over the lazy dog"),  # exact dup of 0
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup_groups(spark):
+    out = dedup.exact_dedup(docs(spark)).collect()
+    groups = {r.canonical_id: r.n_dups for r in out}
+    assert groups[0] == 2          # docs 0 and 3 collapse
+    assert groups[1] == 1 and groups[2] == 1
+
+
+def test_minhash_finds_near_dup_pair(spark):
+    d = docs(spark)
+    cand = dedup.minhash_candidate_pairs(d, n_hashes=12, bands=6)  # 2-row bands
+    verified = dedup.jaccard_pairs(d, cand, threshold=0.5).collect()
+    pairs = {(r.a, r.b): r.jaccard for r in verified}
+    assert (0, 3) in pairs and pairs[(0, 3)] == 1.0  # exact dup
+    assert (0, 1) in pairs and 0.5 <= pairs[(0, 1)] < 1.0
+
+
+def test_jaccard_values(spark):
+    d = docs(spark)
+    pairs = spark.createDataFrame([(0, 2)], "a long, b long")
+    out = dedup.jaccard_pairs(d, pairs).collect()
+    assert out[0].jaccard == 0.0  # disjoint shingles
+
+
+def test_simhash_near_pairs(spark):
+    sig = dedup.simhash(docs(spark), bits=32)
+    rows = {r.doc_id: r.simhash for r in sig.collect()}
+    assert rows[0] == rows[3]  # identical text → identical signature
+    pairs = dedup.simhash_near_pairs(sig, max_hamming=10).collect()
+    assert any({p.a, p.b} == {0, 3} and p.hamming == 0 for p in pairs)
+
+
+def test_cosine_topk_self_is_rank1(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    out = similarity.cosine_topk(queries, emb, k=3).collect()
+    top1 = {r.q_id: r for r in out if r.rank == 1}
+    for q_id, r in top1.items():
+        assert r.vec_id == q_id                      # self-match first
+        assert r.cosine == pytest.approx(1.0, abs=1e-9)
+
+
+def test_lsh_topk_subset_of_bucket_and_self_found(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    out = similarity.lsh_topk(queries, emb, k=3, n_planes=4).collect()
+    # self always lands in its own bucket → rank 1 survives LSH
+    top1 = {r.q_id: r.vec_id for r in out if r.rank == 1}
+    assert top1 == {0: 0, 1: 1, 2: 2}
+
+
+def test_lang_id_prefers_matching_dictionary(spark):
+    d = spark.createDataFrame(
+        [(1, "der hund und die katze ist nicht hier"),
+         (2, "the cat and the dog is in the house"),
+         (3, "xyzzy plugh")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.lang for r in d.select("doc_id", text.lang_id("text").alias("lang")).collect()}
+    assert out[1] == "de" and out[2] == "en" and out[3] == "und"
+
+
+def test_quality_score_bounds(spark, sf_dir):
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    stats = d.select(text.quality_score("text").alias("q")).agg(
+        F.min("q"), F.max("q")
+    ).first()
+    assert 0.0 <= stats[0] and stats[1] <= 1.0
+
+
+# --- multimodal plumbing (decode kernel stubbed; Arrow path real) -----------
+
+
+def media(spark):
+    rows = [
+        (1, "image", b"\x89PNG fake bytes", ("image/png", 64, 64, None)),
+        (2, "audio", b"RIFF fake wav", ("audio/wav", None, None, 2_000)),
+        (3, "video", b"\x00\x00ftyp fake mp4", ("video/mp4", 320, 240, 3_500)),
+        (4, "image", None, ("image/png", 0, 0, None)),
+    ]
+    return spark.createDataFrame(rows, schema=multimodal.MEDIA_SCHEMA)
+
+
+def test_extract_features_fake_kernel(spark):
+    out = multimodal.extract_features(media(spark), kernel=multimodal.fake_decode_kernel)
+    rows = {r.media_id: r for r in out.collect()}
+    assert rows[1].n_bytes == 15 and len(rows[1].feature) == 8
+    assert all(0.0 <= v <= 1.0 for v in rows[1].feature)
+    assert rows[4].sha1 is None and rows[4].n_bytes == 0
+    # deterministic: same bytes → same features
+    again = multimodal.extract_features(media(spark), kernel=multimodal.fake_decode_kernel)
+    assert again.filter(F.col("media_id") == 1).first().feature == rows[1].feature
+
+
+def test_real_kernel_raises_decoder_unavailable():
+    with pytest.raises(multimodal.DecoderUnavailable):
+        multimodal.real_decode_kernel(b"bytes", "image")
+
+
+def test_sample_frames_explodes_video(spark):
+    out = multimodal.sample_frames(media(spark), every_ms=1000).collect()
+    by_id = {}
+    for r in out:
+        by_id.setdefault(r.media_id, []).append(r.frame_ts_ms)
+    assert sorted(by_id[3]) == [0, 1000, 2000]  # 3.5 s video, 1 s sampling
+    assert set(by_id) == {3}                    # only videos explode
