@@ -809,3 +809,111 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
     )
     return cosine_topk(queries, emb, k=5)
+
+
+# ---------------------------------------------------------------------------
+# Source readers through the gate (SURVEY.md §2.1): stage → read → aggregate,
+# oracled against the same data (or a VALUES literal for fixture-shaped
+# feeds). Only int/string columns cross the text formats (double→string
+# formatting is engine-specific; cleaning handles feeds' numeric text).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "csv_scan",
+    oracle="""
+    SELECT count(*) AS n,
+           count(DISTINCT CAST(l_partkey AS VARCHAR)) AS n_parts,
+           min(l_returnflag) AS min_flag,
+           max(l_returnflag) AS max_flag
+    FROM lineitem
+    """,
+)
+def q_csv_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV scan: header row = schema, all strings, malformed rows dropped
+    (`CsvInputHandler.php:65-95`). Roundtrips lineitem through a staged CSV
+    and aggregates — proves header/typing/row fidelity of the reader."""
+    import tempfile
+
+    from etl_edi_data_scrapper_spark.sources.files import read_csv
+
+    stage = tempfile.mkdtemp(prefix="etl_csv_q_")
+    (
+        _t(spark, sf_dir, "lineitem")
+        .select(
+            F.col("l_orderkey").cast("string"),
+            F.col("l_partkey").cast("string"),
+            F.col("l_returnflag"),
+        )
+        .write.mode("overwrite")
+        .option("header", True)
+        .csv(stage)
+    )
+    df = read_csv(spark, stage)
+    return df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.min("l_returnflag").alias("min_flag"),
+        F.max("l_returnflag").alias("max_flag"),
+    )
+
+
+_MORRIS_FIXTURE = """<root>
+  <available><gtin>0042323456789</gtin><qty>15</qty><detail><price>12.50</price></detail></available>
+  <available><gtin>0099999999999</gtin><qty>3</qty><detail><price>7.25</price></detail></available>
+  <available><gtin>0012300000001</gtin><qty>0</qty><detail><price>0.99</price></detail></available>
+</root>"""
+
+
+@register(
+    "morris_xml",
+    oracle="""
+    SELECT * FROM (VALUES
+      ('0042323456789', CAST(15 AS BIGINT), CAST(12.5 AS DOUBLE)),
+      ('0099999999999', CAST(3 AS BIGINT), CAST(7.25 AS DOUBLE)),
+      ('0012300000001', CAST(0 AS BIGINT), CAST(0.99 AS DOUBLE))
+    ) AS t(gtin, qty, price)
+    """,
+)
+def q_morris_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morris XML scan: one row per <available>, per-field casts
+    (`MorrisXmlSftpInputHandler.php:21-62`)."""
+    import os
+    import tempfile
+
+    from etl_edi_data_scrapper_spark.sources.files import read_morris_xml
+
+    stage = tempfile.mkdtemp(prefix="etl_xml_q_")
+    path = os.path.join(stage, "morris.xml")
+    with open(path, "w") as f:
+        f.write(_MORRIS_FIXTURE)
+    return read_morris_xml(spark, path)
+
+
+@register(
+    "rest_scan",
+    oracle="""
+    SELECT * FROM (VALUES
+      ('b1-0', CAST(10 AS BIGINT)), ('b1-1', CAST(11 AS BIGINT)),
+      ('b2-0', CAST(20 AS BIGINT)), ('b2-1', CAST(21 AS BIGINT)),
+      ('b3-0', CAST(30 AS BIGINT)), ('b3-1', CAST(31 AS BIGINT))
+    ) AS t(barcode, stock_quantity)
+    """,
+)
+def q_rest_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REST scan: paginated {data, meta.last_page, links.next} pages →
+    staged JSONL → one distributed spark.read.json
+    (`RestApiInputHandler.php:24-119`)."""
+    import json as jsonmod
+
+    from etl_edi_data_scrapper_spark.sources.rest import read_rest_api
+
+    def fetch(url: str) -> str:
+        page = int(url.split("page=")[1].split("&")[0])
+        rows = [
+            {"barcode": f"b{page}-{i}", "stock_quantity": page * 10 + i}
+            for i in range(2)
+        ]
+        return jsonmod.dumps({"data": rows, "meta": {"last_page": 3}})
+
+    return read_rest_api(spark, "https://api.example.com/v1/products", fetch=fetch)

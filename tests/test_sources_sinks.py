@@ -1,0 +1,267 @@
+"""Sources (CSV/XML/REST/SFTP protocol/Excel range), sinks, and the
+streaming job consumer — driven end-to-end on local fixtures."""
+
+import json
+import os
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_edi_data_scrapper_spark import sinks
+from etl_edi_data_scrapper_spark.sources import files as fmod
+from etl_edi_data_scrapper_spark.sources import transports as tmod
+from etl_edi_data_scrapper_spark.sources.registry import local_registry, read_local
+from etl_edi_data_scrapper_spark.sources.rest import JwtManager, paginate, read_rest_api
+
+
+# --- CSV ---------------------------------------------------------------------
+
+
+def test_csv_drops_malformed_rows(spark, tmp_path):
+    # reference: skip rows whose column count != header (CsvInputHandler.php:80-83)
+    p = tmp_path / "feed.csv"
+    p.write_text("upc,qty,price\n1,2,3\nbadrow,5\n4,5,6\n\n7,8,9,10\n")
+    df = fmod.read_csv(spark, str(p))
+    rows = df.collect()
+    assert [tuple(r) for r in rows] == [("1", "2", "3"), ("4", "5", "6")]
+    assert df.columns == ["upc", "qty", "price"]
+
+
+# --- Morris XML ---------------------------------------------------------------
+
+
+MORRIS_XML = """<root>
+  <available>
+    <gtin>0042323456789</gtin><qty>15</qty>
+    <detail><price>12.50</price></detail>
+  </available>
+  <available>
+    <gtin>0099999999999</gtin><qty>3</qty>
+    <detail><price>7.25</price></detail>
+  </available>
+</root>"""
+
+
+def test_morris_xml_typed_parse(spark, tmp_path):
+    p = tmp_path / "morris.xml"
+    p.write_text(MORRIS_XML)
+    df = fmod.read_morris_xml(spark, str(p))
+    assert [f.dataType.simpleString() for f in df.schema.fields] == [
+        "string", "bigint", "double",
+    ]
+    rows = {r.gtin: r for r in df.collect()}
+    assert rows["0042323456789"].qty == 15 and rows["0042323456789"].price == 12.5
+
+
+def test_morris_xml_multi_file_union(spark, tmp_path):
+    (tmp_path / "a.xml").write_text(MORRIS_XML)
+    (tmp_path / "b.xml").write_text(MORRIS_XML.replace("15", "99"))
+    df = fmod.read_morris_xml(spark, str(tmp_path / "*.xml"))
+    assert df.count() == 4
+
+
+# --- Excel range dialect -------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "rng,max_row,expect",
+    [
+        ("Sheet1!A1:D", 50, ("Sheet1", "A1:D50")),
+        ("A:I", 10, (None, "A1:I10")),
+        ("A1:I", 10, (None, "A1:I10")),
+        ("B2:C9", 99, (None, "B2:C9")),
+        ("Data!A:B", 7, ("Data", "A1:B7")),
+    ],
+)
+def test_excel_range_normalization(rng, max_row, expect):
+    # reference: ExcelInputHandler.php:126-139, :203-240
+    assert fmod.normalize_excel_range(rng, max_row) == expect
+
+
+def test_excel_reader_gated_without_openpyxl(spark):
+    with pytest.raises(NotImplementedError):
+        fmod.read_excel(spark, "/nonexistent.xlsx")
+
+
+# --- SFTP selection protocol ---------------------------------------------------
+
+
+def test_sftp_newest_only_and_history_archive(tmp_path):
+    remote = tmp_path / "remote"
+    remote.mkdir()
+    for i, name in enumerate(["feed_old.csv", "feed_mid.csv", "feed_new.csv"]):
+        f = remote / name
+        f.write_text(f"upc\n{i}\n")
+        os.utime(f, (time.time() - 100 + i * 10, time.time() - 100 + i * 10))
+    (remote / "unrelated.csv").write_text("upc\nx\n")
+
+    staged = tmod.sftp_select_and_stage(
+        tmod.LocalFs(), str(remote / "feed.csv"), staging_dir=str(tmp_path / "stage")
+    )
+    assert len(staged) == 1
+    assert os.path.basename(staged[0]) == "feed_new.csv"
+    # older matches moved to history/, newest + unrelated remain
+    assert sorted(os.listdir(remote)) == ["feed_new.csv", "history", "unrelated.csv"]
+    assert sorted(os.listdir(remote / "history")) == ["feed_mid.csv", "feed_old.csv"]
+
+
+def test_sftp_no_match_raises(tmp_path):
+    (tmp_path / "other.csv").write_text("x\n")
+    with pytest.raises(FileNotFoundError):
+        tmod.sftp_select_and_stage(tmod.LocalFs(), str(tmp_path / "feed.csv"))
+
+
+# --- REST paginator + JWT -------------------------------------------------------
+
+
+def fake_api(n_pages=3, per_page=2):
+    def fetch(url: str) -> str:
+        page = int(url.split("page=")[1].split("&")[0])
+        if page > n_pages:
+            return json.dumps({"data": []})
+        rows = [
+            {"barcode": f"b{page}-{i}", "stock_quantity": page * 10 + i}
+            for i in range(per_page)
+        ]
+        return json.dumps(
+            {"data": rows, "meta": {"last_page": n_pages},
+             "links": {"next": f"x?page={page+1}" if page < n_pages else None}}
+        )
+
+    return fetch
+
+
+def test_paginate_stops_at_last_page():
+    pages = paginate("https://api.example.com/v1/products", fake_api(3, 2))
+    assert len(pages) == 3 and sum(len(p) for p in pages) == 6
+
+
+def test_paginate_skips_non_dict_rows():
+    def fetch(url):
+        return json.dumps({"data": [{"a": 1}, "junk", 42], "meta": {"last_page": 1}})
+
+    pages = paginate("u", fetch)
+    assert pages == [[{"a": 1}]]
+
+
+def test_read_rest_api_dataframe(spark, tmp_path):
+    df = read_rest_api(
+        spark, "https://api.example.com/v1/products", fetch=fake_api(2, 3),
+        staging_dir=str(tmp_path),
+    )
+    assert df.count() == 6
+    assert set(df.columns) == {"barcode", "stock_quantity"}
+
+
+def test_jwt_cache_roundtrip(tmp_path):
+    calls = []
+
+    def fake_post(url, creds):
+        calls.append(url)
+        return json.dumps({"token": "tok123", "expires_in": 3600})
+
+    mgr = JwtManager(
+        "https://auth.example.com/token", {"user": "u"},
+        cache_dir=str(tmp_path), supplier_id=7, fetch_post=fake_post,
+    )
+    assert mgr.token() == "tok123"
+    assert mgr.token() == "tok123"   # cached
+    assert len(calls) == 1
+
+
+def test_jwt_raw_string_token_gets_synthetic_expiry(tmp_path):
+    mgr = JwtManager(
+        "u", {}, cache_dir=str(tmp_path), supplier_id=8,
+        fetch_post=lambda u, c: "raw-token-string",
+    )
+    assert mgr.token() == "raw-token-string"
+    with open(mgr._cache_path()) as f:
+        cached = json.load(f)
+    assert cached["expires_at"] > time.time() + 23 * 3600
+
+
+# --- sinks ----------------------------------------------------------------------
+
+
+def test_rows_as_json_shape(spark):
+    df = spark.createDataFrame([("42", 3, 1.5)], "upc string, qty long, price double")
+    out = sinks.rows_as_json(df, key_col="upc").collect()
+    assert out[0].key == "42"
+    assert json.loads(out[0].value) == {"upc": "42", "qty": 3, "price": 1.5}
+
+
+def test_write_jsonl_and_parquet(spark, tmp_path):
+    df = spark.createDataFrame([("a", 1)], "k string, v long")
+    sinks.write_jsonl(df, str(tmp_path / "j"))
+    sinks.write_parquet(df, str(tmp_path / "p"))
+    assert spark.read.json(str(tmp_path / "j")).count() == 1
+    assert spark.read.parquet(str(tmp_path / "p")).count() == 1
+    assert sinks.collect_rows(df) == [{"k": "a", "v": 1}]
+
+
+# --- streaming job consumer -------------------------------------------------------
+
+
+def test_job_stream_end_to_end(spark, tmp_path, sf_dir):
+    from etl_edi_data_scrapper_spark.streaming.consumer import run_job_stream
+
+    msg_dir = tmp_path / "messages"
+    msg_dir.mkdir()
+    out_dir = tmp_path / "out"
+    job = {
+        "supplier_id": 55,
+        "type_id": 3,
+        "source": f"{sf_dir}/lineitem.parquet",
+        "column_map_rules": {
+            "upc": "l_partkey",
+            "qty": ["l_quantity", "min"],
+            "price": ["l_extendedprice", "max"],
+        },
+        "version": 2,
+    }
+    (msg_dir / "job1.jsonl").write_text(json.dumps(job) + "\n")
+
+    results = {}
+
+    def sink(df, cfg):
+        sinks.write_parquet(df, str(out_dir / f"supplier_{cfg.supplier_id}"))
+        results[cfg.supplier_id] = df.count()
+
+    metrics = []
+    q = run_job_stream(
+        spark, {3: read_local}, sink,
+        source_path=str(msg_dir),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        on_metrics=metrics.append,
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    assert results == {55: 200}  # 200 distinct partkeys at sf0.001
+    out = spark.read.parquet(str(out_dir / "supplier_55"))
+    assert set(out.columns) == {"upc", "qty", "price", "supplier_id", "version"}
+    assert out.filter(F.col("supplier_id") != 55).count() == 0
+    assert metrics and metrics[0]["supplier_id"] == 55
+
+
+def test_job_stream_bad_message_reported_not_fatal(spark, tmp_path, sf_dir):
+    from etl_edi_data_scrapper_spark.streaming.consumer import process_messages
+
+    good = {
+        "supplier_id": 1, "type_id": 3,
+        "source": f"{sf_dir}/region.parquet",
+        "column_map_rules": {"name": "r_name", "upc": "r_regionkey"},
+        "version": 1,
+    }
+    errors = []
+    done = []
+    n = process_messages(
+        spark,
+        [json.dumps(good), "{not json", json.dumps({"supplier_id": 2})],
+        {3: read_local},
+        sink=lambda df, cfg: done.append(df.count()),
+        on_error=lambda m, e: errors.append(type(e).__name__),
+    )
+    assert n == 1 and done == [5]
+    assert errors == ["InvalidConfigError", "InvalidConfigError"]
