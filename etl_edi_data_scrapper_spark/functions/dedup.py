@@ -201,17 +201,28 @@ def simhash_near_pairs(
 # --- Embedding near-dup --------------------------------------------------------
 
 
-def cosine_expr(a: Column, b: Column) -> Column:
-    """Cosine of two float-array columns via zip_with/aggregate — sequential
-    double accumulation in index order (deterministic, engine-parity)."""
-    dot = F.aggregate(
+def dot_expr(a: Column, b: Column) -> Column:
+    """Dot product of two float-array columns via zip_with/aggregate —
+    sequential double accumulation in index order (deterministic,
+    engine-parity)."""
+    return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
         lambda acc, v: acc + v,
     )
-    na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")))
-    nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")))
-    return dot / (na * nb)
+
+
+def norm_expr(a: Column) -> Column:
+    """L2 norm, same accumulation discipline as dot_expr."""
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double"))
+    )
+
+
+def cosine_expr(a: Column, b: Column) -> Column:
+    """Cosine of two float-array columns. For joins, precompute norms per
+    ROW (norm_expr) instead — recomputing them per PAIR triples the work."""
+    return dot_expr(a, b) / (norm_expr(a) * norm_expr(b))
 
 
 def embedding_near_pairs(
@@ -229,10 +240,13 @@ def embedding_near_pairs(
     at Σ block² instead of N²."""
     cols = [F.col(id_col), F.col(vec_col)] + ([F.col(block_col)] if block_col else [F.lit(0).alias("__blk")])
     blk = block_col or "__blk"
-    base = df.select(*cols)
-    a = base.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va"), F.col(blk).alias("blk"))
-    b = base.select(F.col(id_col).alias("b"), F.col(vec_col).alias("vb"), F.col(blk).alias("blk"))
-    sim = cosine_expr(F.col("va"), F.col("vb"))
+    # norms once per vector (N), not per pair (N²)
+    base = df.select(*cols).withColumn("__nrm", norm_expr(F.col(vec_col)))
+    a = base.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va"),
+                    F.col("__nrm").alias("na"), F.col(blk).alias("blk"))
+    b = base.select(F.col(id_col).alias("b"), F.col(vec_col).alias("vb"),
+                    F.col("__nrm").alias("nb"), F.col(blk).alias("blk"))
+    sim = dot_expr(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
     return (
         a.join(b, "blk")
         .filter(F.col("a") < F.col("b"))

@@ -17,7 +17,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
-from etl_edi_data_scrapper_spark.functions.dedup import _hex_val, cosine_expr
+from etl_edi_data_scrapper_spark.functions.dedup import dot_expr, norm_expr
 
 
 def cosine_topk(
@@ -31,9 +31,16 @@ def cosine_topk(
 ) -> DataFrame:
     """Exact top-k by cosine per query (broadcast queries × corpus scan +
     partitioned window — ties broken by corpus id for determinism)."""
-    qs = F.broadcast(queries.select(F.col(q_id), F.col(q_vec)))
-    joined = corpus.select(F.col(c_id), F.col(c_vec)).crossJoin(qs)
-    sim = cosine_expr(F.col(q_vec), F.col(c_vec)).alias("cosine")
+    qs = F.broadcast(
+        queries.select(F.col(q_id), F.col(q_vec))
+        .withColumn("__nq", norm_expr(F.col(q_vec)))
+    )
+    joined = (
+        corpus.select(F.col(c_id), F.col(c_vec))
+        .withColumn("__nc", norm_expr(F.col(c_vec)))  # once per corpus row
+        .crossJoin(qs)
+    )
+    sim = (dot_expr(F.col(q_vec), F.col(c_vec)) / (F.col("__nq") * F.col("__nc"))).alias("cosine")
     w = W.partitionBy(q_id).orderBy(F.col("cosine").desc(), F.col(c_id))
     return (
         joined.select(q_id, c_id, sim)
@@ -83,12 +90,12 @@ def lsh_topk(
     qb = F.broadcast(
         queries.select(
             F.col(q_id), F.col(q_vec), hyperplane_signature(F.col(q_vec), n_planes, dim).alias("bucket")
-        )
+        ).withColumn("__nq", norm_expr(F.col(q_vec)))
     )
     cb = corpus.select(
         F.col(c_id), F.col(c_vec), hyperplane_signature(F.col(c_vec), n_planes, dim).alias("bucket")
-    )
-    sim = cosine_expr(F.col(q_vec), F.col(c_vec)).alias("cosine")
+    ).withColumn("__nc", norm_expr(F.col(c_vec)))
+    sim = (dot_expr(F.col(q_vec), F.col(c_vec)) / (F.col("__nq") * F.col("__nc"))).alias("cosine")
     w = W.partitionBy(q_id).orderBy(F.col("cosine").desc(), F.col(c_id))
     return (
         cb.join(qb, "bucket")

@@ -89,19 +89,18 @@ def lang_scores(text: Column | str) -> dict[str, Column]:
 
 def lang_id(text: Column | str) -> Column:
     """argmax language with deterministic tiebreak (language code ascending);
-    all-zero scores → 'und' (undetermined)."""
+    all-zero scores → 'und' (undetermined).
+
+    Linear form — ``greatest`` + first-match CASE — not a pairwise fold: a
+    fold embeds every prior branch twice per level (exponential expression
+    growth, measured 8× slower at 5k docs)."""
     scores = lang_scores(text)
-    # fold: keep (best_score, best_lang); strict > keeps earlier (asc) lang on tie
-    best_score, best_lang = None, None
-    for lang in sorted(scores):
-        s = scores[lang]
-        if best_score is None:
-            best_score, best_lang = s, F.lit(lang)
-        else:
-            cond = s > best_score
-            best_lang = F.when(cond, F.lit(lang)).otherwise(best_lang)
-            best_score = F.when(cond, s).otherwise(best_score)
-    return F.when(best_score > 0, best_lang).otherwise(F.lit("und"))
+    langs = sorted(scores)
+    mx = F.greatest(*[scores[lg] for lg in langs])
+    expr = F.when(mx == 0, F.lit("und"))
+    for lg in langs[:-1]:
+        expr = expr.when(scores[lg] == mx, F.lit(lg))
+    return expr.otherwise(F.lit(langs[-1]))
 
 
 def normalize_text(c: Column | str) -> Column:

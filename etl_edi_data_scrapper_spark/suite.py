@@ -49,16 +49,25 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 # Unique, engine-agnostic arrival order: (l_orderkey, l_linenumber) is NOT
-# unique in the synthetic data, so disambiguate with a row_number over the
-# remaining columns INSIDE the (orderkey, linenumber) partition — partitions
-# are tiny (≤6 rows), so this scales, and residual ties are fully identical
-# rows (interchangeable). Same SQL text runs on Spark and DuckDB.
-_SEQ_SQL = (
-    "(l_orderkey * 8 + l_linenumber) * 4096 + row_number() OVER ("
-    "PARTITION BY l_orderkey, l_linenumber "
-    "ORDER BY l_quantity, l_extendedprice, l_discount, l_tax, "
-    "l_returnflag, l_linestatus, l_shipdate, l_partkey, l_suppkey)"
+# unique in the synthetic data, so disambiguate with a 32-bit md5 content
+# hash (instr/substring arithmetic — identical SQL on Spark and DuckDB).
+# Unlike a row_number window this needs NO shuffle and no sort: the seq is a
+# pure projection, so order-dependent merges stay one-shuffle at any scale.
+# Residual ties are md5-colliding rows within one (orderkey, linenumber)
+# group — vanishingly rare, and identical rows are interchangeable anyway.
+_ROW_HASH_SQL = (
+    "md5(concat_ws('|', CAST(l_quantity AS STRING), CAST(l_extendedprice AS STRING), "
+    "CAST(l_discount AS STRING), CAST(l_tax AS STRING), l_returnflag, l_linestatus, "
+    "CAST(l_partkey AS STRING), CAST(l_suppkey AS STRING)))"
 )
+# CAST the place-value multiplier to BIGINT: Spark's instr yields int32 and
+# (15 * 16^7) overflows it silently with ANSI off (DuckDB auto-promotes).
+_TIEBREAK_SQL = " + ".join(
+    f"(instr('0123456789abcdef', substring({_ROW_HASH_SQL}, {k + 1}, 1)) - 1)"
+    f" * CAST({16 ** (7 - k)} AS BIGINT)"
+    for k in range(8)
+)
+_SEQ_SQL = f"(l_orderkey * 8 + l_linenumber) * 4294967296 + ({_TIEBREAK_SQL})"
 
 _DIRTY_EXPRS = {
     "seq": _SEQ_SQL,
@@ -191,9 +200,9 @@ def q_keyed_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "enrich_join",
-    oracle="""
+    oracle=f"""
     WITH seqd AS (
-      SELECT *, (l_orderkey * 8 + l_linenumber) * 4096 + row_number() OVER (PARTITION BY l_orderkey, l_linenumber ORDER BY l_quantity, l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus, l_shipdate, l_partkey, l_suppkey) AS seq FROM lineitem
+      SELECT *, {_SEQ_SQL} AS seq FROM lineitem
     ),
     base AS (
       SELECT l_partkey,
@@ -229,7 +238,7 @@ def q_enrich_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pipeline_e2e",
     oracle=f"""
     WITH seqd AS (
-      SELECT *, (l_orderkey * 8 + l_linenumber) * 4096 + row_number() OVER (PARTITION BY l_orderkey, l_linenumber ORDER BY l_quantity, l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus, l_shipdate, l_partkey, l_suppkey) AS seq FROM lineitem
+      SELECT *, {_SEQ_SQL} AS seq FROM lineitem
     ),
     base AS (
       SELECT l_partkey, arg_max(l_quantity, seq) AS l_quantity, max(seq) AS seq
@@ -582,11 +591,8 @@ _SQL_SHINGLES = (
 # DuckDB replica of functions.dedup.cosine_expr — bit-identical to Spark's
 # zip_with/aggregate (sequential double accumulation; the builtin
 # list_cosine_similarity computes in float32 and does NOT match)
-_SQL_COSINE = (
-    "list_sum(list_transform(list_zip({a}, {b}), x -> x[1]::DOUBLE * x[2]::DOUBLE)) / "
-    "(sqrt(list_sum(list_transform({a}, x -> x::DOUBLE*x::DOUBLE))) * "
-    "sqrt(list_sum(list_transform({b}, x -> x::DOUBLE*x::DOUBLE))))"
-)
+_SQL_DOT = "list_sum(list_transform(list_zip({a}, {b}), x -> x[1]::DOUBLE * x[2]::DOUBLE))"
+_SQL_NORM = "sqrt(list_sum(list_transform({v}, x -> x::DOUBLE*x::DOUBLE)))"
 
 
 @register(
@@ -765,11 +771,13 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "embed_neardup",
     oracle=f"""
+    WITH nv AS (
+      SELECT vec_id, label, embedding, {_SQL_NORM.format(v="embedding")} AS nrm
+      FROM embeddings)
     SELECT a.vec_id AS a, b.vec_id AS b,
-           {_SQL_COSINE.format(a="a.embedding", b="b.embedding")} AS cosine
-    FROM embeddings a JOIN embeddings b
-      ON a.label = b.label AND a.vec_id < b.vec_id
-    WHERE {_SQL_COSINE.format(a="a.embedding", b="b.embedding")} >= 0.3
+           {_SQL_DOT.format(a="a.embedding", b="b.embedding")} / (a.nrm * b.nrm) AS cosine
+    FROM nv a JOIN nv b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE {_SQL_DOT.format(a="a.embedding", b="b.embedding")} / (a.nrm * b.nrm) >= 0.3
     """,
 )
 def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -786,11 +794,15 @@ def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "ann_topk",
     oracle=f"""
-    WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id < 5),
+    WITH q AS (
+      SELECT vec_id AS q_id, embedding AS q_vec, {_SQL_NORM.format(v="embedding")} AS nq
+      FROM embeddings WHERE vec_id < 5),
+    c AS (
+      SELECT vec_id, embedding, {_SQL_NORM.format(v="embedding")} AS nc FROM embeddings),
     scored AS (
       SELECT q.q_id, c.vec_id,
-             {_SQL_COSINE.format(a="q.q_vec", b="c.embedding")} AS cosine
-      FROM embeddings c CROSS JOIN q),
+             {_SQL_DOT.format(a="q.q_vec", b="c.embedding")} / (q.nq * c.nc) AS cosine
+      FROM c CROSS JOIN q),
     ranked AS (
       SELECT q_id, vec_id, cosine,
              row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rank

@@ -1,0 +1,81 @@
+"""Physical-plan property tests — the scale contract, asserted.
+
+Each assertion pins a property the 100 TB deployment depends on: predicate
+pushdown into the parquet scan, column pruning, broadcast of small
+dimensions, map-side partial aggregation, top-K without a global sort. A
+regression here (e.g. a refactor that breaks pushdown) fails CI even though
+results stay correct.
+"""
+
+import pytest
+
+from etl_edi_data_scrapper_spark.suite import QUERIES
+
+
+def plan_of(spark, name, sf_dir):
+    df = QUERIES[name](spark, sf_dir)
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+def test_tpch_q1_pushdown_pruning_partial_agg(spark, sf_dir):
+    plan = plan_of(spark, "tpch_q1", sf_dir)
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # pruned scan: only needed columns reach the reader
+    assert "l_orderkey" not in plan.split("ReadSchema")[1].splitlines()[0]
+    # partial (map-side) + final aggregate around one exchange
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_join_q3_broadcasts_and_topk(spark, sf_dir):
+    plan = plan_of(spark, "join_q3", sf_dir)
+    assert "BroadcastHashJoin" in plan
+    # top-10 executes as TakeOrderedAndProject, not a global Sort
+    assert "TakeOrderedAndProject" in plan
+    # lineitem scan pruned to 3 columns
+    read = [l for l in plan.splitlines() if "ReadSchema" in l and "l_orderkey" in l]
+    assert read and "l_quantity" not in read[0]
+
+
+def test_enrich_join_broadcasts_leg(spark, sf_dir):
+    plan = plan_of(spark, "enrich_join", sf_dir)
+    assert "BroadcastHashJoin LeftOuter BuildRight" in plan
+    # part leg scan pruned to key + copied fields
+    read = [l for l in plan.splitlines() if "ReadSchema" in l and "p_partkey" in l]
+    assert read and "p_size" not in read[0] and "p_brand" not in read[0]
+
+
+def test_keyed_merge_partial_aggregation(spark, sf_dir):
+    plan = plan_of(spark, "keyed_merge", sf_dir)
+    # collect_list/max_by run as ObjectHashAggregate partial+final pairs
+    assert plan.count("ObjectHashAggregate") >= 2 or plan.count("HashAggregate") >= 2
+
+
+def test_map_clean_is_narrow(spark, sf_dir):
+    # pure projection: no exchange (shuffle) anywhere in the plan
+    plan = plan_of(spark, "map_clean", sf_dir)
+    assert "Exchange" not in plan
+
+
+def test_topk_orders_no_global_sort(spark, sf_dir):
+    plan = plan_of(spark, "topk_orders", sf_dir)
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_minhash_no_cartesian(spark, sf_dir):
+    # candidate generation must be an equi-join on band keys, never a cross
+    plan = plan_of(spark, "minhash_lsh", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_embed_neardup_blocked_join(spark, sf_dir):
+    plan = plan_of(spark, "embed_neardup", sf_dir)
+    assert "CartesianProduct" not in plan  # label-blocked equi-join
+
+
+def test_ann_topk_broadcasts_queries(spark, sf_dir):
+    plan = plan_of(spark, "ann_topk", sf_dir)
+    # corpus side streams; the 5 query vectors broadcast
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
