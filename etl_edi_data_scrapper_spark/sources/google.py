@@ -1,0 +1,129 @@
+"""Google Sheets (type 1) and Drive folder (type 3) sources.
+
+Reference semantics:
+  * Sheets (`src/Service/InputHandler/GoogleSheetsInputHandler.php:20-53`):
+    fetch `spreadsheets_values.get(id, range)`; drop fully-empty rows; first
+    row = header (trimmed); pad short rows with null; trim every cell; skip
+    rows longer than the header. Retry ≤10 on 429/500/503 with linear 5 s
+    backoff (:55-82).
+  * Drive (`GoogleDriveFolderHandler.php:29-68`): list non-trashed files in
+    the folder, take the FIRST file only, dispatch to CSV/Excel by
+    extension/MIME.
+  * OAuth2 with token refresh-persist (`GoogleApiInputHandler.php:21-73`).
+
+The API client is a Protocol so tests inject fakes; the real client (gated —
+google-api-python-client is not in this container) satisfies it with a thin
+adapter. Values land via ``spark.createDataFrame`` — a Sheets range is
+bounded (≤10M cells), so driver-side staging is the right scale tradeoff;
+the distributed path for huge exports is Drive→CSV→``spark.read.csv``.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import time
+from typing import Callable, Protocol
+
+from pyspark.sql import DataFrame, SparkSession
+
+RETRYABLE = {429, 500, 503}
+
+
+class SheetsClient(Protocol):
+    def get_values(self, spreadsheet_id: str, range_: str | None) -> list[list[str]]: ...
+
+
+class DriveClient(Protocol):
+    def list_files(self, folder_id: str) -> list[dict]: ...  # {id, name, mimeType, trashed}
+    def download(self, file_id: str, dest_path: str) -> None: ...
+
+
+class TransientApiError(Exception):
+    def __init__(self, status: int, msg: str = ""):
+        self.status = status
+        super().__init__(f"HTTP {status}: {msg}")
+
+
+def with_retry(fn: Callable[[], list], attempts: int = 10, backoff_s: float = 5.0,
+               sleep: Callable[[float], None] = time.sleep) -> list:
+    """Sheets retry budget: ≤10 attempts on 429/500/503, linear backoff
+    (`GoogleSheetsInputHandler.php:55-82`)."""
+    last: Exception | None = None
+    for i in range(attempts):
+        try:
+            return fn()
+        except TransientApiError as e:
+            if e.status not in RETRYABLE:
+                raise
+            last = e
+            sleep(backoff_s)
+    raise last  # type: ignore[misc]
+
+
+def sheets_values_to_rows(values: list[list]) -> tuple[list[str], list[list]]:
+    """Header/pad/trim/skip semantics shared by Sheets (and Excel):
+    first non-empty row = trimmed header; empty rows dropped; short rows
+    padded with None; over-long rows skipped (header-combine failure)."""
+    rows = [r for r in values if any(str(c).strip() for c in r)]
+    if not rows:
+        return [], []
+    header = [str(c).strip() for c in rows[0]]
+    width = len(header)
+    out = []
+    for r in rows[1:]:
+        if len(r) > width:
+            continue  # reference: array_combine fails → row skipped
+        cells = [str(c).strip() if c is not None else None for c in r]
+        cells += [None] * (width - len(cells))
+        out.append(cells)
+    return header, out
+
+
+def read_google_sheets(
+    spark: SparkSession,
+    spreadsheet_id: str,
+    range_: str | None,
+    client: SheetsClient,
+    sleep: Callable[[float], None] = time.sleep,
+) -> DataFrame:
+    values = with_retry(lambda: client.get_values(spreadsheet_id, range_), sleep=sleep)
+    header, rows = sheets_values_to_rows(values)
+    if not header:
+        raise ValueError(f"sheet {spreadsheet_id!r} range {range_!r} returned no data")
+    schema = ", ".join(f"`{h}` string" for h in header)
+    return spark.createDataFrame(rows, schema)
+
+
+def read_google_drive_folder(
+    spark: SparkSession,
+    folder_id: str,
+    range_: str | None,
+    client: DriveClient,
+    staging_dir: str | None = None,
+) -> DataFrame:
+    """First non-trashed file in the folder, dispatched by extension."""
+    from etl_edi_data_scrapper_spark.sources.registry import read_local
+
+    files = [f for f in client.list_files(folder_id) if not f.get("trashed")]
+    if not files:
+        raise FileNotFoundError(f"no files in Drive folder {folder_id!r}")
+    first = files[0]
+    staging_dir = staging_dir or tempfile.mkdtemp(prefix="etl_drive_")
+    os.makedirs(staging_dir, exist_ok=True)
+    dest = os.path.join(staging_dir, first["name"])
+    client.download(first["id"], dest)
+    return read_local(spark, dest, range_)
+
+
+def real_sheets_client(credentials_path: str) -> SheetsClient:  # pragma: no cover
+    """Adapter over google-api-python-client (not in this container)."""
+    try:
+        from google.oauth2.credentials import Credentials  # noqa: F401
+        from googleapiclient.discovery import build  # noqa: F401
+    except ImportError as e:
+        raise NotImplementedError(
+            "Google Sheets needs google-api-python-client + credentials; "
+            "inject a SheetsClient fake for offline use"
+        ) from e
+    raise NotImplementedError("wire OAuth2 credentials per deployment")

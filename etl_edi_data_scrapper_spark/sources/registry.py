@@ -63,8 +63,8 @@ def build_registry(
     http_fetch: Callable[[str], str] | None = None,
     sftp_fetch: Callable[[str], list[str]] | None = None,
     rest_fetch: Callable[[str], str] | None = None,
-    sheets_fetch: Callable[[str, "str | None"], str] | None = None,
-    drive_fetch: Callable[[str], str] | None = None,
+    sheets_client=None,
+    drive_client=None,
 ) -> dict[int, Reader]:
     """Production registry: transports stage bytes, then parsers read.
 
@@ -107,14 +107,18 @@ def build_registry(
         return read_rest_api(spark, src, fetch=rest_fetch)
 
     def sheets(spark: SparkSession, src: str, rng: str | None) -> DataFrame:
-        if sheets_fetch is None:
-            raise NotImplementedError("Google Sheets transport not configured")
-        return fmod.pad_and_trim_header_rows(fmod.read_csv(spark, sheets_fetch(src, rng), None))
+        from etl_edi_data_scrapper_spark.sources.google import read_google_sheets
+
+        if sheets_client is None:
+            raise NotImplementedError("pass sheets_client (SheetsClient) to build_registry")
+        return read_google_sheets(spark, src, rng, sheets_client)
 
     def drive(spark: SparkSession, src: str, rng: str | None) -> DataFrame:
-        if drive_fetch is None:
-            raise NotImplementedError("Google Drive transport not configured")
-        return read_local(spark, drive_fetch(src), rng)
+        from etl_edi_data_scrapper_spark.sources.google import read_google_drive_folder
+
+        if drive_client is None:
+            raise NotImplementedError("pass drive_client (DriveClient) to build_registry")
+        return read_google_drive_folder(spark, src, rng, drive_client)
 
     return {1: sheets, 2: csv_http, 3: drive, 4: excel_http,
             5: morris_sftp, 6: excel_sftp, 7: csv_sftp, 8: rest}

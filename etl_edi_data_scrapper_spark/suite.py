@@ -929,3 +929,162 @@ def q_rest_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         return jsonmod.dumps({"data": rows, "meta": {"last_page": 3}})
 
     return read_rest_api(spark, "https://api.example.com/v1/products", fetch=fetch)
+
+
+# ---------------------------------------------------------------------------
+# Further generalizations: as-of join (Spark lacks a native one), pivot,
+# semi/anti joins, exact percentiles, and a Pandas-UDF custom operator —
+# the full "switch from the reference and keep going" surface.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "asof_join",
+    oracle="""
+    SELECT c.event_id, c.user_id,
+           epoch_us(c.ts) AS click_us,
+           (SELECT max(epoch_us(e.ts)) FROM events e
+            WHERE e.user_id = c.user_id AND e.event_type = 'error'
+              AND e.ts <= c.ts) AS last_error_us
+    FROM events c WHERE c.event_type = 'click'
+    """,
+)
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join (click → latest prior error per user) via the
+    union+window trick: ONE shuffle on user_id, no range explosion — the
+    scalable as-of pattern (vs per-row subqueries or merge_asof pulls)."""
+    from pyspark.sql import Window as W
+
+    ev = _events(spark, sf_dir)
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "user_id", "ts", F.lit(0).alias("src"),
+        F.col("event_id"), F.unix_micros("ts").alias("err_us"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.lit(1).alias("src"), F.col("event_id"),
+        F.lit(None).cast("long").alias("err_us"),
+    )
+    # at equal ts the error (src=0) sorts before the click → "<=" semantics
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "src", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    merged = errors.unionByName(clicks).withColumn(
+        "last_error_us", F.last("err_us", ignorenulls=True).over(w)
+    )
+    return merged.filter(F.col("src") == 1).select(
+        "event_id", "user_id",
+        F.unix_micros("ts").alias("click_us"),
+        "last_error_us",
+    )
+
+
+@register(
+    "pivot_flags",
+    oracle="""
+    SELECT l_returnflag,
+           count(*) FILTER (WHERE l_linestatus = 'F') AS F,
+           count(*) FILTER (WHERE l_linestatus = 'O') AS O
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_pivot_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (wide aggregation) — Catalyst rewrites to FILTERed aggregates in
+    one shuffle when the pivot values are enumerated."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .count()
+    )
+
+
+@register(
+    "semi_anti",
+    oracle="""
+    SELECT 'with_orders' AS kind, count(*) AS n FROM customer
+    WHERE c_custkey IN (SELECT o_custkey FROM orders)
+    UNION ALL
+    SELECT 'without_orders' AS kind, count(*) AS n FROM customer
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+    """,
+)
+def q_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS / NOT EXISTS as left_semi / left_anti joins (no row
+    duplication, no distinct needed — the join stops at first match)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    semi = (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("with_orders").alias("kind"), "n")
+    )
+    anti = (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("without_orders").alias("kind"), "n")
+    )
+    return semi.unionByName(anti)
+
+
+@register(
+    "percentiles",
+    oracle="""
+    SELECT l_returnflag,
+           quantile_cont(l_quantity, 0.25) AS p25,
+           quantile_cont(l_quantity, 0.5) AS p50,
+           quantile_cont(l_quantity, 0.75) AS p75
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (both engines implement the
+    standard (n-1)p linear interpolation). The approximate-at-scale variant
+    is approx_percentile (t-digest) — sketch internals differ per engine, so
+    the exact form is the oracle-checked one."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.expr("percentile(l_quantity, 0.25)").alias("p25"),
+            F.expr("percentile(l_quantity, 0.5)").alias("p50"),
+            F.expr("percentile(l_quantity, 0.75)").alias("p75"),
+        )
+    )
+
+
+@register(
+    "pandas_group_rank",
+    oracle="""
+    SELECT user_id, event_id,
+           CAST(row_number() OVER w AS INT) AS idx,
+           coalesce(epoch_us(ts) - lag(epoch_us(ts)) OVER w, 0) AS gap_us
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def q_pandas_group_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom per-group stateful operator via applyInPandas (Arrow-batched
+    grouped map — the escape hatch for logic built-ins can't express; here
+    cross-checked against a window-function oracle). Integer outputs keep
+    the check exact."""
+    import pandas as pd
+
+    ev = _events(spark, sf_dir).select("user_id", "event_id", "ts")
+
+    def per_user(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(["ts", "event_id"]).reset_index(drop=True)
+        us = pdf["ts"].values.astype("datetime64[us]").astype("int64")
+        return pd.DataFrame(
+            {
+                "user_id": pdf["user_id"],
+                "event_id": pdf["event_id"],
+                "idx": range(1, len(pdf) + 1),
+                "gap_us": [0] + (us[1:] - us[:-1]).tolist(),
+            }
+        )
+
+    return ev.groupBy("user_id").applyInPandas(
+        per_user, schema="user_id long, event_id long, idx int, gap_us long"
+    )

@@ -1,0 +1,93 @@
+"""Sheets/Drive handlers driven with fake API clients (the protocol the
+real google-api adapters satisfy)."""
+
+import pytest
+
+from etl_edi_data_scrapper_spark.sources import google as g
+
+
+class FakeSheets:
+    def __init__(self, values, fail_times=0, status=429):
+        self.values = values
+        self.fail_times = fail_times
+        self.status = status
+        self.calls = 0
+
+    def get_values(self, spreadsheet_id, range_):
+        self.calls += 1
+        if self.calls <= self.fail_times:
+            raise g.TransientApiError(self.status)
+        return self.values
+
+
+SHEET = [
+    [" UPC ", "Quantity", "Wholesale"],
+    ["0042", " 15 ", "12,99"],
+    ["", "", ""],                      # fully empty → dropped
+    ["0043", "7"],                     # short → padded with null
+    ["0044", "1", "2.50", "EXTRA"],    # over-long → skipped
+    ["0045", "3", "9.99"],
+]
+
+
+def test_sheets_header_pad_trim_skip(spark):
+    df = g.read_google_sheets(spark, "sheet1", "A1:C", FakeSheets(SHEET), sleep=lambda s: None)
+    assert df.columns == ["UPC", "Quantity", "Wholesale"]
+    rows = {r.UPC: r for r in df.collect()}
+    assert set(rows) == {"0042", "0043", "0045"}   # empty + overlong gone
+    assert rows["0042"].Quantity == "15"           # cells trimmed
+    assert rows["0043"].Wholesale is None          # short row padded
+
+
+def test_sheets_retries_transient_then_succeeds(spark):
+    naps = []
+    client = FakeSheets(SHEET, fail_times=3)
+    df = g.read_google_sheets(spark, "s", None, client, sleep=naps.append)
+    assert df.count() == 3
+    assert client.calls == 4 and naps == [5.0] * 3  # linear 5s backoff
+
+
+def test_sheets_gives_up_after_budget(spark):
+    client = FakeSheets(SHEET, fail_times=99)
+    with pytest.raises(g.TransientApiError):
+        g.read_google_sheets(spark, "s", None, client, sleep=lambda s: None)
+    assert client.calls == 10  # reference budget
+
+
+def test_sheets_non_retryable_fails_fast(spark):
+    client = FakeSheets(SHEET, fail_times=1, status=403)
+    with pytest.raises(g.TransientApiError):
+        g.read_google_sheets(spark, "s", None, client, sleep=lambda s: None)
+    assert client.calls == 1
+
+
+class FakeDrive:
+    def __init__(self, files, contents):
+        self.files = files
+        self.contents = contents
+
+    def list_files(self, folder_id):
+        return self.files
+
+    def download(self, file_id, dest):
+        with open(dest, "w") as f:
+            f.write(self.contents[file_id])
+
+
+def test_drive_takes_first_non_trashed_and_dispatches_csv(spark, tmp_path):
+    drive = FakeDrive(
+        [
+            {"id": "t", "name": "old.csv", "mimeType": "text/csv", "trashed": True},
+            {"id": "a", "name": "feed.csv", "mimeType": "text/csv", "trashed": False},
+            {"id": "b", "name": "other.csv", "mimeType": "text/csv", "trashed": False},
+        ],
+        {"a": "upc,qty\n1,2\n3,4\n"},
+    )
+    df = g.read_google_drive_folder(spark, "folder1", None, drive, staging_dir=str(tmp_path))
+    assert df.columns == ["upc", "qty"]
+    assert df.count() == 2  # only the FIRST non-trashed file
+
+
+def test_drive_empty_folder_raises(spark, tmp_path):
+    with pytest.raises(FileNotFoundError):
+        g.read_google_drive_folder(spark, "f", None, FakeDrive([], {}), staging_dir=str(tmp_path))
