@@ -27,26 +27,29 @@ def main() -> None:
 
     spark = get_spark("bench")
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name, fn in QUERIES.items():
-        df = fn(spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()  # warm (JIT, file listing)
-        t0 = time.perf_counter()
-        df2 = fn(spark, sf_dir)
-        df2.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        try:
+            df = fn(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()  # warm (JIT, listing)
+            t0 = time.perf_counter()
+            df2 = fn(spark, sf_dir)
+            df2.write.format("noop").mode("overwrite").save()
+            timings[name] = round(time.perf_counter() - t0, 3)
+        except Exception as e:  # one broken query must not kill the report
+            errors[name] = f"{type(e).__name__}: {e}"[:200]
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "suite_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    out = {
+        "metric": "suite_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

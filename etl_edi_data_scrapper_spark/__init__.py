@@ -16,5 +16,15 @@ Layout:
 
 from etl_edi_data_scrapper_spark.session import get_spark
 
-__all__ = ["get_spark"]
+
+def __getattr__(name):
+    # lazy: Engine pulls in the full plan stack; keep bare imports cheap
+    if name == "Engine":
+        from etl_edi_data_scrapper_spark.engine import Engine
+
+        return Engine
+    raise AttributeError(name)
+
+
+__all__ = ["get_spark", "Engine"]
 __version__ = "0.1.0"

@@ -1,0 +1,87 @@
+"""Engine facade + Structured Streaming windowed aggregation."""
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_edi_data_scrapper_spark.engine import Engine
+
+
+JOB = lambda sf_dir: {  # noqa: E731
+    "supplier_id": 9,
+    "type_id": 3,
+    "source": f"{sf_dir}/lineitem.parquet",
+    "column_map_rules": {
+        "upc": "l_partkey",
+        "qty": ["l_quantity", "min"],
+        "price": ["l_extendedprice", "max"],
+    },
+    "version": 1,
+}
+
+
+def test_engine_run_job_lazy_and_collect(spark, sf_dir):
+    eng = Engine(spark)
+    df = eng.run_job(JOB(sf_dir))
+    assert df.count() == 200
+    rows = eng.run_job(JOB(sf_dir), sink="collect")
+    assert isinstance(rows, list) and rows[0].keys() == {
+        "upc", "qty", "price", "supplier_id", "version"
+    }
+
+
+def test_engine_sinks(spark, sf_dir, tmp_path):
+    eng = Engine(spark)
+    eng.run_job(JOB(sf_dir), sink="parquet", sink_path=str(tmp_path / "p"))
+    assert spark.read.parquet(str(tmp_path / "p")).count() == 200
+    with pytest.raises(ValueError):
+        eng.run_job(JOB(sf_dir), sink="bogus")
+
+
+def test_engine_explain_shows_physical_plan(spark, sf_dir):
+    plan = Engine(spark).explain(JOB(sf_dir))
+    assert "Scan parquet" in plan and "Exchange" in plan
+
+
+def test_streaming_windowed_agg_with_watermark(spark, tmp_path):
+    """The streaming shape of events_window: file stream → watermark →
+    tumbling window → memory sink (driven to completion synchronously)."""
+    src = tmp_path / "stream"
+    src.mkdir()
+    rows = [
+        {"ts": "2024-01-01 00:05:00", "event_type": "click", "value": 1.0},
+        {"ts": "2024-01-01 00:25:00", "event_type": "click", "value": 2.0},
+        {"ts": "2024-01-01 01:10:00", "event_type": "view", "value": 5.0},
+    ]
+    with open(src / "batch1.jsonl", "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+
+    stream = (
+        spark.readStream.schema("ts string, event_type string, value double")
+        .json(str(src))
+        .withColumn("ts", F.to_timestamp("ts"))
+    )
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("v"))
+        .select(F.col("window.start").cast("string").alias("ws"), "event_type", "n", "v")
+    )
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("win_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            (r.ws, r.event_type): (r.n, r.v)
+            for r in spark.sql("SELECT * FROM win_out").collect()
+        }
+    finally:
+        q.stop()
+    assert got[("2024-01-01 00:00:00", "click")] == (2, 3.0)
+    assert got[("2024-01-01 01:00:00", "view")] == (1, 5.0)
