@@ -49,7 +49,7 @@ FEATURE_SCHEMA = T.StructType(
         T.StructField("media_id", T.LongType(), False),
         T.StructField("kind", T.StringType(), False),
         T.StructField("n_bytes", T.LongType(), True),
-        T.StructField("sha1", T.StringType(), True),
+        T.StructField("sha256", T.StringType(), True),
         T.StructField("feature", T.ArrayType(T.FloatType()), True),
     ]
 )
@@ -95,8 +95,8 @@ def extract_features(
                     "media_id": pdf["media_id"],
                     "kind": pdf["kind"],
                     "n_bytes": pdf["content"].map(lambda b: len(b) if b is not None else 0),
-                    "sha1": pdf["content"].map(
-                        lambda b: hashlib.sha1(b).hexdigest() if b is not None else None
+                    "sha256": pdf["content"].map(
+                        lambda b: hashlib.sha256(b).hexdigest() if b is not None else None
                     ),
                     "feature": [
                         kernel(c, k) for c, k in zip(pdf["content"], pdf["kind"])

@@ -1088,3 +1088,106 @@ def q_pandas_group_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy("user_id").applyInPandas(
         per_user, schema="user_id long, event_id long, idx int, gap_us long"
     )
+
+
+@register(
+    "multimodal_features",
+    oracle="""
+    SELECT doc_id AS media_id,
+           'image' AS kind,
+           octet_length(encode(text)) AS n_bytes,
+           sha256(text) AS sha256
+    FROM documents WHERE doc_id < 100
+    """,
+)
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing through the gate: documents' bytes stand in for
+    media content (no codec needed), flow through the Arrow mapInPandas
+    feature-extraction stage, and the digests/byte counts are oracle-checked
+    — proving batch iteration, binary handling, and schema fidelity."""
+    from etl_edi_data_scrapper_spark.functions.multimodal import (
+        extract_features,
+        fake_decode_kernel,
+    )
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.encode("text", "UTF-8").alias("content"),
+        F.struct(
+            F.lit("text/plain").alias("mime"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("long").alias("duration_ms"),
+        ).alias("meta"),
+    )
+    feats = extract_features(media, kernel=fake_decode_kernel)
+    return feats.select("media_id", "kind", "n_bytes", "sha256")
+
+
+@register(
+    "ngram_jaccard",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+                 WHERE doc_id < 40),
+    shingled AS (SELECT doc_id, {_SQL_SHINGLES.format(t="t")} AS shingles FROM tok)
+    SELECT a.doc_id AS a, b.doc_id AS b,
+           len(list_intersect(a.shingles, b.shingles))::DOUBLE /
+           (len(a.shingles) + len(b.shingles)
+            - len(list_intersect(a.shingles, b.shingles)))::DOUBLE AS jaccard
+    FROM shingled a JOIN shingled b ON a.doc_id < b.doc_id
+    """,
+)
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard on an explicit candidate set (all pairs of a
+    40-doc slice — the verification stage isolated; candidate GENERATION at
+    scale is minhash_lsh's band join)."""
+    from etl_edi_data_scrapper_spark.functions.dedup import jaccard_pairs
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 40)
+    ids = docs.select(F.col("doc_id"))
+    pairs = (
+        ids.select(F.col("doc_id").alias("a"))
+        .crossJoin(ids.select(F.col("doc_id").alias("b")))
+        .filter(F.col("a") < F.col("b"))
+    )
+    return jaccard_pairs(docs, pairs)
+
+
+@register("approx_stats")  # rows-only: sketch internals are engine-specific
+def q_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate distinct (HyperLogLog++) and quantile (t-digest
+    style) — THE 100 TB substitutes for exact countDistinct/percentile.
+    Sketches differ across engines, so the driver records rows-only."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_partkey").alias("approx_parts"),
+            F.expr("approx_percentile(l_extendedprice, 0.5)").alias("approx_median"),
+        )
+    )
+
+
+@register("ann_lsh")  # rows-only: approximate by construction (recall < 1)
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH ANN: bucket equi-join + exact rerank — the scale path
+    where brute force (ann_topk) stops fitting."""
+    from etl_edi_data_scrapper_spark.functions.similarity import lsh_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    return lsh_topk(queries, emb, k=5, n_planes=6)
+
+
+@register("simhash_pairs")  # rows-only: blocked pair generation demo
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs, prefix-blocked hamming ≤ 8 (signatures
+    themselves are oracle-checked in `simhash`)."""
+    from etl_edi_data_scrapper_spark.functions.dedup import simhash, simhash_near_pairs
+
+    sig = simhash(_t(spark, sf_dir, "documents"), bits=32)
+    return simhash_near_pairs(sig, max_hamming=8, prefix_bits=16)

@@ -109,7 +109,7 @@ def test_extract_features_fake_kernel(spark):
     rows = {r.media_id: r for r in out.collect()}
     assert rows[1].n_bytes == 15 and len(rows[1].feature) == 8
     assert all(0.0 <= v <= 1.0 for v in rows[1].feature)
-    assert rows[4].sha1 is None and rows[4].n_bytes == 0
+    assert rows[4].sha256 is None and rows[4].n_bytes == 0
     # deterministic: same bytes → same features
     again = multimodal.extract_features(media(spark), kernel=multimodal.fake_decode_kernel)
     assert again.filter(F.col("media_id") == 1).first().feature == rows[1].feature
