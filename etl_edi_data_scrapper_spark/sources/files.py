@@ -108,30 +108,117 @@ def normalize_excel_range(range_: str, max_row: int) -> tuple[str | None, str]:
     return sheet, f"{start}:{end}"
 
 
+def _col_letters_to_idx(ref: str) -> int:
+    """'A'→0, 'Z'→25, 'AA'→26 (cell ref column part, 0-based)."""
+    n = 0
+    for ch in ref:
+        if not ch.isalpha():
+            break
+        n = n * 26 + (ord(ch.upper()) - ord("A") + 1)
+    return n - 1
+
+
+def _parse_cell_ref(ref: str) -> tuple[int, int]:
+    """'B3' → (row 2, col 1), 0-based."""
+    letters = "".join(ch for ch in ref if ch.isalpha())
+    digits = "".join(ch for ch in ref if ch.isdigit())
+    return (int(digits) - 1 if digits else 0, _col_letters_to_idx(letters))
+
+
+_XLSX_NS = "{http://schemas.openxmlformats.org/spreadsheetml/2006/main}"
+
+
+def _read_xlsx_stdlib(path: str, range_: str | None) -> tuple[list[str], list[list]]:
+    """Minimal XLSX parser on stdlib zipfile+ElementTree (no openpyxl):
+    shared strings, inline strings, numeric cells as their literal text —
+    matching the reference's all-strings contract. Returns (header, rows)
+    after first-row-header + short-row padding (`ExcelInputHandler.php:168-172`)
+    and A1-range filtering (:203-240 via normalize_excel_range)."""
+    import zipfile
+
+    with zipfile.ZipFile(path) as z:
+        # sheet selection: named sheet from the range, else the first sheet
+        sheet_name, cells = (None, None)
+        if range_:
+            sheet_name, cells = normalize_excel_range(range_, max_row=2**20)
+        wb = ET.fromstring(z.read("xl/workbook.xml"))
+        rels = ET.fromstring(z.read("xl/_rels/workbook.xml.rels"))
+        rel_ns = "{http://schemas.openxmlformats.org/package/2006/relationships}"
+        rid_to_target = {
+            r.get("Id"): r.get("Target").lstrip("/").replace("xl/", "", 1)
+            for r in rels.iter(f"{rel_ns}Relationship")
+        }
+        rid_attr = (
+            "{http://schemas.openxmlformats.org/officeDocument/2006/relationships}id"
+        )
+        target = None
+        for sh in wb.iter(f"{_XLSX_NS}sheet"):
+            if sheet_name is None or sh.get("name") == sheet_name:
+                target = rid_to_target[sh.get(rid_attr)]
+                break
+        if target is None:
+            raise ValueError(f"sheet {sheet_name!r} not found in {path}")
+
+        shared: list[str] = []
+        if "xl/sharedStrings.xml" in z.namelist():
+            sst = ET.fromstring(z.read("xl/sharedStrings.xml"))
+            for si in sst.iter(f"{_XLSX_NS}si"):
+                shared.append("".join(t.text or "" for t in si.iter(f"{_XLSX_NS}t")))
+
+        sheet = ET.fromstring(z.read(f"xl/{target}" if not target.startswith("worksheets") else f"xl/{target}"))
+        grid: dict[int, dict[int, str]] = {}
+        for row in sheet.iter(f"{_XLSX_NS}row"):
+            for c in row.iter(f"{_XLSX_NS}c"):
+                r_i, c_i = _parse_cell_ref(c.get("r", "A1"))
+                t = c.get("t", "n")
+                if t == "s":
+                    v = c.find(f"{_XLSX_NS}v")
+                    val = shared[int(v.text)] if v is not None else None
+                elif t == "inlineStr":
+                    val = "".join(tt.text or "" for tt in c.iter(f"{_XLSX_NS}t"))
+                else:  # n / str / b — literal text
+                    v = c.find(f"{_XLSX_NS}v")
+                    val = v.text if v is not None else None
+                if val is not None:
+                    grid.setdefault(r_i, {})[c_i] = str(val)
+
+    # range box filter
+    if cells:
+        (r0, c0) = _parse_cell_ref(cells.split(":")[0])
+        (r1, c1) = _parse_cell_ref(cells.split(":")[1])
+        grid = {
+            r - r0: {c - c0: v for c, v in cols.items() if c0 <= c <= c1}
+            for r, cols in grid.items()
+            if r0 <= r <= r1
+        }
+    if not grid:
+        return [], []
+    ordered = [grid[r] for r in sorted(grid) if grid[r]]
+    width = max(max(cols) for cols in ordered) + 1
+    dense = [[cols.get(i) for i in range(width)] for cols in ordered]
+    header = [str(h).strip() if h is not None else "" for h in dense[0]]
+    rows = [r + [None] * (width - len(r)) for r in dense[1:]]
+    return header, rows
+
+
 def read_excel(spark: SparkSession, source: str, range_: str | None = None) -> DataFrame:
     """Excel scan; unions all matched files (`ExcelInputHandler.php:38-50`).
 
-    First row = header, short rows padded with null (:168-172). Requires
-    ``openpyxl`` (not in this container) — gated; the 100 TB path is the
-    spark-excel DataSourceV2 package.
+    First row = header, short rows padded with null (:168-172); optional
+    ``Sheet!A1:D`` range (:126-139, :203-240). Stdlib XLSX parser (driver-
+    side — supplier feeds are small); the 100 TB path is the spark-excel
+    DataSourceV2 package on a real cluster.
     """
-    try:
-        import openpyxl  # noqa: F401
-    except ImportError as e:
-        raise NotImplementedError(
-            "Excel reads need openpyxl (or the spark-excel package on a real "
-            "cluster); not available in this environment"
-        ) from e
-    import pandas as pd
-
     paths = sorted(glob.glob(source)) if any(ch in source for ch in "*?[") else [source]
     frames = []
     for path in paths:
-        sheet, _cells = (None, None)
-        if range_:
-            sheet, _cells = normalize_excel_range(range_, max_row=2**20)
-        pdf = pd.read_excel(path, sheet_name=sheet or 0, dtype=str)
-        frames.append(spark.createDataFrame(pdf))
+        header, rows = _read_xlsx_stdlib(path, range_)
+        if not header:
+            continue
+        schema = ", ".join(f"`{h}` string" for h in header)
+        frames.append(spark.createDataFrame(rows, schema))
+    if not frames:
+        raise ValueError(f"no data in excel source {source!r} (range {range_!r})")
     out = frames[0]
     for f in frames[1:]:
         out = out.unionByName(f, allowMissingColumns=True)

@@ -1191,3 +1191,63 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     sig = simhash(_t(spark, sf_dir, "documents"), bits=32)
     return simhash_near_pairs(sig, max_hamming=8, prefix_bits=16)
+
+
+@register(
+    "excel_scan",
+    oracle="""
+    SELECT * FROM (VALUES
+      ('0042', '15', '12,99'),
+      ('0043', '7', NULL),
+      ('0044', '3', '9.99')
+    ) AS t(UPC, Quantity, Wholesale)
+    """,
+)
+def q_excel_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Excel scan through the gate: a spec-valid XLSX (zip of XML) written
+    from a fixture, parsed by the stdlib reader — header row, shared
+    strings, numeric cells as literal text, short-row padding
+    (`ExcelInputHandler.php:27-242`)."""
+    import os
+    import tempfile
+    import zipfile
+
+    from etl_edi_data_scrapper_spark.sources.files import read_excel
+
+    ns = 'xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"'
+    rns = 'xmlns="http://schemas.openxmlformats.org/package/2006/relationships"'
+    rid = "http://schemas.openxmlformats.org/officeDocument/2006/relationships"
+    sheet = (
+        f'<?xml version="1.0"?><worksheet {ns}><sheetData>'
+        '<row r="1"><c r="A1" t="s"><v>0</v></c><c r="B1" t="s"><v>1</v></c>'
+        '<c r="C1" t="s"><v>2</v></c></row>'
+        '<row r="2"><c r="A2" t="s"><v>3</v></c><c r="B2" t="s"><v>4</v></c>'
+        '<c r="C2" t="s"><v>5</v></c></row>'
+        '<row r="3"><c r="A3" t="s"><v>6</v></c><c r="B3" t="s"><v>7</v></c></row>'
+        '<row r="4"><c r="A4" t="s"><v>8</v></c><c r="B4"><v>3</v></c>'
+        '<c r="C4"><v>9.99</v></c></row>'
+        "</sheetData></worksheet>"
+    )
+    sst_vals = ["UPC", "Quantity", "Wholesale", "0042", "15", "12,99", "0043", "7", "0044"]
+    sst = (
+        f'<?xml version="1.0"?><sst {ns}>'
+        + "".join(f"<si><t>{v}</t></si>" for v in sst_vals)
+        + "</sst>"
+    )
+    stage = tempfile.mkdtemp(prefix="etl_xlsx_q_")
+    path = os.path.join(stage, "feed.xlsx")
+    with zipfile.ZipFile(path, "w") as z:
+        z.writestr(
+            "xl/workbook.xml",
+            f'<?xml version="1.0"?><workbook {ns} xmlns:r="{rid}"><sheets>'
+            f'<sheet name="Sheet1" sheetId="1" r:id="rId1"/></sheets></workbook>',
+        )
+        z.writestr(
+            "xl/_rels/workbook.xml.rels",
+            f'<?xml version="1.0"?><Relationships {rns}>'
+            f'<Relationship Id="rId1" Type="{rid}/worksheet" Target="worksheets/sheet1.xml"/>'
+            "</Relationships>",
+        )
+        z.writestr("xl/sharedStrings.xml", sst)
+        z.writestr("xl/worksheets/sheet1.xml", sheet)
+    return read_excel(spark, path)

@@ -1,0 +1,115 @@
+"""Stdlib XLSX reader driven on hand-crafted workbook files (zip of XML —
+no openpyxl needed to write OR read)."""
+
+import zipfile
+
+import pytest
+
+from etl_edi_data_scrapper_spark.sources.files import read_excel
+
+
+def make_xlsx(path, sheets: dict[str, list[list]], shared_strings=True):
+    """Write a minimal but spec-valid xlsx: workbook + rels + sheets;
+    strings go through sharedStrings (t="s") or inline (t="inlineStr")."""
+    ns = 'xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"'
+    rns = 'xmlns="http://schemas.openxmlformats.org/package/2006/relationships"'
+    rid = "http://schemas.openxmlformats.org/officeDocument/2006/relationships"
+
+    strings: list[str] = []
+
+    def cell_xml(r, c, v):
+        ref = f"{chr(ord('A') + c)}{r + 1}"
+        if v is None:
+            return ""
+        if isinstance(v, (int, float)):
+            return f'<c r="{ref}"><v>{v}</v></c>'
+        if shared_strings:
+            if v not in strings:
+                strings.append(v)
+            return f'<c r="{ref}" t="s"><v>{strings.index(v)}</v></c>'
+        return f'<c r="{ref}" t="inlineStr"><is><t>{v}</t></is></c>'
+
+    sheet_xmls = {}
+    for i, (name, rows) in enumerate(sheets.items(), start=1):
+        body = "".join(
+            f'<row r="{ri + 1}">' + "".join(cell_xml(ri, ci, v) for ci, v in enumerate(row)) + "</row>"
+            for ri, row in enumerate(rows)
+        )
+        sheet_xmls[f"xl/worksheets/sheet{i}.xml"] = (
+            f'<?xml version="1.0"?><worksheet {ns}><sheetData>{body}</sheetData></worksheet>'
+        )
+
+    wb_sheets = "".join(
+        f'<sheet name="{name}" sheetId="{i}" xmlns:r="{rid}" r:id="rId{i}"/>'
+        for i, name in enumerate(sheets, start=1)
+    )
+    rels = "".join(
+        f'<Relationship Id="rId{i}" Type="{rid}/worksheet" Target="worksheets/sheet{i}.xml"/>'
+        for i in range(1, len(sheets) + 1)
+    )
+    sst = (
+        f'<?xml version="1.0"?><sst {ns}>'
+        + "".join(f"<si><t>{s}</t></si>" for s in strings)
+        + "</sst>"
+    )
+    with zipfile.ZipFile(path, "w") as z:
+        z.writestr("xl/workbook.xml", f'<?xml version="1.0"?><workbook {ns} xmlns:r="{rid}"><sheets>{wb_sheets}</sheets></workbook>')
+        z.writestr("xl/_rels/workbook.xml.rels", f'<?xml version="1.0"?><Relationships {rns}>{rels}</Relationships>')
+        if strings:
+            z.writestr("xl/sharedStrings.xml", sst)
+        for p, xml in sheet_xmls.items():
+            z.writestr(p, xml)
+
+
+FEED = [
+    ["UPC", "Quantity", "Wholesale"],
+    ["0042", "15", "12,99"],
+    ["0043", "7"],                # short row → padded
+    ["0044", 3, 9.99],            # numeric cells → literal text
+]
+
+
+def test_xlsx_header_types_padding(spark, tmp_path):
+    p = tmp_path / "feed.xlsx"
+    make_xlsx(p, {"Sheet1": FEED})
+    df = read_excel(spark, str(p))
+    assert df.columns == ["UPC", "Quantity", "Wholesale"]
+    rows = {r.UPC: r for r in df.collect()}
+    assert rows["0042"].Wholesale == "12,99"
+    assert rows["0043"].Wholesale is None          # padded
+    assert rows["0044"].Quantity == "3"            # numeric → string
+
+
+def test_xlsx_inline_strings(spark, tmp_path):
+    p = tmp_path / "inline.xlsx"
+    make_xlsx(p, {"S": [["a", "b"], ["x", "y"]]}, shared_strings=False)
+    assert read_excel(spark, str(p)).collect()[0].a == "x"
+
+
+def test_xlsx_sheet_and_range(spark, tmp_path):
+    p = tmp_path / "multi.xlsx"
+    make_xlsx(p, {
+        "Ignore": [["z"], ["zz"]],
+        "Data": [["junk", "junk2", "junk3"],
+                 ["UPC", "Qty", "skipme"],
+                 ["1", "2", "x"],
+                 ["3", "4", "y"]],
+    })
+    # range selects sheet 'Data', columns A:B, from row 2 (open-ended bottom)
+    df = read_excel(spark, str(p), range_="Data!A2:B")
+    assert df.columns == ["UPC", "Qty"]
+    assert {tuple(r) for r in df.collect()} == {("1", "2"), ("3", "4")}
+
+
+def test_xlsx_multi_file_union(spark, tmp_path):
+    make_xlsx(tmp_path / "a.xlsx", {"S": [["k"], ["1"]]})
+    make_xlsx(tmp_path / "b.xlsx", {"S": [["k"], ["2"]]})
+    df = read_excel(spark, str(tmp_path / "*.xlsx"))
+    assert sorted(r.k for r in df.collect()) == ["1", "2"]
+
+
+def test_xlsx_missing_sheet_raises(spark, tmp_path):
+    p = tmp_path / "one.xlsx"
+    make_xlsx(p, {"S": [["k"], ["1"]]})
+    with pytest.raises(ValueError):
+        read_excel(spark, str(p), range_="Nope!A1:B")

@@ -79,8 +79,8 @@ def test_excel_range_normalization(rng, max_row, expect):
     assert fmod.normalize_excel_range(rng, max_row) == expect
 
 
-def test_excel_reader_gated_without_openpyxl(spark):
-    with pytest.raises(NotImplementedError):
+def test_excel_reader_missing_file_raises(spark):
+    with pytest.raises(OSError):
         fmod.read_excel(spark, "/nonexistent.xlsx")
 
 
