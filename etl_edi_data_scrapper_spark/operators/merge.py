@@ -136,3 +136,67 @@ def enrich(
         if f not in base.columns:
             out_cols.append(F.col(f"__leg_{f}").alias(f))
     return joined.select(*out_cols)
+
+
+def keyed_merge_salted(
+    df: DataFrame,
+    key: str,
+    merge_rules: dict[str, str] | None = None,
+    seq_col: str = SEQ_COL,
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Skew-proof ``keyed_merge``: two-stage aggregation over a salt.
+
+    A hot key (one UPC = 10% of a 100 TB feed) funnels into a single
+    reducer under plain groupBy. Salting splits each key into
+    ``salt_buckets`` sub-groups — stage 1 combines within (key, salt)
+    in parallel, stage 2 merges the per-salt partials per key. Results are
+    IDENTICAL to keyed_merge (given unique ``_seq``):
+      * min/max     — associative, two-stage directly;
+      * last-write  — per-salt (value at max seq, max seq), final max_by
+                      over the per-salt seqs;
+      * addArray    — per-salt (seq, value) pairs, final flatten + sort.
+    AQE's skew-join splitting handles the JOIN side of skew; this handles
+    the AGGREGATION side, which AQE does not re-split.
+    """
+    merge_rules = dict(merge_rules or {})
+    bad = {r for r in merge_rules.values()} - VALID_RULES
+    if bad:
+        raise ValueError(f"unknown merge rules: {sorted(bad)}")
+    if seq_col not in df.columns:
+        df = with_seq(df)
+        seq_col = SEQ_COL
+
+    kc = F.col(key)
+    df = df.filter(kc.isNotNull() & (kc.cast("string") != ""))
+    df = df.withColumn("__salt", F.pmod(F.col(seq_col), F.lit(salt_buckets)))
+
+    value_cols = [c for c in df.columns if c not in (key, seq_col, "__salt")]
+    partial: list[Column] = []
+    final: list[Column] = []
+    for c in value_cols:
+        rule = merge_rules.get(c)
+        if rule == "min":
+            partial.append(F.min(c).alias(c))
+            final.append(F.min(c).alias(c))
+        elif rule == "max":
+            partial.append(F.max(c).alias(c))
+            final.append(F.max(c).alias(c))
+        elif rule == "addArray":
+            partial.append(
+                F.collect_list(
+                    F.struct(F.col(seq_col).alias("s"), F.col(c).alias("v"))
+                ).alias(c)
+            )
+            final.append(
+                F.transform(
+                    F.array_sort(F.flatten(F.collect_list(c))), lambda x: x["v"]
+                ).alias(c)
+            )
+        else:
+            partial.append(F.max_by(c, F.col(seq_col)).alias(c))
+            final.append(F.max_by(c, F.col("__max_seq")).alias(c))
+    partial.append(F.max(seq_col).alias("__max_seq"))
+
+    staged = df.groupBy(key, "__salt").agg(*partial)
+    return staged.groupBy(key).agg(*final)

@@ -109,3 +109,36 @@ def test_with_seq_leg_offsets(spark):
     s0 = with_seq(df, leg=0).first()._seq
     s1 = with_seq(df, leg=1).first()._seq
     assert s1 - s0 == 1 << 52
+
+
+def test_salted_merge_equals_plain(spark, sf_dir):
+    """keyed_merge_salted must produce byte-identical results to keyed_merge
+    on the flagship feed shape (all four rule kinds + LWW)."""
+    from pyspark.sql import functions as F
+
+    from etl_edi_data_scrapper_spark.operators.merge import keyed_merge_salted
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        F.expr("l_orderkey * 8 + l_linenumber").alias("_seq"),
+        F.col("l_partkey").cast("string").alias("upc"),
+        F.col("l_quantity").alias("qty"),
+        F.col("l_extendedprice").alias("price"),
+        F.col("l_returnflag").alias("status"),
+        F.col("l_linestatus").alias("last_status"),
+    )
+    rules = {"qty": "min", "price": "max", "status": "addArray"}
+    plain = {r.upc: r for r in keyed_merge(li, "upc", rules).collect()}
+    salted = {r.upc: r for r in keyed_merge_salted(li, "upc", rules, salt_buckets=7).collect()}
+    assert plain.keys() == salted.keys()
+    for k in plain:
+        assert tuple(plain[k]) == tuple(salted[k]), k
+
+
+def test_salted_merge_hot_key(spark):
+    from etl_edi_data_scrapper_spark.operators.merge import keyed_merge_salted
+
+    rows = [(i, "hot" if i % 10 else "cold", f"v{i}") for i in range(1000)]
+    df = spark.createDataFrame(rows, "_seq long, key string, val string")
+    out = {r.key: r.val for r in keyed_merge_salted(df, "key", {}).collect()}
+    assert out["hot"] == "v999"   # last-write-wins across salts
+    assert out["cold"] == "v990"
