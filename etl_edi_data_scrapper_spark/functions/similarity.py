@@ -60,12 +60,17 @@ def hyperplane_signature(vec: Column, n_planes: int, dim: int) -> Column:
 
     bits = []
     for p in range(n_planes):
-        dot = None
-        for d in range(dim):
-            h = hashlib.md5(f"{p}:{d}".encode()).hexdigest()
-            wgt = float(int(h[0], 16)) - 7.5
-            term = vec[d].cast("double") * F.lit(wgt)
-            dot = term if dot is None else dot + term
+        weights = [
+            float(int(hashlib.md5(f"{p}:{d}".encode()).hexdigest()[0], 16)) - 7.5
+            for d in range(dim)
+        ]
+        # array-literal zip_with keeps the expression tree small (one node
+        # per plane, not per dimension — 64-term chained sums choke codegen)
+        dot = F.aggregate(
+            F.zip_with(vec, F.lit(weights), lambda x, w: x.cast("double") * w),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
         bits.append(F.when(dot >= 0, F.lit("1")).otherwise(F.lit("0")))
     return F.concat_ws("", *bits)
 
@@ -100,6 +105,80 @@ def lsh_topk(
     return (
         cb.join(qb, "bucket")
         .select(q_id, c_id, sim)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def ivf_index(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    c_id: str = "vec_id",
+    c_vec: str = "embedding",
+) -> tuple[DataFrame, DataFrame]:
+    """IVF(-flat) index: pick centroids, assign every vector to its nearest.
+
+    Centroids here are a deterministic corpus sample (lowest ids) — the plan
+    shape is what matters; production swaps in MLlib KMeans centers (same
+    two DataFrames out). Assignment is a broadcast cross join against the
+    tiny centroid set + one windowed argmin — a single pass over the corpus.
+    Returns (centroids(centroid_id, centroid_vec), corpus + centroid_id).
+    """
+    centroids = (
+        corpus.orderBy(F.col(c_id)).limit(n_centroids)
+        .select(
+            F.col(c_id).alias("centroid_id"),
+            F.col(c_vec).alias("centroid_vec"),
+        )
+    )
+    cb = F.broadcast(centroids)
+    scored = corpus.withColumn("__nv", norm_expr(F.col(c_vec))).crossJoin(
+        cb.withColumn("__ncen", norm_expr(F.col("centroid_vec")))
+    )
+    sim = dot_expr(F.col(c_vec), F.col("centroid_vec")) / (F.col("__nv") * F.col("__ncen"))
+    w = W.partitionBy(c_id).orderBy(F.col("__csim").desc(), F.col("centroid_id"))
+    assigned = (
+        scored.withColumn("__csim", sim)
+        .withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") == 1)
+        .select(corpus[c_id], corpus[c_vec], "centroid_id")
+    )
+    return centroids, assigned
+
+
+def ivf_topk(
+    queries: DataFrame,
+    centroids: DataFrame,
+    assigned: DataFrame,
+    k: int = 5,
+    nprobe: int = 3,
+    q_id: str = "q_id",
+    q_vec: str = "q_vec",
+    c_id: str = "vec_id",
+    c_vec: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: route each query to its ``nprobe`` nearest
+    centroids, exact-rerank ONLY inside those buckets. Cost per query drops
+    from |corpus| to ~nprobe/n_centroids of it; recall rises with nprobe
+    (nprobe = n_centroids ≡ brute force)."""
+    cb = F.broadcast(centroids.withColumn("__ncen", norm_expr(F.col("centroid_vec"))))
+    qn = queries.withColumn("__nq", norm_expr(F.col(q_vec)))
+    qsim = dot_expr(F.col(q_vec), F.col("centroid_vec")) / (F.col("__nq") * F.col("__ncen"))
+    wq = W.partitionBy(q_id).orderBy(F.col("__qsim").desc(), F.col("centroid_id"))
+    routed = (
+        qn.crossJoin(cb)
+        .withColumn("__qsim", qsim)
+        .withColumn("__rk", F.row_number().over(wq))
+        .filter(F.col("__rk") <= nprobe)
+        .select(q_id, q_vec, "__nq", "centroid_id")
+    )
+    cand = assigned.withColumn("__nc", norm_expr(F.col(c_vec))).join(
+        F.broadcast(routed), "centroid_id"
+    )
+    sim = (dot_expr(F.col(q_vec), F.col(c_vec)) / (F.col("__nq") * F.col("__nc"))).alias("cosine")
+    w = W.partitionBy(q_id).orderBy(F.col("cosine").desc(), F.col(c_id))
+    return (
+        cand.select(q_id, c_id, sim)
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )

@@ -1251,3 +1251,18 @@ def q_excel_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         z.writestr("xl/sharedStrings.xml", sst)
         z.writestr("xl/worksheets/sheet1.xml", sheet)
     return read_excel(spark, path)
+
+
+@register("ann_ivf")  # rows-only: approximate by construction
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: centroid routing + in-bucket exact rerank — the second
+    scale path beside hyperplane LSH (`ann_lsh`); per-query cost drops to
+    ~nprobe/n_centroids of the corpus."""
+    from etl_edi_data_scrapper_spark.functions.similarity import ivf_index, ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    centroids, assigned = ivf_index(emb, n_centroids=16)
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    return ivf_topk(queries, centroids, assigned, k=5, nprobe=4)

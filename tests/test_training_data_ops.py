@@ -127,3 +127,23 @@ def test_sample_frames_explodes_video(spark):
         by_id.setdefault(r.media_id, []).append(r.frame_ts_ms)
     assert sorted(by_id[3]) == [0, 1000, 2000]  # 3.5 s video, 1 s sampling
     assert set(by_id) == {3}                    # only videos explode
+
+
+def test_ivf_topk_finds_self_and_probes_buckets(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    centroids, assigned = similarity.ivf_index(emb, n_centroids=8)
+    assert assigned.count() == emb.count()            # every vector assigned
+    assert centroids.count() == 8
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    out = similarity.ivf_topk(queries, centroids, assigned, k=3, nprobe=8)
+    top1 = {r.q_id: r.vec_id for r in out.collect() if r.rank == 1}
+    # nprobe == n_centroids → exhaustive → self must be rank 1
+    assert top1 == {0: 0, 1: 1, 2: 2}
+    # fewer probes → results are a subset of probed buckets, still k rows max
+    approx = similarity.ivf_topk(queries, centroids, assigned, k=3, nprobe=2)
+    per_q = {}
+    for r in approx.collect():
+        per_q.setdefault(r.q_id, []).append(r.vec_id)
+    assert all(len(v) <= 3 for v in per_q.values())
