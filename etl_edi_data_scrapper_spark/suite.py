@@ -1266,3 +1266,111 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
     )
     return ivf_topk(queries, centroids, assigned, k=5, nprobe=4)
+
+
+@register(
+    "running_total",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS DOUBLE) AS running_spend
+    FROM orders
+    """,
+)
+def q_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running aggregate window (cumulative spend per customer) — decimal
+    partials keep the prefix sums exact and order-independent."""
+    from pyspark.sql import Window as W
+
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .over(w)
+        .cast("double")
+        .alias("running_spend"),
+    )
+
+
+@register(
+    "set_ops",
+    oracle="""
+    SELECT 'both' AS kind, count(*) AS n FROM (
+      SELECT l_partkey FROM lineitem WHERE l_returnflag = 'A'
+      INTERSECT
+      SELECT l_partkey FROM lineitem WHERE l_returnflag = 'R')
+    UNION ALL
+    SELECT 'only_a' AS kind, count(*) AS n FROM (
+      SELECT l_partkey FROM lineitem WHERE l_returnflag = 'A'
+      EXCEPT
+      SELECT l_partkey FROM lineitem WHERE l_returnflag = 'R')
+    """,
+)
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT (distinct set semantics — compile to aggregated
+    semi/anti joins, one shuffle each)."""
+    li = _t(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_returnflag") == "A").select("l_partkey")
+    r = li.filter(F.col("l_returnflag") == "R").select("l_partkey")
+    both = a.intersect(r).agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit("both").alias("kind"), "n"
+    )
+    only_a = (
+        a.subtract(r)  # EXCEPT (set semantics, like the SQL oracle)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("only_a").alias("kind"), "n")
+    )
+    return both.unionByName(only_a)
+
+
+@register(
+    "full_outer",
+    oracle="""
+    SELECT n.n_name, r.r_name,
+           CASE WHEN n.n_nationkey IS NULL THEN 'right_only'
+                WHEN r.r_regionkey IS NULL THEN 'left_only'
+                ELSE 'matched' END AS side
+    FROM (SELECT * FROM nation WHERE n_regionkey <= 3) n
+    FULL OUTER JOIN (SELECT * FROM region WHERE r_regionkey >= 2) r
+      ON n.n_regionkey = r.r_regionkey
+    """,
+)
+def q_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join with unmatched-side markers."""
+    n = _t(spark, sf_dir, "nation").filter(F.col("n_regionkey") <= 3)
+    r = _t(spark, sf_dir, "region").filter(F.col("r_regionkey") >= 2)
+    j = n.join(r, n.n_regionkey == r.r_regionkey, "full_outer")
+    side = (
+        F.when(F.col("n_nationkey").isNull(), "right_only")
+        .when(F.col("r_regionkey").isNull(), "left_only")
+        .otherwise("matched")
+    )
+    return j.select("n_name", "r_name", side.alias("side"))
+
+
+@register(
+    "json_extract",
+    oracle="""
+    SELECT event_type,
+           sum(try_cast(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           count(*) AS n
+    FROM events GROUP BY event_type
+    """,
+)
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured access: JSON path extraction from a string column
+    (events.props), aggregated — stays JVM-side via get_json_object."""
+    ev = _events(spark, sf_dir)
+    return ev.groupBy("event_type").agg(
+        F.sum(
+            F.get_json_object("props", "$.k").try_cast("long")
+        ).alias("sum_k"),
+        F.count(F.lit(1)).alias("n"),
+    )

@@ -85,3 +85,43 @@ def test_streaming_windowed_agg_with_watermark(spark, tmp_path):
         q.stop()
     assert got[("2024-01-01 00:00:00", "click")] == (2, 3.0)
     assert got[("2024-01-01 01:00:00", "view")] == (1, 5.0)
+
+
+def test_streaming_session_window(spark, tmp_path):
+    """session_window: gap-based sessions in a live streaming query."""
+    import json as jsonmod
+
+    src = tmp_path / "sess"
+    src.mkdir()
+    rows = [
+        {"ts": "2024-01-01 00:00:00", "user": "u1", "value": 1.0},
+        {"ts": "2024-01-01 00:04:00", "user": "u1", "value": 1.0},  # same session
+        {"ts": "2024-01-01 01:00:00", "user": "u1", "value": 1.0},  # new session
+        {"ts": "2024-01-01 00:00:00", "user": "u2", "value": 1.0},
+    ]
+    with open(src / "b1.jsonl", "w") as f:
+        for r in rows:
+            f.write(jsonmod.dumps(r) + "\n")
+    stream = (
+        spark.readStream.schema("ts string, user string, value double")
+        .json(str(src))
+        .withColumn("ts", F.to_timestamp("ts"))
+    )
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.session_window("ts", "5 minutes"), "user")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select("user", "n")
+    )
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory").queryName("sess_out").start()
+    )
+    try:
+        q.processAllAvailable()
+        got = sorted(
+            (r.user, r.n) for r in spark.sql("SELECT * FROM sess_out").collect()
+        )
+    finally:
+        q.stop()
+    assert got == [("u1", 1), ("u1", 2), ("u2", 1)]
