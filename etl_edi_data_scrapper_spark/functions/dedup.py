@@ -55,7 +55,13 @@ def minhash_signatures(
 
     One explode + one groupBy (map-side combine keeps the shuffle at
     n_docs × n_hashes hex strings regardless of document length).
+
+    Hash-repartition by id BEFORE the explode: (a) a small corpus file in
+    few splits still fans the n_hashes × n_shingles md5 work across the
+    cluster, and (b) the downstream groupBy(id) reuses the partitioning —
+    the exploded rows never shuffle.
     """
+    df = df.repartition(df.sparkSession.sparkContext.defaultParallelism, id_col)
     sh = df.select(F.col(id_col), F.explode(shingles(text_col, shingle_n)).alias("s"))
     aggs = [
         F.min(F.md5(F.concat(F.lit(f"{j}:"), F.col("s")))).alias(f"h{j}")
@@ -158,8 +164,10 @@ def simhash(
     aggregates — one shuffle, map-side partials.
 
     Bits come from md5 hex chars via instr arithmetic, so an external SQL
-    oracle computes the identical signature.
+    oracle computes the identical signature. Pre-explode hash-repartition
+    by id: parallelism for the bit-sum work + shuffle-free groupBy(id).
     """
+    df = df.repartition(df.sparkSession.sparkContext.defaultParallelism, id_col)
     tok = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("t"))
     tok = tok.withColumn("h", F.md5(F.col("t")))
     aggs = []

