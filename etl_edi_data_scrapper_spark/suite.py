@@ -1381,3 +1381,30 @@ def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("sum_k"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@register(
+    "sql_api",
+    oracle="""
+    SELECT s.s_name,
+           CAST(sum(CAST(l.l_extendedprice AS DECIMAL(16,2))) AS DOUBLE) AS total
+    FROM supplier s JOIN lineitem l ON l.l_suppkey = s.s_suppkey
+    WHERE EXISTS (SELECT 1 FROM nation n
+                  WHERE n.n_nationkey = s.s_nationkey AND n.n_regionkey = 0)
+    GROUP BY s.s_name
+    """,
+)
+def q_sql_api(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine's SQL surface: temp views + spark.sql (correlated EXISTS,
+    join, agg) — Catalyst produces the same plan as the DataFrame API, so
+    users can pick either per query."""
+    for t in ("supplier", "lineitem", "nation"):
+        _t(spark, sf_dir, t).createOrReplaceTempView(f"v_{t}")
+    return spark.sql("""
+        SELECT s.s_name,
+               CAST(sum(CAST(l.l_extendedprice AS DECIMAL(16,2))) AS DOUBLE) AS total
+        FROM v_supplier s JOIN v_lineitem l ON l.l_suppkey = s.s_suppkey
+        WHERE EXISTS (SELECT 1 FROM v_nation n
+                      WHERE n.n_nationkey = s.s_nationkey AND n.n_regionkey = 0)
+        GROUP BY s.s_name
+    """)
