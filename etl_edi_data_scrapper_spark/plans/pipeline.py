@@ -50,6 +50,9 @@ def aggregate(
     # the scale-correct way to pin last-write-wins/addArray order at 100 TB
     # (an event-order column from the data, not file listing order).
     seq_exprs = cfg.extra.get("seq_expr")
+    # Optional config key "repartition": widen coarse scans (single-file
+    # inputs split at row-group granularity) before CPU-heavy map stages.
+    repartition_n = cfg.extra.get("repartition")
 
     def _seq_for(leg_idx: int):
         if seq_exprs is None:
@@ -63,19 +66,19 @@ def aggregate(
         legs = cfg.source
         base_leg = legs[0]
         base = _read(spark, readers, base_leg.type_id, base_leg.filename,
-                     base_leg.range or cfg.range)
+                     base_leg.range or cfg.range, repartition_n)
         base = with_seq(base, leg=0, seq_expr=_seq_for(0))
         # DataSetCollection::createFromCollection — base re-keyed, last wins
         base = keyed_merge(base, base_leg.key, {}, drop_seq=False)
         for i, leg in enumerate(legs[1:], start=1):
             ldf = _read(spark, readers, leg.type_id, leg.filename,
-                        leg.range or cfg.range)
+                        leg.range or cfg.range, repartition_n)
             ldf = with_seq(ldf, leg=i, seq_expr=_seq_for(i))
             base = enrich(base, ldf, base_key=base_leg.key, leg_key=leg.key,
                           fields=list(leg.fields))
         df = base
     else:
-        df = _read(spark, readers, cfg.type_id, cfg.source, cfg.range)
+        df = _read(spark, readers, cfg.type_id, cfg.source, cfg.range, repartition_n)
         df = with_seq(df, leg=0, seq_expr=_seq_for(0))
 
     mapped, merge_rules = map_columns(
@@ -90,6 +93,7 @@ def _read(
     type_id: int,
     source: str,
     range_: str | None,
+    repartition_n: int | None = None,
 ) -> DataFrame:
     try:
         reader = readers[type_id]
@@ -97,4 +101,7 @@ def _read(
         raise ValueError(
             f"no reader registered for type_id={type_id!r}; have {sorted(readers)}"
         ) from None
-    return reader(spark, source, range_)
+    df = reader(spark, source, range_)
+    if repartition_n:
+        df = df.repartition(int(repartition_n))
+    return df

@@ -57,14 +57,35 @@ MORRIS_SCHEMA = T.StructType(
 )
 
 
+_MORRIS_XML_SCHEMA = (
+    "gtin STRING, qty BIGINT, detail STRUCT<price: DOUBLE>"
+)
+
+
 def read_morris_xml(spark: SparkSession, source: str, range_: str | None = None) -> DataFrame:
     """Morris feed: one row per ``<available>`` element; unions all files.
 
     Per-field casts match `MorrisXmlSftpInputHandler.php:32-36`:
-    gtin → string, qty → int, detail/price → float. Multi-file union =
-    `:54-59`. Driver-side ElementTree parse (feeds are small); at scale use
-    spark-xml (``rowTag="available"``) for a distributed scan.
+    gtin → string (explicit schema — inference would drop leading zeros),
+    qty → long, detail/price → double. Multi-file union = `:54-59`.
+
+    Primary path: Spark's native XML source (``rowTag="available"``) — a
+    distributed scan that splits across files. ElementTree fallback for
+    builds without the XML source.
     """
+    try:
+        df = (
+            spark.read.format("xml")
+            .option("rowTag", "available")
+            .schema(_MORRIS_XML_SCHEMA)
+            .load(source)
+        )
+        return df.select(
+            F.col("gtin"), F.col("qty"), F.col("detail.price").alias("price")
+        )
+    except Exception:
+        pass  # fall through to the driver-side parse
+
     paths = sorted(glob.glob(source)) if any(ch in source for ch in "*?[") else [source]
     rows: list[tuple[str | None, int | None, float | None]] = []
     for path in paths:

@@ -293,6 +293,7 @@ def q_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         },
         "version": 3,
         "seq_expr": [_SEQ_SQL, None],
+        "repartition": 32,
     }
     return aggregate(spark, cfg, {3: read_local})
 
