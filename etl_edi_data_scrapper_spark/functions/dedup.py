@@ -19,6 +19,8 @@ from pyspark.sql import functions as F
 
 from etl_edi_data_scrapper_spark.functions.text import normalize_text, tokens
 
+_HEX = "0123456789abcdef"
+
 
 def shingles(text: Column | str, n: int = 3) -> Column:
     """Distinct word n-gram shingles. Short docs (< n tokens) yield their
@@ -44,6 +46,16 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
+def _hex_word(h: Column, start: int) -> Column:
+    """Parse 8 hex chars of an md5 hex string (1-based `start`) into a
+    bigint via instr arithmetic — portable to any SQL engine (no
+    conv/unhex dialect dependence)."""
+    v: Column = F.lit(0).cast("long")
+    for k in range(8):
+        v = v * 16 + (F.instr(F.lit(_HEX), F.substring(h, start + k, 1)) - 1)
+    return v
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -51,23 +63,31 @@ def minhash_signatures(
     n_hashes: int = 12,
     shingle_n: int = 3,
 ) -> DataFrame:
-    """MinHash signature per doc: h_j = min over shingles of md5('j:'+s).
+    """MinHash signature per doc: Carter-Wegman family over ONE md5 per
+    shingle — split md5(s) into two 32-bit words (w1, w2); then
+    h_j = (w1 + j·w2) mod 2^32 and the signature is min over shingles.
 
-    One explode + one groupBy (map-side combine keeps the shuffle at
-    n_docs × n_hashes hex strings regardless of document length).
+    Why not md5('j:'+s) per hash j: that hashes every shingle n_hashes
+    times (12× the CPU on the scan stage — the dominant cost at corpus
+    scale) and shuffles 32-char strings; this scheme hashes once and
+    shuffles 12 longs with numeric map-side min partials.
 
-    Hash-repartition by id BEFORE the explode: (a) a small corpus file in
-    few splits still fans the n_hashes × n_shingles md5 work across the
-    cluster, and (b) the downstream groupBy(id) reuses the partitioning —
-    the exploded rows never shuffle.
+    One explode + one groupBy. Hash-repartition by id BEFORE the explode:
+    (a) a small corpus file in few splits still fans the hashing work
+    across the cluster, and (b) the downstream groupBy(id) reuses the
+    partitioning — the exploded rows never shuffle.
     """
     df = df.repartition(df.sparkSession.sparkContext.defaultParallelism, id_col)
     sh = df.select(F.col(id_col), F.explode(shingles(text_col, shingle_n)).alias("s"))
+    h = F.md5(F.col("s"))
+    words = sh.select(
+        F.col(id_col), _hex_word(h, 1).alias("w1"), _hex_word(h, 9).alias("w2")
+    )
     aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{j}:"), F.col("s")))).alias(f"h{j}")
+        F.min((F.col("w1") + F.lit(j) * F.col("w2")) % F.lit(2**32)).alias(f"h{j}")
         for j in range(n_hashes)
     ]
-    return sh.groupBy(id_col).agg(*aggs)
+    return words.groupBy(id_col).agg(*aggs)
 
 
 def lsh_band_keys(
@@ -75,22 +95,28 @@ def lsh_band_keys(
 ) -> DataFrame:
     """(doc, band, band_key) — band_key = md5 of the band's concatenated
     signature rows. Join on (band, band_key) finds candidates without any
-    all-pairs comparison."""
+    all-pairs comparison.
+
+    Emitted via ONE explode over an inline array (not a bands-way union):
+    the signature subtree appears once in the plan instead of `bands`
+    times — the union version blew physical-plan size (and whole-stage
+    codegen compile time) up by bands× on every consumer self-join.
+    """
     rows = n_hashes // bands
-    out = []
-    for b in range(bands):
-        cols = [F.col(f"h{b * rows + r}") for r in range(rows)]
-        out.append(
-            sig.select(
-                F.col(id_col),
+    entries = F.array(
+        *[
+            F.struct(
                 F.lit(b).alias("band"),
-                F.md5(F.concat(*cols)).alias("band_key"),
+                F.md5(
+                    F.concat_ws(":", *[F.col(f"h{b * rows + r}") for r in range(rows)])
+                ).alias("band_key"),
             )
-        )
-    res = out[0]
-    for o in out[1:]:
-        res = res.unionByName(o)
-    return res
+            for b in range(bands)
+        ]
+    )
+    return sig.select(F.col(id_col), F.explode(entries).alias("e")).select(
+        F.col(id_col), F.col("e.band").alias("band"), F.col("e.band_key").alias("band_key")
+    )
 
 
 def minhash_candidate_pairs(
@@ -150,8 +176,6 @@ def jaccard_pairs(
 
 
 # --- SimHash -----------------------------------------------------------------
-
-_HEX = "0123456789abcdef"
 
 
 def _hex_val(c: Column) -> Column:

@@ -701,12 +701,23 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_dedup(_t(spark, sf_dir, "documents"))
 
 
+def _sql_hex_word(h: str, start: int) -> str:
+    """SQL for _hex_word (functions/dedup.py): 8 hex chars → bigint via
+    instr arithmetic — identical formula on both engines."""
+    v = "CAST(0 AS BIGINT)"
+    for k in range(8):
+        v = f"({v} * 16 + (instr('0123456789abcdef', substring({h}, {start + k}, 1)) - 1))"
+    return v
+
+
 def _minhash_oracle(n_hashes: int = 12, bands: int = 4) -> str:
     rows = n_hashes // bands
-    hs = ", ".join(f"min(md5('{j}:' || s)) AS h{j}" for j in range(n_hashes))
+    hs = ", ".join(
+        f"min((w1 + {j} * w2) % 4294967296) AS h{j}" for j in range(n_hashes)
+    )
     band_rows = "\n      UNION ALL ".join(
         f"SELECT doc_id, {b} AS band, md5("
-        + " || ".join(f"h{b * rows + r}" for r in range(rows))
+        + " || ':' || ".join(f"h{b * rows + r}::VARCHAR" for r in range(rows))
         + ") AS band_key FROM sig"
         for b in range(bands)
     )
@@ -714,8 +725,10 @@ def _minhash_oracle(n_hashes: int = 12, bands: int = 4) -> str:
     return f"""
     WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
     shingled AS (SELECT doc_id, {sh} AS shingles FROM tok),
-    ex AS (SELECT doc_id, unnest(shingles) AS s FROM shingled),
-    sig AS (SELECT doc_id, {hs} FROM ex GROUP BY doc_id),
+    ex AS (SELECT doc_id, md5(unnest(shingles)) AS h FROM shingled),
+    words AS (SELECT doc_id, {_sql_hex_word("h", 1)} AS w1,
+                     {_sql_hex_word("h", 9)} AS w2 FROM ex),
+    sig AS (SELECT doc_id, {hs} FROM words GROUP BY doc_id),
     bands AS ({band_rows}),
     cand AS (
       SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
