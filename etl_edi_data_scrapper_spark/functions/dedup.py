@@ -17,9 +17,9 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from etl_edi_data_scrapper_spark.functions.hashing import HEX as _HEX
+from etl_edi_data_scrapper_spark.functions.hashing import hex_word as _hex_word
 from etl_edi_data_scrapper_spark.functions.text import normalize_text, tokens
-
-_HEX = "0123456789abcdef"
 
 
 def shingles(text: Column | str, n: int = 3) -> Column:
@@ -44,16 +44,6 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
         .groupBy("fingerprint")
         .agg(F.min(id_col).alias("canonical_id"), F.count(F.lit(1)).alias("n_dups"))
     )
-
-
-def _hex_word(h: Column, start: int) -> Column:
-    """Parse 8 hex chars of an md5 hex string (1-based `start`) into a
-    bigint via instr arithmetic — portable to any SQL engine (no
-    conv/unhex dialect dependence)."""
-    v: Column = F.lit(0).cast("long")
-    for k in range(8):
-        v = v * 16 + (F.instr(F.lit(_HEX), F.substring(h, start + k, 1)) - 1)
-    return v
 
 
 def minhash_signatures(
@@ -180,7 +170,9 @@ def jaccard_pairs(
 
 def _hex_val(c: Column) -> Column:
     """hex char → 0..15 via instr arithmetic (portable to any SQL engine)."""
-    return F.instr(F.lit(_HEX), c) - 1
+    from etl_edi_data_scrapper_spark.functions.hashing import hex_val
+
+    return hex_val(c)
 
 
 def simhash(

@@ -103,6 +103,47 @@ def lang_id(text: Column | str) -> Column:
     return expr.otherwise(F.lit(langs[-1]))
 
 
+# GPT-2-style pre-tokenizer, restricted to RE2-safe syntax (no lookahead)
+# so external engines (DuckDB/RE2) count the identical segmentation:
+# contraction suffixes | space-prefixed letter runs | digit runs | punct runs
+# | whitespace runs.
+BPE_SPLIT_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+
+
+def bpe_token_count(c: Column | str) -> Column:
+    """Approximate LLM-token count: # of pre-tokenizer segments (the BPE
+    merge stage only splits within segments, so this upper-bounds and
+    tracks real BPE counts far better than whitespace words). One
+    regexp_extract_all + size — JVM-side, no vocab needed."""
+    c = F.col(c) if isinstance(c, str) else c
+    return F.size(F.regexp_extract_all(c, F.lit(BPE_SPLIT_PATTERN), 0))
+
+
+# Rolling-hash constants: B ≈ small odd multiplier, M = 2^31-1 (Mersenne
+# prime). acc < M and word < 2^32, so acc*B + word < 2^37 — no int64
+# overflow in any engine.
+ROLLING_B = 31
+ROLLING_M = 2147483647
+
+
+def rolling_fingerprint(c: Column | str) -> Column:
+    """Order-sensitive document fingerprint: polynomial rolling hash over
+    the token stream, fp = fold(acc*B + word32(md5(token)) mod M).
+
+    Unlike the md5 fingerprint (content-exact), the rolling form supports
+    incremental/streaming computation and windowed sub-document hashing;
+    here it is the sequential fold — one array transform + aggregate,
+    JVM-side, deterministic across engines."""
+    from etl_edi_data_scrapper_spark.functions.hashing import hex_word
+
+    words = F.transform(tokens(c), lambda t: hex_word(F.md5(t), 1))
+    return F.aggregate(
+        words,
+        F.lit(0).cast("long"),
+        lambda acc, w: (acc * ROLLING_B + w) % ROLLING_M,
+    )
+
+
 def normalize_text(c: Column | str) -> Column:
     """Lowercase, strip non-alphanumerics to single spaces, trim — the
     canonical form for fingerprinting/exact dedup."""

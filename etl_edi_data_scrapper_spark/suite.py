@@ -761,6 +761,45 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jaccard_pairs(docs, cand)
 
 
+def _text_fingerprints_oracle() -> str:
+    from etl_edi_data_scrapper_spark.functions.text import (
+        BPE_SPLIT_PATTERN,
+        ROLLING_B,
+        ROLLING_M,
+    )
+
+    pat = BPE_SPLIT_PATTERN.replace("'", "''")
+    word = _sql_hex_word("md5(t)", 1)
+    return f"""
+    SELECT doc_id,
+      len(regexp_extract_all(text, '{pat}')) AS bpe_tokens,
+      list_reduce(
+        list_prepend(CAST(0 AS BIGINT),
+          list_transform(string_split(text, ' '), t -> {word})),
+        (a, b) -> (a * {ROLLING_B} + b) % {ROLLING_M}) AS rolling_fp
+    FROM documents
+    """
+
+
+@register("text_fingerprints", oracle=_text_fingerprints_oracle())
+def q_text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish token counting (GPT-2-style pre-tokenizer segment count, one
+    RE2-safe regexp_extract_all) + order-sensitive rolling-hash document
+    fingerprint (polynomial fold over md5-derived token words) — both pure
+    Column exprs, JVM-side."""
+    from etl_edi_data_scrapper_spark.functions.text import (
+        bpe_token_count,
+        rolling_fingerprint,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        bpe_token_count(F.col("text")).alias("bpe_tokens"),
+        rolling_fingerprint(F.col("text")).alias("rolling_fp"),
+    )
+
+
 def _simhash_oracle(bits: int = 32) -> str:
     terms = []
     for i in range(bits):
@@ -1093,28 +1132,43 @@ def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_pandas_group_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Custom per-group stateful operator via applyInPandas (Arrow-batched
-    grouped map — the escape hatch for logic built-ins can't express; here
-    cross-checked against a window-function oracle). Integer outputs keep
-    the check exact."""
+    """Custom per-group stateful operator in pandas (the escape hatch for
+    logic built-ins can't express; cross-checked against a window-function
+    oracle). Uses the batched grouped-map (operators/grouped.py) rather
+    than groupBy().applyInPandas: per-group Arrow overhead dominates with
+    many small groups, so the function vectorizes across ALL groups in an
+    Arrow batch — rank via cumcount, gaps via diff reset at group starts.
+    Integer outputs keep the check exact."""
+    import numpy as np
     import pandas as pd
+
+    from etl_edi_data_scrapper_spark.operators.grouped import grouped_map_in_pandas
 
     ev = _events(spark, sf_dir).select("user_id", "event_id", "ts")
 
-    def per_user(pdf: "pd.DataFrame") -> "pd.DataFrame":
-        pdf = pdf.sort_values(["ts", "event_id"]).reset_index(drop=True)
-        us = pdf["ts"].values.astype("datetime64[us]").astype("int64")
+    def rank_gaps(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        # rows arrive sorted by (user_id, ts, event_id); groups contiguous
+        idx = pdf.groupby("user_id", sort=False).cumcount().to_numpy() + 1
+        us = pdf["ts"].to_numpy("datetime64[us]").view("int64")
+        gap = np.empty(len(us), dtype="int64")
+        gap[0] = 0
+        np.subtract(us[1:], us[:-1], out=gap[1:])
+        gap[idx == 1] = 0  # first row of each group has no predecessor
         return pd.DataFrame(
             {
                 "user_id": pdf["user_id"],
                 "event_id": pdf["event_id"],
-                "idx": range(1, len(pdf) + 1),
-                "gap_us": [0] + (us[1:] - us[:-1]).tolist(),
+                "idx": idx.astype("int32"),
+                "gap_us": gap,
             }
         )
 
-    return ev.groupBy("user_id").applyInPandas(
-        per_user, schema="user_id long, event_id long, idx int, gap_us long"
+    return grouped_map_in_pandas(
+        ev,
+        keys=["user_id"],
+        fn=rank_gaps,
+        schema="user_id long, event_id long, idx int, gap_us long",
+        order=["ts", "event_id"],
     )
 
 

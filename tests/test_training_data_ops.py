@@ -147,3 +147,35 @@ def test_ivf_topk_finds_self_and_probes_buckets(spark, sf_dir):
     for r in approx.collect():
         per_q.setdefault(r.q_id, []).append(r.vec_id)
     assert all(len(v) <= 3 for v in per_q.values())
+
+
+def test_bpe_token_count_segments(spark):
+    from etl_edi_data_scrapper_spark.functions import text as T
+
+    rows = [
+        (1, "hello world"),          # 2 letter-runs
+        (2, "it's 42 degrees!"),     # it|'s| 42| degrees|!
+        (3, "a,b"),                  # a|,|b
+    ]
+    df = spark.createDataFrame(rows, "id long, s string")
+    got = {
+        r.id: r.n
+        for r in df.select("id", T.bpe_token_count(F.col("s")).alias("n")).collect()
+    }
+    assert got == {1: 2, 2: 5, 3: 3}
+
+
+def test_rolling_fingerprint_order_sensitive(spark):
+    from etl_edi_data_scrapper_spark.functions import text as T
+
+    rows = [(1, "a b c"), (2, "c b a"), (3, "a b c")]
+    df = spark.createDataFrame(rows, "id long, s string")
+    got = {
+        r.id: r.fp
+        for r in df.select(
+            "id", T.rolling_fingerprint(F.col("s")).alias("fp")
+        ).collect()
+    }
+    assert got[1] == got[3]          # deterministic
+    assert got[1] != got[2]          # order matters
+    assert 0 <= got[1] < T.ROLLING_M
