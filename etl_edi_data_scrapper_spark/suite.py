@@ -1048,6 +1048,67 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "range_join",
+    oracle="""
+    WITH iv AS (
+      SELECT o_orderkey, epoch_us(o_orderdate) // 86400000000 AS s_day
+      FROM orders WHERE o_orderkey % 100 = 0
+    ),
+    j AS (
+      SELECT iv.o_orderkey,
+             count(*) AS n,
+             sum(CAST(l_quantity AS DECIMAL(14,2))) AS q
+      FROM iv JOIN lineitem l
+        ON epoch_us(l.l_shipdate) // 86400000000 >= iv.s_day
+       AND epoch_us(l.l_shipdate) // 86400000000 < iv.s_day + 7
+      GROUP BY 1
+    )
+    SELECT iv.o_orderkey AS orderkey,
+           coalesce(j.n, 0) AS n_shipped,
+           CAST(coalesce(j.q, 0) AS DOUBLE) AS sum_qty
+    FROM iv LEFT JOIN j ON iv.o_orderkey = j.o_orderkey
+    """,
+)
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join via bucket-explode + broadcast equi-join
+    (operators/range_join.py): lineitems shipped inside each sampled
+    order's 7-day window. The naive theta-join is a nested-loop cross
+    product; here the fact side is never even shuffled."""
+    from etl_edi_data_scrapper_spark.operators.range_join import interval_join
+
+    day = 86_400_000_000  # µs
+    iv = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 100 == 0)
+        .select(
+            "o_orderkey",
+            F.expr(f"unix_micros(cast(o_orderdate as timestamp)) div {day}").alias("s_day"),
+        )
+        .withColumn("e_day", F.col("s_day") + 7)
+    )
+    fact = _t(spark, sf_dir, "lineitem").select(
+        "l_quantity", F.expr(f"unix_micros(cast(l_shipdate as timestamp)) div {day}").alias("ship_day")
+    )
+    j = interval_join(
+        fact, iv, "ship_day", "s_day", "e_day", bucket_width=7,
+        broadcast_intervals=True,
+    )
+    agg = j.groupBy("o_orderkey").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("l_quantity").cast("decimal(14,2)")).alias("q"),
+    )
+    return (
+        iv.select("o_orderkey")
+        .join(agg, "o_orderkey", "left")
+        .select(
+            F.col("o_orderkey").alias("orderkey"),
+            F.coalesce(F.col("n"), F.lit(0)).alias("n_shipped"),
+            F.coalesce(F.col("q"), F.lit(0)).cast("double").alias("sum_qty"),
+        )
+    )
+
+
+@register(
     "pivot_flags",
     oracle="""
     SELECT l_returnflag,
