@@ -998,6 +998,63 @@ def q_rest_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_rest_api(spark, "https://api.example.com/v1/products", fetch=fetch)
 
 
+@register(
+    "rest_scan_distributed",
+    oracle="""
+    SELECT * FROM (VALUES
+      ('d1-0', CAST(10 AS BIGINT)), ('d1-1', CAST(11 AS BIGINT)),
+      ('d2-0', CAST(20 AS BIGINT)), ('d2-1', CAST(21 AS BIGINT)),
+      ('d3-0', CAST(30 AS BIGINT)), ('d3-1', CAST(31 AS BIGINT)),
+      ('d4-0', CAST(40 AS BIGINT)), ('d4-1', CAST(41 AS BIGINT))
+    ) AS t(barcode, stock_quantity)
+    """,
+)
+def q_rest_scan_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REST scan, 100 TB path: native Python DataSource
+    (`sources/rest_datasource.py`) — page ranges are input partitions,
+    EXECUTORS fetch pages concurrently (vs the driver-side paginator of
+    `rest_scan`). Fixture pages over file:// exercise the identical
+    protocol; JSON parse stays in the plan (from_json)."""
+    import hashlib as _hl
+    import json as jsonmod
+    import os
+    import tempfile
+
+    from etl_edi_data_scrapper_spark.sources.rest_datasource import RestDataSource
+
+    spark.dataSource.register(RestDataSource)
+    stage = os.path.join(
+        tempfile.gettempdir(),
+        f"etl_rest_ds_{_hl.md5(sf_dir.encode()).hexdigest()[:8]}",
+    )
+    os.makedirs(stage, exist_ok=True)
+    for p in range(1, 5):
+        with open(os.path.join(stage, f"page_{p}.json"), "w") as f:
+            jsonmod.dump(
+                {
+                    "data": [
+                        {"barcode": f"d{p}-{i}", "stock_quantity": p * 10 + i}
+                        for i in range(2)
+                    ],
+                    "meta": {"last_page": 4},
+                },
+                f,
+            )
+    raw = (
+        spark.read.format("edi_rest")
+        .option("url", f"file://{stage}")
+        .option("pages_per_task", 1)
+        .load()
+    )
+    parsed = raw.select(
+        F.from_json(
+            "value", "barcode string, stock_quantity long"
+        ).alias("r")
+    )
+    return parsed.select(F.col("r.barcode").alias("barcode"),
+                         F.col("r.stock_quantity").alias("stock_quantity"))
+
+
 # ---------------------------------------------------------------------------
 # Further generalizations: as-of join (Spark lacks a native one), pivot,
 # semi/anti joins, exact percentiles, and a Pandas-UDF custom operator —
