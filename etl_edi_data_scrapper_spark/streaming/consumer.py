@@ -46,12 +46,21 @@ def process_messages(
     Invalid configs are reported and skipped (the reference logs + rethrows,
     letting supervisord restart — in a stream we must not poison the batch).
     """
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
     ok = 0
     for msg in messages:
         t0 = time.perf_counter()
         try:
             cfg = InputConfig.from_message(msg)
             df = aggregate(spark, cfg, readers)
+            # observe() rides the sink's action — per-job output metrics
+            # with ZERO extra passes (the Spark restatement of the
+            # reference's per-message wall/memory print,
+            # `ConsumerCommand.php:99-108`)
+            obs = Observation()
+            df = df.observe(obs, F.count(F.lit(1)).alias("rows_out"))
             sink(df, cfg)
             ok += 1
             if on_metrics:
@@ -59,6 +68,7 @@ def process_messages(
                     {
                         "supplier_id": cfg.supplier_id,
                         "seconds": round(time.perf_counter() - t0, 3),
+                        **obs.get,
                     }
                 )
         except (InvalidConfigError, Exception) as e:  # noqa: BLE001

@@ -243,6 +243,7 @@ def test_job_stream_end_to_end(spark, tmp_path, sf_dir):
     assert set(out.columns) == {"upc", "qty", "price", "supplier_id", "version"}
     assert out.filter(F.col("supplier_id") != 55).count() == 0
     assert metrics and metrics[0]["supplier_id"] == 55
+    assert metrics[0]["rows_out"] == 200  # observe() rode the sink action
 
 
 def test_job_stream_bad_message_reported_not_fatal(spark, tmp_path, sf_dir):
