@@ -109,6 +109,38 @@ def lsh_band_keys(
     )
 
 
+def bucket_pairs(bk: DataFrame, id_col: str, bucket_cols: list[str]) -> DataFrame:
+    """Distinct (a < b) pairs of ids sharing a bucket.
+
+    groupBy(bucket) + LOCAL pair explosion — NOT a self-join. A self-join
+    duplicates the (often expensive) bucket-key pipeline into two full
+    physical copies: Spark does not reuse the exchange across the join's
+    sides, and one copy lands inside a BroadcastExchange that materializes
+    the whole upstream pipeline again (observed: the dominant, high-variance
+    cost of the LSH query). Here the pipeline runs ONCE, one shuffle on the
+    bucket key, and the quadratic blow-up is confined to each bucket's
+    collected id array — which LSH banding keeps small by construction.
+    A pathological mega-bucket (constant column, degenerate hash) is the
+    thing to guard upstream; cap with `slice` before pairing if needed.
+    """
+    ids = bk.groupBy(*bucket_cols).agg(F.collect_set(id_col).alias("ids"))
+    ids = ids.filter(F.size("ids") > 1).select(F.sort_array("ids").alias("ids"))
+    pairs = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x: F.transform(
+                F.filter(F.col("ids"), lambda y: y > x),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
+    )
+    return (
+        ids.select(F.explode(pairs).alias("p"))
+        .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .distinct()
+    )
+
+
 def minhash_candidate_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -120,20 +152,7 @@ def minhash_candidate_pairs(
     """Distinct candidate pairs (a < b) sharing ≥1 LSH band."""
     sig = minhash_signatures(df, id_col, text_col, n_hashes, shingle_n)
     bk = lsh_band_keys(sig, id_col, n_hashes, bands)
-    # ALIASED self-join (not two renamed projections): both sides share the
-    # identical subplan, so the shuffle for the signature pipeline is
-    # computed once and reused — measured 2x on the full query.
-    left, right = bk.alias("l"), bk.alias("r")
-    return (
-        left.join(
-            right,
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.band_key") == F.col("r.band_key")),
-        )
-        .filter(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
-        .select(F.col(f"l.{id_col}").alias("a"), F.col(f"r.{id_col}").alias("b"))
-        .distinct()
-    )
+    return bucket_pairs(bk, id_col, ["band", "band_key"])
 
 
 def jaccard_pairs(
@@ -146,11 +165,20 @@ def jaccard_pairs(
 ) -> DataFrame:
     """Exact shingle-set Jaccard for candidate pairs (verification stage).
 
-    Joins the (small) candidate set against per-doc shingle arrays twice —
-    both joins are equi-joins on the id; the shingle frame is reused.
+    The candidate set is BROADCAST (it is small by LSH construction); the
+    shingle frame streams through both joins — it is never shuffled and
+    never built into a hash relation, so the doc scan stays a map-side
+    pass at any corpus size. (Letting the optimizer pick the build side
+    here is wrong-way: size estimates for the shingle projection are
+    garbage, and broadcasting it materializes the whole shingle pipeline.)
     """
+    # widen the doc scan first: a compact corpus file yields few input
+    # splits, and without this the whole shingle computation runs on ONE
+    # task (observed: 31 of 32 cores idle in thread dumps)
+    df = df.repartition(df.sparkSession.sparkContext.defaultParallelism, id_col)
     sh = df.select(F.col(id_col), shingles(text_col, shingle_n).alias("sh"))
-    sa, sb = sh.alias("sa"), sh.alias("sb")  # shared subplan → shuffle reuse
+    sa, sb = sh.alias("sa"), sh.alias("sb")
+    pairs = F.broadcast(pairs.alias("p"))
     inter = F.size(F.array_intersect(F.col("sa.sh"), F.col("sb.sh")))
     union = F.size(F.col("sa.sh")) + F.size(F.col("sb.sh")) - inter
     return (
@@ -212,20 +240,40 @@ def simhash_near_pairs(
 ) -> DataFrame:
     """Near-dup pairs by Hamming distance, blocked on the signature's high
     bits (documents differing only in low bits collide in a block; a
-    production sweep rotates the block mask to catch all splits)."""
+    production sweep rotates the block mask to catch all splits).
+
+    Per-block pairing (groupBy + local pair explosion carrying the
+    signatures), not a self-join: a self-join would run the 32-aggregate
+    simhash pipeline twice — see `bucket_pairs`. Block occupancy bounds the
+    local quadratic work; signatures are one long each."""
     blocked = sig.withColumn(
         "blk", (F.col("simhash") / F.lit(2**prefix_bits)).cast("long")
     )
-    a, b = blocked.alias("ha"), blocked.alias("hb")  # shared subplan
-    ham = F.bit_count(F.col("ha.simhash").bitwiseXOR(F.col("hb.simhash")))
-    return (
-        a.join(b, F.col("ha.blk") == F.col("hb.blk"))
-        .filter(F.col(f"ha.{id_col}") < F.col(f"hb.{id_col}"))
-        .select(
-            F.col(f"ha.{id_col}").alias("a"),
-            F.col(f"hb.{id_col}").alias("b"),
-            ham.alias("hamming"),
+    grp = (
+        blocked.groupBy("blk")
+        .agg(
+            F.sort_array(
+                F.collect_set(F.struct(F.col(id_col).alias("i"), F.col("simhash").alias("s")))
+            ).alias("m")
         )
+        .filter(F.size("m") > 1)
+    )
+    pairs = F.flatten(
+        F.transform(
+            F.col("m"),
+            lambda x: F.transform(
+                F.filter(F.col("m"), lambda y: y["i"] > x["i"]),
+                lambda y: F.struct(
+                    x["i"].alias("a"),
+                    y["i"].alias("b"),
+                    F.bit_count(x["s"].bitwiseXOR(y["s"])).alias("hamming"),
+                ),
+            ),
+        )
+    )
+    return (
+        grp.select(F.explode(pairs).alias("p"))
+        .select("p.a", "p.b", "p.hamming")
         .filter(F.col("hamming") <= max_hamming)
     )
 

@@ -43,7 +43,22 @@ def get_spark(
         # cleaning exprs rely on this, mirroring intval/floatval behavior.
         .config("spark.sql.ansi.enabled", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # default 100 entries thrashes on a many-query workload (each query
+        # holds several whole-stage-codegen units); evictions force Janino
+        # recompiles of multi-hundred-KB classes on re-run
+        .config("spark.sql.codegen.cache.maxEntries", "5000")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "24g"))
+        # ParallelGC for the single-JVM local profile: G1 (the JDK 17
+        # default) showed random 10-30x whole-query slowdowns on this
+        # many-small-queries workload — all cores busy, identical plans, no
+        # logged pauses (G1 concurrent cycle behavior); ParallelGC ran the
+        # full suite repeatedly with zero such cliffs at the same best-case
+        # total. Cluster deployments with big executors may still prefer
+        # G1 via SPARK_DRIVER_JAVA_OPTS.
+        .config(
+            "spark.driver.extraJavaOptions",
+            os.environ.get("SPARK_DRIVER_JAVA_OPTS", "-XX:+UseParallelGC"),
+        )
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():

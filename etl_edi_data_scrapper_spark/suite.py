@@ -792,7 +792,11 @@ def q_text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         rolling_fingerprint,
     )
 
-    docs = _t(spark, sf_dir, "documents")
+    # widen the single-file scan: regex segmentation + the rolling fold are
+    # CPU-heavy narrow work, worthless on one input split
+    docs = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     return docs.select(
         "doc_id",
         bpe_token_count(F.col("text")).alias("bpe_tokens"),
