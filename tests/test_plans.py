@@ -67,10 +67,21 @@ def test_topk_orders_no_global_sort(spark, sf_dir):
 
 
 def test_minhash_no_cartesian(spark, sf_dir):
-    # candidate generation must be an equi-join on band keys, never a cross
+    # candidate generation must never be a cross product
     plan = plan_of(spark, "minhash_lsh", sf_dir)
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_minhash_signature_pipeline_appears_once(spark, sf_dir):
+    """Candidate generation is bucket-grouped pair explosion, not a
+    self-join — the signature pipeline (shingle explode) must exist exactly
+    ONCE in the candidate subtree; verification adds two streamed doc
+    scans, so the whole query holds ≤3 shingle Generates."""
+    plan = plan_of(spark, "minhash_lsh", sf_dir)
+    assert plan.count("Generate explode(array_distinct") <= 3
+    # the verify joins must broadcast the (small) pair set, not the docs
+    assert "BroadcastHashJoin" in plan
 
 
 def test_embed_neardup_blocked_join(spark, sf_dir):
