@@ -109,7 +109,12 @@ def lsh_band_keys(
     )
 
 
-def bucket_pairs(bk: DataFrame, id_col: str, bucket_cols: list[str]) -> DataFrame:
+def bucket_pairs(
+    bk: DataFrame,
+    id_col: str,
+    bucket_cols: list[str],
+    max_bucket: int | None = None,
+) -> DataFrame:
     """Distinct (a < b) pairs of ids sharing a bucket.
 
     groupBy(bucket) + LOCAL pair explosion — NOT a self-join. A self-join
@@ -120,11 +125,18 @@ def bucket_pairs(bk: DataFrame, id_col: str, bucket_cols: list[str]) -> DataFram
     cost of the LSH query). Here the pipeline runs ONCE, one shuffle on the
     bucket key, and the quadratic blow-up is confined to each bucket's
     collected id array — which LSH banding keeps small by construction.
-    A pathological mega-bucket (constant column, degenerate hash) is the
-    thing to guard upstream; cap with `slice` before pairing if needed.
+
+    ``max_bucket`` guards against degenerate buckets (constant column,
+    hash collapse): a bucket is truncated to its ``max_bucket`` smallest
+    ids before pairing, capping per-bucket work at max_bucket²/2. A
+    10⁶-member bucket at 10⁹-doc scale is almost always a pathological
+    key, not 10¹²/2 pairs anyone wants; recall on truncated buckets drops
+    only for pairs entirely inside the cut tail.
     """
     ids = bk.groupBy(*bucket_cols).agg(F.collect_set(id_col).alias("ids"))
     ids = ids.filter(F.size("ids") > 1).select(F.sort_array("ids").alias("ids"))
+    if max_bucket is not None:
+        ids = ids.select(F.slice("ids", 1, int(max_bucket)).alias("ids"))
     pairs = F.flatten(
         F.transform(
             F.col("ids"),

@@ -1605,3 +1605,26 @@ def q_sql_api(spark: SparkSession, sf_dir: str) -> DataFrame:
                       WHERE n.n_nationkey = s.s_nationkey AND n.n_regionkey = 0)
         GROUP BY s.s_name
     """)
+
+
+_ABOVE_AVG_SQL = """
+    SELECT o.o_custkey AS custkey, count(*) AS n_above
+    FROM {orders} o
+    WHERE CAST(o.o_totalprice AS DECIMAL(16,2))
+          * (SELECT count(*) FROM {orders} o2
+             WHERE o2.o_custkey = o.o_custkey)
+          > (SELECT sum(CAST(o3.o_totalprice AS DECIMAL(16,2))) FROM {orders} o3
+             WHERE o3.o_custkey = o.o_custkey)
+    GROUP BY o.o_custkey
+"""
+
+
+@register("scalar_subquery", oracle=_ABOVE_AVG_SQL.format(orders="orders"))
+def q_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subqueries: per customer, orders strictly above the
+    customer's average order value. The comparison is cross-multiplied
+    (price·count > sum) so it stays in exact DECIMAL arithmetic — no
+    float-division boundary flips between engines. Catalyst decorrelates
+    both subqueries into aggregate+join (no per-row re-execution)."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("v_orders")
+    return spark.sql(_ABOVE_AVG_SQL.format(orders="v_orders"))

@@ -179,3 +179,16 @@ def test_rolling_fingerprint_order_sensitive(spark):
     assert got[1] == got[3]          # deterministic
     assert got[1] != got[2]          # order matters
     assert 0 <= got[1] < T.ROLLING_M
+
+
+def test_bucket_pairs_max_bucket_caps_explosion(spark):
+    from etl_edi_data_scrapper_spark.functions.dedup import bucket_pairs
+
+    rows = [(i, "hot") for i in range(10)] + [(100, "cold"), (101, "cold")]
+    bk = spark.createDataFrame(rows, "doc_id long, band_key string")
+    full = bucket_pairs(bk, "doc_id", ["band_key"]).count()
+    assert full == 45 + 1  # C(10,2) hot + 1 cold pair
+    capped = bucket_pairs(bk, "doc_id", ["band_key"], max_bucket=4)
+    got = {(r.a, r.b) for r in capped.collect()}
+    # hot bucket truncated to its 4 smallest ids -> C(4,2) pairs
+    assert got == {(a, b) for a in range(4) for b in range(4) if a < b} | {(100, 101)}
