@@ -761,6 +761,62 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jaccard_pairs(docs, cand)
 
 
+def _split_oracle() -> str:
+    word = _sql_hex_word("md5(CAST(doc_id AS VARCHAR))", 1)
+    return f"""
+    WITH assigned AS (
+      SELECT doc_id, CASE WHEN ({word}) % 100 < 90 THEN 'train' ELSE 'test' END AS split
+      FROM documents
+    )
+    SELECT split, count(*) AS n, min(doc_id) AS min_id, max(doc_id) AS max_id
+    FROM assigned GROUP BY split
+    """
+
+
+@register("train_test_split", oracle=_split_oracle())
+def q_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-based train/test split (90/10): assignment =
+    md5(id) word mod 100 — stable across runs, engines, partitionings, and
+    growing corpora (a doc never migrates between splits), unlike
+    randomSplit whose assignment depends on partitioning. One narrow
+    projection; the check aggregates per-split stats."""
+    from etl_edi_data_scrapper_spark.functions.hashing import hex_word
+
+    docs = _t(spark, sf_dir, "documents")
+    bucket = hex_word(F.md5(F.col("doc_id").cast("string")), 1) % 100
+    assigned = docs.select(
+        "doc_id",
+        F.when(bucket < 90, F.lit("train")).otherwise(F.lit("test")).alias("split"),
+    )
+    return assigned.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("doc_id").alias("min_id"),
+        F.max("doc_id").alias("max_id"),
+    )
+
+
+@register(
+    "vocab_topk",
+    oracle="""
+    WITH tok AS (SELECT unnest(string_split(text, ' ')) AS t FROM documents),
+    counts AS (SELECT t AS token, count(*) AS freq FROM tok GROUP BY t)
+    SELECT token, freq FROM counts
+    ORDER BY freq DESC, token ASC LIMIT 100
+    """,
+)
+def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary building: corpus-wide token frequencies, top-100 by
+    (freq desc, token asc — deterministic tiebreak). Explode → one groupBy
+    with map-side partials (shuffle = distinct tokens, not corpus size) →
+    TakeOrderedAndProject (per-partition heaps, no global sort)."""
+    docs = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    toks = docs.select(F.explode(F.split("text", " ")).alias("token"))
+    counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("freq"))
+    return counts.orderBy(F.desc("freq"), F.asc("token")).limit(100)
+
+
 def _text_fingerprints_oracle() -> str:
     from etl_edi_data_scrapper_spark.functions.text import (
         BPE_SPLIT_PATTERN,
