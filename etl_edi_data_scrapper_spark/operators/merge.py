@@ -31,7 +31,10 @@ from pyspark.sql import functions as F
 
 SEQ_COL = "_seq"
 
-VALID_RULES = {"min", "max", "addArray"}
+# min/max/addArray + default last-write-wins are the reference's rules
+# (`DataSetCollection::applyRules`); sum/first/count are natural
+# generalizations this engine adds (all still one-shuffle aggregates).
+VALID_RULES = {"min", "max", "addArray", "sum", "first", "count"}
 
 
 def with_seq(df: DataFrame, leg: int = 0, seq_expr: Column | None = None) -> DataFrame:
@@ -83,6 +86,12 @@ def keyed_merge(
             aggs.append(F.min(c).alias(c))
         elif rule == "max":
             aggs.append(F.max(c).alias(c))
+        elif rule == "sum":
+            aggs.append(F.sum(c).alias(c))
+        elif rule == "count":
+            aggs.append(F.count(c).alias(c))
+        elif rule == "first":
+            aggs.append(F.min_by(c, F.col(seq_col)).alias(c))
         elif rule == "addArray":
             # exact arrival order: sort the (seq, value) pairs, then project
             pairs = F.array_sort(
@@ -182,6 +191,15 @@ def keyed_merge_salted(
         elif rule == "max":
             partial.append(F.max(c).alias(c))
             final.append(F.max(c).alias(c))
+        elif rule == "sum":
+            partial.append(F.sum(c).alias(c))
+            final.append(F.sum(c).alias(c))
+        elif rule == "count":
+            partial.append(F.count(c).alias(c))
+            final.append(F.sum(c).alias(c))  # counts add up across salts
+        elif rule == "first":
+            partial.append(F.min_by(c, F.col(seq_col)).alias(c))
+            final.append(F.min_by(c, F.col("__min_seq")).alias(c))
         elif rule == "addArray":
             partial.append(
                 F.collect_list(
@@ -197,6 +215,7 @@ def keyed_merge_salted(
             partial.append(F.max_by(c, F.col(seq_col)).alias(c))
             final.append(F.max_by(c, F.col("__max_seq")).alias(c))
     partial.append(F.max(seq_col).alias("__max_seq"))
+    partial.append(F.min(seq_col).alias("__min_seq"))
 
     staged = df.groupBy(key, "__salt").agg(*partial)
     return staged.groupBy(key).agg(*final)

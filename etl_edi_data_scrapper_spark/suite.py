@@ -1663,6 +1663,37 @@ def q_sql_api(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
 
 
+@register(
+    "date_functions",
+    oracle="""
+    SELECT epoch_us(date_trunc('month', o_orderdate)) // 86400000000 AS month_day,
+           quarter(o_orderdate) AS q,
+           count(*) AS n,
+           min(datediff('day', DATE '2024-01-01', CAST(o_orderdate AS DATE))) AS min_doffs,
+           max(last_day(CAST(o_orderdate AS DATE))) AS month_end
+    FROM orders
+    GROUP BY 1, 2
+    """,
+)
+def q_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time function surface (absent in the reference; natural Spark
+    built-ins): month bucketing, quarter, day offsets, month-end — all
+    engine-parity expressions, grouped monthly."""
+    o = _t(spark, sf_dir, "orders").withColumn(
+        "od", F.col("o_orderdate").cast("timestamp")
+    )
+    return o.groupBy(
+        F.expr("unix_micros(date_trunc('month', od)) div 86400000000").alias("month_day"),
+        F.quarter("od").alias("q"),
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min(F.datediff(F.to_date("od"), F.lit("2024-01-01").cast("date"))).alias(
+            "min_doffs"
+        ),
+        F.max(F.last_day(F.to_date("od"))).alias("month_end"),
+    )
+
+
 _ABOVE_AVG_SQL = """
     SELECT o.o_custkey AS custkey, count(*) AS n_above
     FROM {orders} o

@@ -134,6 +134,36 @@ def test_salted_merge_equals_plain(spark, sf_dir):
         assert tuple(plain[k]) == tuple(salted[k]), k
 
 
+def test_extended_rules_sum_first_count(spark):
+    """sum/first/count generalizations: plain and salted agree, values exact."""
+    from etl_edi_data_scrapper_spark.operators.merge import keyed_merge_salted
+
+    rows = [
+        # (_seq, key, v, w)
+        (1, "a", 10, "x"),
+        (2, "a", 20, None),
+        (3, "a", 5, "z"),
+        (4, "b", 7, "q"),
+    ]
+    df = spark.createDataFrame(rows, "_seq long, k string, v long, w string")
+    rules = {"v": "sum", "w": "count"}
+    plain = {r.k: (r.v, r.w) for r in keyed_merge(df, "k", rules).collect()}
+    assert plain == {"a": (35, 2), "b": (7, 1)}  # count skips nulls
+    salted = {
+        r.k: (r.v, r.w)
+        for r in keyed_merge_salted(df, "k", rules, salt_buckets=3).collect()
+    }
+    assert salted == plain
+
+    first = {r.k: r.v for r in keyed_merge(df, "k", {"v": "first"}).collect()}
+    assert first == {"a": 10, "b": 7}
+    first_s = {
+        r.k: r.v
+        for r in keyed_merge_salted(df, "k", {"v": "first"}, salt_buckets=3).collect()
+    }
+    assert first_s == first
+
+
 def test_salted_merge_hot_key(spark):
     from etl_edi_data_scrapper_spark.operators.merge import keyed_merge_salted
 
