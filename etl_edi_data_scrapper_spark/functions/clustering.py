@@ -1,0 +1,81 @@
+"""K-means (Lloyd's) over an embedding column — the iterative-algorithm
+pattern on DataFrames, and the production replacement for `ivf_index`'s
+sampled centroids (`similarity.py` keeps the same two-frame contract).
+
+Spark-first iteration shape:
+  * centroids live on the DRIVER between iterations (k × dim floats — tiny);
+    each assignment pass embeds them as literals, so assigning is a single
+    NARROW projection (argmin over k squared distances, whole-stage
+    codegen'd) — no crossJoin, no shuffle, no UDF.
+  * the update step is one shuffle per iteration: posexplode the vector and
+    average per (cluster, dimension) — shuffle rows = n·dim scalar partials
+    with map-side combine, never a collect of member vectors.
+  * k iterations = k chained jobs; the DataFrame lineage resets each
+    iteration because centroids round-trip through the driver — no
+    exponentially growing plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _sqdist(vec: Column, centroid: list[float]) -> Column:
+    lit = F.array(*[F.lit(float(x)) for x in centroid])
+    return F.aggregate(
+        F.zip_with(vec, lit, lambda a, b: (a.cast("double") - b) * (a.cast("double") - b)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def assign_clusters(df: DataFrame, vec_col: str, centroids: list[list[float]]) -> DataFrame:
+    """df + `cluster` column = argmin squared distance (ties → lowest id)."""
+    scored = F.array(
+        *[
+            F.struct(_sqdist(F.col(vec_col), c).alias("d"), F.lit(i).alias("c"))
+            for i, c in enumerate(centroids)
+        ]
+    )
+    return df.withColumn("cluster", F.array_sort(scored)[0]["c"])
+
+
+def kmeans_fit(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    k: int = 8,
+    n_iters: int = 5,
+    id_col: str = "vec_id",
+) -> tuple[list[list[float]], DataFrame]:
+    """Lloyd's algorithm; returns (centroids, df + cluster assignment).
+
+    Init is deterministic AND spread: the k vectors whose md5(id) sorts
+    lowest — i.e. a deterministic uniform sample (k lowest ids would often
+    all fall in one region — classic bad-init collapse). Runs as
+    TakeOrderedAndProject (per-partition heaps), no global sort, stable
+    across runs/partitionings. Empty clusters keep their previous centroid.
+    """
+    init = (
+        df.orderBy(F.md5(F.col(id_col).cast("string")))
+        .limit(k)
+        .select(vec_col)
+        .collect()
+    )
+    centroids = [list(map(float, r[0])) for r in init]
+    for _ in range(n_iters):
+        assigned = assign_clusters(df, vec_col, centroids)
+        rows = (
+            assigned.select("cluster", F.posexplode(F.col(vec_col)).alias("pos", "x"))
+            .groupBy("cluster", "pos")
+            .agg(F.avg(F.col("x").cast("double")).alias("m"))
+            .collect()
+        )
+        new = {c: dict() for c in range(k)}
+        for r in rows:
+            new[r.cluster][r.pos] = r.m
+        centroids = [
+            [new[c][p] for p in sorted(new[c])] if new[c] else centroids[c]
+            for c in range(k)
+        ]
+    return centroids, assign_clusters(df, vec_col, centroids)

@@ -1663,6 +1663,23 @@ def q_sql_api(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
 
 
+@register("kmeans")  # rows-only: float iterative algorithm, no SQL oracle
+def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd's k-means over the embeddings table (functions/clustering.py):
+    driver-resident centroids embedded as literals → assignment is a
+    narrow argmin projection; update is one (cluster, dim) shuffle per
+    iteration. Returns per-cluster sizes + mean within-cluster distance."""
+    from etl_edi_data_scrapper_spark.functions.clustering import kmeans_fit
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    centroids, assigned = kmeans_fit(emb, k=8, n_iters=3)
+    return (
+        assigned.groupBy("cluster")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("cluster")
+    )
+
+
 @register(
     "date_functions",
     oracle="""

@@ -192,3 +192,21 @@ def test_bucket_pairs_max_bucket_caps_explosion(spark):
     got = {(r.a, r.b) for r in capped.collect()}
     # hot bucket truncated to its 4 smallest ids -> C(4,2) pairs
     assert got == {(a, b) for a in range(4) for b in range(4) if a < b} | {(100, 101)}
+
+
+def test_kmeans_separates_clear_clusters(spark):
+    from etl_edi_data_scrapper_spark.functions.clustering import kmeans_fit
+
+    # three tight, well-separated 4-d blobs
+    rows = []
+    for i, base in enumerate([0.0, 10.0, 20.0]):
+        for j in range(5):
+            rows.append((i * 5 + j, [base + j * 0.01, base, base, base]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    centroids, assigned = kmeans_fit(df, k=3, n_iters=4)
+    got = {r.vec_id: r.cluster for r in assigned.collect()}
+    # every blob lands in exactly one cluster, blobs don't mix
+    blobs = [ {got[i * 5 + j] for j in range(5)} for i in range(3) ]
+    assert all(len(b) == 1 for b in blobs)
+    assert len(set().union(*blobs)) == 3
+    assert len(centroids) == 3
