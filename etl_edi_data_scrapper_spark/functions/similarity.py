@@ -115,22 +115,36 @@ def ivf_index(
     n_centroids: int = 16,
     c_id: str = "vec_id",
     c_vec: str = "embedding",
+    train: str = "sample",
+    kmeans_iters: int = 3,
 ) -> tuple[DataFrame, DataFrame]:
     """IVF(-flat) index: pick centroids, assign every vector to its nearest.
 
-    Centroids here are a deterministic corpus sample (lowest ids) — the plan
-    shape is what matters; production swaps in MLlib KMeans centers (same
-    two DataFrames out). Assignment is a broadcast cross join against the
-    tiny centroid set + one windowed argmin — a single pass over the corpus.
+    ``train="sample"``: deterministic corpus sample (lowest ids) — cheapest,
+    plan-shape identical. ``train="kmeans"``: Lloyd's centroids
+    (`functions/clustering.kmeans_fit`) — tighter cells, better recall at a
+    given nprobe. Assignment is a broadcast cross join against the tiny
+    centroid set + one windowed argmin — a single pass over the corpus.
     Returns (centroids(centroid_id, centroid_vec), corpus + centroid_id).
     """
-    centroids = (
-        corpus.orderBy(F.col(c_id)).limit(n_centroids)
-        .select(
-            F.col(c_id).alias("centroid_id"),
-            F.col(c_vec).alias("centroid_vec"),
+    if train == "kmeans":
+        from etl_edi_data_scrapper_spark.functions.clustering import kmeans_fit
+
+        centers, _ = kmeans_fit(
+            corpus, vec_col=c_vec, k=n_centroids, n_iters=kmeans_iters, id_col=c_id
         )
-    )
+        centroids = corpus.sparkSession.createDataFrame(
+            [(i, [float(x) for x in c]) for i, c in enumerate(centers)],
+            f"centroid_id long, centroid_vec array<double>",
+        )
+    else:
+        centroids = (
+            corpus.orderBy(F.col(c_id)).limit(n_centroids)
+            .select(
+                F.col(c_id).alias("centroid_id"),
+                F.col(c_vec).alias("centroid_vec"),
+            )
+        )
     cb = F.broadcast(centroids)
     scored = corpus.withColumn("__nv", norm_expr(F.col(c_vec))).crossJoin(
         cb.withColumn("__ncen", norm_expr(F.col("centroid_vec")))

@@ -592,10 +592,15 @@ def q_union_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SQL_EN_STOP = "['the','a','of','and','to','in','is','it']"
 # DuckDB replica of functions.dedup.shingles (3-gram words, distinct)
-_SQL_SHINGLES = (
-    "list_distinct(list_transform(generate_series(1, greatest(len({t})-2, 1)), "
-    "i -> array_to_string({t}[i:i+2], ' ')))"
-)
+def _sql_shingles(t: str, n: int = 3) -> str:
+    """DuckDB replica of functions.dedup.shingles for word n-grams."""
+    return (
+        f"list_distinct(list_transform(generate_series(1, greatest(len({t})-{n - 1}, 1)), "
+        f"i -> array_to_string({t}[i:i+{n - 1}], ' ')))"
+    )
+
+
+_SQL_SHINGLES = _sql_shingles("{t}", 3)
 # DuckDB replica of functions.dedup.cosine_expr — bit-identical to Spark's
 # zip_with/aggregate (sequential double accumulation; the builtin
 # list_cosine_similarity computes in float32 and does NOT match)
@@ -1661,6 +1666,29 @@ def q_sql_api(spark: SparkSession, sf_dir: str) -> DataFrame:
                       WHERE n.n_nationkey = s.s_nationkey AND n.n_regionkey = 0)
         GROUP BY s.s_name
     """)
+
+
+@register(
+    "ngram_counts",
+    oracle=f"""
+    WITH tok AS (SELECT string_split(text, ' ') AS t FROM documents),
+    grams AS (SELECT unnest({_sql_shingles("t", 2)}) AS g FROM tok),
+    counts AS (SELECT g AS bigram, count(*) AS freq FROM grams GROUP BY g)
+    SELECT bigram, freq FROM counts ORDER BY freq DESC, bigram ASC LIMIT 50
+    """,
+)
+def q_ngram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram counts, top-50 (LM-style n-gram statistics): shingle
+    arrays (distinct-per-doc, same as the dedup path) → explode → one
+    groupBy with map-side partials → TakeOrderedAndProject."""
+    from etl_edi_data_scrapper_spark.functions.dedup import shingles
+
+    docs = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    grams = docs.select(F.explode(shingles("text", 2)).alias("bigram"))
+    counts = grams.groupBy("bigram").agg(F.count(F.lit(1)).alias("freq"))
+    return counts.orderBy(F.desc("freq"), F.asc("bigram")).limit(50)
 
 
 @register("kmeans")  # rows-only: float iterative algorithm, no SQL oracle

@@ -210,3 +210,16 @@ def test_kmeans_separates_clear_clusters(spark):
     assert all(len(b) == 1 for b in blobs)
     assert len(set().union(*blobs)) == 3
     assert len(centroids) == 3
+
+
+def test_ivf_kmeans_centroids(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    centroids, assigned = similarity.ivf_index(emb, n_centroids=4, train="kmeans")
+    assert centroids.count() == 4
+    assert assigned.count() == emb.count()
+    q = emb.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    out = similarity.ivf_topk(q, centroids, assigned, k=3, nprobe=4)
+    top1 = {r.q_id: r.vec_id for r in out.collect() if r.rank == 1}
+    assert top1 == {0: 0, 1: 1}  # exhaustive probe -> self is rank 1
