@@ -266,3 +266,20 @@ def test_job_stream_bad_message_reported_not_fatal(spark, tmp_path, sf_dir):
     )
     assert n == 1 and done == [5]
     assert errors == ["InvalidConfigError", "InvalidConfigError"]
+
+
+def test_idempotent_batch_writer_replay_safe(spark, tmp_path):
+    """Replaying a batch (same batch_id) must overwrite, not duplicate;
+    other batches' output must survive."""
+    from etl_edi_data_scrapper_spark import sinks
+
+    out = str(tmp_path / "out")
+    writer = sinks.idempotent_batch_writer(out)
+    b0 = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    b1 = spark.createDataFrame([(3, "c")], "id long, v string")
+    writer(b0, 0)
+    writer(b1, 1)
+    # crash-replay of batch 0 with different (corrected) content
+    writer(spark.createDataFrame([(1, "a2"), (2, "b2")], "id long, v string"), 0)
+    got = {(r.id, r.v, r.batch_id) for r in spark.read.parquet(out).collect()}
+    assert got == {(1, "a2", 0), (2, "b2", 0), (3, "c", 1)}
