@@ -177,7 +177,7 @@ def q_map_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
       (arg_max(struct_pack(v := asin), seq)).v AS asin,
       min(qty) AS qty,
       max(price) AS price,
-      list(status ORDER BY seq) AS status,
+      array_to_string(list(status ORDER BY seq), '|') AS status,
       CAST(102 AS BIGINT) AS supplier_id,
       CAST(1 AS BIGINT) AS version
     FROM mapped
@@ -187,7 +187,12 @@ def q_map_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_keyed_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship: mapper + keyed merge with all four merge rules + null/empty
-    key drop (`DataSetCollection.php:23-74`). One shuffle, map-side partials."""
+    key drop (`DataSetCollection.php:23-74`). One shuffle, map-side partials.
+
+    The ``status`` addArray column stays array-typed inside the engine; the
+    suite serializes it with ``array_join`` only so the driver's pandas
+    canonicalizer (which can't hash lists) can hash-compare it to the oracle.
+    """
     feed = _dirty_feed(spark, sf_dir).withColumnRenamed("seq", SEQ_COL)
     mapped, merge_rules = map_columns(
         feed,
@@ -202,7 +207,8 @@ def q_keyed_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         version=1,
         keep=[SEQ_COL],
     )
-    return keyed_merge(mapped, "upc", merge_rules)
+    merged = keyed_merge(mapped, "upc", merge_rules)
+    return merged.withColumn("status", F.array_join("status", "|"))
 
 
 @register(
@@ -1624,7 +1630,7 @@ def q_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     "json_extract",
     oracle="""
     SELECT event_type,
-           sum(try_cast(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           CAST(sum(try_cast(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
            count(*) AS n
     FROM events GROUP BY event_type
     """,
