@@ -27,6 +27,18 @@ def rows_as_json(df: DataFrame, key_col: str | None = None) -> DataFrame:
     return df.select(*cols)
 
 
+def _is_missing_kafka_jar(e: Exception) -> bool:
+    """True only for the missing-package signatures. Anything else (broker
+    unreachable, auth, timeout — whose messages usually also contain the word
+    'kafka') is a real delivery failure and must propagate unchanged."""
+    msg = str(e)
+    return (
+        "Failed to find data source: kafka" in msg
+        or "DATA_SOURCE_NOT_FOUND" in msg
+        or "ClassNotFoundException" in msg
+    )
+
+
 def write_kafka(
     df: DataFrame,
     topic: str = "edi_output",
@@ -44,7 +56,7 @@ def write_kafka(
             .save()
         )
     except Exception as e:  # pragma: no cover - jar-dependent
-        if "Failed to find data source: kafka" in str(e) or "kafka" in str(e).lower():
+        if _is_missing_kafka_jar(e):
             raise NotImplementedError(
                 "kafka sink needs the spark-sql-kafka package on the classpath "
                 "(--packages org.apache.spark:spark-sql-kafka-0-10_2.13:<ver>)"

@@ -191,6 +191,27 @@ def test_rows_as_json_shape(spark):
     assert json.loads(out[0].value) == {"upc": "42", "qty": 3, "price": 1.5}
 
 
+def test_kafka_error_classifier_missing_jar_only():
+    # missing-package signatures → NotImplementedError path
+    assert sinks._is_missing_kafka_jar(Exception("Failed to find data source: kafka."))
+    assert sinks._is_missing_kafka_jar(Exception("[DATA_SOURCE_NOT_FOUND] kafka"))
+    assert sinks._is_missing_kafka_jar(
+        Exception("java.lang.ClassNotFoundException: kafka.DefaultSource")
+    )
+    # real delivery failures mention 'kafka' too — must NOT be misclassified
+    assert not sinks._is_missing_kafka_jar(
+        Exception("org.apache.kafka.common.errors.TimeoutException: Topic edi_output "
+                  "not present in metadata after 60000 ms.")
+    )
+    assert not sinks._is_missing_kafka_jar(
+        Exception("Connection to node -1 (localhost/127.0.0.1:9092) could not be "
+                  "established. Broker may not be available. (kafka client)")
+    )
+    assert not sinks._is_missing_kafka_jar(
+        Exception("SaslAuthenticationException: Authentication failed for kafka user")
+    )
+
+
 def test_write_jsonl_and_parquet(spark, tmp_path):
     df = spark.createDataFrame([("a", 1)], "k string, v long")
     sinks.write_jsonl(df, str(tmp_path / "j"))
