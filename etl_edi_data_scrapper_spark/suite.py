@@ -871,7 +871,9 @@ def q_text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _simhash_oracle(bits: int = 32) -> str:
+def _simhash_sig_ctes(bits: int = 32) -> str:
+    """CTE chain ending in sig(doc_id, simhash) — shared by the signature
+    oracle (`simhash`) and the blocked-pairs oracle (`simhash_pairs`)."""
     terms = []
     for i in range(bits):
         pos, div = i // 4 + 1, 2 ** (3 - i % 4)
@@ -883,10 +885,29 @@ def _simhash_oracle(bits: int = 32) -> str:
     sums = ", ".join(terms)
     recomb = " + ".join(f"CASE WHEN b{i} > 0 THEN {2**i} ELSE 0 END" for i in range(bits))
     return f"""
-    WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+    tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
     hashed AS (SELECT doc_id, md5(t) AS h FROM tok),
-    sums AS (SELECT doc_id, {sums} FROM hashed GROUP BY doc_id)
-    SELECT doc_id, CAST({recomb} AS BIGINT) AS simhash FROM sums
+    sums AS (SELECT doc_id, {sums} FROM hashed GROUP BY doc_id),
+    sig AS (SELECT doc_id, CAST({recomb} AS BIGINT) AS simhash FROM sums)
+    """
+
+
+def _simhash_oracle(bits: int = 32) -> str:
+    return f"WITH {_simhash_sig_ctes(bits)} SELECT doc_id, simhash FROM sig"
+
+
+def _simhash_pairs_oracle(bits: int = 32, max_hamming: int = 8, prefix_bits: int = 16) -> str:
+    # Spark blocks with (simhash / 2^prefix).cast(long): double division of a
+    # non-negative value by a power of two is exact, cast truncates == floor.
+    return f"""
+    WITH {_simhash_sig_ctes(bits)},
+    blk AS (SELECT doc_id, simhash,
+                   CAST(floor(simhash / {2 ** prefix_bits}.0) AS BIGINT) AS b
+            FROM sig)
+    SELECT x.doc_id AS a, y.doc_id AS b,
+           CAST(bit_count(xor(x.simhash, y.simhash)) AS INT) AS hamming
+    FROM blk x JOIN blk y ON x.b = y.b AND x.doc_id < y.doc_id
+    WHERE bit_count(xor(x.simhash, y.simhash)) <= {max_hamming}
     """
 
 
@@ -1441,10 +1462,49 @@ def q_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("ann_lsh")  # rows-only: approximate by construction (recall < 1)
+def _ann_lsh_oracle(n_planes: int = 6, dim: int = 64, k: int = 5) -> str:
+    """The hyperplanes are md5-derived CONSTANTS (similarity.py:
+    hyperplane_signature), so the 'approximate' LSH path is still exactly
+    reproducible: emit the same weights as SQL list literals and replicate
+    bucket + rerank arithmetic."""
+    import hashlib
+
+    bit_exprs = []
+    for p in range(n_planes):
+        weights = ", ".join(
+            repr(float(int(hashlib.md5(f"{p}:{d}".encode()).hexdigest()[0], 16)) - 7.5)
+            for d in range(dim)
+        )
+        dot = (
+            f"list_sum(list_transform(list_zip(embedding, [{weights}]), "
+            "x -> x[1]::DOUBLE * x[2]))"
+        )
+        bit_exprs.append(f"CASE WHEN {dot} >= 0 THEN '1' ELSE '0' END")
+    bucket = "concat(" + ", ".join(bit_exprs) + ")"
+    return f"""
+    WITH sig AS (
+      SELECT vec_id, embedding, {_SQL_NORM.format(v="embedding")} AS nrm,
+             {bucket} AS bucket
+      FROM embeddings),
+    q AS (SELECT vec_id AS q_id, embedding AS q_vec, nrm AS nq, bucket
+          FROM sig WHERE vec_id < 5),
+    scored AS (
+      SELECT q.q_id, c.vec_id,
+             {_SQL_DOT.format(a="q.q_vec", b="c.embedding")} / (q.nq * c.nrm) AS cosine
+      FROM sig c JOIN q USING (bucket)),
+    ranked AS (
+      SELECT q_id, vec_id, cosine,
+             row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rank
+      FROM scored)
+    SELECT q_id, vec_id, cosine, rank FROM ranked WHERE rank <= {k}
+    """
+
+
+@register("ann_lsh", oracle=_ann_lsh_oracle())
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hyperplane-LSH ANN: bucket equi-join + exact rerank — the scale path
-    where brute force (ann_topk) stops fitting."""
+    where brute force (ann_topk) stops fitting. Recall < 1 vs ann_topk, but
+    the arithmetic is deterministic, so the oracle replicates it exactly."""
     from etl_edi_data_scrapper_spark.functions.similarity import lsh_topk
 
     emb = _t(spark, sf_dir, "embeddings")
@@ -1454,10 +1514,11 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk(queries, emb, k=5, n_planes=6)
 
 
-@register("simhash_pairs")  # rows-only: blocked pair generation demo
+@register("simhash_pairs", oracle=_simhash_pairs_oracle())
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs, prefix-blocked hamming ≤ 8 (signatures
-    themselves are oracle-checked in `simhash`)."""
+    """SimHash near-dup pairs, prefix-blocked hamming ≤ 8. Deterministic by
+    construction (md5-derived signatures), so fully oracled: the DuckDB side
+    replicates signature, block and xor/bit_count pair arithmetic."""
     from etl_edi_data_scrapper_spark.functions.dedup import simhash, simhash_near_pairs
 
     sig = simhash(_t(spark, sf_dir, "documents"), bits=32)
@@ -1524,11 +1585,58 @@ def q_excel_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_excel(spark, path)
 
 
-@register("ann_ivf")  # rows-only: approximate by construction
+def _ann_ivf_oracle(n_centroids: int = 16, nprobe: int = 4, k: int = 5) -> str:
+    """train='sample' centroids are the lowest vec_ids — fully
+    deterministic, so assignment (argmax cosine, tie → lowest centroid),
+    routing (top-nprobe centroids per query) and in-bucket rerank are all
+    replicable in SQL."""
+    return f"""
+    WITH nv AS (
+      SELECT vec_id, embedding, {_SQL_NORM.format(v="embedding")} AS nrm
+      FROM embeddings),
+    cen AS (
+      SELECT vec_id AS centroid_id, embedding AS centroid_vec, nrm AS ncen
+      FROM nv ORDER BY vec_id LIMIT {n_centroids}),
+    ascore AS (
+      SELECT nv.vec_id, nv.embedding, nv.nrm, cen.centroid_id,
+             {_SQL_DOT.format(a="nv.embedding", b="cen.centroid_vec")}
+               / (nv.nrm * cen.ncen) AS csim
+      FROM nv CROSS JOIN cen),
+    assigned AS (
+      SELECT vec_id, embedding, nrm, centroid_id FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY vec_id ORDER BY csim DESC, centroid_id) AS rk
+        FROM ascore) WHERE rk = 1),
+    q AS (SELECT vec_id AS q_id, embedding AS q_vec, nrm AS nq
+          FROM nv WHERE vec_id < 5),
+    qscore AS (
+      SELECT q.q_id, q.q_vec, q.nq, cen.centroid_id,
+             {_SQL_DOT.format(a="q.q_vec", b="cen.centroid_vec")}
+               / (q.nq * cen.ncen) AS qsim
+      FROM q CROSS JOIN cen),
+    routed AS (
+      SELECT q_id, q_vec, nq, centroid_id FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY q_id ORDER BY qsim DESC, centroid_id) AS rk
+        FROM qscore) WHERE rk <= {nprobe}),
+    cand AS (
+      SELECT r.q_id, a.vec_id,
+             {_SQL_DOT.format(a="r.q_vec", b="a.embedding")} / (r.nq * a.nrm) AS cosine
+      FROM assigned a JOIN routed r USING (centroid_id)),
+    ranked AS (
+      SELECT q_id, vec_id, cosine,
+             row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rank
+      FROM cand)
+    SELECT q_id, vec_id, cosine, rank FROM ranked WHERE rank <= {k}
+    """
+
+
+@register("ann_ivf", oracle=_ann_ivf_oracle())
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN: centroid routing + in-bucket exact rerank — the second
     scale path beside hyperplane LSH (`ann_lsh`); per-query cost drops to
-    ~nprobe/n_centroids of the corpus."""
+    ~nprobe/n_centroids of the corpus. train='sample' is deterministic, so
+    the whole route+rerank pipeline is oracled exactly."""
     from etl_edi_data_scrapper_spark.functions.similarity import ivf_index, ivf_topk
 
     emb = _t(spark, sf_dir, "embeddings")
