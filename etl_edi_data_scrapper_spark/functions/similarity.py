@@ -85,18 +85,33 @@ def lsh_topk(
     q_vec: str = "q_vec",
     c_id: str = "vec_id",
     c_vec: str = "embedding",
+    multiprobe: bool = False,
 ) -> DataFrame:
     """Approximate top-k: equi-join on hyperplane bucket, exact rerank inside.
 
-    Recall < 1.0 by construction (bucket boundaries); production raises it
-    with multi-probe (flip one bit) or multiple tables — both are unions of
-    the same plan shape.
+    Recall < 1.0 by construction (bucket boundaries). ``multiprobe=True``
+    additionally probes every one-bit-flipped bucket per query (n_planes+1
+    probes): the QUERY side explodes (broadcast, tiny), the corpus stays in
+    exactly one bucket — so candidate pairs stay unique and corpus cost is
+    unchanged. Recall rises steeply; candidate volume grows ~(n_planes+1)/2^n
+    of the corpus per query.
     """
-    qb = F.broadcast(
-        queries.select(
-            F.col(q_id), F.col(q_vec), hyperplane_signature(F.col(q_vec), n_planes, dim).alias("bucket")
-        ).withColumn("__nq", norm_expr(F.col(q_vec)))
-    )
+    qb = queries.select(
+        F.col(q_id),
+        F.col(q_vec),
+        hyperplane_signature(F.col(q_vec), n_planes, dim).alias("bucket"),
+    ).withColumn("__nq", norm_expr(F.col(q_vec)))
+    if multiprobe:
+        variants = [F.col("bucket")] + [
+            F.concat(
+                F.substring("bucket", 1, p),
+                F.when(F.substring("bucket", p + 1, 1) == "1", "0").otherwise("1"),
+                F.substring("bucket", p + 2, n_planes - p - 1),
+            )
+            for p in range(n_planes)
+        ]
+        qb = qb.withColumn("bucket", F.explode(F.array(*variants)))
+    qb = F.broadcast(qb)
     cb = corpus.select(
         F.col(c_id), F.col(c_vec), hyperplane_signature(F.col(c_vec), n_planes, dim).alias("bucket")
     ).withColumn("__nc", norm_expr(F.col(c_vec)))

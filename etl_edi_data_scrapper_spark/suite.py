@@ -943,9 +943,7 @@ def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "ann_topk",
-    oracle=f"""
+_ANN_TOPK_ORACLE = f"""
     WITH q AS (
       SELECT vec_id AS q_id, embedding AS q_vec, {_SQL_NORM.format(v="embedding")} AS nq
       FROM embeddings WHERE vec_id < 5),
@@ -960,8 +958,10 @@ def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
              row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rank
       FROM scored)
     SELECT q_id, vec_id, cosine, rank FROM ranked WHERE rank <= 5
-    """,
-)
+    """
+
+
+@register("ann_topk", oracle=_ANN_TOPK_ORACLE)
 def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-k (the exact ANN baseline): broadcast queries
     × corpus scan, partitioned window rank. LSH-bucketed approximate path in
@@ -1462,11 +1462,13 @@ def q_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ann_lsh_oracle(n_planes: int = 6, dim: int = 64, k: int = 5) -> str:
+def _ann_lsh_oracle(
+    n_planes: int = 5, dim: int = 64, k: int = 5, multiprobe: bool = True
+) -> str:
     """The hyperplanes are md5-derived CONSTANTS (similarity.py:
     hyperplane_signature), so the 'approximate' LSH path is still exactly
     reproducible: emit the same weights as SQL list literals and replicate
-    bucket + rerank arithmetic."""
+    bucket + multiprobe + rerank arithmetic."""
     import hashlib
 
     bit_exprs = []
@@ -1481,13 +1483,27 @@ def _ann_lsh_oracle(n_planes: int = 6, dim: int = 64, k: int = 5) -> str:
         )
         bit_exprs.append(f"CASE WHEN {dot} >= 0 THEN '1' ELSE '0' END")
     bucket = "concat(" + ", ".join(bit_exprs) + ")"
+    if multiprobe:
+        flips = ["bucket"] + [
+            f"concat(substring(bucket, 1, {p}), "
+            f"CASE WHEN substring(bucket, {p + 1}, 1) = '1' THEN '0' ELSE '1' END, "
+            f"substring(bucket, {p + 2}, {n_planes - p - 1}))"
+            for p in range(n_planes)
+        ]
+        q_cte = f"""
+    q AS (SELECT q_id, q_vec, nq, unnest([{", ".join(flips)}]) AS bucket
+          FROM (SELECT vec_id AS q_id, embedding AS q_vec, nrm AS nq, bucket
+                FROM sig WHERE vec_id < 5) qq)"""
+    else:
+        q_cte = """
+    q AS (SELECT vec_id AS q_id, embedding AS q_vec, nrm AS nq, bucket
+          FROM sig WHERE vec_id < 5)"""
     return f"""
     WITH sig AS (
       SELECT vec_id, embedding, {_SQL_NORM.format(v="embedding")} AS nrm,
              {bucket} AS bucket
       FROM embeddings),
-    q AS (SELECT vec_id AS q_id, embedding AS q_vec, nrm AS nq, bucket
-          FROM sig WHERE vec_id < 5),
+    {q_cte},
     scored AS (
       SELECT q.q_id, c.vec_id,
              {_SQL_DOT.format(a="q.q_vec", b="c.embedding")} / (q.nq * c.nrm) AS cosine
@@ -1511,7 +1527,7 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
     )
-    return lsh_topk(queries, emb, k=5, n_planes=6)
+    return lsh_topk(queries, emb, k=5, n_planes=5, multiprobe=True)
 
 
 @register("simhash_pairs", oracle=_simhash_pairs_oracle())
@@ -1645,6 +1661,73 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
     )
     return ivf_topk(queries, centroids, assigned, k=5, nprobe=4)
+
+
+def _ann_recall_oracle() -> str:
+    """recall@k of each approximate ANN path against the exact baseline,
+    composed from the three (deterministic) ANN oracles as subqueries."""
+
+    def leg(method: str, approx_sql: str) -> str:
+        return f"""
+    SELECT '{method}' AS method,
+           CAST(count(a.vec_id) AS BIGINT) AS hits,
+           CAST(count(*) AS BIGINT) AS total,
+           CAST(count(a.vec_id) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS recall,
+           (CAST(count(a.vec_id) AS DOUBLE) / CAST(count(*) AS DOUBLE)) >= 0.4
+             AS meets_threshold
+    FROM (SELECT q_id, vec_id FROM ({_ANN_TOPK_ORACLE}) t) e
+    LEFT JOIN (SELECT q_id, vec_id FROM ({approx_sql}) t) a
+      USING (q_id, vec_id)"""
+
+    return leg("lsh", _ann_lsh_oracle()) + "\n    UNION ALL\n" + leg(
+        "ivf", _ann_ivf_oracle()
+    )
+
+
+@register("ann_recall", oracle=_ann_recall_oracle())
+def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-checking ANN quality gate: recall@5 of the LSH and IVF paths
+    against the exact brute-force top-k, computed in-plan (no collect).
+    One row per method; `meets_threshold` makes the quality contract an
+    assertable output instead of a side-channel."""
+    from etl_edi_data_scrapper_spark.functions.similarity import (
+        cosine_topk,
+        ivf_index,
+        ivf_topk,
+        lsh_topk,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    exact = cosine_topk(queries, emb, k=5).select("q_id", "vec_id")
+    centroids, assigned = ivf_index(emb, n_centroids=16)
+    legs = {
+        "lsh": lsh_topk(
+            queries, emb, k=5, n_planes=5, multiprobe=True
+        ).select("q_id", "vec_id"),
+        "ivf": ivf_topk(queries, centroids, assigned, k=5, nprobe=4).select(
+            "q_id", "vec_id"
+        ),
+    }
+    outs = []
+    for method, approx in legs.items():
+        j = exact.join(
+            approx.withColumn("__hit", F.lit(1)), ["q_id", "vec_id"], "left"
+        )
+        recall = (
+            F.count("__hit").cast("double") / F.count(F.lit(1)).cast("double")
+        )
+        outs.append(
+            j.agg(
+                F.count("__hit").alias("hits"),
+                F.count(F.lit(1)).alias("total"),
+                recall.alias("recall"),
+                (recall >= 0.4).alias("meets_threshold"),
+            ).select(F.lit(method).alias("method"), "*")
+        )
+    return outs[0].unionByName(outs[1])
 
 
 @register(

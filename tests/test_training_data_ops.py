@@ -72,6 +72,30 @@ def test_lsh_topk_subset_of_bucket_and_self_found(spark, sf_dir):
     assert top1 == {0: 0, 1: 1, 2: 2}
 
 
+def test_lsh_multiprobe_superset_recall(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    plain = {
+        (r.q_id, r.vec_id)
+        for r in similarity.lsh_topk(queries, emb, k=3, n_planes=4).collect()
+    }
+    probed_rows = similarity.lsh_topk(
+        queries, emb, k=3, n_planes=4, multiprobe=True
+    ).collect()
+    probed = {(r.q_id, r.vec_id) for r in probed_rows}
+    exact = {
+        (r.q_id, r.vec_id)
+        for r in similarity.cosine_topk(queries, emb, k=3).collect()
+    }
+    # probing adjacent buckets only ADDS candidates → recall never drops
+    assert len(probed & exact) >= len(plain & exact)
+    # each corpus vector lives in one bucket, so (q, c) pairs stay unique
+    assert len(probed_rows) == len(probed)
+    assert {r.q_id: r.vec_id for r in probed_rows if r.rank == 1} == {0: 0, 1: 1, 2: 2}
+
+
 def test_lang_id_prefers_matching_dictionary(spark):
     d = spark.createDataFrame(
         [(1, "der hund und die katze ist nicht hier"),
