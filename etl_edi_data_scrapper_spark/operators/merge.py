@@ -37,6 +37,13 @@ SEQ_COL = "_seq"
 VALID_RULES = {"min", "max", "addArray", "sum", "first", "count"}
 
 
+# Legs live at bit 59+: monotonically_increasing_id is partition_id<<33 |
+# row, so its values stay below 2^59 while partition count < 2^26 (~67M — far
+# past any real job; Spark itself degrades around ~1M tasks). A lower shift
+# (e.g. 52) silently loses last-write-wins ties at ≥2^19 partitions.
+_LEG_SHIFT = 59
+
+
 def with_seq(df: DataFrame, leg: int = 0, seq_expr: Column | None = None) -> DataFrame:
     """Attach the explicit arrival-order column ``_seq``.
 
@@ -44,13 +51,31 @@ def with_seq(df: DataFrame, leg: int = 0, seq_expr: Column | None = None) -> Dat
     offset) — deterministic for a given file listing, which matches the
     reference's file-order × row-order arrival contract without a shuffle or
     a global sort. Callers with a real event-order column (the scalable
-    choice at 100 TB, and what correctness oracles use) pass ``seq_expr``.
-    ``leg`` offsets multi-source legs into disjoint ranges so later legs
-    always win last-write-wins ties (legs are processed in config order,
-    `Aggregator.php:112-128`).
+    choice at 100 TB, and what correctness oracles use) pass ``seq_expr``
+    (must stay below 2^59 when combined with a non-zero ``leg``).
+    ``leg`` (0..15) offsets multi-source legs into disjoint ranges so later
+    legs always win last-write-wins ties (legs are processed in config
+    order, `Aggregator.php:112-128`). With a non-zero leg the default seq is
+    overflow-guarded in-plan: a scan with ≥2^26 partitions raises instead of
+    silently corrupting tie-breaks.
     """
-    seq = seq_expr if seq_expr is not None else F.monotonically_increasing_id()
-    return df.withColumn(SEQ_COL, seq.cast("long") + F.lit(int(leg) << 52))
+    if not 0 <= int(leg) < 16:
+        raise ValueError(f"leg must be in [0, 16): {leg}")
+    if seq_expr is not None:
+        seq = seq_expr.cast("long")
+    else:
+        seq = F.monotonically_increasing_id()
+        if leg:
+            # one branch per row, codegen'd; fires only on real overflow
+            seq = F.when(seq < F.lit(1 << _LEG_SHIFT), seq).otherwise(
+                F.raise_error(
+                    F.lit(
+                        "with_seq: partition count >= 2^26 overflows the leg "
+                        "bits — pass an explicit seq_expr"
+                    )
+                )
+            )
+    return df.withColumn(SEQ_COL, seq + F.lit(int(leg) << _LEG_SHIFT))
 
 
 def keyed_merge(
@@ -59,11 +84,19 @@ def keyed_merge(
     merge_rules: dict[str, str] | None = None,
     seq_col: str = SEQ_COL,
     drop_seq: bool = True,
+    max_array_elements: int | None = None,
 ) -> DataFrame:
     """Group by ``key`` applying per-column merge rules (§2.4 of SURVEY.md).
 
     Columns without a rule get last-write-wins by ``seq_col``. Null/empty
     keys are dropped before the shuffle (filter is pushed to the scan).
+
+    ``max_array_elements`` bounds every ``addArray`` column to the FIRST N
+    values in arrival order — the knob for hot keys at scale, where an
+    unbounded per-key array is the one growth term the merge otherwise has
+    (SCALE.md §keyed_merge). The aggregation state itself still collects
+    before slicing; for keys hot enough that even that is a problem,
+    ``keyed_merge_salted`` splits the collection across salt buckets.
     """
     merge_rules = dict(merge_rules or {})
     bad = {r for r in merge_rules.values()} - VALID_RULES
@@ -97,6 +130,8 @@ def keyed_merge(
             pairs = F.array_sort(
                 F.collect_list(F.struct(F.col(seq_col).alias("s"), F.col(c).alias("v")))
             )
+            if max_array_elements is not None:
+                pairs = F.slice(pairs, 1, int(max_array_elements))
             aggs.append(F.transform(pairs, lambda x: x["v"]).alias(c))
         else:
             aggs.append(F.max_by(c, F.col(seq_col)).alias(c))
@@ -119,8 +154,12 @@ def enrich(
     Leg rows are first deduped to last-per-key (the reference's "last
     occurrence per key wins", :94-105); leg rows whose key is absent from the
     base are discarded (left join does this); base rows with no match keep
-    their values (coalesce). Only ``fields`` are copied. Overlapping columns:
-    leg value overwrites when present, else the base value survives.
+    their values. Overlapping columns follow the reference's null semantics
+    exactly (`DataRow::hasField` is ``array_key_exists``,
+    `DataSetCollection.php:100-103`): when the KEY matched, the leg value
+    overwrites even if it is NULL — so the overwrite keys off the join-match
+    marker (leg key is never null: keyed_merge drops those rows), not off
+    value presence.
     """
     leg_proj = leg.select(
         F.col(leg_key).alias("__leg_key"),
@@ -135,10 +174,11 @@ def enrich(
         renamed = F.broadcast(renamed)
 
     joined = base.join(renamed, base[base_key] == renamed["__leg_key"], "left")
+    matched = F.col("__leg_key").isNotNull()
     out_cols: list[Column] = []
     for c in base.columns:
         if c in fields:
-            out_cols.append(F.coalesce(F.col(f"__leg_{c}"), base[c]).alias(c))
+            out_cols.append(F.when(matched, F.col(f"__leg_{c}")).otherwise(base[c]).alias(c))
         else:
             out_cols.append(base[c])
     for f in fields:
@@ -153,6 +193,7 @@ def keyed_merge_salted(
     merge_rules: dict[str, str] | None = None,
     seq_col: str = SEQ_COL,
     salt_buckets: int = 16,
+    max_array_elements: int | None = None,
 ) -> DataFrame:
     """Skew-proof ``keyed_merge``: two-stage aggregation over a salt.
 
@@ -206,11 +247,10 @@ def keyed_merge_salted(
                     F.struct(F.col(seq_col).alias("s"), F.col(c).alias("v"))
                 ).alias(c)
             )
-            final.append(
-                F.transform(
-                    F.array_sort(F.flatten(F.collect_list(c))), lambda x: x["v"]
-                ).alias(c)
-            )
+            merged_pairs = F.array_sort(F.flatten(F.collect_list(c)))
+            if max_array_elements is not None:
+                merged_pairs = F.slice(merged_pairs, 1, int(max_array_elements))
+            final.append(F.transform(merged_pairs, lambda x: x["v"]).alias(c))
         else:
             partial.append(F.max_by(c, F.col(seq_col)).alias(c))
             final.append(F.max_by(c, F.col("__max_seq")).alias(c))

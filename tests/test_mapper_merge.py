@@ -108,7 +108,41 @@ def test_with_seq_leg_offsets(spark):
     df = spark.createDataFrame([("a",)], "x string")
     s0 = with_seq(df, leg=0).first()._seq
     s1 = with_seq(df, leg=1).first()._seq
-    assert s1 - s0 == 1 << 52
+    # leg bits sit ABOVE bit 59 — monotonically_increasing_id's partition
+    # bits (partition_id<<33) stay below that until 2^26 partitions
+    assert s1 - s0 == 1 << 59
+    with pytest.raises(ValueError):
+        with_seq(df, leg=16)
+
+
+def test_enrich_null_leg_value_overwrites_on_match(spark):
+    # reference parity: hasField = array_key_exists → a matched leg row
+    # overwrites the base value even with NULL (DataSetCollection.php:100-103)
+    base = spark.createDataFrame(
+        [("42", "base_name", 1), ("77", "keep", 2)],
+        "upc string, name string, _seq long",
+    )
+    leg = spark.createDataFrame(
+        [("42", None, 10)], "sku string, name string, _seq long"
+    )
+    rows = {r.upc: r for r in enrich(base, leg, "upc", "sku", ["name"]).collect()}
+    assert rows["42"].name is None       # matched → null overwrites
+    assert rows["77"].name == "keep"     # unmatched → base survives
+
+
+def test_keyed_merge_max_array_elements(spark):
+    from etl_edi_data_scrapper_spark.operators.merge import keyed_merge_salted
+
+    df = spark.createDataFrame(
+        [(i, "k", f"v{i}") for i in range(1, 8)],
+        "_seq long, key string, status string",
+    )
+    out = keyed_merge(df, "key", {"status": "addArray"}, max_array_elements=3).first()
+    assert out.status == ["v1", "v2", "v3"]  # FIRST N in arrival order
+    salted = keyed_merge_salted(
+        df, "key", {"status": "addArray"}, salt_buckets=3, max_array_elements=3
+    ).first()
+    assert salted.status == ["v1", "v2", "v3"]
 
 
 def test_salted_merge_equals_plain(spark, sf_dir):
