@@ -25,6 +25,18 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
+class UnsupportedFormatError(ValueError):
+    """A staged file is in a format the engine recognizes but cannot parse
+    (e.g. legacy BIFF ``.xls``). Crisp by design: the alternative is an
+    opaque ``zipfile.BadZipFile`` from three layers down."""
+
+
+# OLE2 compound-document magic — the container of legacy BIFF .xls
+# (PhpSpreadsheet reads both, `ExcelInputHandler.php:27-60`; this engine's
+# stdlib parser is XLSX-only, so BIFF gets an explicit error instead)
+_OLE2_MAGIC = b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1"
+
+
 def read_parquet(spark: SparkSession, source: str, range_: str | None = None) -> DataFrame:
     return spark.read.parquet(source)
 
@@ -157,7 +169,21 @@ def _read_xlsx_stdlib(path: str, range_: str | None) -> tuple[list[str], list[li
     and A1-range filtering (:203-240 via normalize_excel_range)."""
     import zipfile
 
-    with zipfile.ZipFile(path) as z:
+    with open(path, "rb") as fh:
+        magic = fh.read(8)
+    if magic == _OLE2_MAGIC:
+        raise UnsupportedFormatError(
+            f"{path!r} is a legacy BIFF .xls (OLE2 container) — this engine's "
+            "stdlib parser reads XLSX only; convert to .xlsx, or use the "
+            "spark-excel package on a cluster"
+        )
+    try:
+        zf = zipfile.ZipFile(path)
+    except zipfile.BadZipFile as e:
+        raise UnsupportedFormatError(
+            f"{path!r} is not an XLSX (zip) file: {e}"
+        ) from e
+    with zf as z:
         # sheet selection: named sheet from the range, else the first sheet
         sheet_name, cells = (None, None)
         if range_:

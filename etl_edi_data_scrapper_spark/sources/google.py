@@ -95,6 +95,26 @@ def read_google_sheets(
     return spark.createDataFrame(rows, schema)
 
 
+_EXCEL_MIMES = {
+    "application/vnd.ms-excel",
+    "application/vnd.openxmlformats-officedocument.spreadsheetml.sheet",
+}
+
+
+def drive_file_type(file_name: str, mime_type: str) -> str:
+    """'csv' | 'excel' | 'unsupported' — extension first, MIME fallback,
+    exactly the reference's dispatch (`GoogleDriveFolderHandler.php:81-98`):
+    csv on ``.csv`` ext OR a MIME containing ``text/csv``; excel on
+    ``.xls/.xlsx`` ext OR the two Excel MIMEs. An extensionless Drive export
+    with a spreadsheet MIME therefore still lands in the right reader."""
+    ext = os.path.splitext(file_name)[1].lower().lstrip(".")
+    if ext == "csv" or "text/csv" in (mime_type or ""):
+        return "csv"
+    if ext in ("xls", "xlsx") or (mime_type or "") in _EXCEL_MIMES:
+        return "excel"
+    return "unsupported"
+
+
 def read_google_drive_folder(
     spark: SparkSession,
     folder_id: str,
@@ -102,8 +122,11 @@ def read_google_drive_folder(
     client: DriveClient,
     staging_dir: str | None = None,
 ) -> DataFrame:
-    """First non-trashed file in the folder, dispatched by extension."""
-    from etl_edi_data_scrapper_spark.sources.registry import read_local
+    """First non-trashed file in the folder, dispatched by extension with
+    MIME fallback (`GoogleDriveFolderHandler.php:44-98`). The reference logs
+    'Unsupported file type' and returns an empty collection; this engine
+    raises — silent empties hide misconfigured folders."""
+    from etl_edi_data_scrapper_spark.sources import files as fmod
 
     files = [f for f in client.list_files(folder_id) if not f.get("trashed")]
     if not files:
@@ -113,7 +136,15 @@ def read_google_drive_folder(
     os.makedirs(staging_dir, exist_ok=True)
     dest = os.path.join(staging_dir, first["name"])
     client.download(first["id"], dest)
-    return read_local(spark, dest, range_)
+    ftype = drive_file_type(first["name"], first.get("mimeType", ""))
+    if ftype == "csv":
+        return fmod.read_csv(spark, dest, range_)
+    if ftype == "excel":
+        return fmod.read_excel(spark, dest, range_)
+    raise ValueError(
+        f"Google Drive: unsupported file type: {first['name']!r} "
+        f"(mimeType {first.get('mimeType')!r})"
+    )
 
 
 def real_sheets_client(credentials_path: str) -> SheetsClient:  # pragma: no cover

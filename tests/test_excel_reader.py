@@ -113,3 +113,22 @@ def test_xlsx_missing_sheet_raises(spark, tmp_path):
     make_xlsx(p, {"S": [["k"], ["1"]]})
     with pytest.raises(ValueError):
         read_excel(spark, str(p), range_="Nope!A1:B")
+
+
+def test_legacy_xls_biff_crisp_error(spark, tmp_path):
+    from etl_edi_data_scrapper_spark.sources.files import UnsupportedFormatError
+
+    p = tmp_path / "legacy.xls"
+    # OLE2 compound-document magic + filler — what a real BIFF .xls starts with
+    p.write_bytes(b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1" + b"\x00" * 64)
+    with pytest.raises(UnsupportedFormatError, match="BIFF"):
+        read_excel(spark, str(p))
+
+
+def test_non_zip_garbage_crisp_error(spark, tmp_path):
+    from etl_edi_data_scrapper_spark.sources.files import UnsupportedFormatError
+
+    p = tmp_path / "garbage.xlsx"
+    p.write_bytes(b"this is not a spreadsheet at all")
+    with pytest.raises(UnsupportedFormatError, match="not an XLSX"):
+        read_excel(spark, str(p))

@@ -91,3 +91,43 @@ def test_drive_takes_first_non_trashed_and_dispatches_csv(spark, tmp_path):
 def test_drive_empty_folder_raises(spark, tmp_path):
     with pytest.raises(FileNotFoundError):
         g.read_google_drive_folder(spark, "f", None, FakeDrive([], {}), staging_dir=str(tmp_path))
+
+
+def test_drive_mime_sniff_extensionless_csv(spark, tmp_path):
+    # extensionless Drive export: extension dispatch finds nothing, the
+    # listing's mimeType routes it to the CSV reader (reference parity,
+    # GoogleDriveFolderHandler.php:81-98)
+    drive = FakeDrive(
+        [{"id": "a", "name": "export_no_ext", "mimeType": "text/csv", "trashed": False}],
+        {"a": "upc,qty\n1,2\n"},
+    )
+    df = g.read_google_drive_folder(spark, "f", None, drive, staging_dir=str(tmp_path))
+    assert df.columns == ["upc", "qty"]
+    assert df.count() == 1
+
+
+def test_drive_unsupported_type_raises(spark, tmp_path):
+    drive = FakeDrive(
+        [{"id": "a", "name": "notes.txt", "mimeType": "text/plain", "trashed": False}],
+        {"a": "hello"},
+    )
+    with pytest.raises(ValueError, match="[Uu]nsupported"):
+        g.read_google_drive_folder(spark, "f", None, drive, staging_dir=str(tmp_path))
+
+
+def test_drive_file_type_table():
+    cases = [
+        ("feed.csv", "application/octet-stream", "csv"),
+        ("export", "text/csv", "csv"),
+        ("export", "text/csv; charset=utf-8", "csv"),
+        ("feed.xlsx", "", "excel"),
+        ("feed.XLS", "", "excel"),
+        ("export", "application/vnd.ms-excel", "excel"),
+        ("export",
+         "application/vnd.openxmlformats-officedocument.spreadsheetml.sheet",
+         "excel"),
+        ("notes.txt", "text/plain", "unsupported"),
+        ("doc", "application/vnd.google-apps.document", "unsupported"),
+    ]
+    for name, mime, want in cases:
+        assert g.drive_file_type(name, mime) == want, (name, mime)
