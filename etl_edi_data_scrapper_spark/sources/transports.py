@@ -42,6 +42,81 @@ def http_fetch(url: str, staging_dir: str | None = None) -> str:
     return dest
 
 
+class Socks5Error(ConnectionError):
+    """SOCKS5 proxy refused a step of the handshake."""
+
+
+def _recv_exact(sock, n: int) -> bytes:
+    buf = b""
+    while len(buf) < n:
+        chunk = sock.recv(n - len(buf))
+        if not chunk:
+            raise Socks5Error(
+                f"proxy closed the connection mid-handshake "
+                f"(wanted {n} bytes, got {len(buf)})"
+            )
+        buf += chunk
+    return buf
+
+
+def socks5_connect(
+    sock,
+    dest_host: str,
+    dest_port: int,
+    username: str | None = None,
+    password: str | None = None,
+    resolve=None,
+):
+    """SOCKS5 handshake on an already-open socket to the proxy — byte-level
+    parity with the reference (`SftpTransport.php:60-128`): greeting offering
+    username/password auth (method 0x02), RFC 1929 credential
+    subnegotiation, then an IPv4 CONNECT (the reference resolves the host
+    first and sends ATYP=1). Without a username, offers no-auth (0x00) —
+    the natural generalization for unauthenticated proxies.
+
+    Raises ``Socks5Error`` on any refusal (the reference logs + returns
+    null; this engine's error taxonomy makes transport failures loud).
+    Returns the socket, now tunnelled to ``dest_host:dest_port``, ready to
+    hand to an SSH/SFTP client.
+    """
+    if username is not None:
+        sock.sendall(b"\x05\x01\x02")  # VER, NMETHODS=1, USERNAME/PASSWORD
+        if _recv_exact(sock, 2) != b"\x05\x02":
+            raise Socks5Error("SOCKS5 proxy did not accept username/password auth")
+        u, p = username.encode(), (password or "").encode()
+        if len(u) > 255 or len(p) > 255:
+            raise Socks5Error("SOCKS5 username/password exceed 255 bytes")
+        sock.sendall(bytes([0x01, len(u)]) + u + bytes([len(p)]) + p)
+        if _recv_exact(sock, 2) != b"\x01\x00":
+            raise Socks5Error("SOCKS5 proxy rejected the credentials")
+    else:
+        sock.sendall(b"\x05\x01\x00")  # VER, NMETHODS=1, NO-AUTH
+        if _recv_exact(sock, 2) != b"\x05\x00":
+            raise Socks5Error("SOCKS5 proxy did not accept no-auth")
+
+    if resolve is None:
+        import socket as _socket
+
+        resolve = _socket.gethostbyname
+    addr = resolve(dest_host)
+    parts = addr.split(".")
+    if len(parts) != 4:
+        raise Socks5Error(f"expected an IPv4 address for {dest_host!r}, got {addr!r}")
+    req = (
+        b"\x05\x01\x00\x01"  # VER, CMD=CONNECT, RSV, ATYP=IPv4
+        + bytes(int(x) for x in parts)
+        + bytes([(int(dest_port) >> 8) & 0xFF, int(dest_port) & 0xFF])
+    )
+    sock.sendall(req)
+    reply = _recv_exact(sock, 10)  # VER REP RSV ATYP BND.ADDR(4) BND.PORT(2)
+    if reply[1] != 0x00:
+        raise Socks5Error(
+            f"SOCKS5 proxy refused CONNECT to {dest_host}:{dest_port} "
+            f"(REP=0x{reply[1]:02x})"
+        )
+    return sock
+
+
 @dataclass
 class RemoteFile:
     path: str
@@ -84,14 +159,30 @@ class ParamikoFs:
     """paramiko-backed RemoteFs (gated: paramiko is not in this container)."""
 
     def __init__(self, host: str, username: str, password: str | None = None,
-                 port: int = 22, **connect_kwargs):
+                 port: int = 22, proxy: dict | None = None, **connect_kwargs):
+        """``proxy``: optional SOCKS5 config ``{host, port, username,
+        password}`` (`SftpTransport.php:60-128`) — the TCP socket is opened
+        to the proxy, tunnelled with ``socks5_connect``, and handed to
+        paramiko in place of a direct connection."""
         try:
             import paramiko
         except ImportError as e:
             raise NotImplementedError(
                 "SFTP transport needs paramiko (not available in this environment)"
             ) from e
-        transport = paramiko.Transport((host, port))
+        if proxy:
+            import socket as _socket
+
+            sock = _socket.create_connection(
+                (proxy["host"], int(proxy.get("port", 1080))), timeout=30
+            )
+            socks5_connect(
+                sock, host, port,
+                username=proxy.get("username"), password=proxy.get("password"),
+            )
+            transport = paramiko.Transport(sock)
+        else:
+            transport = paramiko.Transport((host, port))
         transport.connect(username=username, password=password, **connect_kwargs)
         self._sftp = paramiko.SFTPClient.from_transport(transport)
 

@@ -112,6 +112,87 @@ def test_sftp_no_match_raises(tmp_path):
         tmod.sftp_select_and_stage(tmod.LocalFs(), str(tmp_path / "feed.csv"))
 
 
+# --- SOCKS5 proxy handshake (SftpTransport.php:60-128 parity) ------------------
+
+
+class ScriptedSocket:
+    """Socket fake: replays scripted recv() payloads, records sent bytes."""
+
+    def __init__(self, replies):
+        self.replies = [bytes(r) for r in replies]
+        self.sent = b""
+
+    def sendall(self, data):
+        self.sent += bytes(data)
+
+    def recv(self, n):
+        if not self.replies:
+            return b""
+        cur = self.replies[0]
+        chunk, rest = cur[:n], cur[n:]
+        if rest:
+            self.replies[0] = rest
+        else:
+            self.replies.pop(0)
+        return chunk
+
+
+def test_socks5_auth_handshake_byte_framing():
+    sock = ScriptedSocket([
+        b"\x05\x02",                       # greeting: user/pass accepted
+        b"\x01\x00",                       # auth ok
+        b"\x05\x00\x00\x01" + bytes(6),    # CONNECT granted
+    ])
+    out = tmod.socks5_connect(
+        sock, "sftp.example.com", 2222, username="u", password="pw",
+        resolve=lambda h: "10.1.2.3",
+    )
+    assert out is sock
+    assert sock.sent == (
+        b"\x05\x01\x02"                          # VER NMETHODS USERPASS
+        + b"\x01\x01u\x02pw"                     # RFC1929: VER ULEN U PLEN P
+        + b"\x05\x01\x00\x01"                    # VER CMD RSV ATYP=IPv4
+        + bytes([10, 1, 2, 3])                   # resolved address
+        + bytes([2222 >> 8, 2222 & 0xFF])        # port, network order
+    )
+
+
+def test_socks5_rejections_raise():
+    # greeting refused
+    with pytest.raises(tmod.Socks5Error, match="auth"):
+        tmod.socks5_connect(
+            ScriptedSocket([b"\x05\xff"]), "h", 22, username="u", password="p",
+            resolve=lambda h: "1.2.3.4",
+        )
+    # bad credentials
+    with pytest.raises(tmod.Socks5Error, match="credentials"):
+        tmod.socks5_connect(
+            ScriptedSocket([b"\x05\x02", b"\x01\x01"]), "h", 22,
+            username="u", password="p", resolve=lambda h: "1.2.3.4",
+        )
+    # CONNECT refused (REP=0x05 connection refused)
+    with pytest.raises(tmod.Socks5Error, match="CONNECT"):
+        tmod.socks5_connect(
+            ScriptedSocket([
+                b"\x05\x02", b"\x01\x00",
+                b"\x05\x05\x00\x01" + bytes(6),
+            ]),
+            "h", 22, username="u", password="p", resolve=lambda h: "1.2.3.4",
+        )
+    # proxy hangs up mid-handshake
+    with pytest.raises(tmod.Socks5Error, match="closed"):
+        tmod.socks5_connect(
+            ScriptedSocket([b"\x05"]), "h", 22, username="u", password="p",
+            resolve=lambda h: "1.2.3.4",
+        )
+
+
+def test_socks5_noauth_path():
+    sock = ScriptedSocket([b"\x05\x00", b"\x05\x00\x00\x01" + bytes(6)])
+    tmod.socks5_connect(sock, "h", 22, resolve=lambda h: "1.2.3.4")
+    assert sock.sent.startswith(b"\x05\x01\x00")  # offers NO-AUTH only
+
+
 # --- REST paginator + JWT -------------------------------------------------------
 
 
