@@ -65,16 +65,18 @@ def with_seq(df: DataFrame, leg: int = 0, seq_expr: Column | None = None) -> Dat
         seq = seq_expr.cast("long")
     else:
         seq = F.monotonically_increasing_id()
-        if leg:
-            # one branch per row, codegen'd; fires only on real overflow
-            seq = F.when(seq < F.lit(1 << _LEG_SHIFT), seq).otherwise(
-                F.raise_error(
-                    F.lit(
-                        "with_seq: partition count >= 2^26 overflows the leg "
-                        "bits — pass an explicit seq_expr"
-                    )
+        if leg and not df.isStreaming:
+            # plan-time guard (a per-row branch would knock the projection
+            # out of whole-stage codegen): mid's partition bits stay below
+            # the leg shift while partitions < 2^26; demand an explicit seq
+            # beyond 2^20 static partitions — 64x headroom for AQE re-splits
+            n = df.rdd.getNumPartitions()
+            if n >= (1 << 20):
+                raise ValueError(
+                    f"with_seq: {n} partitions risks overflowing the leg "
+                    "bits of monotonically_increasing_id — pass an explicit "
+                    "seq_expr for multi-leg jobs at this scale"
                 )
-            )
     return df.withColumn(SEQ_COL, seq + F.lit(int(leg) << _LEG_SHIFT))
 
 
