@@ -290,6 +290,68 @@ def simhash_near_pairs(
     )
 
 
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "a",
+    b_col: str = "b",
+    out_id: str = "doc_id",
+    max_iters: int = 25,
+) -> DataFrame:
+    """Duplicate CLUSTERS from near-dup pairs: min-label connected
+    components over the undirected pair graph. Returns
+    ``(out_id, cluster_id, is_canonical)`` — cluster_id = min doc id in the
+    component, the row to keep; everything else is the drop list.
+
+    Min-label propagation: every node starts labelled with itself; each
+    round takes ``min(own label, neighbours' labels)``; fixpoint = done.
+    Rounds needed = graph diameter — LSH dup clusters are near-cliques
+    (diameter 2-3), so this converges in a handful of one-shuffle rounds.
+    The only driver-side data is the per-round convergence flag (a LIMIT 1
+    count, like kmeans' k×dim centroid round-trip — bounded, documented).
+    Labels are persisted per round and the previous round unpersisted, so
+    lineage stays one-round deep. Deterministic under any partitioning.
+    """
+    edges = (
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .union(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .persist()
+    )
+    for _ in range(max_iters):
+        nbr_min = (
+            edges.join(labels, edges["dst"] == labels["node"])
+            .select(F.col("src").alias("node"), F.col("label"))
+        )
+        new_labels = (
+            labels.unionByName(nbr_min)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(
+        F.col("node").alias(out_id),
+        F.col("label").alias("cluster_id"),
+        (F.col("node") == F.col("label")).alias("is_canonical"),
+    )
+
+
 # --- Embedding near-dup --------------------------------------------------------
 
 

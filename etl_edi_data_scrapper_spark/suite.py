@@ -757,6 +757,48 @@ def _minhash_oracle(n_hashes: int = 12, bands: int = 4) -> str:
     """
 
 
+def _dedup_clusters_oracle(threshold: float = 0.5) -> str:
+    """Min-reachable-id per node over the verified dup-pair graph —
+    a recursive CTE replicates the label-propagation fixpoint exactly."""
+    return f"""
+    WITH RECURSIVE pairs AS (
+      SELECT a, b FROM ({_minhash_oracle()}) t WHERE jaccard >= {threshold}
+    ),
+    edges AS (
+      SELECT a AS src, b AS dst FROM pairs
+      UNION ALL
+      SELECT b AS src, a AS dst FROM pairs
+    ),
+    reach(node, lbl) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.src, r.lbl FROM edges e JOIN reach r ON r.node = e.dst
+    )
+    SELECT node AS doc_id, min(lbl) AS cluster_id,
+           (node = min(lbl)) AS is_canonical
+    FROM reach GROUP BY node
+    """
+
+
+@register("dedup_clusters", oracle=_dedup_clusters_oracle())
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs → duplicate CLUSTERS (the actual dedup decision):
+    connected components over jaccard-verified MinHash pairs, canonical =
+    min doc_id per component. Iterative min-label propagation — rounds =
+    component diameter (near-cliques: 2-3), one shuffle per round; see
+    `functions/dedup.connected_components` for the 100 TB shape."""
+    from etl_edi_data_scrapper_spark.functions.dedup import (
+        connected_components,
+        jaccard_pairs,
+        minhash_candidate_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    cand = minhash_candidate_pairs(docs, n_hashes=12, bands=4)
+    verified = jaccard_pairs(docs, cand).filter(F.col("jaccard") >= 0.5)
+    return connected_components(verified)
+
+
 @register("minhash_lsh", oracle=_minhash_oracle())
 def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup candidates with exact Jaccard verification —

@@ -247,3 +247,19 @@ def test_ivf_kmeans_centroids(spark, sf_dir):
     out = similarity.ivf_topk(q, centroids, assigned, k=3, nprobe=4)
     top1 = {r.q_id: r.vec_id for r in out.collect() if r.rank == 1}
     assert top1 == {0: 0, 1: 1}  # exhaustive probe -> self is rank 1
+
+
+def test_connected_components_chain_and_island(spark):
+    from etl_edi_data_scrapper_spark.functions.dedup import connected_components
+
+    # path graph 1-2-3-4-5 (diameter 4 → needs several propagation rounds)
+    # plus the separate pair (10, 11); min id labels each component
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11)], "a long, b long"
+    )
+    out = {r.doc_id: (r.cluster_id, r.is_canonical)
+           for r in connected_components(pairs).collect()}
+    assert out == {
+        1: (1, True), 2: (1, False), 3: (1, False), 4: (1, False), 5: (1, False),
+        10: (10, True), 11: (10, False),
+    }
