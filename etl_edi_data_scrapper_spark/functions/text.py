@@ -144,6 +144,38 @@ def rolling_fingerprint(c: Column | str) -> Column:
     )
 
 
+# PII patterns, restricted to syntax Java regex and RE2 interpret
+# identically (no lookaround, no backrefs) so an external SQL engine
+# verifies the exact same redactions. Scrub order matters and is fixed:
+# email first (may contain digit runs), then IPv4, then phone (requires
+# the international + prefix — bare digit runs in prose stay untouched).
+PII_PATTERNS: dict[str, tuple[str, str]] = {
+    "email": (r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    "ipv4": (r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "[IP]"),
+    "phone": (r"\+[0-9][0-9\-() ]{6,}[0-9]", "[PHONE]"),
+}
+
+
+def scrub_pii(c: Column | str) -> Column:
+    """Redact emails/IPv4s/phones with typed tags — chained regexp_replace,
+    pure Column expr (JVM-side; the 100 TB path is exactly this projection
+    on the scan). The redaction-count companions are `pii_counts`."""
+    c = F.col(c) if isinstance(c, str) else c
+    for pattern, tag in PII_PATTERNS.values():
+        c = F.regexp_replace(c, pattern, tag)
+    return c
+
+
+def pii_counts(c: Column | str) -> dict[str, Column]:
+    """Per-type match counts on the ORIGINAL text (independent counts —
+    deterministic and engine-replicable; the sequential scrub may overlap)."""
+    c = F.col(c) if isinstance(c, str) else c
+    return {
+        kind: F.regexp_count(c, F.lit(pattern)).cast("long")
+        for kind, (pattern, _tag) in PII_PATTERNS.items()
+    }
+
+
 def normalize_text(c: Column | str) -> Column:
     """Lowercase, strip non-alphanumerics to single spaces, trim — the
     canonical form for fingerprinting/exact dedup."""

@@ -16,6 +16,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import Window as W
 
 from etl_edi_data_scrapper_spark.operators.mapper import map_columns
 from etl_edi_data_scrapper_spark.operators.merge import SEQ_COL, enrich, keyed_merge, with_seq
@@ -910,6 +911,182 @@ def q_text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         bpe_token_count(F.col("text")).alias("bpe_tokens"),
         rolling_fingerprint(F.col("text")).alias("rolling_fp"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing: the documents table has no PII, so inject synthetic markers
+# deterministically (same CASE text on both engines — the dirty-feed trick),
+# then scrub + count. Patterns come from functions.text.PII_PATTERNS (one
+# source of truth, RE2/Java-parity syntax).
+# ---------------------------------------------------------------------------
+
+_PII_INJECT = (
+    "CASE WHEN doc_id % 7 = 0 THEN concat(text, ' contact user',"
+    " CAST(doc_id AS STRING), '@example.com or x', CAST(doc_id AS STRING),"
+    " '@mail.example.org') "
+    "WHEN doc_id % 11 = 0 THEN concat('call +1 555-01',"
+    " CAST(doc_id % 100 AS STRING), ' or host 10.0.',"
+    " CAST(doc_id % 256 AS STRING), '.7 ', text) "
+    "ELSE text END"
+)
+
+
+def _pii_oracle() -> str:
+    from etl_edi_data_scrapper_spark.functions.text import PII_PATTERNS
+
+    scrubbed = "injected"
+    for pattern, tag in PII_PATTERNS.values():
+        scrubbed = f"regexp_replace({scrubbed}, '{pattern}', '{tag}', 'g')"
+    counts = ",\n      ".join(
+        f"len(regexp_extract_all(injected, '{pattern}'))::BIGINT AS n_{kind}"
+        for kind, (pattern, _tag) in PII_PATTERNS.items()
+    )
+    inject = _PII_INJECT.replace("AS STRING", "AS VARCHAR")
+    return f"""
+    WITH feed AS (SELECT doc_id, {inject} AS injected FROM documents)
+    SELECT doc_id, {scrubbed} AS clean_text,
+      {counts}
+    FROM feed
+    """
+
+
+@register("pii_scrub", oracle=_pii_oracle())
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction over the corpus: typed-tag scrubbing (email/IPv4/phone)
+    + per-type counts — pure chained regexp projection, no shuffle, the
+    exact plan shape a 100 TB scrub pass wants (runs inside the scan's
+    codegen stage)."""
+    from etl_edi_data_scrapper_spark.functions.text import pii_counts, scrub_pii
+
+    docs = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    injected = docs.select("doc_id", F.expr(_PII_INJECT).alias("injected"))
+    counts = pii_counts(F.col("injected"))
+    return injected.select(
+        "doc_id",
+        scrub_pii(F.col("injected")).alias("clean_text"),
+        *[c.alias(f"n_{kind}") for kind, c in counts.items()],
+    )
+
+
+@register(
+    "tfidf_topk",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+    idf AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term, tf.tf, idf.df,
+             CAST(floor(tf.tf * ln(n.n_docs::DOUBLE / idf.df::DOUBLE) * 1000000)
+                  AS BIGINT) AS tfidf_micro
+      FROM tf JOIN idf USING (term) CROSS JOIN n),
+    ranked AS (
+      SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+             tfidf_micro,
+             row_number() OVER (
+               PARTITION BY doc_id ORDER BY tfidf_micro DESC, term) AS rank
+      FROM scored)
+    SELECT doc_id, term, tf, df, tfidf_micro, rank FROM ranked WHERE rank <= 3
+    """,
+)
+def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 characteristic terms per document by TF-IDF. Shape: one
+    (doc,term) shuffle for TF, a small vocabulary aggregate for DF
+    (broadcast back — the vocab is tiny relative to the corpus), corpus
+    size rides along as a broadcast scalar (no driver action), then a
+    per-doc window. At 100 TB the DF/vocab side stays broadcastable
+    (vocabulary grows sub-linearly in corpus size).
+
+    The score is quantized to integer micro-units BEFORE ranking: Java's
+    and libm's ``ln`` differ in the last ulp, and ranking on the raw double
+    lets a 1-ulp wiggle reorder ties — the quantized score is
+    engine-stable."""
+    from etl_edi_data_scrapper_spark.functions.text import tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(tokens("text")).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    idf = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(idf), "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "tfidf_micro",
+            F.floor(
+                F.col("tf")
+                * F.log(F.col("n_docs").cast("double") / F.col("df").cast("double"))
+                * F.lit(1000000)
+            ).cast("long"),
+        )
+    )
+    w = W.partitionBy("doc_id").orderBy(F.col("tfidf_micro").desc(), F.col("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "term", "tf", "df", "tfidf_micro", "rank")
+    )
+
+
+def _contamination_oracle(bench_max_id: int = 5, threshold: int = 3) -> str:
+    sh = _SQL_SHINGLES.format(t="string_split(text, ' ')")
+    return f"""
+    WITH shingled AS (SELECT doc_id, {sh} AS shingles FROM documents),
+    bench AS (
+      SELECT DISTINCT unnest(shingles) AS s FROM shingled
+      WHERE doc_id < {bench_max_id}),
+    corp AS (
+      SELECT DISTINCT doc_id, unnest(shingles) AS s FROM shingled
+      WHERE doc_id >= {bench_max_id}),
+    hits AS (
+      SELECT corp.doc_id, count(*) AS n_shared
+      FROM corp JOIN bench USING (s) GROUP BY corp.doc_id)
+    SELECT d.doc_id, coalesce(h.n_shared, 0) AS n_shared,
+           coalesce(h.n_shared, 0) >= {threshold} AS contaminated
+    FROM (SELECT doc_id FROM documents WHERE doc_id >= {bench_max_id}) d
+    LEFT JOIN hits h USING (doc_id)
+    """
+
+
+@register("contamination", oracle=_contamination_oracle())
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination check: per corpus doc, how many distinct
+    3-gram shingles it shares with the (small) benchmark set. Benchmark
+    shingles broadcast; the corpus side is explode → semi-style equi-join →
+    per-doc count — the corpus text itself is never shuffled, only matched
+    shingle hits. The canonical pre-training hygiene op at 100 TB."""
+    from etl_edi_data_scrapper_spark.functions.dedup import shingles
+
+    bench_max_id, threshold = 5, 3
+    docs = _t(spark, sf_dir, "documents")
+    shingled = docs.select("doc_id", shingles("text", 3).alias("sh"))
+    bench = (
+        shingled.filter(F.col("doc_id") < bench_max_id)
+        .select(F.explode("sh").alias("s"))
+        .distinct()
+    )
+    corp = (
+        shingled.filter(F.col("doc_id") >= bench_max_id)
+        .select("doc_id", F.explode("sh").alias("s"))
+        .distinct()
+    )
+    hits = corp.join(F.broadcast(bench), "s").groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_shared")
+    )
+    base = docs.filter(F.col("doc_id") >= bench_max_id).select("doc_id")
+    return (
+        base.join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_shared"), F.lit(0)).alias("n_shared"),
+            (F.coalesce(F.col("n_shared"), F.lit(0)) >= threshold).alias(
+                "contaminated"
+            ),
+        )
     )
 
 

@@ -263,3 +263,25 @@ def test_connected_components_chain_and_island(spark):
         1: (1, True), 2: (1, False), 3: (1, False), 4: (1, False), 5: (1, False),
         10: (10, True), 11: (10, False),
     }
+
+
+def test_scrub_pii_redactions(spark):
+    rows = [
+        (1, "mail me at jo.doe+x@sub.example.com today"),
+        (2, "server 192.168.10.5 and backup 10.0.0.1"),
+        (3, "call +1 (555) 010-4477 now"),
+        (4, "no pii here just words"),
+    ]
+    df = spark.createDataFrame(rows, "id long, s string")
+    got = {r.id: r.clean for r in df.select("id", text.scrub_pii("s").alias("clean")).collect()}
+    assert got[1] == "mail me at [EMAIL] today"
+    assert got[2] == "server [IP] and backup [IP]"
+    assert got[3] == "call [PHONE] now"
+    assert got[4] == "no pii here just words"
+    counts = df.select(
+        "id", *[c.alias(k) for k, c in text.pii_counts("s").items()]
+    ).collect()
+    by_id = {r.id: (r.email, r.ipv4, r.phone) for r in counts}
+    assert by_id[1] == (1, 0, 0)
+    assert by_id[2] == (0, 2, 0)
+    assert by_id[3] == (0, 0, 1)
