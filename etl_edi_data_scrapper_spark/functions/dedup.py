@@ -316,6 +316,11 @@ def connected_components(
         .union(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
         .persist()
     )
+    # Materialize edges BEFORE deriving labels/neighbours: the first round's
+    # job evaluates both branches, and an unfilled cache makes each branch
+    # re-run the (expensive) upstream pair pipeline — measured 2-3x the
+    # whole query's cost on the MinHash graph.
+    edges.count()
     labels = (
         edges.select(F.col("src").alias("node"))
         .distinct()

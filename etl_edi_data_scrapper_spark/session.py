@@ -38,6 +38,11 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # let AQE coalesce CACHED plans too (off by default): the iterative
+        # operators (connected components, k-means) persist small label /
+        # centroid frames each round — without this they keep full-width
+        # shuffle partitioning, ~100 near-empty tasks per round
+        .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
         .config("spark.sql.session.timeZone", "UTC")
         # PHP-permissive cast semantics (malformed → NULL, not error); the
         # cleaning exprs rely on this, mirroring intval/floatval behavior.
