@@ -1090,6 +1090,191 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _curation_oracle(bench_max_id: int = 5, threshold: int = 3) -> str:
+    """Keep/drop verdict per document, composing the already-oracled
+    signal arithmetic (lang argmax, quality score, fingerprint dup window,
+    contamination hit count)."""
+    from etl_edi_data_scrapper_spark.functions.text import LANG_STOPWORDS
+
+    scores = ", ".join(
+        f"{_sql_lang_score(w)} AS s_{lang}" for lang, w in sorted(LANG_STOPWORDS.items())
+    )
+    langs = sorted(LANG_STOPWORDS)
+    mx = "greatest(" + ", ".join(f"s_{lg}" for lg in langs) + ")"
+    pick = " ".join(f"WHEN s_{lg} = {mx} THEN '{lg}'" for lg in langs[:-1])
+    quality = (
+        "0.4 * least(len(t)::DOUBLE / 100.0, 1.0)"
+        f" + 0.3 * least((len(list_filter(t, x -> list_contains({_sql_lang_arr()}, x)))::DOUBLE"
+        " / len(t)::DOUBLE) * 4, 1.0)"
+        " + 0.3 * (len(list_distinct(t))::DOUBLE / len(t)::DOUBLE)"
+    )
+    sh = _SQL_SHINGLES.format(t="t")
+    return f"""
+    WITH tok AS (SELECT doc_id, text, string_split(text, ' ') AS t FROM documents),
+    sc AS (SELECT doc_id, text, t, {scores} FROM tok),
+    sig AS (
+      SELECT doc_id, t,
+             CASE WHEN {mx} = 0 THEN 'und' {pick} ELSE '{langs[-1]}' END AS lang_pred,
+             {quality} AS quality,
+             md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp
+      FROM sc),
+    dupd AS (
+      SELECT doc_id, lang_pred, quality, t,
+             doc_id > min(doc_id) OVER (PARTITION BY fp) AS is_dup
+      FROM sig),
+    bench AS (
+      SELECT DISTINCT unnest({sh}) AS s FROM tok WHERE doc_id < {bench_max_id}),
+    corp AS (
+      SELECT DISTINCT doc_id, unnest({sh}) AS s FROM tok
+      WHERE doc_id >= {bench_max_id}),
+    hits AS (
+      SELECT corp.doc_id, count(*) AS n_shared
+      FROM corp JOIN bench USING (s) GROUP BY corp.doc_id)
+    SELECT d.doc_id, d.lang_pred, d.quality, d.is_dup,
+           (d.doc_id >= {bench_max_id}
+            AND coalesce(h.n_shared, 0) >= {threshold}) AS contaminated,
+           (d.lang_pred = 'en' AND d.quality >= 0.4 AND NOT d.is_dup
+            AND NOT (d.doc_id >= {bench_max_id}
+                     AND coalesce(h.n_shared, 0) >= {threshold})) AS keep
+    FROM dupd d LEFT JOIN hits h USING (doc_id)
+    """
+
+
+def _sql_lang_arr() -> str:
+    from etl_edi_data_scrapper_spark.functions.text import EN_STOPWORDS
+
+    return "[" + ",".join(f"'{w}'" for w in EN_STOPWORDS) + "]"
+
+
+@register("curation_pipeline", oracle=_curation_oracle())
+def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end corpus-curation verdict — what a pre-training data
+    pipeline actually ships: language gate + quality gate + exact-dup drop
+    + benchmark-contamination drop, one keep/drop row per document.
+
+    Shape: one narrow projection computes lang/quality/fingerprint in the
+    scan's codegen stage; the dup flag is a window over the 16-byte
+    fingerprint (one shuffle, never the text); contamination is the
+    broadcast shingle semi-join; verdicts are pure boolean algebra. Adding
+    a gate = adding a column — the plan depth stays constant."""
+    from etl_edi_data_scrapper_spark.functions.dedup import shingles
+    from etl_edi_data_scrapper_spark.functions.text import (
+        fingerprint,
+        lang_id,
+        quality_score,
+    )
+
+    bench_max_id, threshold = 5, 3
+    docs = _t(spark, sf_dir, "documents")
+    sig = docs.select(
+        "doc_id",
+        "text",
+        lang_id(F.col("text")).alias("lang_pred"),
+        quality_score(F.col("text")).alias("quality"),
+        fingerprint(F.col("text")).alias("fp"),
+    )
+    w = W.partitionBy("fp")
+    dupd = sig.withColumn("is_dup", F.col("doc_id") > F.min("doc_id").over(w))
+    shingled = docs.select("doc_id", shingles("text", 3).alias("sh"))
+    bench = (
+        shingled.filter(F.col("doc_id") < bench_max_id)
+        .select(F.explode("sh").alias("s"))
+        .distinct()
+    )
+    hits = (
+        shingled.filter(F.col("doc_id") >= bench_max_id)
+        .select("doc_id", F.explode("sh").alias("s"))
+        .distinct()
+        .join(F.broadcast(bench), "s")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    out = dupd.join(hits, "doc_id", "left")
+    contaminated = (F.col("doc_id") >= bench_max_id) & (
+        F.coalesce(F.col("n_shared"), F.lit(0)) >= threshold
+    )
+    keep = (
+        (F.col("lang_pred") == "en")
+        & (F.col("quality") >= 0.4)
+        & ~F.col("is_dup")
+        & ~contaminated
+    )
+    return out.select(
+        "doc_id",
+        "lang_pred",
+        "quality",
+        "is_dup",
+        contaminated.alias("contaminated"),
+        keep.alias("keep"),
+    )
+
+
+def _stratified_oracle() -> str:
+    word = _sql_hex_word("md5(CAST(vec_id AS VARCHAR))", 1)
+    return f"""
+    WITH tagged AS (
+      SELECT label, vec_id,
+             ({word}) % 100 < 20 + (label % 3) * 30 AS sampled
+      FROM embeddings)
+    SELECT label,
+           count(*) AS n_total,
+           CAST(sum(CASE WHEN sampled THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+           CAST(20 + (label % 3) * 30 AS BIGINT) AS rate_pct,
+           min(CASE WHEN sampled THEN vec_id END) AS first_sampled
+    FROM tagged GROUP BY label
+    """
+
+
+@register("stratified_sample", oracle=_stratified_oracle())
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class deterministic downsampling (class rebalancing): keep a row
+    iff md5(id) word mod 100 < the class's rate — stable under reruns,
+    repartitioning and corpus growth (unlike df.sample, whose selection
+    depends on partition layout). Pure narrow projection + one aggregate;
+    the per-label rates here derive from the label itself (20/50/80%)."""
+    from etl_edi_data_scrapper_spark.functions.hashing import hex_word
+
+    emb = _t(spark, sf_dir, "embeddings")
+    rate = F.lit(20) + (F.col("label") % 3) * 30
+    sampled = hex_word(F.md5(F.col("vec_id").cast("string")), 1) % 100 < rate
+    tagged = emb.select("label", "vec_id", sampled.alias("sampled"))
+    return tagged.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(F.when(F.col("sampled"), 1).otherwise(0)).alias("n_sampled"),
+        (F.lit(20) + (F.col("label") % 3) * 30).cast("long").alias("rate_pct"),
+        F.min(F.when(F.col("sampled"), F.col("vec_id"))).alias("first_sampled"),
+    )
+
+
+def q_keyed_merge_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The skew-proof two-stage merge through the oracle gate: byte-identical
+    results to `keyed_merge` (same oracle SQL) via (key, salt) partial
+    aggregation — proof the hot-key path preserves exact semantics."""
+    from etl_edi_data_scrapper_spark.operators.merge import keyed_merge_salted
+
+    feed = _dirty_feed(spark, sf_dir).withColumnRenamed("seq", SEQ_COL)
+    mapped, merge_rules = map_columns(
+        feed,
+        {
+            "upc": "UPC",
+            "asin": "ASIN",
+            "qty": ["Quantity", "min"],
+            "price": ["Wholesale", "max"],
+            "status": ["Sublocation", "addArray"],
+        },
+        supplier_id=102,
+        version=1,
+        keep=[SEQ_COL],
+    )
+    merged = keyed_merge_salted(mapped, "upc", merge_rules, salt_buckets=8)
+    return merged.withColumn("status", F.array_join("status", "|"))
+
+
+QUERIES["keyed_merge_salted"] = q_keyed_merge_salted
+# byte-identical semantics → the SAME oracle as keyed_merge
+ORACLES["keyed_merge_salted"] = ORACLES["keyed_merge"]
+
+
 def _simhash_sig_ctes(bits: int = 32) -> str:
     """CTE chain ending in sig(doc_id, simhash) — shared by the signature
     oracle (`simhash`) and the blocked-pairs oracle (`simhash_pairs`)."""
