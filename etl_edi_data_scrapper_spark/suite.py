@@ -1275,6 +1275,72 @@ QUERIES["keyed_merge_salted"] = q_keyed_merge_salted
 ORACLES["keyed_merge_salted"] = ORACLES["keyed_merge"]
 
 
+@register(
+    "cogroup_stats",
+    oracle="""
+    WITH o AS (
+      SELECT o_orderkey AS orderkey, o_totalprice
+      FROM orders WHERE o_orderkey % 100 = 0),
+    l AS (
+      SELECT l_orderkey AS orderkey,
+             CAST(count(*) AS BIGINT) AS n_lines,
+             max(l_extendedprice) AS max_line_price
+      FROM lineitem WHERE l_orderkey % 100 = 0 GROUP BY 1)
+    SELECT coalesce(o.orderkey, l.orderkey) AS orderkey,
+           o.o_totalprice AS o_totalprice,
+           coalesce(l.n_lines, 0) AS n_lines,
+           l.max_line_price AS max_line_price
+    FROM o FULL OUTER JOIN l ON o.orderkey = l.orderkey
+    """,
+)
+def q_cogroup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cogrouped-map through the gate: two-stream per-key reconciliation
+    (order header vs its lines) via `operators/cogrouped.cogroup_apply` —
+    both sides co-partition on the key (one shuffle each), full-outer key
+    semantics (fn sees empty frames for one-sided keys). The key subset
+    filter is pushed into both scans. The oracle is the equivalent
+    full-outer join + aggregate — proving the custom-logic path preserves
+    relational semantics exactly."""
+    from etl_edi_data_scrapper_spark.operators.cogrouped import cogroup_apply
+
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 100 == 0)
+        .select(F.col("o_orderkey").alias("orderkey"), "o_totalprice")
+    )
+    lines = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 100 == 0)
+        .select(F.col("l_orderkey").alias("orderkey"), "l_extendedprice")
+    )
+
+    def reconcile(key, left, right):
+        import pandas as pd
+
+        return pd.DataFrame(
+            {
+                "orderkey": [key[0]],
+                "o_totalprice": pd.array(
+                    [float(left.o_totalprice.iloc[0]) if len(left) else None],
+                    dtype="object",
+                ),
+                "n_lines": [len(right)],
+                "max_line_price": pd.array(
+                    [float(right.l_extendedprice.max()) if len(right) else None],
+                    dtype="object",
+                ),
+            }
+        )
+
+    return cogroup_apply(
+        orders,
+        lines,
+        ["orderkey"],
+        reconcile,
+        "orderkey long, o_totalprice double, n_lines long, max_line_price double",
+    )
+
+
 def _simhash_sig_ctes(bits: int = 32) -> str:
     """CTE chain ending in sig(doc_id, simhash) — shared by the signature
     oracle (`simhash`) and the blocked-pairs oracle (`simhash_pairs`)."""

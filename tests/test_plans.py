@@ -93,3 +93,33 @@ def test_ann_topk_broadcasts_queries(spark, sf_dir):
     plan = plan_of(spark, "ann_topk", sf_dir)
     # corpus side streams; the 5 query vectors broadcast
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_contamination_broadcasts_benchmark_set(spark, sf_dir):
+    plan = plan_of(spark, "contamination", sf_dir)
+    # benchmark shingles are the broadcast side; corpus text never shuffles
+    assert "BroadcastHashJoin" in plan
+    # the doc_id predicate splitting bench/corpus reaches both parquet scans
+    assert "PushedFilters" in plan and "doc_id" in plan
+
+
+def test_tfidf_broadcasts_vocabulary(spark, sf_dir):
+    plan = plan_of(spark, "tfidf_topk", sf_dir)
+    # DF (vocabulary) and corpus-count legs join by broadcast, not shuffle
+    assert plan.count("BroadcastHashJoin") >= 1
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_pii_scrub_is_narrow(spark, sf_dir):
+    plan = plan_of(spark, "pii_scrub", sf_dir)
+    # one explicit widen repartition; NO key-hash exchange (pure projection)
+    assert "hashpartitioning" not in plan
+    assert plan.count("RoundRobinPartitioning") == 1  # the widen, only exchange
+
+
+def test_cogroup_stats_copartitions_both_sides(spark, sf_dir):
+    plan = plan_of(spark, "cogroup_stats", sf_dir)
+    assert "FlatMapCoGroupsInPandas" in plan or "FlatMapCoGroups" in plan
+    # key-subset filter pushed into BOTH parquet scans
+    assert "PushedFilters" in plan
+    assert plan.count("IsNotNull(o_orderkey)") >= 1 or "o_orderkey" in plan

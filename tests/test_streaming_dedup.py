@@ -44,3 +44,44 @@ def test_streaming_dedup_across_batches(spark, tmp_path):
         assert got2 == {1, 3, 5}  # doc 4 dropped by cross-batch state
     finally:
         q.stop()
+
+
+def test_streaming_curation_exprs_reused(spark, tmp_path):
+    """The batch curation columns (PII scrub, quality, lang) are pure
+    Column exprs — the SAME code runs in a streaming projection with no
+    changes (one plan, batch/stream parity)."""
+    from pyspark.sql import functions as F
+
+    from etl_edi_data_scrapper_spark.functions.text import (
+        lang_id,
+        quality_score,
+        scrub_pii,
+    )
+
+    src = tmp_path / "docs"
+    src.mkdir()
+    _write_batch(src, "b1.jsonl", [
+        {"doc_id": 1, "text": "the cat and the dog mailed admin@example.com"},
+        {"doc_id": 2, "text": "der hund und die katze"},
+    ])
+    stream = spark.readStream.schema("doc_id long, text string").json(str(src))
+    curated = stream.select(
+        "doc_id",
+        scrub_pii(F.col("text")).alias("clean"),
+        quality_score(F.col("text")).alias("quality"),
+        lang_id(F.col("text")).alias("lang"),
+    )
+    q = (
+        curated.writeStream.outputMode("append")
+        .format("memory").queryName("curated_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = {r.doc_id: r for r in spark.sql("SELECT * FROM curated_out").collect()}
+        assert rows[1].clean.endswith("mailed [EMAIL]")
+        assert rows[1].lang == "en" and rows[2].lang == "de"
+        assert 0.0 <= rows[1].quality <= 1.0
+    finally:
+        q.stop()
