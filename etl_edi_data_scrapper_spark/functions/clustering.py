@@ -56,15 +56,19 @@ def kmeans_fit(
     TakeOrderedAndProject (per-partition heaps), no global sort, stable
     across runs/partitionings. Empty clusters keep their previous centroid.
     """
+    # the iteration re-reads df n_iters+2 times (init, updates, final
+    # assignment) — cache the projected columns once; Spark spills cached
+    # partitions at scale, and only (id, vec) is held, not the full row
+    work = df.select(F.col(id_col), F.col(vec_col)).persist()
     init = (
-        df.orderBy(F.md5(F.col(id_col).cast("string")))
+        work.orderBy(F.md5(F.col(id_col).cast("string")))
         .limit(k)
         .select(vec_col)
         .collect()
     )
     centroids = [list(map(float, r[0])) for r in init]
     for _ in range(n_iters):
-        assigned = assign_clusters(df, vec_col, centroids)
+        assigned = assign_clusters(work, vec_col, centroids)
         rows = (
             assigned.select("cluster", F.posexplode(F.col(vec_col)).alias("pos", "x"))
             .groupBy("cluster", "pos")
@@ -78,4 +82,5 @@ def kmeans_fit(
             [new[c][p] for p in sorted(new[c])] if new[c] else centroids[c]
             for c in range(k)
         ]
+    work.unpersist()
     return centroids, assign_clusters(df, vec_col, centroids)
