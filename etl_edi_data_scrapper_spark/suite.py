@@ -1341,6 +1341,78 @@ def q_cogroup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "repetition_collapse",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    collapsed AS (
+      SELECT doc_id, len(t)::BIGINT AS n_before,
+             list_filter(t, (x, i) -> i = 1 OR x != t[i - 1]) AS kept
+      FROM tok)
+    SELECT doc_id, n_before, len(kept)::BIGINT AS n_after,
+           array_to_string(kept, ' ') AS collapsed_text
+    FROM collapsed
+    """,
+)
+def q_repetition_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition removal (consecutive duplicate tokens
+    collapse to one) — the cheap intra-doc cleanup pass before inter-doc
+    dedup. Pure array-lambda projection, zero shuffles; the index-aware
+    filter keeps the FIRST of each run. (Spark lambda index is 0-based,
+    DuckDB's 1-based — the oracle mirrors the same logic.)"""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.expr("CAST(size(split(text, ' ')) AS BIGINT)").alias("n_before"),
+        F.expr(
+            "filter(split(text, ' '), (x, i) -> i = 0 OR x != split(text, ' ')[i - 1])"
+        ).alias("kept"),
+    ).select(
+        "doc_id",
+        "n_before",
+        F.size("kept").cast("long").alias("n_after"),
+        F.array_join("kept", " ").alias("collapsed_text"),
+    )
+
+
+@register(
+    "quality_histogram",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    q AS (
+      SELECT doc_id,
+        0.4 * least(len(t)::DOUBLE / 100.0, 1.0)
+          + 0.3 * least((len(list_filter(t, x -> list_contains({{arr}}, x)))::DOUBLE
+                         / len(t)::DOUBLE) * 4, 1.0)
+          + 0.3 * (len(list_distinct(t))::DOUBLE / len(t)::DOUBLE) AS quality
+      FROM tok)
+    SELECT CAST(least(floor(quality * 10), 9) AS BIGINT) AS bucket,
+           count(*) AS n, min(quality) AS min_q, max(quality) AS max_q
+    FROM q GROUP BY 1
+    """.replace("{arr}", "PLACEHOLDER"),
+)
+def q_quality_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus quality distribution: decile histogram of the composite
+    quality score — the aggregate view a curation run reports. One narrow
+    scoring projection + one 10-group aggregate (map-side partials)."""
+    from etl_edi_data_scrapper_spark.functions.text import quality_score
+
+    docs = _t(spark, sf_dir, "documents")
+    q = docs.select(quality_score(F.col("text")).alias("quality"))
+    bucket = F.least(F.floor(F.col("quality") * 10), F.lit(9)).cast("long")
+    return q.groupBy(bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("quality").alias("min_q"),
+        F.max("quality").alias("max_q"),
+    )
+
+
+ORACLES["quality_histogram"] = ORACLES["quality_histogram"].replace(
+    "PLACEHOLDER", _sql_lang_arr()
+)
+
+
 def _simhash_sig_ctes(bits: int = 32) -> str:
     """CTE chain ending in sig(doc_id, simhash) — shared by the signature
     oracle (`simhash`) and the blocked-pairs oracle (`simhash_pairs`)."""
