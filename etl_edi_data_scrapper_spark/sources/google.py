@@ -147,6 +147,81 @@ def read_google_drive_folder(
     )
 
 
+class OAuthTokenManager:
+    """Google OAuth2 access-token lifecycle with refresh-persist
+    (`GoogleApiInputHandler.php:35-65` parity): load the token JSON, detect
+    expiry (created + expires_in, 30 s skew — the Google client's rule),
+    refresh via the refresh_token grant, write the new token back.
+
+    ``fetch_post(url, form_dict) -> dict`` is injectable so the flow is
+    fully testable offline (same discipline as `rest.JwtManager`). Unlike
+    the reference — which overwrites the token file with the refresh
+    response verbatim and so DROPS the refresh_token when Google omits it
+    (refresh responses usually do) — the refresh_token is preserved across
+    refreshes (`google/apiclient` does the same merge internally).
+    """
+
+    TOKEN_URL = "https://oauth2.googleapis.com/token"
+
+    def __init__(
+        self,
+        token_path: str,
+        client_id: str,
+        client_secret: str,
+        fetch_post: Callable[[str, dict], dict],
+        now: Callable[[], float] = time.time,
+        skew_s: int = 30,
+    ):
+        self.token_path = token_path
+        self.client_id = client_id
+        self.client_secret = client_secret
+        self.fetch_post = fetch_post
+        self.now = now
+        self.skew_s = skew_s
+
+    def _load(self) -> dict:
+        import json
+
+        if not os.path.exists(self.token_path):
+            raise FileNotFoundError(f"Token file not found: {self.token_path}")
+        with open(self.token_path) as f:
+            return json.load(f)
+
+    def is_expired(self, tok: dict) -> bool:
+        created = float(tok.get("created", 0))
+        expires_in = float(tok.get("expires_in", 0))
+        return self.now() >= created + expires_in - self.skew_s
+
+    def access_token(self) -> str:
+        tok = self._load()
+        if self.is_expired(tok):
+            tok = self._refresh(tok)
+        return tok["access_token"]
+
+    def _refresh(self, tok: dict) -> dict:
+        import json
+
+        refresh_token = tok.get("refresh_token")
+        if not refresh_token:
+            raise ValueError("No refresh token available.")
+        new = dict(
+            self.fetch_post(
+                self.TOKEN_URL,
+                {
+                    "client_id": self.client_id,
+                    "client_secret": self.client_secret,
+                    "refresh_token": refresh_token,
+                    "grant_type": "refresh_token",
+                },
+            )
+        )
+        new.setdefault("refresh_token", refresh_token)  # survive omission
+        new.setdefault("created", int(self.now()))
+        with open(self.token_path, "w") as f:
+            json.dump(new, f)
+        return new
+
+
 def real_sheets_client(credentials_path: str) -> SheetsClient:  # pragma: no cover
     """Adapter over google-api-python-client (not in this container)."""
     try:

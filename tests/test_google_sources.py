@@ -131,3 +131,71 @@ def test_drive_file_type_table():
     ]
     for name, mime, want in cases:
         assert g.drive_file_type(name, mime) == want, (name, mime)
+
+
+# --- OAuth token refresh-persist (GoogleApiInputHandler.php:35-65 parity) ----
+
+
+def _write_token(path, **kw):
+    import json
+
+    with open(path, "w") as f:
+        json.dump(kw, f)
+
+
+def test_oauth_fresh_token_no_refresh(tmp_path):
+    p = str(tmp_path / "token.json")
+    _write_token(p, access_token="live", refresh_token="r", expires_in=3600, created=1000)
+    calls = []
+    mgr = g.OAuthTokenManager(p, "cid", "sec", fetch_post=lambda u, d: calls.append(d) or {},
+                              now=lambda: 1000 + 60)
+    assert mgr.access_token() == "live"
+    assert calls == []  # not expired → no network
+
+
+def test_oauth_expired_refreshes_and_persists(tmp_path):
+    import json
+
+    p = str(tmp_path / "token.json")
+    _write_token(p, access_token="stale", refresh_token="r1", expires_in=3600, created=1000)
+
+    def fake_post(url, form):
+        assert url == g.OAuthTokenManager.TOKEN_URL
+        assert form["grant_type"] == "refresh_token" and form["refresh_token"] == "r1"
+        return {"access_token": "fresh", "expires_in": 3599}  # Google omits refresh_token
+
+    mgr = g.OAuthTokenManager(p, "cid", "sec", fetch_post=fake_post, now=lambda: 1000 + 3600)
+    assert mgr.access_token() == "fresh"
+    saved = json.load(open(p))
+    assert saved["access_token"] == "fresh"
+    assert saved["refresh_token"] == "r1"   # preserved (reference drops it)
+    assert saved["created"] == 1000 + 3600
+    # second call: now fresh, no further refresh
+    mgr2 = g.OAuthTokenManager(p, "cid", "sec",
+                               fetch_post=lambda u, d: (_ for _ in ()).throw(AssertionError),
+                               now=lambda: 1000 + 3600 + 60)
+    assert mgr2.access_token() == "fresh"
+
+
+def test_oauth_expiry_skew_boundary(tmp_path):
+    p = str(tmp_path / "token.json")
+    _write_token(p, access_token="t", refresh_token="r", expires_in=100, created=0)
+    mgr = g.OAuthTokenManager(p, "c", "s", fetch_post=lambda u, d: {}, now=lambda: 69)
+    assert not mgr.is_expired(mgr._load())     # 69 < 100 - 30
+    mgr.now = lambda: 70
+    assert mgr.is_expired(mgr._load())          # 70 >= 100 - 30
+
+
+def test_oauth_missing_refresh_token_raises(tmp_path):
+    p = str(tmp_path / "token.json")
+    _write_token(p, access_token="t", expires_in=0, created=0)
+    mgr = g.OAuthTokenManager(p, "c", "s", fetch_post=lambda u, d: {}, now=lambda: 100)
+    with pytest.raises(ValueError, match="refresh token"):
+        mgr.access_token()
+
+
+def test_oauth_missing_file_raises(tmp_path):
+    mgr = g.OAuthTokenManager(str(tmp_path / "nope.json"), "c", "s",
+                              fetch_post=lambda u, d: {})
+    with pytest.raises(FileNotFoundError):
+        mgr.access_token()

@@ -206,3 +206,38 @@ def test_salted_merge_hot_key(spark):
     out = {r.key: r.val for r in keyed_merge_salted(df, "key", {}).collect()}
     assert out["hot"] == "v999"   # last-write-wins across salts
     assert out["cold"] == "v990"
+
+
+def test_salted_merge_equals_plain_property(spark):
+    """Property: for ANY generated feed (dup keys, null/empty keys, ties,
+    nulls in values), keyed_merge_salted ≡ keyed_merge under every rule.
+    One generated corpus, several salt factors — a cheap exhaustive sweep
+    beats per-example Spark jobs under hypothesis."""
+    import random
+
+    from etl_edi_data_scrapper_spark.operators.merge import keyed_merge_salted
+
+    rng = random.Random(20260813)
+    keys = ["", None] + [f"k{i}" for i in range(17)]
+    rows = [
+        (
+            seq,
+            rng.choice(keys),
+            rng.choice([None, "a", "b", "c", "z"]),
+            rng.choice([None] + list(range(10))),
+            rng.uniform(0, 9) if rng.random() > 0.2 else None,
+            rng.choice(["x", "y", None]),
+        )
+        for seq in range(1, 400)
+    ]
+    df = spark.createDataFrame(
+        rows, "_seq long, key string, lww string, qty long, price double, st string"
+    )
+    rules = {"qty": "min", "price": "max", "st": "addArray"}
+    plain = {r.key: tuple(r) for r in keyed_merge(df, "key", rules).collect()}
+    for buckets in (1, 3, 16):
+        salted = {
+            r.key: tuple(r)
+            for r in keyed_merge_salted(df, "key", rules, salt_buckets=buckets).collect()
+        }
+        assert salted == plain, f"salt_buckets={buckets}"
