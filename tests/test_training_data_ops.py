@@ -285,3 +285,17 @@ def test_scrub_pii_redactions(spark):
     assert by_id[1] == (1, 0, 0)
     assert by_id[2] == (0, 2, 0)
     assert by_id[3] == (0, 0, 1)
+
+
+def test_connected_components_pointer_jump_long_chain(spark):
+    from etl_edi_data_scrapper_spark.functions.dedup import connected_components
+
+    # path 0-1-2-...-40: diameter 40. Plain propagation moves the min one
+    # hop per round; pointer jumping collapses it in O(log n) rounds.
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(40)], "a long, b long")
+    out = connected_components(pairs, max_iters=10).collect()
+    assert {r.cluster_id for r in out} == {0}
+    assert sum(r.is_canonical for r in out) == 1
+    # without jumping, 10 rounds cannot close a 40-diameter chain → strict raises
+    with pytest.raises(RuntimeError, match="converge"):
+        connected_components(pairs, max_iters=10, pointer_jump=False)
