@@ -17,6 +17,22 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
+def _cpu_calibration() -> float:
+    """Seconds for a FIXED single-thread workload (md5 over 64 MB) — a
+    machine-speed probe. The suite totals only compare across rounds when
+    the host is equally quiet; this lets a reader normalize (calib was
+    ~0.08 s on an idle host; 2x that means the suite numbers are inflated
+    by external load, not by plan regressions)."""
+    import hashlib
+
+    blob = b"\x5a" * (1 << 20)
+    t0 = time.perf_counter()
+    h = hashlib.md5()
+    for _ in range(64):
+        h.update(blob)
+    return round(time.perf_counter() - t0, 4)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -50,6 +66,8 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "calib_md5_64mb_sec": _cpu_calibration(),
+        "load_avg_1m": round(os.getloadavg()[0], 2),
     }
     if errors:
         out["errors"] = errors
