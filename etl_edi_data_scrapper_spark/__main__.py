@@ -1,0 +1,114 @@
+"""CLI entry point — the operational surface a user of the reference's
+``bin/console app:consume`` switches to (`src/Command/ConsumerCommand.php`).
+
+    python -m etl_edi_data_scrapper_spark consume --message job.json
+        one message → one job, with the reference's stats line
+        (supplier name/id, wall time, rows out). The message is a file
+        path or '-' for stdin (the sandboxed stand-in for one Kafka
+        message; wire kafka via streaming.consumer in production).
+
+    python -m etl_edi_data_scrapper_spark run-job --config job.json \
+        [--sink parquet|jsonl|collect --sink-path PATH]
+        compile + execute one job config into a sink.
+
+    python -m etl_edi_data_scrapper_spark serve --messages DIR \
+        --checkpoint DIR --output DIR
+        the streaming upgrade of the one-message loop: every JSON line
+        dropped into DIR is a job; outputs land under OUTPUT/supplier_id=N.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def _read_message(path: str) -> dict:
+    raw = sys.stdin.read() if path == "-" else open(path).read()
+    return json.loads(raw)
+
+
+def main(argv: list[str] | None = None, engine=None) -> int:
+    p = argparse.ArgumentParser(prog="etl_edi_data_scrapper_spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    pc = sub.add_parser("consume", help="process ONE job message (app:consume parity)")
+    pc.add_argument("--message", required=True, help="path to job-config JSON, or '-'")
+
+    pr = sub.add_parser("run-job", help="compile + run one job config")
+    pr.add_argument("--config", required=True)
+    pr.add_argument("--sink", default="collect", choices=["parquet", "jsonl", "collect"])
+    pr.add_argument("--sink-path")
+
+    ps = sub.add_parser("serve", help="streaming job loop over a message directory")
+    ps.add_argument("--messages", required=True)
+    ps.add_argument("--checkpoint", required=True)
+    ps.add_argument("--output", required=True)
+    ps.add_argument("--timeout-s", type=float, default=None,
+                    help="stop after N seconds (default: run until interrupted)")
+
+    args = p.parse_args(argv)
+
+    if engine is None:  # pragma: no cover - exercised via injected engine in tests
+        from etl_edi_data_scrapper_spark.engine import Engine
+
+        engine = Engine()
+
+    if args.cmd == "consume":
+        t0 = time.time()
+        started = time.strftime("%Y-%m-%d %H:%M:%S")
+        try:
+            msg = _read_message(args.message)
+            name = msg.get("name", "unknown")
+            sid = msg.get("supplier_id", "unknown")
+            print(f"INFO: Supplier ({name}) ({sid}) parsing started - {started}")
+            rows = engine.run_job(msg, sink="collect")
+            dt = round(time.time() - t0, 3)
+            print(f"SUCCESS: Message processed | Time: {dt}s | Rows: {len(rows)}")
+            return 0
+        except Exception as e:
+            dt = round(time.time() - t0, 3)
+            print(f"ERROR: {e} | Time: {dt}s")
+            return 1
+
+    if args.cmd == "run-job":
+        cfg = _read_message(args.config)
+        if args.sink == "collect":
+            rows = engine.run_job(cfg, sink="collect")
+            for r in rows:
+                print(json.dumps(r, default=str))
+        else:
+            if not args.sink_path:
+                p.error("--sink-path required for parquet/jsonl sinks")
+            engine.run_job(cfg, sink=args.sink, sink_path=args.sink_path)
+        return 0
+
+    if args.cmd == "serve":
+        from etl_edi_data_scrapper_spark import sinks as sinkmod
+
+        def sink(df, cfg):
+            sinkmod.write_parquet(
+                df, f"{args.output}/supplier_id={cfg.supplier_id}", mode="overwrite"
+            )
+
+        query = engine.consume(
+            sink=sink, source_path=args.messages, checkpoint_dir=args.checkpoint
+        )
+        try:
+            if args.timeout_s is not None:
+                query.awaitTermination(args.timeout_s)
+                query.stop()
+            else:  # pragma: no cover - interactive loop
+                query.awaitTermination()
+        finally:
+            if query.isActive:  # pragma: no cover
+                query.stop()
+        return 0
+
+    return 2  # pragma: no cover
+
+
+if __name__ == "__main__":  # pragma: no cover
+    raise SystemExit(main())

@@ -125,3 +125,64 @@ def test_streaming_session_window(spark, tmp_path):
     finally:
         q.stop()
     assert got == [("u1", 1), ("u1", 2), ("u2", 1)]
+
+
+# --- CLI entry point (ConsumerCommand.php app:consume parity) ----------------
+
+
+def _job_config(sf_dir):
+    return {
+        "name": "acme-feed",
+        "supplier_id": 55,
+        "type_id": 3,
+        "source": f"{sf_dir}/part.parquet",
+        "column_map_rules": {"upc": "p_partkey", "name": "p_name"},
+        "version": 1,
+    }
+
+
+def test_cli_consume_one_message(spark, sf_dir, tmp_path, capsys):
+    import json
+
+    from etl_edi_data_scrapper_spark.__main__ import main
+    from etl_edi_data_scrapper_spark.engine import Engine
+
+    msg = tmp_path / "job.json"
+    msg.write_text(json.dumps(_job_config(sf_dir)))
+    rc = main(["consume", "--message", str(msg)], engine=Engine(spark=spark))
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "INFO: Supplier (acme-feed) (55) parsing started" in out
+    assert "SUCCESS: Message processed | Time:" in out
+    assert "Rows: " in out
+
+
+def test_cli_consume_bad_message_fails_with_error_line(tmp_path, spark, capsys):
+    import json
+
+    from etl_edi_data_scrapper_spark.__main__ import main
+    from etl_edi_data_scrapper_spark.engine import Engine
+
+    msg = tmp_path / "bad.json"
+    msg.write_text(json.dumps({"supplier_id": 1}))  # no source/type_id
+    rc = main(["consume", "--message", str(msg)], engine=Engine(spark=spark))
+    out = capsys.readouterr().out
+    assert rc == 1
+    assert "ERROR:" in out and "Time:" in out  # stats line even on failure
+
+
+def test_cli_run_job_parquet_sink(spark, sf_dir, tmp_path):
+    import json
+
+    from etl_edi_data_scrapper_spark.__main__ import main
+    from etl_edi_data_scrapper_spark.engine import Engine
+
+    cfg = tmp_path / "job.json"
+    cfg.write_text(json.dumps(_job_config(sf_dir)))
+    out_dir = tmp_path / "out"
+    rc = main(
+        ["run-job", "--config", str(cfg), "--sink", "parquet", "--sink-path", str(out_dir)],
+        engine=Engine(spark=spark),
+    )
+    assert rc == 0
+    assert spark.read.parquet(str(out_dir)).count() > 0
