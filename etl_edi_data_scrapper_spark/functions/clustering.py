@@ -69,10 +69,19 @@ def kmeans_fit(
     centroids = [list(map(float, r[0])) for r in init]
     for _ in range(n_iters):
         assigned = assign_clusters(work, vec_col, centroids)
+        # exact mean: DECIMAL partial sums are associative/order-independent
+        # (a float avg would differ run-to-run with partitioning — and
+        # against any external replica), final cast + divide in double
         rows = (
             assigned.select("cluster", F.posexplode(F.col(vec_col)).alias("pos", "x"))
             .groupBy("cluster", "pos")
-            .agg(F.avg(F.col("x").cast("double")).alias("m"))
+            .agg(
+                (
+                    F.sum(F.col("x").cast("double").cast("decimal(28,10)"))
+                    .cast("double")
+                    / F.count(F.lit(1))
+                ).alias("m")
+            )
             .collect()
         )
         new = {c: dict() for c in range(k)}

@@ -2430,12 +2430,62 @@ def q_ngram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return counts.orderBy(F.desc("freq"), F.asc("bigram")).limit(50)
 
 
-@register("kmeans")  # rows-only: float iterative algorithm, no SQL oracle
+def _kmeans_oracle(k: int = 8, n_iters: int = 3, dim: int = 64) -> str:
+    """Lloyd's unrolled in SQL: the engine's k-means is DETERMINISTIC
+    (md5-ordered init, sequential-fold distances, exact DECIMAL mean
+    updates), so n_iters of assign→update replay as a CTE chain and the
+    final cluster sizes hash-compare."""
+    sqdist = (
+        "list_sum(list_transform(list_zip(nv.embedding, cen.cv), "
+        "p -> (p[1]::DOUBLE - p[2]) * (p[1]::DOUBLE - p[2])))"
+    )
+    ctes = [
+        "nv AS (SELECT vec_id, embedding FROM embeddings)",
+        f"""cen0 AS (
+      SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1 AS c,
+             list_transform(embedding, x -> x::DOUBLE) AS cv
+      FROM (SELECT vec_id, embedding FROM embeddings
+            ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT {k}))""",
+    ]
+    for i in range(1, n_iters + 1):
+        ctes.append(f"""a{i} AS (
+      SELECT vec_id, embedding, c FROM (
+        SELECT nv.vec_id, nv.embedding, cen.c,
+               row_number() OVER (PARTITION BY nv.vec_id
+                                  ORDER BY {sqdist}, cen.c) AS rk
+        FROM nv CROSS JOIN cen{i - 1} cen) t WHERE rk = 1)""")
+        ctes.append(f"""up{i} AS (
+      SELECT c, g.pos AS pos,
+             CAST(sum(CAST(embedding[g.pos]::DOUBLE AS DECIMAL(28,10)))
+                  AS DOUBLE) / count(*) AS m
+      FROM a{i} CROSS JOIN generate_series(1, {dim}) AS g(pos)
+      GROUP BY c, g.pos)""")
+        ctes.append(f"""cen{i} AS (
+      SELECT p.c, coalesce(u.cv, p.cv) AS cv
+      FROM cen{i - 1} p LEFT JOIN
+           (SELECT c, list(m ORDER BY pos) AS cv FROM up{i} GROUP BY c) u
+        ON u.c = p.c)""")
+    final = f"""afinal AS (
+      SELECT vec_id, c FROM (
+        SELECT nv.vec_id, cen.c,
+               row_number() OVER (PARTITION BY nv.vec_id
+                                  ORDER BY {sqdist}, cen.c) AS rk
+        FROM nv CROSS JOIN cen{n_iters} cen) t WHERE rk = 1)"""
+    ctes.append(final)
+    return (
+        "WITH " + ",\n    ".join(ctes)
+        + "\n    SELECT c AS cluster, count(*) AS n FROM afinal GROUP BY c"
+    )
+
+
+@register("kmeans", oracle=_kmeans_oracle())
 def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lloyd's k-means over the embeddings table (functions/clustering.py):
     driver-resident centroids embedded as literals → assignment is a
     narrow argmin projection; update is one (cluster, dim) shuffle per
-    iteration. Returns per-cluster sizes + mean within-cluster distance."""
+    iteration. Fully deterministic (md5-ordered init, exact DECIMAL mean
+    updates), so even this iterative algorithm is hash-oracled — the SQL
+    side unrolls the three iterations as CTEs."""
     from etl_edi_data_scrapper_spark.functions.clustering import kmeans_fit
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
