@@ -1413,6 +1413,41 @@ ORACLES["quality_histogram"] = ORACLES["quality_histogram"].replace(
 )
 
 
+@register(
+    "cohort_retention",
+    oracle="""
+    WITH firstday AS (
+      SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day
+      FROM events GROUP BY user_id),
+    activity AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events)
+    SELECT f.cohort_day,
+           datediff('day', f.cohort_day, a.day) AS day_offset,
+           count(*) AS active_users
+    FROM activity a JOIN firstday f USING (user_id)
+    WHERE datediff('day', f.cohort_day, a.day) <= 7
+    GROUP BY 1, 2
+    """,
+)
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention triangle: users grouped by first-active day, counted on
+    each subsequent day (offsets 0-7). Both legs shuffle once on user_id
+    (co-partitioned join, no broadcast needed at any scale), then one
+    (cohort, offset) aggregate with map-side partials."""
+    ev = _events(spark, sf_dir)
+    firstday = ev.groupBy("user_id").agg(
+        F.min(F.col("ts").cast("date")).alias("cohort_day")
+    )
+    activity = ev.select("user_id", F.col("ts").cast("date").alias("day")).distinct()
+    j = activity.join(firstday, "user_id")
+    offset = F.datediff(F.col("day"), F.col("cohort_day"))
+    return (
+        j.filter(offset <= 7)
+        .groupBy("cohort_day", offset.alias("day_offset"))
+        .agg(F.count(F.lit(1)).alias("active_users"))
+    )
+
+
 def _simhash_sig_ctes(bits: int = 32) -> str:
     """CTE chain ending in sig(doc_id, simhash) — shared by the signature
     oracle (`simhash`) and the blocked-pairs oracle (`simhash_pairs`)."""
