@@ -1448,6 +1448,56 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "funnel",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, min(epoch_us(ts)) AS t FROM events
+      WHERE event_type = 'view' GROUP BY user_id),
+    c AS (
+      SELECT e.user_id, min(epoch_us(e.ts)) AS t
+      FROM events e JOIN v ON v.user_id = e.user_id AND epoch_us(e.ts) > v.t
+      WHERE e.event_type = 'click' GROUP BY e.user_id),
+    p AS (
+      SELECT e.user_id, min(epoch_us(e.ts)) AS t
+      FROM events e JOIN c ON c.user_id = e.user_id AND epoch_us(e.ts) > c.t
+      WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+    SELECT '1_view' AS stage, count(*) AS users FROM v
+    UNION ALL SELECT '2_click', count(*) FROM c
+    UNION ALL SELECT '3_purchase', count(*) FROM p
+    """,
+)
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel: users who viewed, then clicked AFTER the first view,
+    then purchased AFTER that click. Each stage is one aggregate + a
+    co-partitioned user join (the user key carries through all stages — on
+    a cluster the three joins reuse one partitioning). Timestamps compare
+    at microseconds on both engines."""
+    ev = _events(spark, sf_dir).select(
+        "user_id", "event_type", F.unix_micros("ts").alias("us")
+    )
+
+    def first_after(etype: str, prev: DataFrame | None) -> DataFrame:
+        e = ev.filter(F.col("event_type") == etype)
+        if prev is not None:
+            e = e.join(prev.select("user_id", "t"), "user_id").filter(
+                F.col("us") > F.col("t")
+            )
+        return e.groupBy("user_id").agg(F.min("us").alias("t"))
+
+    v = first_after("view", None)
+    c = first_after("click", v)
+    p = first_after("purchase", c)
+    legs = [("1_view", v), ("2_click", c), ("3_purchase", p)]
+    outs = [
+        s.agg(F.count(F.lit(1)).alias("users")).select(
+            F.lit(name).alias("stage"), "users"
+        )
+        for name, s in legs
+    ]
+    return outs[0].unionByName(outs[1]).unionByName(outs[2])
+
+
 def _simhash_sig_ctes(bits: int = 32) -> str:
     """CTE chain ending in sig(doc_id, simhash) — shared by the signature
     oracle (`simhash`) and the blocked-pairs oracle (`simhash_pairs`)."""
