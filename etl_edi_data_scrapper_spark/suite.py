@@ -385,23 +385,38 @@ def q_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "window_rank",
     oracle="""
-    SELECT o_custkey, o_orderkey, rn FROM (
+    SELECT o_custkey, o_orderkey, rn, running_spend FROM (
       SELECT o_custkey, o_orderkey,
-             row_number() OVER (PARTITION BY o_custkey
-                                ORDER BY o_orderdate, o_orderkey) AS rn
-      FROM orders)
+             row_number() OVER w AS rn,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                  OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS DOUBLE) AS running_spend
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey))
     WHERE rn <= 3
     """,
 )
 def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-N per group via window row_number (partitioned — scales with
-    #customers, no global sort)."""
+    """Window suite over one partitioned sort: top-N per group via
+    row_number + running aggregate frame (cumulative spend; DECIMAL
+    partials keep prefix sums exact and order-independent). Both windows
+    share (o_custkey, orderdate) — one shuffle, one sort, no global sort.
+    [r3 consolidation: absorbs the former `running_total` query.]"""
     from pyspark.sql import Window as W
 
     w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wf = w.rowsBetween(W.unboundedPreceding, W.currentRow)
     return (
         _t(spark, sf_dir, "orders")
-        .select("o_custkey", "o_orderkey", F.row_number().over(w).alias("rn"))
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.row_number().over(w).alias("rn"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .over(wf)
+            .cast("double")
+            .alias("running_spend"),
+        )
         .filter(F.col("rn") <= 3)
     )
 
@@ -505,18 +520,28 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "events_window",
     oracle="""
-    SELECT epoch(date_trunc('hour', ts))::BIGINT AS window_start,
+    WITH h AS (SELECT date_trunc('hour', ts) AS hstart, event_type, value FROM events)
+    SELECT epoch(hstart)::BIGINT AS window_start,
            event_type,
+           CAST(quarter(hstart) AS INT) AS q,
+           last_day(CAST(hstart AS DATE)) AS month_end,
+           CAST(datediff('day', DATE '2024-01-01', CAST(hstart AS DATE)) AS INT) AS day_offs,
+           epoch(date_trunc('month', hstart))::BIGINT AS month_start,
            count(*) AS n,
            CAST(sum(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS sum_value
-    FROM events
-    GROUP BY 1, 2
+    FROM h
+    GROUP BY 1, 2, 3, 4, 5, 6
     """,
 )
 def q_events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling event-time window (batch form of the streaming windowed agg;
-    same `F.window` works under readStream with a watermark)."""
+    same `F.window` works under readStream with a watermark), carrying the
+    date/time function surface on the bucket boundary: quarter, month-end,
+    day offsets, month truncation — all engine-parity expressions, zero
+    extra shuffle (pure post-agg projection).
+    [r3 consolidation: absorbs the former `date_functions` query.]"""
     ev = _events(spark, sf_dir)
+    ws = F.col("window.start")
     return (
         ev.groupBy(F.window("ts", "1 hour"), "event_type")
         .agg(
@@ -524,8 +549,12 @@ def q_events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("value").cast("decimal(14,2)")).cast("double").alias("sum_value"),
         )
         .select(
-            F.unix_timestamp(F.col("window.start")).alias("window_start"),
+            F.unix_timestamp(ws).alias("window_start"),
             "event_type",
+            F.quarter(ws).alias("q"),
+            F.last_day(F.to_date(ws)).alias("month_end"),
+            F.datediff(F.to_date(ws), F.lit("2024-01-01").cast("date")).alias("day_offs"),
+            F.unix_timestamp(F.date_trunc("month", ws)).alias("month_start"),
             "n",
             "sum_value",
         )
@@ -570,27 +599,6 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "union_dedup",
-    oracle="""
-    SELECT l_returnflag, count(*) AS n FROM (
-      SELECT DISTINCT l_orderkey, l_returnflag FROM lineitem WHERE l_linenumber <= 3
-      UNION
-      SELECT DISTINCT l_orderkey, l_returnflag FROM lineitem WHERE l_linenumber >= 3
-    ) GROUP BY l_returnflag
-    """,
-)
-def q_union_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multi-file union + distinct (the reference's multi-file SFTP union,
-    `ExcelInputHandler.php:44-49`, generalized with dedup)."""
-    li = _t(spark, sf_dir, "lineitem")
-    a = li.filter(F.col("l_linenumber") <= 3).select("l_orderkey", "l_returnflag").distinct()
-    b = li.filter(F.col("l_linenumber") >= 3).select("l_orderkey", "l_returnflag").distinct()
-    return (
-        a.unionByName(b).distinct().groupBy("l_returnflag").agg(F.count(F.lit(1)).alias("n"))
-    )
-
-
 # ---------------------------------------------------------------------------
 # Training-data pipeline operators (BASELINE.json north star): text analysis,
 # dedup (exact / MinHash-LSH / SimHash / n-gram Jaccard), embedding
@@ -615,33 +623,35 @@ _SQL_DOT = "list_sum(list_transform(list_zip({a}, {b}), x -> x[1]::DOUBLE * x[2]
 _SQL_NORM = "sqrt(list_sum(list_transform({v}, x -> x::DOUBLE*x::DOUBLE)))"
 
 
+def _sql_lang_score(words: tuple[str, ...]) -> str:
+    arr = "[" + ",".join(f"'{w}'" for w in words) + "]"
+    return f"len(list_filter(t, x -> list_contains({arr}, x)))"
+
+
 @register(
     "text_quality",
-    oracle=f"""
-    WITH tok AS (SELECT doc_id, text, string_split(text, ' ') AS t FROM documents)
-    SELECT doc_id,
-      length(text)::BIGINT AS n_chars,
-      len(t)::BIGINT AS n_tokens,
-      (length(text) - (len(t) - 1))::DOUBLE / len(t)::DOUBLE AS avg_token_len,
-      len(list_filter(t, x -> list_contains({_SQL_EN_STOP}, x)))::DOUBLE
-        / len(t)::DOUBLE AS stopword_ratio,
-      len(list_distinct(t))::DOUBLE / len(t)::DOUBLE AS uniq_ratio,
-      0.4 * least(len(t)::DOUBLE / 100.0, 1.0)
-        + 0.3 * least((len(list_filter(t, x -> list_contains({_SQL_EN_STOP}, x)))::DOUBLE
-                       / len(t)::DOUBLE) * 4, 1.0)
-        + 0.3 * (len(list_distinct(t))::DOUBLE / len(t)::DOUBLE) AS quality
-    FROM tok
-    """,
+    oracle=None,  # filled below (generated SQL)
 )
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document quality features + composite score (functions.text) —
-    pure narrow projection, no shuffle, codegen'd."""
-    from etl_edi_data_scrapper_spark.functions.text import quality_features, quality_score
+    """Per-document profile: quality features + composite score
+    (functions.text) plus dictionary-based language ID (argmax stopword
+    hits, asc-code tiebreak, 'und' when all zero) and the canonical
+    fingerprint — one pure narrow projection, no shuffle, codegen'd.
+    [r3 consolidation: absorbs the former `lang_id` query.]"""
+    from etl_edi_data_scrapper_spark.functions.text import (
+        fingerprint,
+        lang_id,
+        quality_features,
+        quality_score,
+    )
 
     docs = _t(spark, sf_dir, "documents")
     feats = quality_features(F.col("text"))
     return docs.select(
         "doc_id",
+        "lang",
+        lang_id(F.col("text")).alias("lang_pred"),
+        fingerprint(F.col("text")).alias("fingerprint"),
         feats["n_chars"].alias("n_chars"),
         feats["n_tokens"].alias("n_tokens"),
         feats["avg_token_len"].alias("avg_token_len"),
@@ -651,30 +661,7 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _sql_lang_score(words: tuple[str, ...]) -> str:
-    arr = "[" + ",".join(f"'{w}'" for w in words) + "]"
-    return f"len(list_filter(t, x -> list_contains({arr}, x)))"
-
-
-@register(
-    "lang_id",
-    oracle=None,  # filled below (generated SQL)
-)
-def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Dictionary-based language ID (argmax stopword hits, asc-code
-    tiebreak, 'und' when all zero) + doc fingerprint."""
-    from etl_edi_data_scrapper_spark.functions.text import fingerprint, lang_id
-
-    docs = _t(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id",
-        "lang",
-        lang_id(F.col("text")).alias("lang_pred"),
-        fingerprint(F.col("text")).alias("fingerprint"),
-    )
-
-
-def _lang_id_oracle() -> str:
+def _text_quality_oracle() -> str:
     from etl_edi_data_scrapper_spark.functions.text import LANG_STOPWORDS
 
     scores = ", ".join(
@@ -685,15 +672,25 @@ def _lang_id_oracle() -> str:
     pick = " ".join(f"WHEN s_{lg} = {mx} THEN '{lg}'" for lg in langs[:-1])
     return f"""
     WITH tok AS (SELECT doc_id, lang, text, string_split(text, ' ') AS t FROM documents),
-    sc AS (SELECT doc_id, lang, text, {scores} FROM tok)
+    sc AS (SELECT doc_id, lang, text, t, {scores} FROM tok)
     SELECT doc_id, lang,
       CASE WHEN {mx} = 0 THEN 'und' {pick} ELSE '{langs[-1]}' END AS lang_pred,
-      md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fingerprint
+      md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fingerprint,
+      length(text)::BIGINT AS n_chars,
+      len(t)::BIGINT AS n_tokens,
+      (length(text) - (len(t) - 1))::DOUBLE / len(t)::DOUBLE AS avg_token_len,
+      len(list_filter(t, x -> list_contains({_SQL_EN_STOP}, x)))::DOUBLE
+        / len(t)::DOUBLE AS stopword_ratio,
+      len(list_distinct(t))::DOUBLE / len(t)::DOUBLE AS uniq_ratio,
+      0.4 * least(len(t)::DOUBLE / 100.0, 1.0)
+        + 0.3 * least((len(list_filter(t, x -> list_contains({_SQL_EN_STOP}, x)))::DOUBLE
+                       / len(t)::DOUBLE) * 4, 1.0)
+        + 0.3 * (len(list_distinct(t))::DOUBLE / len(t)::DOUBLE) AS quality
     FROM sc
     """
 
 
-ORACLES["lang_id"] = _lang_id_oracle()
+ORACLES["text_quality"] = _text_quality_oracle()
 
 
 @register(
@@ -851,24 +848,52 @@ def q_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "vocab_topk",
-    oracle="""
-    WITH tok AS (SELECT unnest(string_split(text, ' ')) AS t FROM documents),
-    counts AS (SELECT t AS token, count(*) AS freq FROM tok GROUP BY t)
-    SELECT token, freq FROM counts
-    ORDER BY freq DESC, token ASC LIMIT 100
-    """,
+    oracle=None,  # filled below (needs _sql_shingles, defined earlier)
 )
 def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Vocabulary building: corpus-wide token frequencies, top-100 by
-    (freq desc, token asc — deterministic tiebreak). Explode → one groupBy
-    with map-side partials (shuffle = distinct tokens, not corpus size) →
-    TakeOrderedAndProject (per-partition heaps, no global sort)."""
+    """LM vocabulary / n-gram statistics: corpus-wide top-100 unigram and
+    top-50 bigram frequencies (deterministic (freq desc, gram asc)
+    tiebreak). Each leg is explode → one groupBy with map-side partials
+    (shuffle = distinct grams, not corpus size) → TakeOrderedAndProject
+    (per-partition heaps, no global sort); bigrams reuse the dedup path's
+    distinct-per-doc shingle arrays.
+    [r3 consolidation: absorbs the former `ngram_counts` query.]"""
+    from etl_edi_data_scrapper_spark.functions.dedup import shingles
+
     docs = _t(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism
     )
-    toks = docs.select(F.explode(F.split("text", " ")).alias("token"))
-    counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("freq"))
-    return counts.orderBy(F.desc("freq"), F.asc("token")).limit(100)
+    toks = docs.select(F.explode(F.split("text", " ")).alias("gram"))
+    uni = (
+        toks.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("gram"))
+        .limit(100)
+        .select(F.lit(1).alias("n"), "gram", "freq")
+    )
+    grams = docs.select(F.explode(shingles("text", 2)).alias("gram"))
+    bi = (
+        grams.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("gram"))
+        .limit(50)
+        .select(F.lit(2).alias("n"), "gram", "freq")
+    )
+    return uni.unionByName(bi)
+
+
+ORACLES["vocab_topk"] = f"""
+    WITH tok AS (SELECT unnest(string_split(text, ' ')) AS t FROM documents),
+    ucounts AS (SELECT t AS gram, count(*) AS freq FROM tok GROUP BY t),
+    docs2 AS (SELECT string_split(text, ' ') AS t FROM documents),
+    bigrams AS (SELECT unnest({_sql_shingles("t", 2)}) AS g FROM docs2),
+    bcounts AS (SELECT g AS gram, count(*) AS freq FROM bigrams GROUP BY g)
+    SELECT CAST(1 AS INT) AS n, gram, freq FROM
+      (SELECT gram, freq FROM ucounts ORDER BY freq DESC, gram ASC LIMIT 100)
+    UNION ALL
+    SELECT CAST(2 AS INT) AS n, gram, freq FROM
+      (SELECT gram, freq FROM bcounts ORDER BY freq DESC, gram ASC LIMIT 50)
+    """
 
 
 def _text_fingerprints_oracle() -> str:
@@ -1692,19 +1717,34 @@ def q_morris_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
     "rest_scan",
     oracle="""
     SELECT * FROM (VALUES
-      ('b1-0', CAST(10 AS BIGINT)), ('b1-1', CAST(11 AS BIGINT)),
-      ('b2-0', CAST(20 AS BIGINT)), ('b2-1', CAST(21 AS BIGINT)),
-      ('b3-0', CAST(30 AS BIGINT)), ('b3-1', CAST(31 AS BIGINT))
-    ) AS t(barcode, stock_quantity)
+      ('driver', 'b1-0', CAST(10 AS BIGINT)), ('driver', 'b1-1', CAST(11 AS BIGINT)),
+      ('driver', 'b2-0', CAST(20 AS BIGINT)), ('driver', 'b2-1', CAST(21 AS BIGINT)),
+      ('driver', 'b3-0', CAST(30 AS BIGINT)), ('driver', 'b3-1', CAST(31 AS BIGINT)),
+      ('dist', 'd1-0', CAST(10 AS BIGINT)), ('dist', 'd1-1', CAST(11 AS BIGINT)),
+      ('dist', 'd2-0', CAST(20 AS BIGINT)), ('dist', 'd2-1', CAST(21 AS BIGINT)),
+      ('dist', 'd3-0', CAST(30 AS BIGINT)), ('dist', 'd3-1', CAST(31 AS BIGINT)),
+      ('dist', 'd4-0', CAST(40 AS BIGINT)), ('dist', 'd4-1', CAST(41 AS BIGINT))
+    ) AS t(src, barcode, stock_quantity)
     """,
 )
 def q_rest_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REST scan: paginated {data, meta.last_page, links.next} pages →
-    staged JSONL → one distributed spark.read.json
-    (`RestApiInputHandler.php:24-119`)."""
+    """REST scan through BOTH execution paths, tagged by `src`
+    (`RestApiInputHandler.php:24-119`):
+      * driver — paginated {data, meta.last_page, links.next} pages →
+        staged JSONL → one distributed spark.read.json;
+      * dist — the 100 TB path: native Python DataSource
+        (`sources/rest_datasource.py`), page ranges as input partitions so
+        EXECUTORS fetch pages concurrently; fixture pages over file://
+        exercise the identical protocol, JSON parse stays in the plan
+        (from_json).
+    [r3 consolidation: absorbs the former `rest_scan_distributed` query.]"""
+    import hashlib as _hl
     import json as jsonmod
+    import os
+    import tempfile
 
     from etl_edi_data_scrapper_spark.sources.rest import read_rest_api
+    from etl_edi_data_scrapper_spark.sources.rest_datasource import RestDataSource
 
     def fetch(url: str) -> str:
         page = int(url.split("page=")[1].split("&")[0])
@@ -1714,32 +1754,9 @@ def q_rest_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
         return jsonmod.dumps({"data": rows, "meta": {"last_page": 3}})
 
-    return read_rest_api(spark, "https://api.example.com/v1/products", fetch=fetch)
-
-
-@register(
-    "rest_scan_distributed",
-    oracle="""
-    SELECT * FROM (VALUES
-      ('d1-0', CAST(10 AS BIGINT)), ('d1-1', CAST(11 AS BIGINT)),
-      ('d2-0', CAST(20 AS BIGINT)), ('d2-1', CAST(21 AS BIGINT)),
-      ('d3-0', CAST(30 AS BIGINT)), ('d3-1', CAST(31 AS BIGINT)),
-      ('d4-0', CAST(40 AS BIGINT)), ('d4-1', CAST(41 AS BIGINT))
-    ) AS t(barcode, stock_quantity)
-    """,
-)
-def q_rest_scan_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REST scan, 100 TB path: native Python DataSource
-    (`sources/rest_datasource.py`) — page ranges are input partitions,
-    EXECUTORS fetch pages concurrently (vs the driver-side paginator of
-    `rest_scan`). Fixture pages over file:// exercise the identical
-    protocol; JSON parse stays in the plan (from_json)."""
-    import hashlib as _hl
-    import json as jsonmod
-    import os
-    import tempfile
-
-    from etl_edi_data_scrapper_spark.sources.rest_datasource import RestDataSource
+    driver_df = read_rest_api(
+        spark, "https://api.example.com/v1/products", fetch=fetch
+    ).select(F.lit("driver").alias("src"), "barcode", "stock_quantity")
 
     spark.dataSource.register(RestDataSource)
     stage = os.path.join(
@@ -1765,13 +1782,17 @@ def q_rest_scan_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pages_per_task", 1)
         .load()
     )
-    parsed = raw.select(
-        F.from_json(
-            "value", "barcode string, stock_quantity long"
-        ).alias("r")
+    dist_df = (
+        raw.select(
+            F.from_json("value", "barcode string, stock_quantity long").alias("r")
+        )
+        .select(
+            F.lit("dist").alias("src"),
+            F.col("r.barcode").alias("barcode"),
+            F.col("r.stock_quantity").alias("stock_quantity"),
+        )
     )
-    return parsed.select(F.col("r.barcode").alias("barcode"),
-                         F.col("r.stock_quantity").alias("stock_quantity"))
+    return driver_df.unionByName(dist_df)
 
 
 # ---------------------------------------------------------------------------
@@ -1912,11 +1933,22 @@ def q_pivot_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     UNION ALL
     SELECT 'without_orders' AS kind, count(*) AS n FROM customer
     WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+    UNION ALL
+    SELECT 'fo_' || side AS kind, count(*) AS n FROM (
+      SELECT CASE WHEN n.n_nationkey IS NULL THEN 'right_only'
+                  WHEN r.r_regionkey IS NULL THEN 'left_only'
+                  ELSE 'matched' END AS side
+      FROM (SELECT * FROM nation WHERE n_regionkey <= 3) n
+      FULL OUTER JOIN (SELECT * FROM region WHERE r_regionkey >= 2) r
+        ON n.n_regionkey = r.r_regionkey
+    ) GROUP BY side
     """,
 )
 def q_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXISTS / NOT EXISTS as left_semi / left_anti joins (no row
-    duplication, no distinct needed — the join stops at first match)."""
+    """Join-type suite: EXISTS / NOT EXISTS as left_semi / left_anti joins
+    (no row duplication, no distinct needed — the join stops at first
+    match), plus a full outer join with unmatched-side markers counted per
+    side. [r3 consolidation: absorbs the former `full_outer` query.]"""
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders")
     semi = (
@@ -1929,7 +1961,21 @@ def q_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .select(F.lit("without_orders").alias("kind"), "n")
     )
-    return semi.unionByName(anti)
+    n = _t(spark, sf_dir, "nation").filter(F.col("n_regionkey") <= 3)
+    r = _t(spark, sf_dir, "region").filter(F.col("r_regionkey") >= 2)
+    side = (
+        F.when(F.col("n_nationkey").isNull(), "right_only")
+        .when(F.col("r_regionkey").isNull(), "left_only")
+        .otherwise("matched")
+    )
+    fo = (
+        n.join(r, n.n_regionkey == r.r_regionkey, "full_outer")
+        .select(side.alias("side"))
+        .groupBy("side")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.concat(F.lit("fo_"), F.col("side")).alias("kind"), "n")
+    )
+    return semi.unionByName(anti).unionByName(fo)
 
 
 @register(
@@ -2358,37 +2404,6 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "running_total",
-    oracle="""
-    SELECT o_custkey, o_orderkey,
-           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
-                OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                AS DOUBLE) AS running_spend
-    FROM orders
-    """,
-)
-def q_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Running aggregate window (cumulative spend per customer) — decimal
-    partials keep the prefix sums exact and order-independent."""
-    from pyspark.sql import Window as W
-
-    w = (
-        W.partitionBy("o_custkey")
-        .orderBy("o_orderdate", "o_orderkey")
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
-    )
-    return _t(spark, sf_dir, "orders").select(
-        "o_custkey",
-        "o_orderkey",
-        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
-        .over(w)
-        .cast("double")
-        .alias("running_spend"),
-    )
-
-
-@register(
     "set_ops",
     oracle="""
     SELECT 'both' AS kind, count(*) AS n FROM (
@@ -2400,11 +2415,20 @@ def q_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT l_partkey FROM lineitem WHERE l_returnflag = 'A'
       EXCEPT
       SELECT l_partkey FROM lineitem WHERE l_returnflag = 'R')
+    UNION ALL
+    SELECT 'union_' || l_returnflag AS kind, count(*) AS n FROM (
+      SELECT DISTINCT l_orderkey, l_returnflag FROM lineitem WHERE l_linenumber <= 3
+      UNION
+      SELECT DISTINCT l_orderkey, l_returnflag FROM lineitem WHERE l_linenumber >= 3
+    ) GROUP BY l_returnflag
     """,
 )
 def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """INTERSECT / EXCEPT (distinct set semantics — compile to aggregated
-    semi/anti joins, one shuffle each)."""
+    """Set-operator suite: INTERSECT / EXCEPT (distinct set semantics —
+    compile to aggregated semi/anti joins, one shuffle each) plus
+    multi-branch UNION + distinct (the reference's multi-file SFTP union,
+    `ExcelInputHandler.php:44-49`, generalized with dedup).
+    [r3 consolidation: absorbs the former `union_dedup` query.]"""
     li = _t(spark, sf_dir, "lineitem")
     a = li.filter(F.col("l_returnflag") == "A").select("l_partkey")
     r = li.filter(F.col("l_returnflag") == "R").select("l_partkey")
@@ -2416,32 +2440,16 @@ def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .select(F.lit("only_a").alias("kind"), "n")
     )
-    return both.unionByName(only_a)
-
-
-@register(
-    "full_outer",
-    oracle="""
-    SELECT n.n_name, r.r_name,
-           CASE WHEN n.n_nationkey IS NULL THEN 'right_only'
-                WHEN r.r_regionkey IS NULL THEN 'left_only'
-                ELSE 'matched' END AS side
-    FROM (SELECT * FROM nation WHERE n_regionkey <= 3) n
-    FULL OUTER JOIN (SELECT * FROM region WHERE r_regionkey >= 2) r
-      ON n.n_regionkey = r.r_regionkey
-    """,
-)
-def q_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full outer join with unmatched-side markers."""
-    n = _t(spark, sf_dir, "nation").filter(F.col("n_regionkey") <= 3)
-    r = _t(spark, sf_dir, "region").filter(F.col("r_regionkey") >= 2)
-    j = n.join(r, n.n_regionkey == r.r_regionkey, "full_outer")
-    side = (
-        F.when(F.col("n_nationkey").isNull(), "right_only")
-        .when(F.col("r_regionkey").isNull(), "left_only")
-        .otherwise("matched")
+    ua = li.filter(F.col("l_linenumber") <= 3).select("l_orderkey", "l_returnflag").distinct()
+    ub = li.filter(F.col("l_linenumber") >= 3).select("l_orderkey", "l_returnflag").distinct()
+    union_counts = (
+        ua.unionByName(ub)
+        .distinct()
+        .groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.concat(F.lit("union_"), F.col("l_returnflag")).alias("kind"), "n")
     )
-    return j.select("n_name", "r_name", side.alias("side"))
+    return both.unionByName(only_a).unionByName(union_counts)
 
 
 @register(
@@ -2465,54 +2473,55 @@ def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "sql_api",
-    oracle="""
-    SELECT s.s_name,
-           CAST(sum(CAST(l.l_extendedprice AS DECIMAL(16,2))) AS DOUBLE) AS total
-    FROM supplier s JOIN lineitem l ON l.l_suppkey = s.s_suppkey
-    WHERE EXISTS (SELECT 1 FROM nation n
+# One SQL text, two engines (STRING is a VARCHAR alias on both): correlated
+# EXISTS + correlated scalar subqueries (cross-multiplied price·count > sum so
+# the comparison stays in exact DECIMAL arithmetic — no float-division
+# boundary flips between engines).
+_SQL_API_SQL = """
+    SELECT 'exists_agg' AS part, s.s_name AS k,
+           CAST(sum(CAST(l.l_extendedprice AS DECIMAL(16,2))) AS DOUBLE) AS v
+    FROM {supplier} s JOIN {lineitem} l ON l.l_suppkey = s.s_suppkey
+    WHERE EXISTS (SELECT 1 FROM {nation} n
                   WHERE n.n_nationkey = s.s_nationkey AND n.n_regionkey = 0)
     GROUP BY s.s_name
-    """,
-)
-def q_sql_api(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The engine's SQL surface: temp views + spark.sql (correlated EXISTS,
-    join, agg) — Catalyst produces the same plan as the DataFrame API, so
-    users can pick either per query."""
-    for t in ("supplier", "lineitem", "nation"):
-        _t(spark, sf_dir, t).createOrReplaceTempView(f"v_{t}")
-    return spark.sql("""
-        SELECT s.s_name,
-               CAST(sum(CAST(l.l_extendedprice AS DECIMAL(16,2))) AS DOUBLE) AS total
-        FROM v_supplier s JOIN v_lineitem l ON l.l_suppkey = s.s_suppkey
-        WHERE EXISTS (SELECT 1 FROM v_nation n
-                      WHERE n.n_nationkey = s.s_nationkey AND n.n_regionkey = 0)
-        GROUP BY s.s_name
-    """)
+    UNION ALL
+    SELECT 'above_avg' AS part, CAST(o.o_custkey AS STRING) AS k,
+           CAST(count(*) AS DOUBLE) AS v
+    FROM {orders} o
+    WHERE CAST(o.o_totalprice AS DECIMAL(16,2))
+          * (SELECT count(*) FROM {orders} o2
+             WHERE o2.o_custkey = o.o_custkey)
+          > (SELECT sum(CAST(o3.o_totalprice AS DECIMAL(16,2))) FROM {orders} o3
+             WHERE o3.o_custkey = o.o_custkey)
+    GROUP BY o.o_custkey
+"""
 
 
 @register(
-    "ngram_counts",
-    oracle=f"""
-    WITH tok AS (SELECT string_split(text, ' ') AS t FROM documents),
-    grams AS (SELECT unnest({_sql_shingles("t", 2)}) AS g FROM tok),
-    counts AS (SELECT g AS bigram, count(*) AS freq FROM grams GROUP BY g)
-    SELECT bigram, freq FROM counts ORDER BY freq DESC, bigram ASC LIMIT 50
-    """,
+    "sql_api",
+    oracle=_SQL_API_SQL.format(
+        supplier="supplier", lineitem="lineitem", nation="nation", orders="orders"
+    ),
 )
-def q_ngram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corpus bigram counts, top-50 (LM-style n-gram statistics): shingle
-    arrays (distinct-per-doc, same as the dedup path) → explode → one
-    groupBy with map-side partials → TakeOrderedAndProject."""
-    from etl_edi_data_scrapper_spark.functions.dedup import shingles
-
-    docs = _t(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
+def q_sql_api(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine's SQL surface: temp views + spark.sql — correlated EXISTS
+    (rewritten to a semi join) and correlated scalar subqueries (Catalyst
+    decorrelates both into aggregate+join, no per-row re-execution).
+    Catalyst produces the same plan as the DataFrame API, so users can pick
+    either per query. [r3 consolidation: absorbs the former
+    `scalar_subquery` query; the oracle is the IDENTICAL SQL text.]"""
+    for t in ("supplier", "lineitem", "nation", "orders"):
+        _t(spark, sf_dir, t).createOrReplaceTempView(f"v_{t}")
+    return spark.sql(
+        _SQL_API_SQL.format(
+            supplier="v_supplier",
+            lineitem="v_lineitem",
+            nation="v_nation",
+            orders="v_orders",
+        )
     )
-    grams = docs.select(F.explode(shingles("text", 2)).alias("bigram"))
-    counts = grams.groupBy("bigram").agg(F.count(F.lit(1)).alias("freq"))
-    return counts.orderBy(F.desc("freq"), F.asc("bigram")).limit(50)
+
+
 
 
 def _kmeans_oracle(k: int = 8, n_iters: int = 3, dim: int = 64) -> str:
@@ -2582,55 +2591,3 @@ def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "date_functions",
-    oracle="""
-    SELECT epoch_us(date_trunc('month', o_orderdate)) // 86400000000 AS month_day,
-           quarter(o_orderdate) AS q,
-           count(*) AS n,
-           min(datediff('day', DATE '2024-01-01', CAST(o_orderdate AS DATE))) AS min_doffs,
-           max(last_day(CAST(o_orderdate AS DATE))) AS month_end
-    FROM orders
-    GROUP BY 1, 2
-    """,
-)
-def q_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Date/time function surface (absent in the reference; natural Spark
-    built-ins): month bucketing, quarter, day offsets, month-end — all
-    engine-parity expressions, grouped monthly."""
-    o = _t(spark, sf_dir, "orders").withColumn(
-        "od", F.col("o_orderdate").cast("timestamp")
-    )
-    return o.groupBy(
-        F.expr("unix_micros(date_trunc('month', od)) div 86400000000").alias("month_day"),
-        F.quarter("od").alias("q"),
-    ).agg(
-        F.count(F.lit(1)).alias("n"),
-        F.min(F.datediff(F.to_date("od"), F.lit("2024-01-01").cast("date"))).alias(
-            "min_doffs"
-        ),
-        F.max(F.last_day(F.to_date("od"))).alias("month_end"),
-    )
-
-
-_ABOVE_AVG_SQL = """
-    SELECT o.o_custkey AS custkey, count(*) AS n_above
-    FROM {orders} o
-    WHERE CAST(o.o_totalprice AS DECIMAL(16,2))
-          * (SELECT count(*) FROM {orders} o2
-             WHERE o2.o_custkey = o.o_custkey)
-          > (SELECT sum(CAST(o3.o_totalprice AS DECIMAL(16,2))) FROM {orders} o3
-             WHERE o3.o_custkey = o.o_custkey)
-    GROUP BY o.o_custkey
-"""
-
-
-@register("scalar_subquery", oracle=_ABOVE_AVG_SQL.format(orders="orders"))
-def q_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Correlated scalar subqueries: per customer, orders strictly above the
-    customer's average order value. The comparison is cross-multiplied
-    (price·count > sum) so it stays in exact DECIMAL arithmetic — no
-    float-division boundary flips between engines. Catalyst decorrelates
-    both subqueries into aggregate+join (no per-row re-execution)."""
-    _t(spark, sf_dir, "orders").createOrReplaceTempView("v_orders")
-    return spark.sql(_ABOVE_AVG_SQL.format(orders="v_orders"))
