@@ -507,13 +507,18 @@ def q_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Events table loader: the driver data stores ts as TIMESTAMP(NANOS),
-    which Spark's parquet reader rejects — read nanos as long (runtime conf)
-    and floor-convert to microseconds (matching DuckDB's ns→µs read)."""
+    """Events table loader, normalizing `ts` to TIMESTAMP_LTZ across driver
+    data vintages: TIMESTAMP(NANOS) parquet is read nanos-as-long and
+    floor-converted to microseconds (DuckDB's ns→µs read), and TIMESTAMP(µs)
+    parquet (which Spark 4 infers as TIMESTAMP_NTZ) is cast in the UTC
+    session zone — identical instants, and `unix_micros` only accepts LTZ."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-    if dict(ev.dtypes).get("ts") == "bigint":
+    ts_type = dict(ev.dtypes).get("ts")
+    if ts_type == "bigint":
         ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_type == "timestamp_ntz":
+        ev = ev.withColumn("ts", F.col("ts").cast("timestamp"))
     return ev
 
 

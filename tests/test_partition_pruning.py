@@ -10,12 +10,10 @@ from pyspark.sql import functions as F
 
 @pytest.fixture(scope="module")
 def partitioned_dir(spark, sf_dir, tmp_path_factory):
+    from etl_edi_data_scrapper_spark.suite import _events
+
     out = str(tmp_path_factory.mktemp("events_by_day"))
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-    ev = ev.withColumn(
-        "day", F.to_date(F.timestamp_micros(F.expr("ts div 1000")))
-    )
+    ev = _events(spark, sf_dir).withColumn("day", F.to_date(F.col("ts")))
     ev.write.partitionBy("day").mode("overwrite").parquet(out)
     return out
 
