@@ -212,6 +212,22 @@ def q_keyed_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merged.withColumn("status", F.array_join("status", "|"))
 
 
+@register("keyed_lookup", oracle=None)  # oracle assigned below (reuses keyed_merge's)
+def q_keyed_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed point lookup (`DataSetCollection::get`,
+    `DataSetCollection.php:76-84`): fetch ONE key's merged row after the
+    keyed merge. Expressed as an equality filter on the merge key — Catalyst
+    pushes the predicate BELOW the aggregation onto the mapped feed (only
+    the one group is ever shuffled/merged), the relational form of the
+    reference's O(1) map probe."""
+    return q_keyed_merge(spark, sf_dir).filter(F.col("upc") == "1")
+
+
+ORACLES["keyed_lookup"] = (
+    f"SELECT * FROM ({ORACLES['keyed_merge']}) m WHERE upc = '1'"
+)
+
+
 @register(
     "enrich_join",
     oracle=f"""
@@ -817,40 +833,6 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jaccard_pairs(docs, cand)
 
 
-def _split_oracle() -> str:
-    word = _sql_hex_word("md5(CAST(doc_id AS VARCHAR))", 1)
-    return f"""
-    WITH assigned AS (
-      SELECT doc_id, CASE WHEN ({word}) % 100 < 90 THEN 'train' ELSE 'test' END AS split
-      FROM documents
-    )
-    SELECT split, count(*) AS n, min(doc_id) AS min_id, max(doc_id) AS max_id
-    FROM assigned GROUP BY split
-    """
-
-
-@register("train_test_split", oracle=_split_oracle())
-def q_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic hash-based train/test split (90/10): assignment =
-    md5(id) word mod 100 — stable across runs, engines, partitionings, and
-    growing corpora (a doc never migrates between splits), unlike
-    randomSplit whose assignment depends on partitioning. One narrow
-    projection; the check aggregates per-split stats."""
-    from etl_edi_data_scrapper_spark.functions.hashing import hex_word
-
-    docs = _t(spark, sf_dir, "documents")
-    bucket = hex_word(F.md5(F.col("doc_id").cast("string")), 1) % 100
-    assigned = docs.select(
-        "doc_id",
-        F.when(bucket < 90, F.lit("train")).otherwise(F.lit("test")).alias("split"),
-    )
-    return assigned.groupBy("split").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.min("doc_id").alias("min_id"),
-        F.max("doc_id").alias("max_id"),
-    )
-
-
 @register(
     "vocab_topk",
     oracle=None,  # filled below (needs _sql_shingles, defined earlier)
@@ -901,7 +883,7 @@ ORACLES["vocab_topk"] = f"""
     """
 
 
-def _text_fingerprints_oracle() -> str:
+def _text_fingerprints_select() -> str:
     from etl_edi_data_scrapper_spark.functions.text import (
         BPE_SPLIT_PATTERN,
         ROLLING_B,
@@ -921,12 +903,18 @@ def _text_fingerprints_oracle() -> str:
     """
 
 
-@register("text_fingerprints", oracle=_text_fingerprints_oracle())
+@register("text_fingerprints", oracle=None)  # assigned below (needs simhash CTEs)
 def q_text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BPE-ish token counting (GPT-2-style pre-tokenizer segment count, one
-    RE2-safe regexp_extract_all) + order-sensitive rolling-hash document
-    fingerprint (polynomial fold over md5-derived token words) — both pure
-    Column exprs, JVM-side."""
+    """Document-fingerprint suite: BPE-ish token counting (GPT-2-style
+    pre-tokenizer segment count, one RE2-safe regexp_extract_all) +
+    order-sensitive rolling-hash fingerprint (polynomial fold over
+    md5-derived token words) — both pure Column exprs, JVM-side — joined
+    with the 32-bit SimHash signature (explode tokens → one groupBy with 32
+    conditional sums, single shuffle with map-side partials). The join is
+    doc_id-equi (the fingerprint side is a narrow projection of the same
+    scan). [r3 consolidation: absorbs the former `simhash` query;
+    `simhash_pairs` keeps the near-pair path oracled.]"""
+    from etl_edi_data_scrapper_spark.functions.dedup import simhash
     from etl_edi_data_scrapper_spark.functions.text import (
         bpe_token_count,
         rolling_fingerprint,
@@ -937,11 +925,13 @@ def q_text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism
     )
-    return docs.select(
+    fp = docs.select(
         "doc_id",
         bpe_token_count(F.col("text")).alias("bpe_tokens"),
         rolling_fingerprint(F.col("text")).alias("rolling_fp"),
     )
+    sig = simhash(docs, bits=32)
+    return fp.join(sig, "doc_id")
 
 
 # ---------------------------------------------------------------------------
@@ -974,19 +964,32 @@ def _pii_oracle() -> str:
     )
     inject = _PII_INJECT.replace("AS STRING", "AS VARCHAR")
     return f"""
-    WITH feed AS (SELECT doc_id, {inject} AS injected FROM documents)
-    SELECT doc_id, {scrubbed} AS clean_text,
-      {counts}
-    FROM feed
+    WITH feed AS (SELECT doc_id, {inject} AS injected FROM documents),
+    scrub AS (
+      SELECT doc_id, {scrubbed} AS clean_text,
+        {counts}
+      FROM feed),
+    tok AS (SELECT *, string_split(clean_text, ' ') AS t FROM scrub)
+    SELECT doc_id, clean_text, n_email, n_ipv4, n_phone,
+           len(t)::BIGINT AS n_before,
+           len(list_filter(t, (x, i) -> i = 1 OR x != t[i - 1]))::BIGINT AS n_after,
+           array_to_string(list_filter(t, (x, i) -> i = 1 OR x != t[i - 1]), ' ')
+             AS collapsed_text
+    FROM tok
     """
 
 
 @register("pii_scrub", oracle=_pii_oracle())
 def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PII redaction over the corpus: typed-tag scrubbing (email/IPv4/phone)
-    + per-type counts — pure chained regexp projection, no shuffle, the
-    exact plan shape a 100 TB scrub pass wants (runs inside the scan's
-    codegen stage)."""
+    """Text-normalization pass: typed-tag PII redaction (email/IPv4/phone)
+    with per-type counts, then within-document repetition removal
+    (consecutive duplicate tokens collapse to one — the cheap intra-doc
+    cleanup before inter-doc dedup) over the scrubbed text. Chained regexp
+    + array-lambda projection, zero shuffles — the exact plan shape a
+    100 TB scrub pass wants (runs inside the scan's codegen stage). The
+    index-aware filter keeps the FIRST of each run (Spark lambda index is
+    0-based, DuckDB's 1-based — the oracle mirrors the same logic).
+    [r3 consolidation: absorbs the former `repetition_collapse` query.]"""
     from etl_edi_data_scrapper_spark.functions.text import pii_counts, scrub_pii
 
     docs = _t(spark, sf_dir, "documents").repartition(
@@ -994,10 +997,22 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     injected = docs.select("doc_id", F.expr(_PII_INJECT).alias("injected"))
     counts = pii_counts(F.col("injected"))
-    return injected.select(
+    scrub = injected.select(
         "doc_id",
         scrub_pii(F.col("injected")).alias("clean_text"),
         *[c.alias(f"n_{kind}") for kind, c in counts.items()],
+    )
+    tok = scrub.withColumn("t", F.split("clean_text", " "))
+    kept = F.expr("filter(t, (x, i) -> i = 0 OR x != t[i - 1])")
+    return tok.select(
+        "doc_id",
+        "clean_text",
+        "n_email",
+        "n_ipv4",
+        "n_phone",
+        F.size("t").cast("long").alias("n_before"),
+        F.size(kept).cast("long").alias("n_after"),
+        F.array_join(kept, " ").alias("collapsed_text"),
     )
 
 
@@ -1241,39 +1256,92 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _stratified_oracle() -> str:
     word = _sql_hex_word("md5(CAST(vec_id AS VARCHAR))", 1)
+    dword = _sql_hex_word("md5(CAST(doc_id AS VARCHAR))", 1)
     return f"""
     WITH tagged AS (
       SELECT label, vec_id,
              ({word}) % 100 < 20 + (label % 3) * 30 AS sampled
-      FROM embeddings)
-    SELECT label,
-           count(*) AS n_total,
-           CAST(sum(CASE WHEN sampled THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+      FROM embeddings),
+    assigned AS (
+      SELECT doc_id,
+             CASE WHEN ({dword}) % 100 < 90 THEN 'train' ELSE 'test' END AS split
+      FROM documents)
+    SELECT 'strat' AS part, CAST(label AS VARCHAR) AS strat,
+           count(*) AS n_pool,
+           CAST(sum(CASE WHEN sampled THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
            CAST(20 + (label % 3) * 30 AS BIGINT) AS rate_pct,
-           min(CASE WHEN sampled THEN vec_id END) AS first_sampled
+           min(CASE WHEN sampled THEN vec_id END) AS lo_kept,
+           max(CASE WHEN sampled THEN vec_id END) AS hi_kept
     FROM tagged GROUP BY label
+    UNION ALL
+    SELECT 'split' AS part, split AS strat,
+           (SELECT count(*) FROM documents) AS n_pool,
+           count(*) AS n_kept,
+           CAST(CASE WHEN split = 'train' THEN 90 ELSE 10 END AS BIGINT) AS rate_pct,
+           min(doc_id) AS lo_kept,
+           max(doc_id) AS hi_kept
+    FROM assigned GROUP BY split
     """
 
 
 @register("stratified_sample", oracle=_stratified_oracle())
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-class deterministic downsampling (class rebalancing): keep a row
-    iff md5(id) word mod 100 < the class's rate — stable under reruns,
-    repartitioning and corpus growth (unlike df.sample, whose selection
-    depends on partition layout). Pure narrow projection + one aggregate;
-    the per-label rates here derive from the label itself (20/50/80%)."""
+    """Deterministic sampling suite (one schema, two legs). `strat` leg:
+    per-class downsampling (class rebalancing) — keep a row iff md5(id)
+    word mod 100 < the class's rate (20/50/80% derived from the label).
+    `split` leg: hash-based 90/10 train/test assignment over documents.
+    Both are stable under reruns, repartitioning and corpus growth (a row
+    never migrates), unlike df.sample/randomSplit whose selection depends
+    on partition layout. Each leg is a narrow projection + one aggregate;
+    the corpus total rides along as a broadcast scalar.
+    [r3 consolidation: absorbs the former `train_test_split` query.]"""
     from etl_edi_data_scrapper_spark.functions.hashing import hex_word
 
     emb = _t(spark, sf_dir, "embeddings")
     rate = F.lit(20) + (F.col("label") % 3) * 30
     sampled = hex_word(F.md5(F.col("vec_id").cast("string")), 1) % 100 < rate
     tagged = emb.select("label", "vec_id", sampled.alias("sampled"))
-    return tagged.groupBy("label").agg(
-        F.count(F.lit(1)).alias("n_total"),
-        F.sum(F.when(F.col("sampled"), 1).otherwise(0)).alias("n_sampled"),
+    strat = tagged.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_pool"),
+        F.sum(F.when(F.col("sampled"), 1).otherwise(0)).alias("n_kept"),
         (F.lit(20) + (F.col("label") % 3) * 30).cast("long").alias("rate_pct"),
-        F.min(F.when(F.col("sampled"), F.col("vec_id"))).alias("first_sampled"),
+        F.min(F.when(F.col("sampled"), F.col("vec_id"))).alias("lo_kept"),
+        F.max(F.when(F.col("sampled"), F.col("vec_id"))).alias("hi_kept"),
+    ).select(
+        F.lit("strat").alias("part"),
+        F.col("label").cast("string").alias("strat"),
+        "n_pool", "n_kept", "rate_pct", "lo_kept", "hi_kept",
     )
+
+    docs = _t(spark, sf_dir, "documents")
+    bucket = hex_word(F.md5(F.col("doc_id").cast("string")), 1) % 100
+    assigned = docs.select(
+        "doc_id",
+        F.when(bucket < 90, F.lit("train")).otherwise(F.lit("test")).alias("split"),
+    )
+    total = docs.agg(F.count(F.lit(1)).alias("n_pool"))
+    split = (
+        assigned.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.min("doc_id").alias("lo_kept"),
+            F.max("doc_id").alias("hi_kept"),
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            F.lit("split").alias("part"),
+            F.col("split").alias("strat"),
+            "n_pool",
+            "n_kept",
+            F.when(F.col("split") == "train", 90)
+            .otherwise(10)
+            .cast("long")
+            .alias("rate_pct"),
+            "lo_kept",
+            "hi_kept",
+        )
+    )
+    return strat.unionByName(split)
 
 
 def q_keyed_merge_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1368,41 +1436,6 @@ def q_cogroup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["orderkey"],
         reconcile,
         "orderkey long, o_totalprice double, n_lines long, max_line_price double",
-    )
-
-
-@register(
-    "repetition_collapse",
-    oracle="""
-    WITH tok AS (
-      SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-    collapsed AS (
-      SELECT doc_id, len(t)::BIGINT AS n_before,
-             list_filter(t, (x, i) -> i = 1 OR x != t[i - 1]) AS kept
-      FROM tok)
-    SELECT doc_id, n_before, len(kept)::BIGINT AS n_after,
-           array_to_string(kept, ' ') AS collapsed_text
-    FROM collapsed
-    """,
-)
-def q_repetition_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Within-document repetition removal (consecutive duplicate tokens
-    collapse to one) — the cheap intra-doc cleanup pass before inter-doc
-    dedup. Pure array-lambda projection, zero shuffles; the index-aware
-    filter keeps the FIRST of each run. (Spark lambda index is 0-based,
-    DuckDB's 1-based — the oracle mirrors the same logic.)"""
-    docs = _t(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id",
-        F.expr("CAST(size(split(text, ' ')) AS BIGINT)").alias("n_before"),
-        F.expr(
-            "filter(split(text, ' '), (x, i) -> i = 0 OR x != split(text, ' ')[i - 1])"
-        ).alias("kept"),
-    ).select(
-        "doc_id",
-        "n_before",
-        F.size("kept").cast("long").alias("n_after"),
-        F.array_join("kept", " ").alias("collapsed_text"),
     )
 
 
@@ -1549,10 +1582,6 @@ def _simhash_sig_ctes(bits: int = 32) -> str:
     """
 
 
-def _simhash_oracle(bits: int = 32) -> str:
-    return f"WITH {_simhash_sig_ctes(bits)} SELECT doc_id, simhash FROM sig"
-
-
 def _simhash_pairs_oracle(bits: int = 32, max_hamming: int = 8, prefix_bits: int = 16) -> str:
     # Spark blocks with (simhash / 2^prefix).cast(long): double division of a
     # non-negative value by a power of two is exact, cast truncates == floor.
@@ -1568,13 +1597,12 @@ def _simhash_pairs_oracle(bits: int = 32, max_hamming: int = 8, prefix_bits: int
     """
 
 
-@register("simhash", oracle=_simhash_oracle())
-def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """32-bit SimHash signatures: explode tokens → one groupBy with 32
-    conditional sums (single shuffle, map-side partials)."""
-    from etl_edi_data_scrapper_spark.functions.dedup import simhash
-
-    return simhash(_t(spark, sf_dir, "documents"), bits=32)
+ORACLES["text_fingerprints"] = f"""
+    WITH {_simhash_sig_ctes(32)},
+    fp AS ({_text_fingerprints_select()})
+    SELECT fp.doc_id, fp.bpe_tokens, fp.rolling_fp, sig.simhash
+    FROM fp JOIN sig USING (doc_id)
+    """
 
 
 @register(
@@ -1947,13 +1975,33 @@ def q_pivot_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
       FULL OUTER JOIN (SELECT * FROM region WHERE r_regionkey >= 2) r
         ON n.n_regionkey = r.r_regionkey
     ) GROUP BY side
+    UNION ALL
+    SELECT 'both' AS kind, count(*) AS n FROM (
+      SELECT l_partkey FROM lineitem WHERE l_returnflag = 'A'
+      INTERSECT
+      SELECT l_partkey FROM lineitem WHERE l_returnflag = 'R')
+    UNION ALL
+    SELECT 'only_a' AS kind, count(*) AS n FROM (
+      SELECT l_partkey FROM lineitem WHERE l_returnflag = 'A'
+      EXCEPT
+      SELECT l_partkey FROM lineitem WHERE l_returnflag = 'R')
+    UNION ALL
+    SELECT 'union_' || l_returnflag AS kind, count(*) AS n FROM (
+      SELECT DISTINCT l_orderkey, l_returnflag FROM lineitem WHERE l_linenumber <= 3
+      UNION
+      SELECT DISTINCT l_orderkey, l_returnflag FROM lineitem WHERE l_linenumber >= 3
+    ) GROUP BY l_returnflag
     """,
 )
 def q_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Join-type suite: EXISTS / NOT EXISTS as left_semi / left_anti joins
-    (no row duplication, no distinct needed — the join stops at first
-    match), plus a full outer join with unmatched-side markers counted per
-    side. [r3 consolidation: absorbs the former `full_outer` query.]"""
+    """Set-membership suite: EXISTS / NOT EXISTS as left_semi / left_anti
+    joins (no row duplication, no distinct needed — the join stops at first
+    match); a full outer join with unmatched-side markers counted per side;
+    INTERSECT / EXCEPT (distinct set semantics — compile to aggregated
+    semi/anti joins, one shuffle each); and multi-branch UNION + distinct
+    (the reference's multi-file SFTP union, `ExcelInputHandler.php:44-49`,
+    generalized with dedup). [r3 consolidation: absorbs the former
+    `full_outer`, `set_ops` and `union_dedup` queries.]"""
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders")
     semi = (
@@ -1980,7 +2028,33 @@ def q_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .select(F.concat(F.lit("fo_"), F.col("side")).alias("kind"), "n")
     )
-    return semi.unionByName(anti).unionByName(fo)
+    li = _t(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_returnflag") == "A").select("l_partkey")
+    rr = li.filter(F.col("l_returnflag") == "R").select("l_partkey")
+    both = a.intersect(rr).agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit("both").alias("kind"), "n"
+    )
+    only_a = (
+        a.subtract(rr)  # EXCEPT (set semantics, like the SQL oracle)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("only_a").alias("kind"), "n")
+    )
+    ua = li.filter(F.col("l_linenumber") <= 3).select("l_orderkey", "l_returnflag").distinct()
+    ub = li.filter(F.col("l_linenumber") >= 3).select("l_orderkey", "l_returnflag").distinct()
+    union_counts = (
+        ua.unionByName(ub)
+        .distinct()
+        .groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.concat(F.lit("union_"), F.col("l_returnflag")).alias("kind"), "n")
+    )
+    return (
+        semi.unionByName(anti)
+        .unionByName(fo)
+        .unionByName(both)
+        .unionByName(only_a)
+        .unionByName(union_counts)
+    )
 
 
 @register(
@@ -2125,17 +2199,57 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jaccard_pairs(docs, pairs)
 
 
-@register("approx_stats")  # rows-only: sketch internals are engine-specific
+@register(
+    "approx_stats",
+    oracle="""
+    SELECT l_returnflag,
+           count(*) AS n,
+           count(DISTINCT l_partkey) AS exact_parts,
+           TRUE AS parts_ok,
+           TRUE AS median_ok
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
 def q_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate distinct (HyperLogLog++) and quantile (t-digest
-    style) — THE 100 TB substitutes for exact countDistinct/percentile.
-    Sketches differ across engines, so the driver records rows-only."""
+    """Approximate distinct (HyperLogLog++) and quantile (t-digest style) —
+    THE 100 TB substitutes for exact countDistinct/percentile — wrapped in
+    a self-check gate: the sketch VALUES are engine-specific (un-oracle-able
+    bit-for-bit), but their error bound isn't, so the query emits in-plan
+    booleans `abs(approx − exact)/exact < ε` per group (exact computed in
+    the same aggregate), making row content deterministic and
+    hash-oracle-able — the oracle asserts the booleans TRUE plus the exact
+    anchors. ε = 0.15 for HLL (3× the default 5% rsd) and 0.05 for the
+    median (approx_percentile's rank error at default accuracy is ≤1e-4).
+    At 100 TB the approx aggregates are the point: fixed-size sketch state
+    per group vs the expand+reshuffle exact countDistinct needs."""
+    exact_parts = F.countDistinct("l_partkey")
+    approx_parts = F.approx_count_distinct("l_partkey")
+    exact_median = F.expr("percentile(l_extendedprice, 0.5)")
+    approx_median = F.expr("approx_percentile(l_extendedprice, 0.5)")
     return (
         _t(spark, sf_dir, "lineitem")
         .groupBy("l_returnflag")
         .agg(
-            F.approx_count_distinct("l_partkey").alias("approx_parts"),
-            F.expr("approx_percentile(l_extendedprice, 0.5)").alias("approx_median"),
+            F.count(F.lit(1)).alias("n"),
+            exact_parts.alias("exact_parts"),
+            approx_parts.alias("_approx_parts"),
+            exact_median.alias("_exact_median"),
+            approx_median.alias("_approx_median"),
+        )
+        .select(
+            "l_returnflag",
+            "n",
+            "exact_parts",
+            (
+                F.abs(F.col("_approx_parts") - F.col("exact_parts"))
+                / F.col("exact_parts")
+                < 0.15
+            ).alias("parts_ok"),
+            (
+                F.abs(F.col("_approx_median") - F.col("_exact_median"))
+                / F.col("_exact_median")
+                < 0.05
+            ).alias("median_ok"),
         )
     )
 
@@ -2192,20 +2306,6 @@ def _ann_lsh_oracle(
       FROM scored)
     SELECT q_id, vec_id, cosine, rank FROM ranked WHERE rank <= {k}
     """
-
-
-@register("ann_lsh", oracle=_ann_lsh_oracle())
-def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hyperplane-LSH ANN: bucket equi-join + exact rerank — the scale path
-    where brute force (ann_topk) stops fitting. Recall < 1 vs ann_topk, but
-    the arithmetic is deterministic, so the oracle replicates it exactly."""
-    from etl_edi_data_scrapper_spark.functions.similarity import lsh_topk
-
-    emb = _t(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
-    )
-    return lsh_topk(queries, emb, k=5, n_planes=5, multiprobe=True)
 
 
 @register("simhash_pairs", oracle=_simhash_pairs_oracle())
@@ -2328,7 +2428,7 @@ def _ann_ivf_oracle(n_centroids: int = 16, nprobe: int = 4, k: int = 5) -> str:
 @register("ann_ivf", oracle=_ann_ivf_oracle())
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN: centroid routing + in-bucket exact rerank — the second
-    scale path beside hyperplane LSH (`ann_lsh`); per-query cost drops to
+    scale path beside hyperplane LSH (`ann_recall`'s lsh legs); per-query cost drops to
     ~nprobe/n_centroids of the corpus. train='sample' is deterministic, so
     the whole route+rerank pipeline is oracled exactly."""
     from etl_edi_data_scrapper_spark.functions.similarity import ivf_index, ivf_topk
@@ -2341,33 +2441,60 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(queries, centroids, assigned, k=5, nprobe=4)
 
 
+_RECALL_THRESHOLDS = {"lsh_p0": 0.2, "lsh_p1": 0.4, "ivf": 0.4}
+
+
 def _ann_recall_oracle() -> str:
     """recall@k of each approximate ANN path against the exact baseline,
-    composed from the three (deterministic) ANN oracles as subqueries."""
+    composed from the (deterministic) ANN oracles as CTEs, plus the
+    multiprobe-monotonicity gate: 1-bit probing explores a superset of the
+    0-bit bucket, so recall must not drop."""
 
-    def leg(method: str, approx_sql: str) -> str:
+    def rec(name: str, approx_sql: str) -> str:
         return f"""
-    SELECT '{method}' AS method,
-           CAST(count(a.vec_id) AS BIGINT) AS hits,
-           CAST(count(*) AS BIGINT) AS total,
-           CAST(count(a.vec_id) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS recall,
-           (CAST(count(a.vec_id) AS DOUBLE) / CAST(count(*) AS DOUBLE)) >= 0.4
-             AS meets_threshold
-    FROM (SELECT q_id, vec_id FROM ({_ANN_TOPK_ORACLE}) t) e
-    LEFT JOIN (SELECT q_id, vec_id FROM ({approx_sql}) t) a
-      USING (q_id, vec_id)"""
+    {name} AS (
+      SELECT CAST(count(a.vec_id) AS BIGINT) AS hits,
+             CAST(count(*) AS BIGINT) AS total,
+             CAST(count(a.vec_id) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS recall
+      FROM (SELECT q_id, vec_id FROM ({_ANN_TOPK_ORACLE}) t) e
+      LEFT JOIN (SELECT q_id, vec_id FROM ({approx_sql}) t) a
+        USING (q_id, vec_id))"""
 
-    return leg("lsh", _ann_lsh_oracle()) + "\n    UNION ALL\n" + leg(
-        "ivf", _ann_ivf_oracle()
+    ctes = ",".join(
+        [
+            rec("r_p0", _ann_lsh_oracle(multiprobe=False)),
+            rec("r_p1", _ann_lsh_oracle(multiprobe=True)),
+            rec("r_ivf", _ann_ivf_oracle()),
+        ]
     )
+    legs = "\n    UNION ALL\n".join(
+        f"""    SELECT '{m}' AS method, hits, total, recall,
+           recall >= {t} AS meets_threshold FROM r_{m.removeprefix("lsh_")}"""
+        for m, t in _RECALL_THRESHOLDS.items()
+    )
+    return f"""
+    WITH {ctes}
+{legs}
+    UNION ALL
+    SELECT 'lsh_monotone' AS method, r_p1.hits, r_p0.hits AS total,
+           r_p1.recall - r_p0.recall AS recall,
+           r_p1.recall >= r_p0.recall AS meets_threshold
+    FROM r_p1, r_p0
+    """
 
 
 @register("ann_recall", oracle=_ann_recall_oracle())
 def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Self-checking ANN quality gate: recall@5 of the LSH and IVF paths
-    against the exact brute-force top-k, computed in-plan (no collect).
-    One row per method; `meets_threshold` makes the quality contract an
-    assertable output instead of a side-channel."""
+    """Self-checking ANN quality gate: recall@5 of the hyperplane-LSH path
+    (0-bit and 1-bit multiprobe) and the IVF path against the exact
+    brute-force top-k, computed in-plan (no collect). One row per method,
+    plus the `lsh_monotone` row asserting the multiprobe superset property
+    (1-bit probing explores a superset of buckets, so recall must be
+    monotone non-decreasing) — `meets_threshold` makes each quality
+    contract an assertable output instead of a side-channel.
+    [r3 consolidation: absorbs the former `ann_lsh` query — both probe
+    settings of `lsh_topk` are exercised and hash-verified through the
+    recall join against the exact baseline.]"""
     from etl_edi_data_scrapper_spark.functions.similarity import (
         cosine_topk,
         ivf_index,
@@ -2382,14 +2509,17 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = cosine_topk(queries, emb, k=5).select("q_id", "vec_id")
     centroids, assigned = ivf_index(emb, n_centroids=16)
     legs = {
-        "lsh": lsh_topk(
+        "lsh_p0": lsh_topk(
+            queries, emb, k=5, n_planes=5, multiprobe=False
+        ).select("q_id", "vec_id"),
+        "lsh_p1": lsh_topk(
             queries, emb, k=5, n_planes=5, multiprobe=True
         ).select("q_id", "vec_id"),
         "ivf": ivf_topk(queries, centroids, assigned, k=5, nprobe=4).select(
             "q_id", "vec_id"
         ),
     }
-    outs = []
+    recs = {}
     for method, approx in legs.items():
         j = exact.join(
             approx.withColumn("__hit", F.lit(1)), ["q_id", "vec_id"], "left"
@@ -2397,64 +2527,38 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         recall = (
             F.count("__hit").cast("double") / F.count(F.lit(1)).cast("double")
         )
-        outs.append(
-            j.agg(
-                F.count("__hit").alias("hits"),
-                F.count(F.lit(1)).alias("total"),
-                recall.alias("recall"),
-                (recall >= 0.4).alias("meets_threshold"),
-            ).select(F.lit(method).alias("method"), "*")
+        recs[method] = j.agg(
+            F.count("__hit").alias("hits"),
+            F.count(F.lit(1)).alias("total"),
+            recall.alias("recall"),
         )
-    return outs[0].unionByName(outs[1])
-
-
-@register(
-    "set_ops",
-    oracle="""
-    SELECT 'both' AS kind, count(*) AS n FROM (
-      SELECT l_partkey FROM lineitem WHERE l_returnflag = 'A'
-      INTERSECT
-      SELECT l_partkey FROM lineitem WHERE l_returnflag = 'R')
-    UNION ALL
-    SELECT 'only_a' AS kind, count(*) AS n FROM (
-      SELECT l_partkey FROM lineitem WHERE l_returnflag = 'A'
-      EXCEPT
-      SELECT l_partkey FROM lineitem WHERE l_returnflag = 'R')
-    UNION ALL
-    SELECT 'union_' || l_returnflag AS kind, count(*) AS n FROM (
-      SELECT DISTINCT l_orderkey, l_returnflag FROM lineitem WHERE l_linenumber <= 3
-      UNION
-      SELECT DISTINCT l_orderkey, l_returnflag FROM lineitem WHERE l_linenumber >= 3
-    ) GROUP BY l_returnflag
-    """,
-)
-def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Set-operator suite: INTERSECT / EXCEPT (distinct set semantics —
-    compile to aggregated semi/anti joins, one shuffle each) plus
-    multi-branch UNION + distinct (the reference's multi-file SFTP union,
-    `ExcelInputHandler.php:44-49`, generalized with dedup).
-    [r3 consolidation: absorbs the former `union_dedup` query.]"""
-    li = _t(spark, sf_dir, "lineitem")
-    a = li.filter(F.col("l_returnflag") == "A").select("l_partkey")
-    r = li.filter(F.col("l_returnflag") == "R").select("l_partkey")
-    both = a.intersect(r).agg(F.count(F.lit(1)).alias("n")).select(
-        F.lit("both").alias("kind"), "n"
+    outs = [
+        recs[m].select(
+            F.lit(m).alias("method"),
+            "hits",
+            "total",
+            "recall",
+            (F.col("recall") >= F.lit(t)).alias("meets_threshold"),
+        )
+        for m, t in _RECALL_THRESHOLDS.items()
+    ]
+    p1 = recs["lsh_p1"].select(
+        F.col("hits").alias("h1"), F.col("recall").alias("rec1")
     )
-    only_a = (
-        a.subtract(r)  # EXCEPT (set semantics, like the SQL oracle)
-        .agg(F.count(F.lit(1)).alias("n"))
-        .select(F.lit("only_a").alias("kind"), "n")
+    p0 = recs["lsh_p0"].select(
+        F.col("hits").alias("h0"), F.col("recall").alias("rec0")
     )
-    ua = li.filter(F.col("l_linenumber") <= 3).select("l_orderkey", "l_returnflag").distinct()
-    ub = li.filter(F.col("l_linenumber") >= 3).select("l_orderkey", "l_returnflag").distinct()
-    union_counts = (
-        ua.unionByName(ub)
-        .distinct()
-        .groupBy("l_returnflag")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .select(F.concat(F.lit("union_"), F.col("l_returnflag")).alias("kind"), "n")
+    mono = p1.crossJoin(p0).select(
+        F.lit("lsh_monotone").alias("method"),
+        F.col("h1").alias("hits"),
+        F.col("h0").alias("total"),
+        (F.col("rec1") - F.col("rec0")).alias("recall"),
+        (F.col("rec1") >= F.col("rec0")).alias("meets_threshold"),
     )
-    return both.unionByName(only_a).unionByName(union_counts)
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.unionByName(mono)
 
 
 @register(
