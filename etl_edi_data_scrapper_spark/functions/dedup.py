@@ -248,21 +248,57 @@ def simhash(
 
 
 def simhash_near_pairs(
-    sig: DataFrame, id_col: str = "doc_id", max_hamming: int = 3, prefix_bits: int = 16
+    sig: DataFrame,
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    bits: int = 32,
+    n_pieces: int | None = None,
 ) -> DataFrame:
-    """Near-dup pairs by Hamming distance, blocked on the signature's high
-    bits (documents differing only in low bits collide in a block; a
-    production sweep rotates the block mask to catch all splits).
+    """Near-dup pairs by Hamming distance via multi-piece blocking (the
+    64-bit-fingerprint scheme of Manku/Jain/Sarma, WWW'07 — here on the
+    32-bit demo signature): split the signature into `n_pieces` disjoint
+    bit-pieces and block on every (piece_index, piece_value). By
+    pigeonhole, a pair with hamming < n_pieces leaves at least one piece
+    untouched and MUST collide in that piece's block — so recall is
+    structurally complete for ``max_hamming <= n_pieces - 1`` (the default
+    ``n_pieces = max_hamming + 1``), closing the single-prefix-block recall
+    hole (a pair differing only in a HIGH bit is now caught by the piece
+    that excludes it). A pair may collide in several blocks; pairs are
+    deduped exactly once at the end.
 
     Per-block pairing (groupBy + local pair explosion carrying the
     signatures), not a self-join: a self-join would run the 32-aggregate
     simhash pipeline twice — see `bucket_pairs`. Block occupancy bounds the
-    local quadratic work; signatures are one long each."""
-    blocked = sig.withColumn(
-        "blk", (F.col("simhash") / F.lit(2**prefix_bits)).cast("long")
+    local quadratic work; signatures are one long each, and the piece
+    explode multiplies the (id, simhash) frame — never the corpus text —
+    by n_pieces. Scale note: block count is 2^(bits/n_pieces) per piece;
+    production near-dup at h≤3 wants 64-bit signatures (4 pieces × 16 bits
+    = 65k blocks/piece) — at 32 bits and h=3 the 8-bit pieces are the
+    honest demo of the same shape."""
+    if n_pieces is None:
+        n_pieces = max_hamming + 1
+    width = bits // n_pieces  # low pieces get `width`, the top piece the rest
+    pieced = sig.select(
+        F.col(id_col),
+        "simhash",
+        F.explode(F.array(*[F.lit(p) for p in range(n_pieces)])).alias("p"),
+    )
+    # piece p covers bits [p*width, (p+1)*width) (top piece runs to `bits`):
+    # value = floor(simhash / 2^(p*width)) % 2^piece_width. Division of a
+    # non-negative long by a power of two is exact in doubles up to 2^52,
+    # so floor + modulo replicate bit-shifts portably (same text works in
+    # the SQL oracle, which has no shift operators on all engines).
+    piece_width = F.when(
+        F.col("p") < n_pieces - 1, F.lit(width)
+    ).otherwise(F.lit(bits - width * (n_pieces - 1)))
+    shifted = F.floor(
+        F.col("simhash") / F.pow(F.lit(2.0), F.col("p") * width)
+    ).cast("long")
+    pieced = pieced.withColumn(
+        "blk", shifted % F.pow(F.lit(2.0), piece_width).cast("long")
     )
     grp = (
-        blocked.groupBy("blk")
+        pieced.groupBy("p", "blk")
         .agg(
             F.sort_array(
                 F.collect_set(F.struct(F.col(id_col).alias("i"), F.col("simhash").alias("s")))
@@ -287,6 +323,7 @@ def simhash_near_pairs(
         grp.select(F.explode(pairs).alias("p"))
         .select("p.a", "p.b", "p.hamming")
         .filter(F.col("hamming") <= max_hamming)
+        .distinct()  # a pair can collide in several pieces — emit once
     )
 
 

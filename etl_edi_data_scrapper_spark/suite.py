@@ -1582,17 +1582,29 @@ def _simhash_sig_ctes(bits: int = 32) -> str:
     """
 
 
-def _simhash_pairs_oracle(bits: int = 32, max_hamming: int = 8, prefix_bits: int = 16) -> str:
-    # Spark blocks with (simhash / 2^prefix).cast(long): double division of a
-    # non-negative value by a power of two is exact, cast truncates == floor.
+def _simhash_pairs_oracle(
+    bits: int = 32, max_hamming: int = 8, n_pieces: int | None = None
+) -> str:
+    # Replicates the engine's multi-piece blocking (dedup.simhash_near_pairs):
+    # piece value = floor(sig / 2^(p*width)) % 2^piece_width — double division
+    # of a non-negative value by a power of two is exact, floor == truncate.
+    if n_pieces is None:
+        n_pieces = max_hamming + 1
+    width = bits // n_pieces
     return f"""
     WITH {_simhash_sig_ctes(bits)},
-    blk AS (SELECT doc_id, simhash,
-                   CAST(floor(simhash / {2 ** prefix_bits}.0) AS BIGINT) AS b
-            FROM sig)
-    SELECT x.doc_id AS a, y.doc_id AS b,
+    pieced AS (
+      SELECT doc_id, simhash, g.p AS p,
+             CAST(floor(simhash / power(2.0, g.p * {width})) AS BIGINT)
+               % CAST(power(2.0, CASE WHEN g.p < {n_pieces - 1}
+                                      THEN {width}
+                                      ELSE {bits - width * (n_pieces - 1)} END)
+                      AS BIGINT) AS blk
+      FROM sig CROSS JOIN generate_series(0, {n_pieces - 1}) AS g(p))
+    SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
            CAST(bit_count(xor(x.simhash, y.simhash)) AS INT) AS hamming
-    FROM blk x JOIN blk y ON x.b = y.b AND x.doc_id < y.doc_id
+    FROM pieced x JOIN pieced y
+      ON x.p = y.p AND x.blk = y.blk AND x.doc_id < y.doc_id
     WHERE bit_count(xor(x.simhash, y.simhash)) <= {max_hamming}
     """
 
@@ -2308,15 +2320,24 @@ def _ann_lsh_oracle(
     """
 
 
-@register("simhash_pairs", oracle=_simhash_pairs_oracle())
+@register("simhash_pairs", oracle=_simhash_pairs_oracle(bits=48, max_hamming=3))
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs, prefix-blocked hamming ≤ 8. Deterministic by
-    construction (md5-derived signatures), so fully oracled: the DuckDB side
-    replicates signature, block and xor/bit_count pair arithmetic."""
+    """SimHash near-dup pairs at hamming ≤ 3 via multi-piece blocking (the
+    Manku/Jain/Sarma WWW'07 scheme: 4 pieces ⇒ pigeonhole-complete recall —
+    every qualifying pair shares at least one untouched 12-bit piece; the
+    former single-prefix block silently missed pairs differing in a high
+    bit). 48-bit signatures at h=3 are the production operating point: a
+    32-bit signature over this template-generated corpus degenerates to
+    near-all-pairs (25× the output, piece blocks of 8 bits), while 12-bit
+    pieces give 4096 blocks per piece — block occupancy, and therefore the
+    local quadratic pairing cost, stays bounded as the corpus grows.
+    Deterministic by construction (md5-derived signatures), so fully
+    oracled: the DuckDB side replicates signature, piece-blocking and
+    xor/bit_count pair arithmetic."""
     from etl_edi_data_scrapper_spark.functions.dedup import simhash, simhash_near_pairs
 
-    sig = simhash(_t(spark, sf_dir, "documents"), bits=32)
-    return simhash_near_pairs(sig, max_hamming=8, prefix_bits=16)
+    sig = simhash(_t(spark, sf_dir, "documents"), bits=48)
+    return simhash_near_pairs(sig, max_hamming=3, bits=48)
 
 
 @register(

@@ -47,6 +47,25 @@ def test_simhash_near_pairs(spark):
     assert rows[0] == rows[3]  # identical text → identical signature
     pairs = dedup.simhash_near_pairs(sig, max_hamming=10).collect()
     assert any({p.a, p.b} == {0, 3} and p.hamming == 0 for p in pairs)
+    # no duplicates even though a pair collides in several piece blocks
+    keys = [(p.a, p.b) for p in pairs]
+    assert len(keys) == len(set(keys))
+
+
+def test_simhash_high_bit_pair_found(spark):
+    # the single-prefix block scheme missed pairs whose differing bits are
+    # HIGH bits (they landed in different blocks); piece blocking must find
+    # them: craft signatures differing ONLY in bit 31.
+    sig = spark.createDataFrame(
+        [(0, (1 << 31) | 5), (1, 5), (2, 0x2AAAAAAA)],
+        "doc_id long, simhash long",
+    )
+    pairs = dedup.simhash_near_pairs(sig, max_hamming=3, bits=32).collect()
+    assert any({p.a, p.b} == {0, 1} and p.hamming == 1 for p in pairs)
+    # and a pair split across MANY pieces (hamming > n_pieces-1) may be
+    # missed by blocking, but anything reported still carries true hamming
+    for p in pairs:
+        assert p.hamming <= 3
 
 
 def test_cosine_topk_self_is_rank1(spark, sf_dir):
