@@ -169,14 +169,6 @@ def _read_xlsx_stdlib(path: str, range_: str | None) -> tuple[list[str], list[li
     and A1-range filtering (:203-240 via normalize_excel_range)."""
     import zipfile
 
-    with open(path, "rb") as fh:
-        magic = fh.read(8)
-    if magic == _OLE2_MAGIC:
-        raise UnsupportedFormatError(
-            f"{path!r} is a legacy BIFF .xls (OLE2 container) — this engine's "
-            "stdlib parser reads XLSX only; convert to .xlsx, or use the "
-            "spark-excel package on a cluster"
-        )
     try:
         zf = zipfile.ZipFile(path)
     except zipfile.BadZipFile as e:
@@ -229,7 +221,15 @@ def _read_xlsx_stdlib(path: str, range_: str | None) -> tuple[list[str], list[li
                 if val is not None:
                     grid.setdefault(r_i, {})[c_i] = str(val)
 
-    # range box filter
+    return _grid_to_table(grid, cells)
+
+
+def _grid_to_table(
+    grid: dict[int, dict[int, str]], cells: str | None
+) -> tuple[list[str], list[list]]:
+    """Shared sheet post-processing (XLSX and BIFF8 paths): A1-range box
+    filter, first-row-header, short-row null padding
+    (`ExcelInputHandler.php:168-172, :203-240`)."""
     if cells:
         (r0, c0) = _parse_cell_ref(cells.split(":")[0])
         (r1, c1) = _parse_cell_ref(cells.split(":")[1])
@@ -248,18 +248,49 @@ def _read_xlsx_stdlib(path: str, range_: str | None) -> tuple[list[str], list[li
     return header, rows
 
 
+def _read_xls_biff8(path: str, range_: str | None) -> tuple[list[str], list[str]]:
+    """Legacy ``.xls``: OLE2 unwrap + minimal BIFF8 record parse
+    (``sources/biff.py``); same header/range/padding contract as the XLSX
+    path. BIFF5 / encrypted / CONTINUE-spilled workbooks surface as
+    ``UnsupportedFormatError`` (reference parity: PhpSpreadsheet reads all
+    of these, `ExcelInputHandler.php:27-60` — the minimal reader covers the
+    BIFF8 majority and stays crisp about the rest)."""
+    from etl_edi_data_scrapper_spark.sources import biff
+
+    sheet_name, cells = (None, None)
+    if range_:
+        sheet_name, cells = normalize_excel_range(range_, max_row=2**20)
+    import struct
+
+    try:
+        grid = biff.read_xls_grid(path, sheet_name)
+    except biff._Unsupported as e:
+        raise UnsupportedFormatError(f"{path!r}: {e}") from e
+    except (struct.error, IndexError) as e:
+        raise UnsupportedFormatError(
+            f"{path!r}: corrupt or truncated BIFF .xls / OLE2 container ({e})"
+        ) from e
+    return _grid_to_table(grid, cells)
+
+
 def read_excel(spark: SparkSession, source: str, range_: str | None = None) -> DataFrame:
     """Excel scan; unions all matched files (`ExcelInputHandler.php:38-50`).
 
     First row = header, short rows padded with null (:168-172); optional
-    ``Sheet!A1:D`` range (:126-139, :203-240). Stdlib XLSX parser (driver-
-    side — supplier feeds are small); the 100 TB path is the spark-excel
+    ``Sheet!A1:D`` range (:126-139, :203-240). Stdlib XLSX parser + minimal
+    BIFF8 ``.xls`` parser, dispatched on the file magic (driver-side —
+    supplier feeds are small); the 100 TB path is the spark-excel
     DataSourceV2 package on a real cluster.
     """
     paths = sorted(glob.glob(source)) if any(ch in source for ch in "*?[") else [source]
     frames = []
     for path in paths:
-        header, rows = _read_xlsx_stdlib(path, range_)
+        with open(path, "rb") as fh:
+            magic = fh.read(8)
+        if magic == _OLE2_MAGIC:
+            header, rows = _read_xls_biff8(path, range_)
+        else:
+            header, rows = _read_xlsx_stdlib(path, range_)
         if not header:
             continue
         schema = ", ".join(f"`{h}` string" for h in header)

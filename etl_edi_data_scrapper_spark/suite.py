@@ -2346,15 +2346,21 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT * FROM (VALUES
       ('0042', '15', '12,99'),
       ('0043', '7', NULL),
-      ('0044', '3', '9.99')
+      ('0044', '3', '9.99'),
+      ('0051', '8', '4,25'),
+      ('0052', '12', NULL),
+      ('0053', '5', '7.5')
     ) AS t(UPC, Quantity, Wholesale)
     """,
 )
 def q_excel_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Excel scan through the gate: a spec-valid XLSX (zip of XML) written
-    from a fixture, parsed by the stdlib reader — header row, shared
-    strings, numeric cells as literal text, short-row padding
-    (`ExcelInputHandler.php:27-242`)."""
+    """Excel scan through the gate, both formats the reference reads
+    (`ExcelInputHandler.php:27-242`): a spec-valid XLSX (zip of XML) parsed
+    by the stdlib reader — header row, shared strings, numeric cells as
+    literal text, short-row padding — unioned with a legacy BIFF8 ``.xls``
+    (OLE2 mini-stream container, SST/LABELSST/NUMBER records) through the
+    same ``read_excel`` dispatch-on-magic path (multi-file glob union =
+    `ExcelInputHandler.php:44-49`)."""
     import os
     import tempfile
     import zipfile
@@ -2397,7 +2403,19 @@ def q_excel_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         z.writestr("xl/sharedStrings.xml", sst)
         z.writestr("xl/worksheets/sheet1.xml", sheet)
-    return read_excel(spark, path)
+
+    from etl_edi_data_scrapper_spark.sources.biff import write_minimal_biff8
+
+    write_minimal_biff8(
+        os.path.join(stage, "legacy.xls"),
+        [
+            ["UPC", "Quantity", "Wholesale"],
+            ["0051", "8", "4,25"],
+            ["0052", "12", None],
+            ["0053", 5.0, 7.5],
+        ],
+    )
+    return read_excel(spark, os.path.join(stage, "*.xls*"))
 
 
 def _ann_ivf_oracle(n_centroids: int = 16, nprobe: int = 4, k: int = 5) -> str:

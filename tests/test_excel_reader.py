@@ -115,14 +115,105 @@ def test_xlsx_missing_sheet_raises(spark, tmp_path):
         read_excel(spark, str(p), range_="Nope!A1:B")
 
 
-def test_legacy_xls_biff_crisp_error(spark, tmp_path):
+def test_truncated_xls_crisp_error(spark, tmp_path):
     from etl_edi_data_scrapper_spark.sources.files import UnsupportedFormatError
 
     p = tmp_path / "legacy.xls"
-    # OLE2 compound-document magic + filler — what a real BIFF .xls starts with
+    # OLE2 compound-document magic + filler — truncated container
     p.write_bytes(b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1" + b"\x00" * 64)
+    with pytest.raises(UnsupportedFormatError, match="BIFF|OLE2"):
+        read_excel(spark, str(p))
+
+
+def test_biff8_xls_roundtrip(spark, tmp_path):
+    from etl_edi_data_scrapper_spark.sources.biff import write_minimal_biff8
+
+    p = tmp_path / "feed.xls"
+    write_minimal_biff8(
+        p, [["UPC", "Quantity", "Wholesale"],
+            ["0042", "15", "12,99"],
+            ["0043", "7", None],       # short row → padded
+            ["0044", 3.0, 9.99]]       # numeric cells → literal text
+    )
+    df = read_excel(spark, str(p))
+    assert df.columns == ["UPC", "Quantity", "Wholesale"]
+    rows = {r.UPC: r for r in df.collect()}
+    assert rows["0042"].Wholesale == "12,99"
+    assert rows["0043"].Wholesale is None
+    assert rows["0044"].Quantity == "3" and rows["0044"].Wholesale == "9.99"
+
+
+def test_biff8_xls_sheet_and_range(spark, tmp_path):
+    from etl_edi_data_scrapper_spark.sources.biff import write_minimal_biff8
+
+    p = tmp_path / "ranged.xls"
+    write_minimal_biff8(
+        p, [["junk", "junk2", "junk3"],
+            ["UPC", "Qty", "skipme"],
+            ["1", "2", "x"],
+            ["3", "4", "y"]],
+        sheet_name="Data",
+    )
+    df = read_excel(spark, str(p), range_="Data!A2:B")
+    assert df.columns == ["UPC", "Qty"]
+    assert {tuple(r) for r in df.collect()} == {("1", "2"), ("3", "4")}
+
+
+def test_biff8_regular_fat_path(spark, tmp_path):
+    # a workbook over the 4096-byte mini-stream cutoff exercises the
+    # regular-FAT stream walk in the OLE2 reader
+    from etl_edi_data_scrapper_spark.sources.biff import write_minimal_biff8
+
+    p = tmp_path / "big.xls"
+    rows = [["k", "v"]] + [[f"key-{i:04d}", f"value-{i:04d}-padding"] for i in range(300)]
+    write_minimal_biff8(p, rows)
+    assert p.stat().st_size > 4096
+    df = read_excel(spark, str(p))
+    assert df.count() == 300
+
+
+def test_biff5_crisp_error(spark, tmp_path):
+    import struct
+
+    from etl_edi_data_scrapper_spark.sources import biff
+    from etl_edi_data_scrapper_spark.sources.files import UnsupportedFormatError
+
+    p = tmp_path / "biff5.xls"
+    biff.write_minimal_biff8(p, [["a"], ["1"]])
+    data = bytearray(p.read_bytes())
+    # the workbook stream starts at the first mini sector; rewrite its BOF
+    # version word (BIFF8 0x0600 → BIFF5 0x0500)
+    off = data.index(struct.pack("<HH", 0x0809, 16))
+    struct.pack_into("<H", data, off + 4, 0x0500)
+    p.write_bytes(bytes(data))
     with pytest.raises(UnsupportedFormatError, match="BIFF"):
         read_excel(spark, str(p))
+
+
+def test_encrypted_xls_crisp_error(spark, tmp_path):
+    import struct
+
+    from etl_edi_data_scrapper_spark.sources import biff
+    from etl_edi_data_scrapper_spark.sources.files import UnsupportedFormatError
+
+    p = tmp_path / "enc.xls"
+    biff.write_minimal_biff8(p, [["a"], ["1"]])
+    data = bytearray(p.read_bytes())
+    # overwrite the BOUNDSHEET record opcode with FilePass (encryption marker)
+    off = data.index(struct.pack("<H", 0x0085))
+    struct.pack_into("<H", data, off, 0x002F)
+    p.write_bytes(bytes(data))
+    with pytest.raises(UnsupportedFormatError, match="encrypted"):
+        read_excel(spark, str(p))
+
+
+def test_mixed_xlsx_xls_union(spark, tmp_path):
+    from etl_edi_data_scrapper_spark.sources.biff import write_minimal_biff8
+
+    make_xlsx(tmp_path / "a.xlsx", {"S": [["k"], ["1"]]})
+    write_minimal_biff8(tmp_path / "b.xls", [["k"], ["2"]])
+    df = read_excel(spark, str(tmp_path / "*.xls*"))
+    assert sorted(r.k for r in df.collect()) == ["1", "2"]
 
 
 def test_non_zip_garbage_crisp_error(spark, tmp_path):
