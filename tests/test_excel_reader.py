@@ -207,6 +207,48 @@ def test_encrypted_xls_crisp_error(spark, tmp_path):
         read_excel(spark, str(p))
 
 
+def test_biff8_property_roundtrip(tmp_path):
+    # grid-level roundtrip (no Spark needed): arbitrary latin-1-able strings
+    # and doubles survive write -> OLE2 unwrap -> record parse bit-exactly
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from etl_edi_data_scrapper_spark.sources import biff
+
+    cell = st.one_of(
+        st.text(
+            alphabet=st.characters(min_codepoint=32, max_codepoint=255),
+            min_size=1,
+            max_size=20,
+        ),
+        st.floats(
+            min_value=-1e9, max_value=1e9, allow_nan=False, allow_infinity=False
+        ),
+    )
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        rows=st.lists(
+            st.lists(cell, min_size=1, max_size=4), min_size=1, max_size=6
+        )
+    )
+    def check(rows):
+        width = max(len(r) for r in rows)
+        rows = [r + [None] * (width - len(r)) for r in rows]
+        p = str(tmp_path / "prop.xls")
+        biff.write_minimal_biff8(p, rows)
+        grid = biff.read_xls_grid(p)
+        for ri, row in enumerate(rows):
+            for ci, v in enumerate(row):
+                got = grid.get(ri, {}).get(ci)
+                if isinstance(v, str):
+                    assert got == v
+                else:
+                    assert got == biff._fmt_num(float(v))
+
+    check()
+
+
 def test_mixed_xlsx_xls_union(spark, tmp_path):
     from etl_edi_data_scrapper_spark.sources.biff import write_minimal_biff8
 

@@ -1,0 +1,163 @@
+"""Scale-up smoke: replicate the sf0.1 tables ~10x into /tmp and measure how
+the suite's heaviest operators scale with input size.
+
+The point is the EXPONENT, not the absolute seconds: an operator whose cost
+is linear in input (scan-bound, bounded-block candidate generation) should
+show time ratio ≈ data ratio on a fixed-size executor pool; anything
+super-linear (degenerate blocking, accidental all-pairs, driver
+materialization) shows up immediately as a ratio >> 10. Run ad hoc:
+
+    python tools/scale_smoke.py            # writes/reuses /tmp/scale_sf1
+    python tools/scale_smoke.py --factor 5
+
+Prints one JSON line: {"factor": F, "queries": {name: {"base": s, "scaled":
+s, "ratio": r}}, ...}. Replication keeps key structure honest: orderkeys and
+doc/vec ids are offset per copy (so merge/window/dedup groups GROW in count,
+not in size), part/supplier keys are reused (so join fan-in grows like real
+data), and document text is perturbed per copy (so dedup does not collapse
+the copies into one giant cluster).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+BASE_SF = "/root/testdata/sf0.1"
+
+# heavy / structurally interesting representatives (name -> suite query)
+QUERIES = [
+    "keyed_merge",
+    "window_rank",
+    "join_q3",
+    "minhash_lsh",
+    "dedup_clusters",
+    "simhash_pairs",
+    "tfidf_topk",
+    "kmeans",
+    "ann_ivf",
+    "vocab_topk",
+]
+
+
+def build_scaled(spark, out_dir: str, factor: int) -> None:
+    from pyspark.sql import functions as F
+
+    os.makedirs(out_dir, exist_ok=True)
+    copies = F.explode(F.array(*[F.lit(i) for i in range(factor)])).alias("__copy")
+
+    def done(name: str) -> bool:
+        return os.path.exists(os.path.join(out_dir, name + ".parquet", "_SUCCESS"))
+
+    # small dims: copy as-is (broadcast sides should stay small at scale)
+    for name in ["region", "nation", "customer", "supplier", "part"]:
+        if done(name):
+            continue
+        spark.read.parquet(f"{BASE_SF}/{name}.parquet").write.mode(
+            "overwrite"
+        ).parquet(f"{out_dir}/{name}.parquet")
+
+    if not done("orders"):
+        o = spark.read.parquet(f"{BASE_SF}/orders.parquet").select("*", copies)
+        o = o.withColumn(
+            "o_orderkey", F.col("o_orderkey") * factor + F.col("__copy")
+        ).drop("__copy")
+        o.write.mode("overwrite").parquet(f"{out_dir}/orders.parquet")
+
+    if not done("lineitem"):
+        li = spark.read.parquet(f"{BASE_SF}/lineitem.parquet").select("*", copies)
+        li = li.withColumn(
+            "l_orderkey", F.col("l_orderkey") * factor + F.col("__copy")
+        ).drop("__copy")
+        li.write.mode("overwrite").parquet(f"{out_dir}/lineitem.parquet")
+
+    if not done("events"):
+        ev = spark.read.parquet(f"{BASE_SF}/events.parquet").select("*", copies)
+        ev = (
+            ev.withColumn("event_id", F.col("event_id") * factor + F.col("__copy"))
+            .withColumn("user_id", F.col("user_id") * factor + F.col("__copy"))
+            .drop("__copy")
+        )
+        ev.write.mode("overwrite").parquet(f"{out_dir}/events.parquet")
+
+    if not done("documents"):
+        d = spark.read.parquet(f"{BASE_SF}/documents.parquet").select("*", copies)
+        # perturb: prefix a copy-specific token so replicas are near-dups of
+        # the original, not byte-dups (keeps dedup/minhash work honest)
+        d = (
+            d.withColumn("doc_id", F.col("doc_id") * factor + F.col("__copy"))
+            .withColumn(
+                "text",
+                F.when(F.col("__copy") == 0, F.col("text")).otherwise(
+                    F.concat(F.lit("copyvariant"), F.col("__copy"), F.lit(" "), F.col("text"))
+                ),
+            )
+            .drop("__copy")
+        )
+        d.write.mode("overwrite").parquet(f"{out_dir}/documents.parquet")
+
+    if not done("embeddings"):
+        e = spark.read.parquet(f"{BASE_SF}/embeddings.parquet").select("*", copies)
+        # tiny deterministic per-copy rotation of one coordinate keeps
+        # vectors distinct without changing the distribution
+        e = (
+            e.withColumn("vec_id", F.col("vec_id") * factor + F.col("__copy"))
+            .withColumn(
+                "embedding",
+                F.expr(
+                    "transform(embedding, (x, i) -> CASE WHEN i = __copy % size(embedding) "
+                    "THEN x + 0.001 * (__copy + 1) ELSE x END)"
+                ),
+            )
+            .drop("__copy")
+        )
+        e.write.mode("overwrite").parquet(f"{out_dir}/embeddings.parquet")
+
+
+def time_query(fn, spark, sf_dir: str) -> float:
+    df = fn(spark, sf_dir)
+    df.write.format("noop").mode("overwrite").save()  # warm
+    best = None
+    for _ in range(2):
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+    return round(best, 3)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--factor", type=int, default=10)
+    ap.add_argument("--out", default=None)
+    args = ap.parse_args()
+    out_dir = args.out or f"/tmp/scale_sf{args.factor}x"
+
+    from etl_edi_data_scrapper_spark import get_spark
+    from etl_edi_data_scrapper_spark.suite import QUERIES as ALL
+
+    spark = get_spark("scale-smoke")
+    build_scaled(spark, out_dir, args.factor)
+
+    report: dict[str, dict[str, float]] = {}
+    for name in QUERIES:
+        fn = ALL[name]
+        base = time_query(fn, spark, BASE_SF)
+        scaled = time_query(fn, spark, out_dir)
+        report[name] = {
+            "base": base,
+            "scaled": scaled,
+            "ratio": round(scaled / base, 2) if base > 0 else None,
+        }
+        print(f"# {name}: {base}s -> {scaled}s (x{report[name]['ratio']})", file=sys.stderr)
+
+    print(json.dumps({"factor": args.factor, "base_sf": 0.1, "queries": report}))
+
+
+if __name__ == "__main__":
+    main()
