@@ -241,7 +241,11 @@ def test_biff8_property_roundtrip(tmp_path):
         for ri, row in enumerate(rows):
             for ci, v in enumerate(row):
                 got = grid.get(ri, {}).get(ci)
-                if isinstance(v, str):
+                if v is None:
+                    # padding cells are never written (biff skips None), so
+                    # the reader must report no cell at that coordinate
+                    assert got is None
+                elif isinstance(v, str):
                     assert got == v
                 else:
                     assert got == biff._fmt_num(float(v))
