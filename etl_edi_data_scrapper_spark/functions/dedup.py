@@ -226,6 +226,12 @@ def simhash(
     oracle computes the identical signature. Pre-explode hash-repartition
     by id: parallelism for the bit-sum work + shuffle-free groupBy(id).
     """
+    if bits > 52:
+        raise ValueError(
+            f"bits={bits}: single-long signatures above 52 bits lose exactness "
+            "under the portable floor/division piece arithmetic (and bit 63 "
+            "overflows a signed long) — use simhash64() for 64-bit signatures"
+        )
     df = df.repartition(df.sparkSession.sparkContext.defaultParallelism, id_col)
     tok = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("t"))
     tok = tok.withColumn("h", F.md5(F.col("t")))
@@ -273,8 +279,13 @@ def simhash_near_pairs(
     explode multiplies the (id, simhash) frame — never the corpus text —
     by n_pieces. Scale note: block count is 2^(bits/n_pieces) per piece;
     production near-dup at h≤3 wants 64-bit signatures (4 pieces × 16 bits
-    = 65k blocks/piece) — at 32 bits and h=3 the 8-bit pieces are the
-    honest demo of the same shape."""
+    = 65k blocks/piece) — see `simhash64_near_pairs` for that path."""
+    if bits > 52:
+        raise ValueError(
+            f"bits={bits}: floor(simhash / 2^shift) is only exact for "
+            "signatures < 2^53 — silent recall loss above that. Use "
+            "simhash64()/simhash64_near_pairs() for 64-bit signatures"
+        )
     if n_pieces is None:
         n_pieces = max_hamming + 1
     width = bits // n_pieces  # low pieces get `width`, the top piece the rest
@@ -324,6 +335,106 @@ def simhash_near_pairs(
         .select("p.a", "p.b", "p.hamming")
         .filter(F.col("hamming") <= max_hamming)
         .distinct()  # a pair can collide in several pieces — emit once
+    )
+
+
+def simhash64(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """64-bit SimHash signature as TWO 32-bit halves (simhash_hi carries
+    bits 32-63, simhash_lo bits 0-31). The split keeps every value < 2^32,
+    so the portable floor/division piece arithmetic stays exact in doubles
+    (a single 64-bit long would corrupt low pieces past 2^53 and overflow
+    the sign bit at 2^63) and the identical SQL reproduces it in any
+    engine. Same one-shuffle shape as `simhash`: explode tokens, one
+    groupBy(id) with 64 conditional-sum partials."""
+    df = df.repartition(df.sparkSession.sparkContext.defaultParallelism, id_col)
+    tok = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("t"))
+    tok = tok.withColumn("h", F.md5(F.col("t")))
+    aggs = []
+    for i in range(64):
+        nibble = _hex_val(F.substring(F.col("h"), i // 4 + 1, 1))
+        bit = F.floor(nibble / (2 ** (3 - i % 4))).cast("int") % 2
+        contrib = F.when(bit == 1, 1).otherwise(-1)
+        aggs.append(F.sum(contrib).alias(f"b{i}"))
+    sums = tok.groupBy(id_col).agg(*aggs)
+
+    def half(lo_bit: int) -> Column:
+        return sum(
+            (
+                F.when(F.col(f"b{lo_bit + j}") > 0, F.lit(2**j)).otherwise(F.lit(0))
+                for j in range(32)
+            ),
+            F.lit(0),
+        ).cast("long")
+
+    return sums.select(
+        F.col(id_col),
+        half(32).alias("simhash_hi"),
+        half(0).alias("simhash_lo"),
+    )
+
+
+def simhash64_near_pairs(
+    sig: DataFrame, id_col: str = "doc_id", max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs on 64-bit signatures — the production operating point
+    of Manku/Jain/Sarma WWW'07: 4 disjoint 16-bit pieces (65k blocks per
+    piece), pigeonhole-complete recall for hamming ≤ 3. Pieces 0-1 come
+    from the low half, 2-3 from the high half, so block extraction is
+    exact-double floor/mod on values < 2^32. Hamming distance is the sum
+    of the two halves' xor popcounts. Same blocked groupBy + local pair
+    explosion as `simhash_near_pairs` — the corpus text is never shuffled,
+    only (id, hi, lo) longs, and block occupancy bounds the quadratic
+    pairing work."""
+    pieced = sig.select(
+        F.col(id_col),
+        "simhash_hi",
+        "simhash_lo",
+        F.explode(F.array(*[F.lit(p) for p in range(4)])).alias("p"),
+    )
+    src = F.when(F.col("p") < 2, F.col("simhash_lo")).otherwise(F.col("simhash_hi"))
+    shift = (F.col("p") % 2) * 16
+    blk = (F.floor(src / F.pow(F.lit(2.0), shift)).cast("long") % F.lit(65536)).alias(
+        "blk"
+    )
+    pieced = pieced.withColumn("blk", blk)
+    grp = (
+        pieced.groupBy("p", "blk")
+        .agg(
+            F.sort_array(
+                F.collect_set(
+                    F.struct(
+                        F.col(id_col).alias("i"),
+                        F.col("simhash_hi").alias("sh"),
+                        F.col("simhash_lo").alias("sl"),
+                    )
+                )
+            ).alias("m")
+        )
+        .filter(F.size("m") > 1)
+    )
+    pairs = F.flatten(
+        F.transform(
+            F.col("m"),
+            lambda x: F.transform(
+                F.filter(F.col("m"), lambda y: y["i"] > x["i"]),
+                lambda y: F.struct(
+                    x["i"].alias("a"),
+                    y["i"].alias("b"),
+                    (
+                        F.bit_count(x["sh"].bitwiseXOR(y["sh"]))
+                        + F.bit_count(x["sl"].bitwiseXOR(y["sl"]))
+                    ).alias("hamming"),
+                ),
+            ),
+        )
+    )
+    return (
+        grp.select(F.explode(pairs).alias("p"))
+        .select("p.a", "p.b", "p.hamming")
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
     )
 
 

@@ -70,7 +70,11 @@ def ole2_stream(data: bytes, names: tuple[str, ...]) -> bytes:
 
     difat = list(struct.unpack_from("<109I", data, 76))
     s = first_difat
+    seen_difat: set[int] = set()
     while s not in (_ENDOFCHAIN, _FREESECT):
+        if s in seen_difat or s >= max(len(data) // sect_size, 1):
+            raise _Unsupported("cyclic or out-of-bounds DIFAT chain (corrupt OLE2 container)")
+        seen_difat.add(s)
         sec = _sector(data, s, sect_size)
         entries = struct.unpack(f"<{sect_size // 4}I", sec)
         difat.extend(entries[:-1])
@@ -267,6 +271,10 @@ def read_biff8_grid(
 
     if not biff8_seen:
         raise _Unsupported("no BIFF8 BOF record found in Workbook stream")
+    if sheet_name is not None and want_idx is None:
+        # workbook had no cell records, so the lazy resolve never ran —
+        # still validate the requested name (parity with the XLSX path)
+        want_idx = sheet_names.index(sheet_name) if sheet_name in sheet_names else -2
     if sheet_name is not None and want_idx == -2:
         raise ValueError(f"sheet {sheet_name!r} not found in workbook")
     return grid

@@ -1609,6 +1609,51 @@ def _simhash_pairs_oracle(
     """
 
 
+def _simhash64_sig_ctes() -> str:
+    """CTE chain ending in sig(doc_id, simhash_hi, simhash_lo) — the 64-bit
+    signature as two 32-bit halves, mirroring dedup.simhash64 (each half
+    < 2^32 keeps floor/division piece arithmetic exact in doubles)."""
+    terms = []
+    for i in range(64):
+        pos, div = i // 4 + 1, 2 ** (3 - i % 4)
+        bit = (
+            f"CAST(floor((instr('0123456789abcdef', substring(h, {pos}, 1)) - 1)"
+            f" / {div}) AS INT) % 2"
+        )
+        terms.append(f"sum(CASE WHEN {bit} = 1 THEN 1 ELSE -1 END) AS b{i}")
+    sums = ", ".join(terms)
+    hi = " + ".join(f"CASE WHEN b{32 + j} > 0 THEN {2**j} ELSE 0 END" for j in range(32))
+    lo = " + ".join(f"CASE WHEN b{j} > 0 THEN {2**j} ELSE 0 END" for j in range(32))
+    return f"""
+    tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+    hashed AS (SELECT doc_id, md5(t) AS h FROM tok),
+    sums AS (SELECT doc_id, {sums} FROM hashed GROUP BY doc_id),
+    sig AS (SELECT doc_id, CAST({hi} AS BIGINT) AS simhash_hi,
+                   CAST({lo} AS BIGINT) AS simhash_lo FROM sums)
+    """
+
+
+def _simhash64_pairs_oracle(max_hamming: int = 3) -> str:
+    # Replicates dedup.simhash64_near_pairs: 4 pieces × 16 bits, pieces 0-1
+    # from the low half, 2-3 from the high half; hamming = sum of the two
+    # halves' xor popcounts.
+    return f"""
+    WITH {_simhash64_sig_ctes()},
+    pieced AS (
+      SELECT doc_id, simhash_hi, simhash_lo, g.p AS p,
+             CAST(floor((CASE WHEN g.p < 2 THEN simhash_lo ELSE simhash_hi END)
+                        / power(2.0, (g.p % 2) * 16)) AS BIGINT) % 65536 AS blk
+      FROM sig CROSS JOIN generate_series(0, 3) AS g(p))
+    SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
+           CAST(bit_count(xor(x.simhash_hi, y.simhash_hi))
+              + bit_count(xor(x.simhash_lo, y.simhash_lo)) AS INT) AS hamming
+    FROM pieced x JOIN pieced y
+      ON x.p = y.p AND x.blk = y.blk AND x.doc_id < y.doc_id
+    WHERE bit_count(xor(x.simhash_hi, y.simhash_hi))
+        + bit_count(xor(x.simhash_lo, y.simhash_lo)) <= {max_hamming}
+    """
+
+
 ORACLES["text_fingerprints"] = f"""
     WITH {_simhash_sig_ctes(32)},
     fp AS ({_text_fingerprints_select()})
@@ -2321,24 +2366,52 @@ def _ann_lsh_oracle(
     """
 
 
-@register("simhash_pairs", oracle=_simhash_pairs_oracle(bits=48, max_hamming=3))
+@register(
+    "simhash_pairs",
+    oracle=f"""
+    SELECT a, b, hamming, 48 AS sig_bits
+    FROM ({_simhash_pairs_oracle(bits=48, max_hamming=3)})
+    UNION ALL
+    SELECT a, b, hamming, 64 AS sig_bits
+    FROM ({_simhash64_pairs_oracle(max_hamming=3)})
+    """,
+)
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs at hamming ≤ 3 via multi-piece blocking (the
     Manku/Jain/Sarma WWW'07 scheme: 4 pieces ⇒ pigeonhole-complete recall —
-    every qualifying pair shares at least one untouched 12-bit piece; the
-    former single-prefix block silently missed pairs differing in a high
-    bit). 48-bit signatures at h=3 are the production operating point: a
-    32-bit signature over this template-generated corpus degenerates to
-    near-all-pairs (25× the output, piece blocks of 8 bits), while 12-bit
-    pieces give 4096 blocks per piece — block occupancy, and therefore the
-    local quadratic pairing cost, stays bounded as the corpus grows.
-    Deterministic by construction (md5-derived signatures), so fully
-    oracled: the DuckDB side replicates signature, piece-blocking and
-    xor/bit_count pair arithmetic."""
-    from etl_edi_data_scrapper_spark.functions.dedup import simhash, simhash_near_pairs
+    every qualifying pair shares at least one untouched piece; the former
+    single-prefix block silently missed pairs differing in a high bit).
+    Two legs, tagged by `sig_bits`:
 
-    sig = simhash(_t(spark, sf_dir, "documents"), bits=48)
-    return simhash_near_pairs(sig, max_hamming=3, bits=48)
+    * 48-bit single-long signatures (12-bit pieces, 4096 blocks/piece) —
+      the widest width where the portable floor/division piece arithmetic
+      stays exact on one long (< 2^53).
+    * 64-bit production signatures (`simhash64`: two 32-bit halves, 16-bit
+      pieces, 65k blocks/piece) — the Manku operating point for h ≤ 3;
+      the hi/lo split keeps block extraction exact and sidesteps the
+      signed-long bit-63 overflow.
+
+    A 32-bit signature over this template-generated corpus degenerates to
+    near-all-pairs (25× the output); wider signatures keep block occupancy,
+    and therefore the local quadratic pairing cost, bounded as the corpus
+    grows. Deterministic by construction (md5-derived signatures), so fully
+    oracled: the DuckDB side replicates signature, piece-blocking and
+    xor/bit_count pair arithmetic for both legs."""
+    from etl_edi_data_scrapper_spark.functions.dedup import (
+        simhash,
+        simhash64,
+        simhash64_near_pairs,
+        simhash_near_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    p48 = simhash_near_pairs(
+        simhash(docs, bits=48), max_hamming=3, bits=48
+    ).withColumn("sig_bits", F.lit(48))
+    p64 = simhash64_near_pairs(simhash64(docs), max_hamming=3).withColumn(
+        "sig_bits", F.lit(64)
+    )
+    return p48.unionByName(p64)
 
 
 @register(

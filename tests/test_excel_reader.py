@@ -207,6 +207,35 @@ def test_encrypted_xls_crisp_error(spark, tmp_path):
         read_excel(spark, str(p))
 
 
+def test_cyclic_difat_crisp_error(tmp_path):
+    import struct
+
+    from etl_edi_data_scrapper_spark.sources import biff
+
+    p = tmp_path / "difat.xls"
+    biff.write_minimal_biff8(p, [["a"], ["1"]])
+    data = bytearray(p.read_bytes())
+    # point the header's first-DIFAT field at sector 0 and make that
+    # sector's chain pointer (its last u32) point back to itself
+    struct.pack_into("<I", data, 68, 0)
+    struct.pack_into("<I", data, 512 + 512 - 4, 0)
+    p.write_bytes(bytes(data))
+    with pytest.raises(biff._Unsupported, match="DIFAT"):
+        biff.read_xls_grid(str(p))
+
+
+def test_sheet_not_found_without_cell_records(tmp_path):
+    # a workbook whose sheet has zero cell records must still validate the
+    # requested sheet name (parity with the XLSX path's crisp error)
+    from etl_edi_data_scrapper_spark.sources import biff
+
+    p = tmp_path / "empty.xls"
+    biff.write_minimal_biff8(p, [[None]])
+    assert biff.read_xls_grid(str(p), sheet_name="Sheet1") == {}
+    with pytest.raises(ValueError, match="not found"):
+        biff.read_xls_grid(str(p), sheet_name="Nope")
+
+
 def test_biff8_property_roundtrip(tmp_path):
     # grid-level roundtrip (no Spark needed): arbitrary latin-1-able strings
     # and doubles survive write -> OLE2 unwrap -> record parse bit-exactly

@@ -68,6 +68,44 @@ def test_simhash_high_bit_pair_found(spark):
         assert p.hamming <= 3
 
 
+def test_simhash_wide_bits_fail_loudly(spark):
+    # >52-bit single-long signatures would silently corrupt low pieces under
+    # the exact-double floor/division arithmetic — must raise, not degrade
+    import pytest
+
+    with pytest.raises(ValueError, match="simhash64"):
+        dedup.simhash(docs(spark), bits=64)
+    sig = spark.createDataFrame([(0, 5)], "doc_id long, simhash long")
+    with pytest.raises(ValueError, match="simhash64"):
+        dedup.simhash_near_pairs(sig, max_hamming=3, bits=64)
+
+
+def test_simhash64_halves_and_pairs(spark):
+    sig = dedup.simhash64(docs(spark))
+    rows = {r.doc_id: (r.simhash_hi, r.simhash_lo) for r in sig.collect()}
+    assert rows[0] == rows[3]  # identical text → identical signature
+    for hi, lo in rows.values():
+        assert 0 <= hi < 2**32 and 0 <= lo < 2**32
+    pairs = dedup.simhash64_near_pairs(sig, max_hamming=64).collect()
+    assert any({p.a, p.b} == {0, 3} and p.hamming == 0 for p in pairs)
+    keys = [(p.a, p.b) for p in pairs]
+    assert len(keys) == len(set(keys))
+
+
+def test_simhash64_high_half_pair_found(spark):
+    # a pair differing only in bit 63 (top of the high half) must be caught
+    # by one of the untouched pieces — the regression the hi/lo split exists
+    # to keep exact
+    sig = spark.createDataFrame(
+        [(0, (1 << 31) | 2, 7), (1, 2, 7), (2, 0x2AAAAAAA, 0x15555555)],
+        "doc_id long, simhash_hi long, simhash_lo long",
+    )
+    pairs = dedup.simhash64_near_pairs(sig, max_hamming=3).collect()
+    assert any({p.a, p.b} == {0, 1} and p.hamming == 1 for p in pairs)
+    for p in pairs:
+        assert p.hamming <= 3
+
+
 def test_cosine_topk_self_is_rank1(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     queries = emb.filter(F.col("vec_id") < 3).select(
