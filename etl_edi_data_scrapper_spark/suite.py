@@ -1393,13 +1393,18 @@ ORACLES["keyed_merge_salted"] = ORACLES["keyed_merge"]
 )
 def q_cogroup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cogrouped-map through the gate: two-stream per-key reconciliation
-    (order header vs its lines) via `operators/cogrouped.cogroup_apply` —
-    both sides co-partition on the key (one shuffle each), full-outer key
-    semantics (fn sees empty frames for one-sided keys). The key subset
-    filter is pushed into both scans. The oracle is the equivalent
-    full-outer join + aggregate — proving the custom-logic path preserves
-    relational semantics exactly."""
-    from etl_edi_data_scrapper_spark.operators.cogrouped import cogroup_apply
+    (order header vs its lines) via `cogroup_apply_batched` — the same
+    `FlatMapCoGroupsInPandas` physical operator as per-key cogroup, but
+    keys are hash-bucketed so each Arrow flush + Python call serves a whole
+    bucket of keys and the reconcile vectorizes across them with pandas
+    groupby/merge (the per-key form paid that fixed cost per key — 15x
+    slower at 1 500 groups, the scale-killer at 10⁹ keys). Both sides
+    co-partition on the bucket (one shuffle each), full-outer key semantics
+    (one-sided keys arrive in one side's frame). The key subset filter is
+    pushed into both scans. The oracle is the equivalent full-outer join +
+    aggregate — proving the custom-logic path preserves relational
+    semantics exactly."""
+    from etl_edi_data_scrapper_spark.operators.cogrouped import cogroup_apply_batched
 
     orders = (
         _t(spark, sf_dir, "orders")
@@ -1412,25 +1417,37 @@ def q_cogroup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("l_orderkey").alias("orderkey"), "l_extendedprice")
     )
 
-    def reconcile(key, left, right):
+    def reconcile(lpdf, rpdf):
         import pandas as pd
 
-        return pd.DataFrame(
+        o = pd.DataFrame(
             {
-                "orderkey": [key[0]],
-                "o_totalprice": pd.array(
-                    [float(left.o_totalprice.iloc[0]) if len(left) else None],
-                    dtype="object",
-                ),
-                "n_lines": [len(right)],
-                "max_line_price": pd.array(
-                    [float(right.l_extendedprice.max()) if len(right) else None],
-                    dtype="object",
-                ),
+                "orderkey": lpdf["orderkey"],
+                "o_totalprice": lpdf["o_totalprice"].astype(float),
             }
         )
+        if len(rpdf):
+            ln = rpdf.groupby("orderkey", as_index=False).agg(
+                n_lines=("l_extendedprice", "size"),
+                max_line_price=("l_extendedprice", "max"),
+            )
+            ln["max_line_price"] = ln["max_line_price"].astype(float)
+        else:
+            ln = pd.DataFrame(
+                {
+                    "orderkey": pd.Series(dtype="int64"),
+                    "n_lines": pd.Series(dtype="int64"),
+                    "max_line_price": pd.Series(dtype="float64"),
+                }
+            )
+        m = o.merge(ln, on="orderkey", how="outer")
+        m["n_lines"] = m["n_lines"].fillna(0).astype("int64")
+        # NaN → None so Arrow emits SQL NULLs (hash parity with the oracle)
+        for c in ("o_totalprice", "max_line_price"):
+            m[c] = m[c].astype(object).where(pd.notna(m[c]), None)
+        return m[["orderkey", "o_totalprice", "n_lines", "max_line_price"]]
 
-    return cogroup_apply(
+    return cogroup_apply_batched(
         orders,
         lines,
         ["orderkey"],

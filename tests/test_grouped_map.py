@@ -102,3 +102,50 @@ def test_multi_column_keys(spark):
         (1, "b"): 2,
         (2, "a"): 4,
     }
+
+
+def test_cogroup_batched_matches_per_key(spark):
+    # batched (bucketed) cogroup must reproduce per-key cogroup_apply
+    # exactly, including full-outer key semantics (keys on one side only)
+    from etl_edi_data_scrapper_spark.operators.cogrouped import (
+        cogroup_apply,
+        cogroup_apply_batched,
+    )
+
+    left = spark.createDataFrame(
+        [(k, float(k * 10)) for k in range(20)], "k long, lv double"
+    )
+    right = spark.createDataFrame(
+        [(k, k * 100) for k in range(10, 30) for _ in range(3)], "k long, rv long"
+    )
+    schema = "k long, lv double, n_r long"
+
+    def per_key(key, lpdf, rpdf):
+        return pd.DataFrame(
+            {
+                "k": [key[0]],
+                "lv": [float(lpdf.lv.iloc[0]) if len(lpdf) else None],
+                "n_r": [len(rpdf)],
+            }
+        )
+
+    def batched(lpdf, rpdf):
+        o = pd.DataFrame({"k": lpdf["k"], "lv": lpdf["lv"].astype(float)})
+        n = rpdf.groupby("k", as_index=False).agg(n_r=("rv", "size"))
+        m = o.merge(n, on="k", how="outer")
+        m["n_r"] = m["n_r"].fillna(0).astype("int64")
+        m["lv"] = m["lv"].astype(object).where(pd.notna(m["lv"]), None)
+        return m[["k", "lv", "n_r"]]
+
+    want = {
+        (r.k, r.lv, r.n_r)
+        for r in cogroup_apply(left, right, ["k"], per_key, schema).collect()
+    }
+    for nb in (1, 4, 64):  # fewer, equal, and more buckets than keys
+        got = {
+            (r.k, r.lv, r.n_r)
+            for r in cogroup_apply_batched(
+                left, right, ["k"], batched, schema, num_buckets=nb
+            ).collect()
+        }
+        assert got == want, f"num_buckets={nb}"
