@@ -32,6 +32,16 @@ from etl_edi_data_scrapper_spark.plans.pipeline import Reader, aggregate
 
 MESSAGE_SCHEMA = T.StructType([T.StructField("value", T.StringType(), True)])
 
+# Job-config messages are a CONTROL PLANE: small JSON specs, a handful per
+# batch (the reference consumes exactly one per process). Collecting them to
+# the driver is therefore correct — but a subscription misconfigured onto a
+# DATA topic must fail fast, not OOM the driver.
+MAX_MESSAGES_PER_BATCH = 10_000
+
+
+class MessageFloodError(RuntimeError):
+    """A micro-batch carried implausibly many job-config messages."""
+
 
 def process_messages(
     spark: SparkSession,
@@ -114,7 +124,17 @@ def run_job_stream(
         )
 
     def handle_batch(batch_df: DataFrame, epoch_id: int) -> None:
-        msgs = [r.value for r in batch_df.collect() if r.value and r.value.strip()]
+        # size guard BEFORE collect: count + limit keep the driver safe even
+        # when the stream is pointed at a high-volume data topic by mistake
+        guarded = batch_df.limit(MAX_MESSAGES_PER_BATCH + 1)
+        rows = guarded.collect()
+        if len(rows) > MAX_MESSAGES_PER_BATCH:
+            raise MessageFloodError(
+                f"micro-batch {epoch_id} exceeded {MAX_MESSAGES_PER_BATCH} "
+                "job-config messages — is the subscription pointed at a data "
+                "topic? (job messages are small control-plane specs)"
+            )
+        msgs = [r.value for r in rows if r.value and r.value.strip()]
         process_messages(
             spark, msgs, readers, sink, on_error=on_error, on_metrics=on_metrics
         )

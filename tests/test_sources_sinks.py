@@ -385,3 +385,29 @@ def test_idempotent_batch_writer_replay_safe(spark, tmp_path):
     writer(spark.createDataFrame([(1, "a2"), (2, "b2")], "id long, v string"), 0)
     got = {(r.id, r.v, r.batch_id) for r in spark.read.parquet(out).collect()}
     assert got == {(1, "a2", 0), (2, "b2", 0), (3, "c", 1)}
+
+
+def test_job_stream_message_flood_trips_guard(spark, tmp_path, monkeypatch):
+    # a subscription misrouted to a data topic must fail fast, not collect
+    # an unbounded batch onto the driver
+    from etl_edi_data_scrapper_spark.streaming import consumer
+
+    monkeypatch.setattr(consumer, "MAX_MESSAGES_PER_BATCH", 5)
+    msg_dir = tmp_path / "flood"
+    msg_dir.mkdir()
+    (msg_dir / "flood.jsonl").write_text(
+        "\n".join('{"bogus": %d}' % i for i in range(50)) + "\n"
+    )
+    q = consumer.run_job_stream(
+        spark, {}, lambda df, cfg: None,
+        source_path=str(msg_dir),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        on_error=lambda m, e: None,
+    )
+    import pytest as _pytest
+    from pyspark.errors import StreamingQueryException
+
+    with _pytest.raises(StreamingQueryException, match="data topic"):
+        q.processAllAvailable()
+        q.awaitTermination(10)
+    q.stop()
