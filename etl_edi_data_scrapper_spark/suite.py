@@ -587,21 +587,42 @@ def q_events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH gaps AS (
       SELECT user_id, ts,
-             CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-                       > 1800000000 OR
-                  lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
-             THEN 1 ELSE 0 END AS new_session
+             CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000 OR
+                  lag(ts) OVER w IS NULL
+             THEN 1 ELSE 0 END AS new_session,
+             CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 1800000000 OR
+                  lag(ts) OVER w IS NULL
+             THEN 1 ELSE 0 END AS new_session_sw
       FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     )
     SELECT user_id,
            CAST(sum(new_session) AS BIGINT) AS n_sessions,
-           count(*) AS n_events
+           count(*) AS n_events,
+           CAST(sum(new_session_sw) AS BIGINT) AS n_sessions_sw,
+           count(*) AS n_events_sw
     FROM gaps GROUP BY user_id
     """,
 )
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sessionization via lag-gap flags (partitioned window, no global sort).
-    Streaming form: `session_window(ts, gap)`."""
+    """Sessionization two ways, cross-checked in one result:
+
+    * lag-gap flags (partitioned window, no global sort) — the classic
+      batch composition; new session when the gap is STRICTLY greater
+      than 30 min.
+    * Spark's NATIVE `session_window(ts, gap)` aggregation — the same
+      operator the streaming path uses (watermark + merging session
+      state); a session's window is [ts, ts+gap), so a new session opens
+      when the gap is >= 30 min.
+
+    The oracle derives BOTH from independent lag arithmetic (with the
+    matching >/>= boundary), so the native session_window operator is
+    hash-verified against SQL — the batch-equivalent gate for the
+    streaming session-window test (`test_streaming_session_window`).
+    Both legs aggregate per user_id (the session_window groupBy is
+    (window, user) then per-user counts — partial aggregation on both
+    shuffles); the join of the two 150-row per-user frames is a trivial
+    co-partitioned merge."""
     from pyspark.sql import Window as W
 
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
@@ -610,7 +631,7 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     new_session = F.when(
         F.lag("ts").over(w).isNull() | (gap > 1_800_000_000), 1
     ).otherwise(0)
-    return (
+    lag_based = (
         ev.select("user_id", new_session.alias("new_session"))
         .groupBy("user_id")
         .agg(
@@ -618,6 +639,16 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_events"),
         )
     )
+    sw = (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_sessions_sw"),
+            F.sum("cnt").alias("n_events_sw"),
+        )
+    )
+    return lag_based.join(sw, "user_id")
 
 
 # ---------------------------------------------------------------------------
