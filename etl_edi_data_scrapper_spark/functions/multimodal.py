@@ -59,12 +59,30 @@ class DecoderUnavailable(NotImplementedError):
     """Raised by real decode kernels when the codec library is absent."""
 
 
-def real_decode_kernel(content: bytes, kind: str) -> list[float]:
-    """Placeholder for the codec-backed kernel (Pillow / torchaudio / ffmpeg
-    are not installed in this environment)."""
+def real_decode_kernel(content: bytes, kind: str, dim: int = 8) -> list[float]:
+    """Codec-backed kernel, import-gated: images decode through Pillow when
+    it is installed (grayscale → 4×2 thumbnail → ``dim`` normalized pixel
+    values, matching ``fake_decode_kernel``'s shape contract exactly);
+    audio/video need torchaudio/ffmpeg which this container lacks. When the
+    library is absent the kernel raises ``DecoderUnavailable`` — callers
+    swap in ``fake_decode_kernel`` to exercise the identical Arrow path."""
+    if content is None:
+        return [0.0] * dim
+    if kind == "image":
+        try:
+            from PIL import Image  # optional dep — present on real clusters
+        except ImportError as e:
+            raise DecoderUnavailable(
+                "Pillow is not installed — cannot decode kind='image'; "
+                "install Pillow or swap in fake_decode_kernel"
+            ) from e
+        import io
+
+        img = Image.open(io.BytesIO(content)).convert("L").resize((dim // 2, 2))
+        return [p / 255.0 for p in img.getdata()][:dim]
     raise DecoderUnavailable(
         f"no codec library available to decode kind={kind!r}; "
-        "install Pillow/torchaudio or swap in fake_decode_kernel"
+        "install torchaudio/ffmpeg or swap in fake_decode_kernel"
     )
 
 

@@ -197,8 +197,49 @@ def test_extract_features_fake_kernel(spark):
 
 
 def test_real_kernel_raises_decoder_unavailable():
+    try:
+        import PIL  # noqa: F401
+
+        pytest.skip("Pillow installed — the image path is live, see below")
+    except ImportError:
+        pass
     with pytest.raises(multimodal.DecoderUnavailable):
         multimodal.real_decode_kernel(b"bytes", "image")
+    with pytest.raises(multimodal.DecoderUnavailable):
+        multimodal.real_decode_kernel(b"bytes", "audio")
+
+
+def test_real_kernel_decodes_images_when_pillow_present(spark):
+    # runs wherever Pillow exists (real clusters); skipped in this container.
+    # Proves the fake-kernel seam faithful: the REAL kernel flows through the
+    # identical extract_features Arrow path with the same schema and dim.
+    PIL_Image = pytest.importorskip("PIL.Image")
+    import io
+
+    def png(shade: int) -> bytes:
+        buf = io.BytesIO()
+        PIL_Image.new("L", (16, 16), color=shade).save(buf, format="PNG")
+        return buf.getvalue()
+
+    rows = [
+        (1, "image", png(0), ("image/png", 16, 16, None)),
+        (2, "image", png(255), ("image/png", 16, 16, None)),
+        (3, "image", None, ("image/png", 0, 0, None)),
+    ]
+    df = spark.createDataFrame(rows, schema=multimodal.MEDIA_SCHEMA)
+    out = {
+        r.media_id: r
+        for r in multimodal.extract_features(
+            df, kernel=multimodal.real_decode_kernel
+        ).collect()
+    }
+    assert len(out[1].feature) == 8 == len(out[2].feature)  # fake-kernel dim
+    assert all(v == 0.0 for v in out[1].feature)  # black thumbnail
+    assert all(v == 1.0 for v in out[2].feature)  # white thumbnail
+    assert out[3].feature == [0.0] * 8  # null content parity with fake
+    # audio is still codec-gated even with Pillow present
+    with pytest.raises(multimodal.DecoderUnavailable):
+        multimodal.real_decode_kernel(b"RIFF", "audio")
 
 
 def test_sample_frames_explodes_video(spark):
