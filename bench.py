@@ -60,15 +60,39 @@ def main() -> None:
             errors[name] = f"{type(e).__name__}: {e}"[:200]
 
     total = round(sum(timings.values()), 3)
+    calib = _cpu_calibration()
     out = {
         "metric": "suite_total",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": sf,
-        "calib_md5_64mb_sec": _cpu_calibration(),
+        "calib_md5_64mb_sec": calib,
         "load_avg_1m": round(os.getloadavg()[0], 2),
     }
+
+    # self-detecting regression gate: host-normalized per-query ratio vs the
+    # committed absolute anchor (BASELINE_LOCAL.md); >2.0 breaches the
+    # BASELINE.md envelope unless the query is a documented scope growth
+    base_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BASELINE_LOCAL.json")
+    if os.path.exists(base_path) and sf == 0.1:
+        with open(base_path) as fh:
+            base = json.load(fh)
+        b_calib = base["calib_md5_64mb_sec"]
+        noted = set(base.get("scope_notes", {}))
+        ratios = {
+            q: round((t / calib) / (base["queries"][q] / b_calib), 2)
+            for q, t in timings.items()
+            if q in base["queries"]
+        }
+        out["vs_baseline"] = ratios
+        out["baseline_breaches"] = sorted(
+            q for q, r in ratios.items() if r > 2.0 and q not in noted
+        )
+        out["baseline_scope_grown"] = sorted(
+            q for q, r in ratios.items() if r > 2.0 and q in noted
+        )
+        out["baseline_pass"] = not out["baseline_breaches"]
     if errors:
         out["errors"] = errors
     print(json.dumps(out))
