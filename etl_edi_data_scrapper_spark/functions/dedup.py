@@ -215,23 +215,19 @@ def _hex_val(c: Column) -> Column:
     return hex_val(c)
 
 
-def simhash(
+def simhash_bit_sums(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 32
 ) -> DataFrame:
-    """SimHash signature: bit_i = sign of Σ_tokens (±1 by bit i of
-    md5(token)). Explode + single groupBy with `bits` conditional-sum
-    aggregates — one shuffle, map-side partials.
+    """The shared SimHash kernel: per-doc signed bit sums (id, b0..b_{bits-1})
+    where b_i = Σ_tokens (±1 by bit i of md5(token)). Explode + single
+    groupBy with `bits` conditional-sum aggregates — one shuffle, map-side
+    partials. The sums for bit i do not depend on the total width, so one
+    64-bit sums pass feeds BOTH a ≤52-bit single-long signature and the
+    64-bit hi/lo signature (`simhash_from_sums` / `simhash64_from_sums`).
 
     Bits come from md5 hex chars via instr arithmetic, so an external SQL
     oracle computes the identical signature. Pre-explode hash-repartition
-    by id: parallelism for the bit-sum work + shuffle-free groupBy(id).
-    """
-    if bits > 52:
-        raise ValueError(
-            f"bits={bits}: single-long signatures above 52 bits lose exactness "
-            "under the portable floor/division piece arithmetic (and bit 63 "
-            "overflows a signed long) — use simhash64() for 64-bit signatures"
-        )
+    by id: parallelism for the bit-sum work + shuffle-free groupBy(id)."""
     df = df.repartition(df.sparkSession.sparkContext.defaultParallelism, id_col)
     tok = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("t"))
     tok = tok.withColumn("h", F.md5(F.col("t")))
@@ -242,15 +238,40 @@ def simhash(
         bit = F.floor(nibble / (2 ** (3 - i % 4))).cast("int") % 2
         contrib = F.when(bit == 1, 1).otherwise(-1)
         aggs.append(F.sum(contrib).alias(f"b{i}"))
-    sums = tok.groupBy(id_col).agg(*aggs)
-    sig = sums.select(
+    return tok.groupBy(id_col).agg(*aggs)
+
+
+def simhash_from_sums(
+    sums: DataFrame, id_col: str = "doc_id", bits: int = 32
+) -> DataFrame:
+    """(id, b0..) bit sums → single-long signature of width ``bits``."""
+    if bits > 52:
+        raise ValueError(
+            f"bits={bits}: single-long signatures above 52 bits lose exactness "
+            "under the portable floor/division piece arithmetic (and bit 63 "
+            "overflows a signed long) — use simhash64() for 64-bit signatures"
+        )
+    return sums.select(
         F.col(id_col),
         sum(
             (F.when(F.col(f"b{i}") > 0, F.lit(2**i)).otherwise(F.lit(0)) for i in range(bits)),
             F.lit(0),
         ).cast("long").alias("simhash"),
     )
-    return sig
+
+
+def simhash(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 32
+) -> DataFrame:
+    """SimHash signature: bit_i = sign of Σ_tokens (±1 by bit i of
+    md5(token)). See `simhash_bit_sums` for the kernel and scale notes."""
+    if bits > 52:
+        raise ValueError(
+            f"bits={bits}: single-long signatures above 52 bits lose exactness "
+            "under the portable floor/division piece arithmetic (and bit 63 "
+            "overflows a signed long) — use simhash64() for 64-bit signatures"
+        )
+    return simhash_from_sums(simhash_bit_sums(df, id_col, text_col, bits), id_col, bits)
 
 
 def simhash_near_pairs(
@@ -338,26 +359,8 @@ def simhash_near_pairs(
     )
 
 
-def simhash64(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
-) -> DataFrame:
-    """64-bit SimHash signature as TWO 32-bit halves (simhash_hi carries
-    bits 32-63, simhash_lo bits 0-31). The split keeps every value < 2^32,
-    so the portable floor/division piece arithmetic stays exact in doubles
-    (a single 64-bit long would corrupt low pieces past 2^53 and overflow
-    the sign bit at 2^63) and the identical SQL reproduces it in any
-    engine. Same one-shuffle shape as `simhash`: explode tokens, one
-    groupBy(id) with 64 conditional-sum partials."""
-    df = df.repartition(df.sparkSession.sparkContext.defaultParallelism, id_col)
-    tok = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("t"))
-    tok = tok.withColumn("h", F.md5(F.col("t")))
-    aggs = []
-    for i in range(64):
-        nibble = _hex_val(F.substring(F.col("h"), i // 4 + 1, 1))
-        bit = F.floor(nibble / (2 ** (3 - i % 4))).cast("int") % 2
-        contrib = F.when(bit == 1, 1).otherwise(-1)
-        aggs.append(F.sum(contrib).alias(f"b{i}"))
-    sums = tok.groupBy(id_col).agg(*aggs)
+def simhash64_from_sums(sums: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(id, b0..b63) bit sums → 64-bit signature as two 32-bit halves."""
 
     def half(lo_bit: int) -> Column:
         return sum(
@@ -373,6 +376,19 @@ def simhash64(
         half(32).alias("simhash_hi"),
         half(0).alias("simhash_lo"),
     )
+
+
+def simhash64(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """64-bit SimHash signature as TWO 32-bit halves (simhash_hi carries
+    bits 32-63, simhash_lo bits 0-31). The split keeps every value < 2^32,
+    so the portable floor/division piece arithmetic stays exact in doubles
+    (a single 64-bit long would corrupt low pieces past 2^53 and overflow
+    the sign bit at 2^63) and the identical SQL reproduces it in any
+    engine. Same one-shuffle shape as `simhash`: explode tokens, one
+    groupBy(id) with 64 conditional-sum partials."""
+    return simhash64_from_sums(simhash_bit_sums(df, id_col, text_col, 64), id_col)
 
 
 def simhash64_near_pairs(

@@ -2444,19 +2444,30 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     and therefore the local quadratic pairing cost, bounded as the corpus
     grows. Deterministic by construction (md5-derived signatures), so fully
     oracled: the DuckDB side replicates signature, piece-blocking and
-    xor/bit_count pair arithmetic for both legs."""
+    xor/bit_count pair arithmetic for both legs.
+
+    The two legs share ONE signature kernel pass: bit sums for bit i are
+    width-independent, so the 64-bit `simhash_bit_sums` feeds both the
+    48-bit recombination and the hi/lo halves. The sums frame (one row per
+    doc, 64 ints) is lazily `localCheckpoint`ed so the union's two branches
+    read the same materialized blocks instead of re-running the explode +
+    64-aggregate groupBy — the heavy stage runs once per execution (a
+    checkpoint, not `persist`, so repeated executions don't silently reuse
+    a warm cache across runs)."""
     from etl_edi_data_scrapper_spark.functions.dedup import (
-        simhash,
-        simhash64,
+        simhash64_from_sums,
         simhash64_near_pairs,
+        simhash_bit_sums,
+        simhash_from_sums,
         simhash_near_pairs,
     )
 
     docs = _t(spark, sf_dir, "documents")
+    sums = simhash_bit_sums(docs, bits=64).localCheckpoint(eager=False)
     p48 = simhash_near_pairs(
-        simhash(docs, bits=48), max_hamming=3, bits=48
+        simhash_from_sums(sums, bits=48), max_hamming=3, bits=48
     ).withColumn("sig_bits", F.lit(48))
-    p64 = simhash64_near_pairs(simhash64(docs), max_hamming=3).withColumn(
+    p64 = simhash64_near_pairs(simhash64_from_sums(sums), max_hamming=3).withColumn(
         "sig_bits", F.lit(64)
     )
     return p48.unionByName(p64)

@@ -30,9 +30,13 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 BASE_SF = "/root/testdata/sf0.1"
 
-# heavy / structurally interesting representatives (name -> suite query)
+# heavy / structurally interesting representatives (name -> suite query);
+# includes the bench's current most-expensive queries so per-round reports
+# always cover the top of the cost table
 QUERIES = [
     "keyed_merge",
+    "keyed_merge_salted",
+    "pipeline_e2e",
     "window_rank",
     "join_q3",
     "minhash_lsh",
@@ -41,8 +45,14 @@ QUERIES = [
     "tfidf_topk",
     "kmeans",
     "ann_ivf",
+    "ann_recall",
     "vocab_topk",
+    "cogroup_stats",
 ]
+
+# a linear operator on a fixed 32-thread pool should scale ≈ data ratio;
+# allow ~20% shuffle/log-factor headroom before flagging super-linear
+FLAG_RATIO = 12.0
 
 
 def build_scaled(spark, out_dir: str, factor: int) -> None:
@@ -156,7 +166,22 @@ def main() -> None:
         }
         print(f"# {name}: {base}s -> {scaled}s (x{report[name]['ratio']})", file=sys.stderr)
 
-    print(json.dumps({"factor": args.factor, "base_sf": 0.1, "queries": report}))
+    flagged = sorted(
+        q
+        for q, r in report.items()
+        if r["ratio"] is not None and r["ratio"] > FLAG_RATIO * args.factor / 10
+    )
+    print(
+        json.dumps(
+            {
+                "factor": args.factor,
+                "base_sf": 0.1,
+                "flag_ratio": FLAG_RATIO * args.factor / 10,
+                "queries": report,
+                "flagged_superlinear": flagged,
+            }
+        )
+    )
 
 
 if __name__ == "__main__":
