@@ -123,3 +123,18 @@ def test_cogroup_stats_copartitions_both_sides(spark, sf_dir):
     # key-subset filter pushed into BOTH parquet scans
     assert "PushedFilters" in plan
     assert plan.count("IsNotNull(o_orderkey)") >= 1 or "o_orderkey" in plan
+
+
+def test_simhash_pairs_shares_one_kernel_pass(spark, sf_dir):
+    # both sig_bits legs must read the lazily-checkpointed bit-sums RDD —
+    # zero parquet scans in the union plan means the heavy explode +
+    # 64-aggregate kernel is materialized once per execution, not per leg
+    plan = plan_of(spark, "simhash_pairs", sf_dir)
+    assert "Scan parquet" not in plan
+    assert plan.count("ExistingRDD") + plan.count("Scan rdd") >= 2
+
+
+def test_sessionize_native_leg_joins_broadcast(spark, sf_dir):
+    # the two 150-row per-user aggregates merge without a shuffle join
+    plan = plan_of(spark, "sessionize", sf_dir)
+    assert "BroadcastHashJoin" in plan
