@@ -11,12 +11,20 @@ the query suite and its oracles in ``etl_edi_data_scrapper_spark/suite.py``.
 
 from __future__ import annotations
 
+import os
 import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
 sys.path.insert(0, "/root/repo")
+# Executor-side Python workers inherit the driver's PYTHONPATH; two queries
+# ship package functions to workers (rest_scan's Python DataSource,
+# multimodal's mapInPandas kernel), which must be importable there even when
+# the harness launches from another cwd. Set it before the JVM/daemon forks;
+# suite._ship_package covers sessions created before this import.
+if "/root/repo" not in os.environ.get("PYTHONPATH", "").split(os.pathsep):
+    os.environ["PYTHONPATH"] = "/root/repo" + os.pathsep + os.environ.get("PYTHONPATH", "")
 
 from etl_edi_data_scrapper_spark.suite import ORACLES, QUERIES  # noqa: E402
 

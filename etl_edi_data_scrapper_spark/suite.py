@@ -43,6 +43,38 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+_SHIPPED_SESSIONS: set[int] = set()
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Make this package importable on executor Python workers regardless of
+    the driver's launch cwd/PYTHONPATH: zip the package once and addPyFile
+    it. Needed only by queries that serialize module-level functions to
+    workers (the REST Python DataSource, the multimodal mapInPandas kernel)
+    — everything else is pure JVM expressions. Idempotent per session."""
+    key = id(spark.sparkContext)
+    if key in _SHIPPED_SESSIONS:
+        return
+    import os
+    import tempfile
+    import zipfile
+
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    zip_path = os.path.join(tempfile.gettempdir(), "etl_edi_data_scrapper_spark_pkg.zip")
+    if not os.path.exists(zip_path):
+        with zipfile.ZipFile(zip_path, "w") as zf:
+            for root, _dirs, files in os.walk(pkg_dir):
+                if "__pycache__" in root:
+                    continue
+                for f in files:
+                    if f.endswith(".py"):
+                        full = os.path.join(root, f)
+                        rel = os.path.relpath(full, os.path.dirname(pkg_dir))
+                        zf.write(full, rel)
+    spark.sparkContext.addPyFile(zip_path)
+    _SHIPPED_SESSIONS.add(key)
+
+
 # ---------------------------------------------------------------------------
 # Shared dirty-feed synthesis (identical SQL text on both engines): turns the
 # clean TPC-H lineitem into the reference's supplier-feed shape (FIXTURES.md
@@ -1884,6 +1916,8 @@ def q_rest_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_edi_data_scrapper_spark.sources.rest import read_rest_api
     from etl_edi_data_scrapper_spark.sources.rest_datasource import RestDataSource
 
+    _ship_package(spark)  # DataSource class deserializes on executors
+
     def fetch(url: str) -> str:
         page = int(url.split("page=")[1].split("&")[0])
         rows = [
@@ -2259,6 +2293,7 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         fake_decode_kernel,
     )
 
+    _ship_package(spark)  # module-level kernel fn deserializes on executors
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
     media = docs.select(
         F.col("doc_id").alias("media_id"),
