@@ -23,8 +23,11 @@ sys.path.insert(0, "/root/repo")
 # multimodal's mapInPandas kernel), which must be importable there even when
 # the harness launches from another cwd. Set it before the JVM/daemon forks;
 # suite._ship_package covers sessions created before this import.
-if "/root/repo" not in os.environ.get("PYTHONPATH", "").split(os.pathsep):
-    os.environ["PYTHONPATH"] = "/root/repo" + os.pathsep + os.environ.get("PYTHONPATH", "")
+_pp = [p for p in os.environ.get("PYTHONPATH", "").split(os.pathsep) if p]
+if "/root/repo" not in _pp:
+    # filter empties: a trailing/duplicated separator would put the workers'
+    # cwd on sys.path (an empty PYTHONPATH entry means ".")
+    os.environ["PYTHONPATH"] = os.pathsep.join(["/root/repo", *_pp])
 
 from etl_edi_data_scrapper_spark.suite import ORACLES, QUERIES  # noqa: E402
 

@@ -92,7 +92,12 @@ def main() -> None:
         out["baseline_scope_grown"] = sorted(
             q for q, r in ratios.items() if r > 2.0 and q in noted
         )
-        out["baseline_pass"] = not out["baseline_breaches"]
+        # a baseline query that ERRORED has no timing — that is the worst
+        # regression of all and must fail the gate, not silently vanish
+        out["baseline_missing"] = sorted(
+            q for q in base["queries"] if q not in timings
+        )
+        out["baseline_pass"] = not out["baseline_breaches"] and not out["baseline_missing"]
     if errors:
         out["errors"] = errors
     print(json.dumps(out))

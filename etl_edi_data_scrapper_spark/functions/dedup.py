@@ -264,13 +264,8 @@ def simhash(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 32
 ) -> DataFrame:
     """SimHash signature: bit_i = sign of Σ_tokens (±1 by bit i of
-    md5(token)). See `simhash_bit_sums` for the kernel and scale notes."""
-    if bits > 52:
-        raise ValueError(
-            f"bits={bits}: single-long signatures above 52 bits lose exactness "
-            "under the portable floor/division piece arithmetic (and bit 63 "
-            "overflows a signed long) — use simhash64() for 64-bit signatures"
-        )
+    md5(token)). See `simhash_bit_sums` for the kernel and scale notes;
+    `simhash_from_sums` rejects widths above 52 bits (use `simhash64`)."""
     return simhash_from_sums(simhash_bit_sums(df, id_col, text_col, bits), id_col, bits)
 
 

@@ -59,13 +59,15 @@ class DecoderUnavailable(NotImplementedError):
     """Raised by real decode kernels when the codec library is absent."""
 
 
-def real_decode_kernel(content: bytes, kind: str, dim: int = 8) -> list[float]:
+def real_decode_kernel(content: bytes, kind: str, dim: int = 8) -> list[float] | None:
     """Codec-backed kernel, import-gated: images decode through Pillow when
     it is installed (grayscale → 4×2 thumbnail → ``dim`` normalized pixel
     values, matching ``fake_decode_kernel``'s shape contract exactly);
     audio/video need torchaudio/ffmpeg which this container lacks. When the
     library is absent the kernel raises ``DecoderUnavailable`` — callers
-    swap in ``fake_decode_kernel`` to exercise the identical Arrow path."""
+    swap in ``fake_decode_kernel`` to exercise the identical Arrow path.
+    Corrupt/undecodable bytes yield ``None`` (a NULL feature), not an
+    exception — a single bad blob must never abort a 100 TB stage."""
     if content is None:
         return [0.0] * dim
     if kind == "image":
@@ -78,7 +80,13 @@ def real_decode_kernel(content: bytes, kind: str, dim: int = 8) -> list[float]:
             ) from e
         import io
 
-        img = Image.open(io.BytesIO(content)).convert("L").resize((dim // 2, 2))
+        try:
+            img = Image.open(io.BytesIO(content)).convert("L").resize((dim // 2, 2))
+        except Exception:
+            # one corrupt blob among millions must not abort the stage:
+            # surface it as a NULL feature row (queryable downstream),
+            # never as a task-killing exception
+            return None
         return [p / 255.0 for p in img.getdata()][:dim]
     raise DecoderUnavailable(
         f"no codec library available to decode kind={kind!r}; "

@@ -79,13 +79,16 @@ def cogroup_apply_batched(
     arrives in that side's frame (hash of the same key value lands in the
     same bucket on both sides)."""
     n = num_buckets or left.sparkSession.sparkContext.defaultParallelism
-    bl = left.withColumn("_ck", F.pmod(F.hash(*keys), F.lit(n)))
-    br = right.withColumn("_ck", F.pmod(F.hash(*keys), F.lit(n)))
+    ck = "_ck"
+    while ck in left.columns or ck in right.columns:  # never clobber user data
+        ck += "_"
+    bl = left.withColumn(ck, F.pmod(F.hash(*keys), F.lit(n)))
+    br = right.withColumn(ck, F.pmod(F.hash(*keys), F.lit(n)))
 
     def run(_key, lpdf, rpdf):
         return fn(
-            lpdf.drop(columns=["_ck"]),
-            rpdf.drop(columns=["_ck"]),
+            lpdf.drop(columns=[ck]),
+            rpdf.drop(columns=[ck]),
         )
 
-    return bl.groupBy("_ck").cogroup(br.groupBy("_ck")).applyInPandas(run, schema)
+    return bl.groupBy(ck).cogroup(br.groupBy(ck)).applyInPandas(run, schema)

@@ -68,11 +68,14 @@ def ole2_stream(data: bytes, names: tuple[str, ...]) -> bytes:
     n_minifat = struct.unpack_from("<I", data, 64)[0]
     first_difat = struct.unpack_from("<I", data, 68)[0]
 
+    # sectors live after the 512-byte header; anything indexing past the
+    # last WHOLE sector would hand struct.unpack a short slice
+    n_sectors = max((len(data) - 512) // sect_size, 0)
     difat = list(struct.unpack_from("<109I", data, 76))
     s = first_difat
     seen_difat: set[int] = set()
     while s not in (_ENDOFCHAIN, _FREESECT):
-        if s in seen_difat or s >= max(len(data) // sect_size, 1):
+        if s in seen_difat or s >= n_sectors:
             raise _Unsupported("cyclic or out-of-bounds DIFAT chain (corrupt OLE2 container)")
         seen_difat.add(s)
         sec = _sector(data, s, sect_size)
@@ -81,6 +84,8 @@ def ole2_stream(data: bytes, names: tuple[str, ...]) -> bytes:
         s = entries[-1]
     fat: list[int] = []
     for fs in difat[:n_fat]:
+        if fs >= n_sectors:
+            raise _Unsupported("FAT sector pointer out of bounds (corrupt OLE2 container)")
         fat.extend(struct.unpack(f"<{sect_size // 4}I", _sector(data, fs, sect_size)))
 
     dir_raw = b"".join(_sector(data, s, sect_size) for s in _chain(fat, first_dir))

@@ -43,26 +43,34 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
-_SHIPPED_SESSIONS: set[int] = set()
+_SHIPPED_SESSIONS: set[str] = set()
+_PKG_ZIP_PATH: str | None = None
 
 
 def _ship_package(spark: SparkSession) -> None:
     """Make this package importable on executor Python workers regardless of
-    the driver's launch cwd/PYTHONPATH: zip the package once and addPyFile
-    it. Needed only by queries that serialize module-level functions to
-    workers (the REST Python DataSource, the multimodal mapInPandas kernel)
-    — everything else is pure JVM expressions. Idempotent per session."""
-    key = id(spark.sparkContext)
+    the driver's launch cwd/PYTHONPATH: zip the package and addPyFile it.
+    Needed only by queries that serialize module-level functions to workers
+    (the REST Python DataSource, the multimodal mapInPandas kernel) —
+    everything else is pure JVM expressions. The zip is built fresh once per
+    PROCESS into a private temp file (a fixed /tmp name could ship stale
+    code after an edit, race a concurrent run's half-written zip, or be
+    planted by another user); idempotence per session is keyed by
+    applicationId (id() of a GC'd context can be reused)."""
+    key = spark.sparkContext.applicationId
     if key in _SHIPPED_SESSIONS:
         return
     import os
     import tempfile
     import zipfile
 
-    pkg_dir = os.path.dirname(os.path.abspath(__file__))
-    zip_path = os.path.join(tempfile.gettempdir(), "etl_edi_data_scrapper_spark_pkg.zip")
-    if not os.path.exists(zip_path):
-        with zipfile.ZipFile(zip_path, "w") as zf:
+    global _PKG_ZIP_PATH
+    if _PKG_ZIP_PATH is None or not os.path.exists(_PKG_ZIP_PATH):
+        pkg_dir = os.path.dirname(os.path.abspath(__file__))
+        fd, zip_path = tempfile.mkstemp(
+            prefix="etl_edi_data_scrapper_spark_pkg_", suffix=".zip"
+        )
+        with os.fdopen(fd, "wb") as fh, zipfile.ZipFile(fh, "w") as zf:
             for root, _dirs, files in os.walk(pkg_dir):
                 if "__pycache__" in root:
                     continue
@@ -71,7 +79,8 @@ def _ship_package(spark: SparkSession) -> None:
                         full = os.path.join(root, f)
                         rel = os.path.relpath(full, os.path.dirname(pkg_dir))
                         zf.write(full, rel)
-    spark.sparkContext.addPyFile(zip_path)
+        _PKG_ZIP_PATH = zip_path
+    spark.sparkContext.addPyFile(_PKG_ZIP_PATH)
     _SHIPPED_SESSIONS.add(key)
 
 

@@ -225,6 +225,7 @@ def test_real_kernel_decodes_images_when_pillow_present(spark):
         (1, "image", png(0), ("image/png", 16, 16, None)),
         (2, "image", png(255), ("image/png", 16, 16, None)),
         (3, "image", None, ("image/png", 0, 0, None)),
+        (4, "image", b"not a real image blob", ("image/png", 0, 0, None)),
     ]
     df = spark.createDataFrame(rows, schema=multimodal.MEDIA_SCHEMA)
     out = {
@@ -237,6 +238,7 @@ def test_real_kernel_decodes_images_when_pillow_present(spark):
     assert all(v == 0.0 for v in out[1].feature)  # black thumbnail
     assert all(v == 1.0 for v in out[2].feature)  # white thumbnail
     assert out[3].feature == [0.0] * 8  # null content parity with fake
+    assert out[4].feature is None  # corrupt bytes → NULL row, stage survives
     # audio is still codec-gated even with Pillow present
     with pytest.raises(multimodal.DecoderUnavailable):
         multimodal.real_decode_kernel(b"RIFF", "audio")
