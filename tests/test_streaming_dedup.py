@@ -85,3 +85,77 @@ def test_streaming_curation_exprs_reused(spark, tmp_path):
         assert 0.0 <= rows[1].quality <= 1.0
     finally:
         q.stop()
+
+
+def test_streaming_dedup_ttl_without_protobuf_is_crisp(spark):
+    """Where protobuf is broken/absent (this container), the TTL variant
+    must fail at plan time with an actionable ImportError, not crash the
+    streaming runner at start."""
+    import pytest
+
+    from etl_edi_data_scrapper_spark.streaming.dedup_stream import (
+        streaming_exact_dedup_ttl,
+    )
+
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        pytest.skip("protobuf present — the live TTL test below covers this")
+    except ImportError:
+        pass
+    stream = spark.readStream.schema("doc_id long, text string").json("/tmp")
+    with pytest.raises(ImportError, match="protobuf"):
+        streaming_exact_dedup_ttl(stream)
+
+
+def test_streaming_dedup_ttl_variant(spark, tmp_path):
+    """transformWithStateInPandas TTL dedup: cross-batch state drops dups,
+    and a long TTL behaves like the unbounded form within the test window.
+    (Real TTL expiry needs wall-clock time to pass; the semantic contract —
+    native ValueState TTL on RocksDB — is what this exercises. Runs where
+    protobuf is installed — Spark's transformWithState control channel
+    needs it; skipped in this container.)"""
+    import pytest
+
+    pytest.importorskip("google.protobuf.descriptor")
+
+    from etl_edi_data_scrapper_spark.streaming.dedup_stream import (
+        streaming_exact_dedup_ttl,
+    )
+
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        src = tmp_path / "docs"
+        src.mkdir()
+        _write_batch(src, "b1.jsonl", [
+            {"doc_id": 1, "text": "The quick brown fox!"},
+            {"doc_id": 2, "text": "the QUICK brown fox"},
+            {"doc_id": 3, "text": "something else"},
+        ])
+        stream = spark.readStream.schema("doc_id long, text string").json(str(src))
+        out = streaming_exact_dedup_ttl(stream, ttl_ms=3_600_000)
+        q = (
+            out.writeStream.outputMode("append")
+            .format("memory").queryName("dedup_ttl_out")
+            .option("checkpointLocation", str(tmp_path / "ckpt_ttl"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            got1 = {r.doc_id for r in spark.sql("SELECT * FROM dedup_ttl_out").collect()}
+            assert got1 == {1, 3}
+
+            _write_batch(src, "b2.jsonl", [
+                {"doc_id": 4, "text": "THE QUICK BROWN FOX"},
+                {"doc_id": 5, "text": "brand new content"},
+            ])
+            q.processAllAvailable()
+            got2 = {r.doc_id for r in spark.sql("SELECT * FROM dedup_ttl_out").collect()}
+            assert got2 == {1, 3, 5}
+        finally:
+            q.stop()
+    finally:
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
