@@ -87,7 +87,7 @@ def test_streaming_curation_exprs_reused(spark, tmp_path):
         q.stop()
 
 
-def test_streaming_dedup_ttl_without_protobuf_is_crisp(spark):
+def test_streaming_dedup_ttl_without_protobuf_is_crisp(spark, tmp_path):
     """Where protobuf is broken/absent (this container), the TTL variant
     must fail at plan time with an actionable ImportError, not crash the
     streaming runner at start."""
@@ -103,7 +103,7 @@ def test_streaming_dedup_ttl_without_protobuf_is_crisp(spark):
         pytest.skip("protobuf present — the live TTL test below covers this")
     except ImportError:
         pass
-    stream = spark.readStream.schema("doc_id long, text string").json("/tmp")
+    stream = spark.readStream.schema("doc_id long, text string").json(str(tmp_path))
     with pytest.raises(ImportError, match="protobuf"):
         streaming_exact_dedup_ttl(stream)
 
