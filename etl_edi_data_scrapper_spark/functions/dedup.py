@@ -373,6 +373,39 @@ def simhash64_from_sums(sums: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
+def simhash_combined_from_sums(
+    sums: DataFrame, id_col: str = "doc_id", single_bits: int = 48
+) -> DataFrame:
+    """(id, b0..b63) bit sums → (id, simhash, simhash_hi, simhash_lo): the
+    ≤52-bit single-long signature AND the 64-bit halves in one projection,
+    for consumers that block on several widths from one kernel pass."""
+    if single_bits > 52:
+        raise ValueError("single_bits must be ≤ 52 (see simhash_from_sums)")
+
+    def half(lo_bit: int) -> Column:
+        return sum(
+            (
+                F.when(F.col(f"b{lo_bit + j}") > 0, F.lit(2**j)).otherwise(F.lit(0))
+                for j in range(32)
+            ),
+            F.lit(0),
+        ).cast("long")
+
+    single = sum(
+        (
+            F.when(F.col(f"b{i}") > 0, F.lit(2**i)).otherwise(F.lit(0))
+            for i in range(single_bits)
+        ),
+        F.lit(0),
+    ).cast("long")
+    return sums.select(
+        F.col(id_col),
+        single.alias("simhash"),
+        half(32).alias("simhash_hi"),
+        half(0).alias("simhash_lo"),
+    )
+
+
 def simhash64(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

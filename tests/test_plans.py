@@ -126,12 +126,17 @@ def test_cogroup_stats_copartitions_both_sides(spark, sf_dir):
 
 
 def test_simhash_pairs_shares_one_kernel_pass(spark, sf_dir):
-    # both sig_bits legs must read the lazily-checkpointed bit-sums RDD —
-    # zero parquet scans in the union plan means the heavy explode +
-    # 64-aggregate kernel is materialized once per execution, not per leg
-    plan = plan_of(spark, "simhash_pairs", sf_dir)
-    assert "Scan parquet" not in plan
-    assert plan.count("ExistingRDD") + plan.count("Scan rdd") >= 2
+    # both sig_bits legs live in ONE linear plan: a single documents scan
+    # (the kernel runs once) and a single blocking exchange for the
+    # combined (leg, piece, block) groupBy — no union, no double pipeline.
+    # raw toString (not formatted) so each node appears exactly once
+    df = QUERIES["simhash_pairs"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 1
+    # exactly three hash exchanges: the doc_id repartition the kernel
+    # groupBy rides, the combined (leg, piece, block) blocking groupBy,
+    # and the final pair-dedup distinct — nothing duplicated per leg
+    assert plan.count("Exchange hashpartitioning") == 3
 
 
 def test_sessionize_native_leg_joins_broadcast(spark, sf_dir):
