@@ -273,15 +273,31 @@ def _read_xls_biff8(path: str, range_: str | None) -> tuple[list[str], list[str]
     return _grid_to_table(grid, cells)
 
 
+def _read_ods(path: str, range_: str | None) -> tuple[list[str], list[list]]:
+    """OpenDocument spreadsheet (``sources/ods.py``); same header/range/
+    padding contract as the XLSX/BIFF8 paths. The reference accepts ODS via
+    PhpSpreadsheet's auto-detecting loader (`ExcelInputHandler.php:108-116`)."""
+    from etl_edi_data_scrapper_spark.sources import ods
+
+    sheet_name, cells = (None, None)
+    if range_:
+        sheet_name, cells = normalize_excel_range(range_, max_row=2**20)
+    grid = ods.read_ods_grid(path, sheet_name)
+    return _grid_to_table(grid, cells)
+
+
 def read_excel(spark: SparkSession, source: str, range_: str | None = None) -> DataFrame:
     """Excel scan; unions all matched files (`ExcelInputHandler.php:38-50`).
 
     First row = header, short rows padded with null (:168-172); optional
     ``Sheet!A1:D`` range (:126-139, :203-240). Stdlib XLSX parser + minimal
-    BIFF8 ``.xls`` parser, dispatched on the file magic (driver-side —
+    BIFF8 ``.xls`` parser + ODS parser, dispatched on the file magic/zip
+    layout the way PhpSpreadsheet's IOFactory auto-detects (driver-side —
     supplier feeds are small); the 100 TB path is the spark-excel
     DataSourceV2 package on a real cluster.
     """
+    from etl_edi_data_scrapper_spark.sources.ods import is_ods_zip
+
     paths = sorted(glob.glob(source)) if any(ch in source for ch in "*?[") else [source]
     frames = []
     for path in paths:
@@ -289,6 +305,8 @@ def read_excel(spark: SparkSession, source: str, range_: str | None = None) -> D
             magic = fh.read(8)
         if magic == _OLE2_MAGIC:
             header, rows = _read_xls_biff8(path, range_)
+        elif magic[:2] == b"PK" and is_ods_zip(path):
+            header, rows = _read_ods(path, range_)
         else:
             header, rows = _read_xlsx_stdlib(path, range_)
         if not header:

@@ -2583,16 +2583,20 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
       ('0044', '3', '9.99'),
       ('0051', '8', '4,25'),
       ('0052', '12', NULL),
-      ('0053', '5', '7.5')
+      ('0053', '5', '7.5'),
+      ('0061', '9', '3,10'),
+      ('0062', '2', NULL)
     ) AS t(UPC, Quantity, Wholesale)
     """,
 )
 def q_excel_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Excel scan through the gate, both formats the reference reads
-    (`ExcelInputHandler.php:27-242`): a spec-valid XLSX (zip of XML) parsed
-    by the stdlib reader — header row, shared strings, numeric cells as
-    literal text, short-row padding — unioned with a legacy BIFF8 ``.xls``
-    (OLE2 mini-stream container, SST/LABELSST/NUMBER records) through the
+    """Excel scan through the gate, ALL the spreadsheet formats the
+    reference's auto-detecting loader reads (`ExcelInputHandler.php:27-242`,
+    PhpSpreadsheet `IOFactory::load` at :108-116): a spec-valid XLSX (zip of
+    XML) parsed by the stdlib reader — header row, shared strings, numeric
+    cells as literal text, short-row padding — unioned with a legacy BIFF8
+    ``.xls`` (OLE2 mini-stream container, SST/LABELSST/NUMBER records) and
+    an OpenDocument ``.ods`` (zip, content.xml typed cells) through the
     same ``read_excel`` dispatch-on-magic path (multi-file glob union =
     `ExcelInputHandler.php:44-49`)."""
     import os
@@ -2649,7 +2653,18 @@ def q_excel_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             ["0053", 5.0, 7.5],
         ],
     )
-    return read_excel(spark, os.path.join(stage, "*.xls*"))
+
+    from etl_edi_data_scrapper_spark.sources.ods import write_minimal_ods
+
+    write_minimal_ods(
+        os.path.join(stage, "open.ods"),
+        [
+            ["UPC", "Quantity", "Wholesale"],
+            ["0061", 9.0, "3,10"],
+            ["0062", "2", None],
+        ],
+    )
+    return read_excel(spark, os.path.join(stage, "*.*"))
 
 
 def _ann_ivf_oracle(n_centroids: int = 16, nprobe: int = 4, k: int = 5) -> str:

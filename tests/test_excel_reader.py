@@ -298,3 +298,90 @@ def test_non_zip_garbage_crisp_error(spark, tmp_path):
     p.write_bytes(b"this is not a spreadsheet at all")
     with pytest.raises(UnsupportedFormatError, match="not an XLSX"):
         read_excel(spark, str(p))
+
+
+# --- ODS (OpenDocument) path -------------------------------------------------
+
+
+def test_ods_roundtrip_and_dispatch(spark, tmp_path):
+    # PhpSpreadsheet's IOFactory auto-detects ODS; read_excel must too
+    from etl_edi_data_scrapper_spark.sources.ods import write_minimal_ods
+
+    p = tmp_path / "feed.ods"
+    write_minimal_ods(
+        p,
+        [
+            ["sku", "qty", "price"],
+            ["0042", 15.0, "12,99"],
+            ["0043", 7.5, None],
+        ],
+    )
+    df = read_excel(spark, str(p))
+    assert df.columns == ["sku", "qty", "price"]
+    rows = {r.sku: r for r in df.collect()}
+    assert rows["0042"].qty == "15"  # integral float loses the .0
+    assert rows["0043"].qty == "7.5" and rows["0043"].price is None
+
+
+def test_ods_range_and_sheet_selection(spark, tmp_path):
+    from etl_edi_data_scrapper_spark.sources.ods import write_minimal_ods
+
+    p = tmp_path / "r.ods"
+    write_minimal_ods(
+        p,
+        [["junk", "junk2"], ["h1", "h2"], ["a", "b"], ["c", "d"]],
+        sheet_name="Data",
+    )
+    df = read_excel(spark, str(p), range_="Data!A2:B4")
+    assert df.columns == ["h1", "h2"]
+    assert sorted((r.h1, r.h2) for r in df.collect()) == [("a", "b"), ("c", "d")]
+    with pytest.raises(ValueError, match="not found"):
+        read_excel(spark, str(p), range_="Nope!A1:B2")
+
+
+def test_ods_repeated_cells_expand(tmp_path):
+    # hand-crafted content.xml: number-columns-repeated and
+    # number-rows-repeated must expand (and huge trailing filler must not)
+    import zipfile
+
+    from etl_edi_data_scrapper_spark.sources.ods import ODS_MIMETYPE, read_ods_grid
+
+    content = (
+        '<?xml version="1.0" encoding="UTF-8"?>'
+        '<office:document-content '
+        'xmlns:office="urn:oasis:names:tc:opendocument:xmlns:office:1.0" '
+        'xmlns:table="urn:oasis:names:tc:opendocument:xmlns:table:1.0" '
+        'xmlns:text="urn:oasis:names:tc:opendocument:xmlns:text:1.0">'
+        "<office:body><office:spreadsheet>"
+        '<table:table table:name="S">'
+        "<table:table-row>"
+        '<table:table-cell office:value-type="string" table:number-columns-repeated="3">'
+        "<text:p>x</text:p></table:table-cell>"
+        '<table:table-cell table:number-columns-repeated="16384"/>'
+        "</table:table-row>"
+        '<table:table-row table:number-rows-repeated="2">'
+        '<table:table-cell office:value-type="float" office:value="2.5">'
+        "<text:p>2.5</text:p></table:table-cell>"
+        "</table:table-row>"
+        "</table:table>"
+        "</office:spreadsheet></office:body></office:document-content>"
+    )
+    p = tmp_path / "rep.ods"
+    with zipfile.ZipFile(p, "w") as z:
+        z.writestr("mimetype", ODS_MIMETYPE)
+        z.writestr("content.xml", content)
+    grid = read_ods_grid(str(p))
+    assert grid[0] == {0: "x", 1: "x", 2: "x"}  # repeat expanded
+    assert grid[1] == {0: "2.5"} and grid[2] == {0: "2.5"}  # row repeat
+    assert len(grid) == 3  # trailing 16384-wide filler not materialized
+
+
+def test_mixed_xlsx_xls_ods_union(spark, tmp_path):
+    from etl_edi_data_scrapper_spark.sources.biff import write_minimal_biff8
+    from etl_edi_data_scrapper_spark.sources.ods import write_minimal_ods
+
+    make_xlsx(tmp_path / "a.xlsx", {"S": [["k"], ["1"]]})
+    write_minimal_biff8(tmp_path / "b.xls", [["k"], ["2"]])
+    write_minimal_ods(tmp_path / "c.ods", [["k"], ["3"]])
+    df = read_excel(spark, str(tmp_path / "*.*"))
+    assert sorted(r.k for r in df.collect()) == ["1", "2", "3"]
