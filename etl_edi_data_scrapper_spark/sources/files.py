@@ -302,11 +302,19 @@ def read_excel(spark: SparkSession, source: str, range_: str | None = None) -> D
     frames = []
     for path in paths:
         with open(path, "rb") as fh:
-            magic = fh.read(8)
+            head = fh.read(4096)
+        magic = head[:8]
         if magic == _OLE2_MAGIC:
             header, rows = _read_xls_biff8(path, range_)
         elif magic[:2] == b"PK" and is_ods_zip(path):
             header, rows = _read_ods(path, range_)
+        elif magic[:2] != b"PK" and b"\x00" not in head:
+            # plain text through the spreadsheet handler: PhpSpreadsheet's
+            # IOFactory falls back to its Csv reader for .csv feeds fed via
+            # type 4/6 — delegate to the engine's CSV scan (same
+            # all-strings/header contract); ranges are a sheet concept
+            frames.append(read_csv(spark, path))
+            continue
         else:
             header, rows = _read_xlsx_stdlib(path, range_)
         if not header:

@@ -291,13 +291,26 @@ def test_mixed_xlsx_xls_union(spark, tmp_path):
     assert sorted(r.k for r in df.collect()) == ["1", "2"]
 
 
-def test_non_zip_garbage_crisp_error(spark, tmp_path):
+def test_binary_garbage_crisp_error(spark, tmp_path):
     from etl_edi_data_scrapper_spark.sources.files import UnsupportedFormatError
 
     p = tmp_path / "garbage.xlsx"
-    p.write_bytes(b"this is not a spreadsheet at all")
+    p.write_bytes(b"\x00\x01\x02 this is not any spreadsheet format \x00\xff")
     with pytest.raises(UnsupportedFormatError, match="not an XLSX"):
         read_excel(spark, str(p))
+
+
+def test_csv_through_excel_handler(spark, tmp_path):
+    # PhpSpreadsheet's IOFactory falls back to its Csv reader for text
+    # files fed through the spreadsheet handler — read_excel must too
+    p = tmp_path / "feed.csv"
+    p.write_text("UPC,Quantity\n0042,15\n0043,7\n")
+    df = read_excel(spark, str(p))
+    assert df.columns == ["UPC", "Quantity"]
+    assert sorted((r.UPC, r.Quantity) for r in df.collect()) == [
+        ("0042", "15"),
+        ("0043", "7"),
+    ]
 
 
 # --- ODS (OpenDocument) path -------------------------------------------------
