@@ -398,3 +398,46 @@ def test_mixed_xlsx_xls_ods_union(spark, tmp_path):
     write_minimal_ods(tmp_path / "c.ods", [["k"], ["3"]])
     df = read_excel(spark, str(tmp_path / "*.*"))
     assert sorted(r.k for r in df.collect()) == ["1", "2", "3"]
+
+
+def test_ods_property_roundtrip(tmp_path):
+    # grid-level roundtrip: arbitrary XML-safe strings and doubles survive
+    # write -> zip unwrap -> content.xml parse bit-exactly
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from etl_edi_data_scrapper_spark.sources import ods
+    from etl_edi_data_scrapper_spark.sources.biff import _fmt_num
+
+    cell = st.one_of(
+        st.text(
+            alphabet=st.characters(
+                min_codepoint=32, max_codepoint=0x2FF, exclude_characters="\r"
+            ),
+            min_size=1,
+            max_size=20,
+        ),
+        st.floats(
+            min_value=-1e9, max_value=1e9, allow_nan=False, allow_infinity=False
+        ),
+    )
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        rows=st.lists(
+            st.lists(cell, min_size=1, max_size=4), min_size=1, max_size=6
+        )
+    )
+    def check(rows):
+        p = str(tmp_path / "prop.ods")
+        ods.write_minimal_ods(p, rows)
+        grid = ods.read_ods_grid(p)
+        for ri, row in enumerate(rows):
+            for ci, v in enumerate(row):
+                got = grid.get(ri, {}).get(ci)
+                if isinstance(v, str):
+                    assert got == v
+                else:
+                    assert got == _fmt_num(float(v))
+
+    check()
