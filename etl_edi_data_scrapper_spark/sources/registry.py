@@ -30,6 +30,9 @@ _EXT_READERS: dict[str, Reader] = {
     ".xml": fmod.read_morris_xml,
     ".xlsx": fmod.read_excel,
     ".xls": fmod.read_excel,
+    # PhpSpreadsheet's auto-detecting loader accepts ODS through the Excel
+    # handler (ExcelInputHandler.php:108-116) — local dispatch mirrors it
+    ".ods": fmod.read_excel,
 }
 
 
