@@ -310,11 +310,22 @@ def read_excel(spark: SparkSession, source: str, range_: str | None = None) -> D
             header, rows = _read_ods(path, range_)
         elif magic[:2] != b"PK" and b"\x00" not in head:
             # plain text through the spreadsheet handler: PhpSpreadsheet's
-            # IOFactory falls back to its Csv reader for .csv feeds fed via
-            # type 4/6 — delegate to the engine's CSV scan (same
-            # all-strings/header contract); ranges are a sheet concept
-            frames.append(read_csv(spark, path))
-            continue
+            # IOFactory tries an Html reader (supplier-portal "download as
+            # spreadsheet" exports) and falls back to Csv for .csv feeds —
+            # delegate accordingly (same all-strings/header contract)
+            from etl_edi_data_scrapper_spark.sources.html_table import (
+                looks_like_html_table,
+                read_html_grid,
+            )
+
+            if looks_like_html_table(head):
+                cells = None
+                if range_:
+                    _sheet, cells = normalize_excel_range(range_, max_row=2**20)
+                header, rows = _grid_to_table(read_html_grid(path), cells)
+            else:
+                frames.append(read_csv(spark, path))
+                continue
         else:
             header, rows = _read_xlsx_stdlib(path, range_)
         if not header:

@@ -441,3 +441,36 @@ def test_ods_property_roundtrip(tmp_path):
                     assert got == _fmt_num(float(v))
 
     check()
+
+
+def test_html_table_through_excel_handler(spark, tmp_path):
+    # PhpSpreadsheet's IOFactory also tries an Html reader — a portal's
+    # "download as spreadsheet" HTML export must load through read_excel
+    p = tmp_path / "export.html"
+    p.write_text(
+        "<!DOCTYPE html><html><body><h1>Feed</h1>"
+        "<table><tr><th>UPC</th><th>Price</th></tr>"
+        "<tr><td>0042</td><td>12,99</td>"   # unclosed tr — real-world HTML
+        "<tr><td>0043</td><td>A &amp; B</td></tr>"
+        "</table>"
+        "<table><tr><td>second table ignored</td></tr></table>"
+        "</body></html>"
+    )
+    df = read_excel(spark, str(p))
+    assert df.columns == ["UPC", "Price"]
+    rows = {r.UPC: r.Price for r in df.collect()}
+    assert rows == {"0042": "12,99", "0043": "A & B"}
+
+
+def test_html_range_filter(spark, tmp_path):
+    p = tmp_path / "r.html"
+    p.write_text(
+        "<table>"
+        "<tr><td>junk</td><td>junk2</td></tr>"
+        "<tr><td>h1</td><td>h2</td></tr>"
+        "<tr><td>a</td><td>b</td></tr>"
+        "</table>"
+    )
+    df = read_excel(spark, str(p), range_="A2:B3")
+    assert df.columns == ["h1", "h2"]
+    assert [tuple(r) for r in df.collect()] == [("a", "b")]
