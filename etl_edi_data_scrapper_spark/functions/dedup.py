@@ -241,6 +241,45 @@ def simhash_bit_sums(
     return tok.groupBy(id_col).agg(*aggs)
 
 
+def _sign_bits_long(lo_bit: int, n_bits: int) -> Column:
+    """Recombine ``n_bits`` sign bits (b_{lo_bit+j} > 0 → bit j) into one
+    long — the ONE place the sign convention lives for every signature
+    shape (single-long, hi/lo halves, combined)."""
+    return sum(
+        (
+            F.when(F.col(f"b{lo_bit + j}") > 0, F.lit(2**j)).otherwise(F.lit(0))
+            for j in range(n_bits)
+        ),
+        F.lit(0),
+    ).cast("long")
+
+
+def _block_pairs(grp: DataFrame, hamming, max_hamming: int, keep_cols: tuple[str, ...] = ()) -> DataFrame:
+    """Blocked groups → deduped (a, b, hamming[, keep_cols]) pairs.
+
+    ``grp`` carries column ``m``: a SORTED array of structs with field ``i``
+    (the doc id) plus whatever signature fields ``hamming(x, y)`` needs.
+    Local pair explosion per block (never a self-join — see `bucket_pairs`);
+    a pair colliding in several blocks is emitted once."""
+    pairs = F.flatten(
+        F.transform(
+            F.col("m"),
+            lambda x: F.transform(
+                F.filter(F.col("m"), lambda y: y["i"] > x["i"]),
+                lambda y: F.struct(
+                    x["i"].alias("a"), y["i"].alias("b"), hamming(x, y).alias("hamming")
+                ),
+            ),
+        )
+    )
+    return (
+        grp.select(*keep_cols, F.explode(pairs).alias("_pr"))
+        .select("_pr.a", "_pr.b", "_pr.hamming", *keep_cols)
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
 def simhash_from_sums(
     sums: DataFrame, id_col: str = "doc_id", bits: int = 32
 ) -> DataFrame:
@@ -251,13 +290,7 @@ def simhash_from_sums(
             "under the portable floor/division piece arithmetic (and bit 63 "
             "overflows a signed long) — use simhash64() for 64-bit signatures"
         )
-    return sums.select(
-        F.col(id_col),
-        sum(
-            (F.when(F.col(f"b{i}") > 0, F.lit(2**i)).otherwise(F.lit(0)) for i in range(bits)),
-            F.lit(0),
-        ).cast("long").alias("simhash"),
-    )
+    return sums.select(F.col(id_col), _sign_bits_long(0, bits).alias("simhash"))
 
 
 def simhash(
@@ -333,43 +366,17 @@ def simhash_near_pairs(
         )
         .filter(F.size("m") > 1)
     )
-    pairs = F.flatten(
-        F.transform(
-            F.col("m"),
-            lambda x: F.transform(
-                F.filter(F.col("m"), lambda y: y["i"] > x["i"]),
-                lambda y: F.struct(
-                    x["i"].alias("a"),
-                    y["i"].alias("b"),
-                    F.bit_count(x["s"].bitwiseXOR(y["s"])).alias("hamming"),
-                ),
-            ),
-        )
-    )
-    return (
-        grp.select(F.explode(pairs).alias("p"))
-        .select("p.a", "p.b", "p.hamming")
-        .filter(F.col("hamming") <= max_hamming)
-        .distinct()  # a pair can collide in several pieces — emit once
+    return _block_pairs(
+        grp, lambda x, y: F.bit_count(x["s"].bitwiseXOR(y["s"])), max_hamming
     )
 
 
 def simhash64_from_sums(sums: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """(id, b0..b63) bit sums → 64-bit signature as two 32-bit halves."""
-
-    def half(lo_bit: int) -> Column:
-        return sum(
-            (
-                F.when(F.col(f"b{lo_bit + j}") > 0, F.lit(2**j)).otherwise(F.lit(0))
-                for j in range(32)
-            ),
-            F.lit(0),
-        ).cast("long")
-
     return sums.select(
         F.col(id_col),
-        half(32).alias("simhash_hi"),
-        half(0).alias("simhash_lo"),
+        _sign_bits_long(32, 32).alias("simhash_hi"),
+        _sign_bits_long(0, 32).alias("simhash_lo"),
     )
 
 
@@ -381,28 +388,11 @@ def simhash_combined_from_sums(
     for consumers that block on several widths from one kernel pass."""
     if single_bits > 52:
         raise ValueError("single_bits must be ≤ 52 (see simhash_from_sums)")
-
-    def half(lo_bit: int) -> Column:
-        return sum(
-            (
-                F.when(F.col(f"b{lo_bit + j}") > 0, F.lit(2**j)).otherwise(F.lit(0))
-                for j in range(32)
-            ),
-            F.lit(0),
-        ).cast("long")
-
-    single = sum(
-        (
-            F.when(F.col(f"b{i}") > 0, F.lit(2**i)).otherwise(F.lit(0))
-            for i in range(single_bits)
-        ),
-        F.lit(0),
-    ).cast("long")
     return sums.select(
         F.col(id_col),
-        single.alias("simhash"),
-        half(32).alias("simhash_hi"),
-        half(0).alias("simhash_lo"),
+        _sign_bits_long(0, single_bits).alias("simhash"),
+        _sign_bits_long(32, 32).alias("simhash_hi"),
+        _sign_bits_long(0, 32).alias("simhash_lo"),
     )
 
 
@@ -458,27 +448,95 @@ def simhash64_near_pairs(
         )
         .filter(F.size("m") > 1)
     )
-    pairs = F.flatten(
-        F.transform(
-            F.col("m"),
-            lambda x: F.transform(
-                F.filter(F.col("m"), lambda y: y["i"] > x["i"]),
-                lambda y: F.struct(
-                    x["i"].alias("a"),
-                    y["i"].alias("b"),
-                    (
-                        F.bit_count(x["sh"].bitwiseXOR(y["sh"]))
-                        + F.bit_count(x["sl"].bitwiseXOR(y["sl"]))
-                    ).alias("hamming"),
-                ),
-            ),
-        )
+    return _block_pairs(grp, _hamming64, max_hamming)
+
+
+def _hamming64(x, y) -> Column:
+    """Hamming distance across the two 32-bit signature halves."""
+    return F.bit_count(x["sh"].bitwiseXOR(y["sh"])) + F.bit_count(
+        x["sl"].bitwiseXOR(y["sl"])
     )
-    return (
-        grp.select(F.explode(pairs).alias("p"))
-        .select("p.a", "p.b", "p.hamming")
-        .filter(F.col("hamming") <= max_hamming)
-        .distinct()
+
+
+def simhash_pairs_multi(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    single_bits: int = 48,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs at TWO signature widths from ONE kernel pass and ONE
+    blocking shuffle: the ``single_bits`` single-long signature and the
+    64-bit hi/lo signature, results tagged by ``sig_bits``.
+
+    One projection derives all three signature values from the shared
+    64-bit `simhash_bit_sums`; one explode emits every (leg, piece, block)
+    entry — ``max_hamming + 1`` pieces for the single leg (pigeonhole-
+    complete recall) and the fixed 4×16-bit pieces for the 64-bit leg
+    (complete for hamming ≤ 3). The whole computation is a single linear
+    plan: kernel groupBy → piece explode → one groupBy(leg, piece, block)
+    with per-leg hamming in the local pair explosion. Nothing runs twice,
+    and the corpus text never reaches the blocking shuffle."""
+    if max_hamming > 3:
+        raise ValueError(
+            "the 64-bit leg blocks on 4 fixed 16-bit pieces — recall is "
+            "pigeonhole-complete only for max_hamming <= 3"
+        )
+    n_pieces = max_hamming + 1
+    width = single_bits // n_pieces
+    sig = simhash_combined_from_sums(
+        simhash_bit_sums(df, id_col, text_col, 64), id_col, single_bits
+    )
+    entries = []
+    for p in range(n_pieces):
+        pw = width if p < n_pieces - 1 else single_bits - width * (n_pieces - 1)
+        blk = F.floor(
+            F.col("simhash") / F.pow(F.lit(2.0), F.lit(width * p))
+        ).cast("long") % F.lit(2**pw)
+        entries.append(
+            F.struct(F.lit(single_bits).alias("sb"), F.lit(p).alias("p"), blk.alias("blk"))
+        )
+    for p in range(4):
+        src = F.col("simhash_lo") if p < 2 else F.col("simhash_hi")
+        blk = F.floor(src / F.pow(F.lit(2.0), F.lit(16 * (p % 2)))).cast(
+            "long"
+        ) % F.lit(65536)
+        entries.append(
+            F.struct(F.lit(64).alias("sb"), F.lit(p).alias("p"), blk.alias("blk"))
+        )
+    pieced = sig.select(
+        F.col(id_col),
+        "simhash",
+        "simhash_hi",
+        "simhash_lo",
+        F.explode(F.array(*entries)).alias("pc"),
+    ).select(
+        F.col(id_col), "simhash", "simhash_hi", "simhash_lo", "pc.sb", "pc.p", "pc.blk"
+    )
+    grp = (
+        pieced.groupBy("sb", "p", "blk")
+        .agg(
+            F.sort_array(
+                F.collect_set(
+                    F.struct(
+                        F.col(id_col).alias("i"),
+                        F.col("simhash").alias("s"),
+                        F.col("simhash_hi").alias("sh"),
+                        F.col("simhash_lo").alias("sl"),
+                    )
+                )
+            ).alias("m")
+        )
+        .filter(F.size("m") > 1)
+    )
+
+    def hamming(x, y) -> Column:
+        return F.when(
+            F.col("sb") == single_bits, F.bit_count(x["s"].bitwiseXOR(y["s"]))
+        ).otherwise(_hamming64(x, y))
+
+    return _block_pairs(grp, hamming, max_hamming, keep_cols=("sb",)).withColumnRenamed(
+        "sb", "sig_bits"
     )
 
 

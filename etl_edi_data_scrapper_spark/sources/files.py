@@ -273,6 +273,21 @@ def _read_xls_biff8(path: str, range_: str | None) -> tuple[list[str], list[str]
     return _grid_to_table(grid, cells)
 
 
+def _csv_grid(path: str) -> dict[int, dict[int, str]]:
+    """CSV file → sheet-style grid (driver-side), for ranged reads through
+    the spreadsheet handler — the reference's Csv reader loads into a
+    worksheet and the range slices it like any other sheet."""
+    import csv as csvmod
+
+    grid: dict[int, dict[int, str]] = {}
+    with open(path, newline="", encoding="utf-8", errors="replace") as fh:
+        for r, row in enumerate(csvmod.reader(fh)):
+            for c, v in enumerate(row):
+                if v != "":
+                    grid.setdefault(r, {})[c] = v
+    return grid
+
+
 def _read_ods(path: str, range_: str | None) -> tuple[list[str], list[list]]:
     """OpenDocument spreadsheet (``sources/ods.py``); same header/range/
     padding contract as the XLSX/BIFF8 paths. The reference accepts ODS via
@@ -302,8 +317,14 @@ def read_excel(spark: SparkSession, source: str, range_: str | None = None) -> D
     frames = []
     for path in paths:
         with open(path, "rb") as fh:
-            head = fh.read(4096)
+            # 64 KB sniff window: HTML exports bury the <table> behind
+            # kilobytes of <head>/<style> boilerplate
+            head = fh.read(65536)
         magic = head[:8]
+        if not head.strip():
+            raise UnsupportedFormatError(
+                f"{path!r} is empty — failed download or truncated staging?"
+            )
         if magic == _OLE2_MAGIC:
             header, rows = _read_xls_biff8(path, range_)
         elif magic[:2] == b"PK" and is_ods_zip(path):
@@ -318,11 +339,15 @@ def read_excel(spark: SparkSession, source: str, range_: str | None = None) -> D
                 read_html_grid,
             )
 
+            cells = None
+            if range_:
+                _sheet, cells = normalize_excel_range(range_, max_row=2**20)
             if looks_like_html_table(head):
-                cells = None
-                if range_:
-                    _sheet, cells = normalize_excel_range(range_, max_row=2**20)
                 header, rows = _grid_to_table(read_html_grid(path), cells)
+            elif range_:
+                # a range demands the grid path so the box filter applies
+                # (the reference loads CSV into a sheet and THEN slices)
+                header, rows = _grid_to_table(_csv_grid(path), cells)
             else:
                 frames.append(read_csv(spark, path))
                 continue

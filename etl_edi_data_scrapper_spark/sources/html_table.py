@@ -19,8 +19,10 @@ from html.parser import HTMLParser
 
 
 class _FirstTableParser(HTMLParser):
-    """Collect rows of the first top-level <table>; ignore nested tables
-    (a layout-table wrapper still yields the inner data via its cells)."""
+    """Collect rows of the first top-level <table>. A table nested inside a
+    cell is skipped entirely — its markup neither contributes text to the
+    outer cell nor disturbs the outer row structure (text AROUND the nested
+    table still belongs to the outer cell)."""
 
     def __init__(self) -> None:
         super().__init__(convert_charrefs=True)
@@ -35,10 +37,13 @@ class _FirstTableParser(HTMLParser):
             return
         if tag == "table":
             self._table_depth += 1
-        elif self._table_depth and tag == "tr":
+            return
+        if self._table_depth != 1:
+            return  # outside any table, or inside a nested one
+        if tag == "tr":
             self._flush_row()
             self._row = []
-        elif self._table_depth and tag in ("td", "th"):
+        elif tag in ("td", "th"):
             self._flush_cell()
             self._cell = []
 
@@ -50,13 +55,16 @@ class _FirstTableParser(HTMLParser):
             if self._table_depth == 0:
                 self._flush_row()
                 self._done = True
-        elif tag == "tr":
+            return
+        if self._table_depth != 1:
+            return
+        if tag == "tr":
             self._flush_row()
         elif tag in ("td", "th"):
             self._flush_cell()
 
     def handle_data(self, data: str) -> None:
-        if self._cell is not None and not self._done:
+        if self._cell is not None and self._table_depth == 1 and not self._done:
             self._cell.append(data)
 
     def _flush_cell(self) -> None:

@@ -45,17 +45,16 @@ def is_ods_zip(path: str) -> bool:
     try:
         with zipfile.ZipFile(path) as z:
             names = set(z.namelist())
-    except zipfile.BadZipFile:
+            if "xl/workbook.xml" in names:
+                return False
+            if "mimetype" in names:
+                return (
+                    z.read("mimetype").decode("ascii", "replace").strip()
+                    == ODS_MIMETYPE
+                )
+            return "content.xml" in names
+    except Exception:
         return False
-    if "xl/workbook.xml" in names:
-        return False
-    if "mimetype" in names:
-        try:
-            with zipfile.ZipFile(path) as z:
-                return z.read("mimetype").decode("ascii", "replace").strip() == ODS_MIMETYPE
-        except Exception:
-            return False
-    return "content.xml" in names
 
 
 def _cell_text(cell: ET.Element) -> str | None:
@@ -77,7 +76,11 @@ def _cell_text(cell: ET.Element) -> str | None:
         raw = cell.get(f"{_O}time-value")
         if raw is not None:
             return raw
-    # string cells (and any fallback): concatenate the text:p paragraphs
+    # string cells: the attribute form (valid ODF, no text:p child) first,
+    # else concatenate the text:p paragraphs
+    raw = cell.get(f"{_O}string-value")
+    if raw is not None:
+        return raw
     paras = cell.findall(f"{_TX}p")
     if paras:
         return "\n".join("".join(p.itertext()) for p in paras)
@@ -103,7 +106,9 @@ def read_ods_grid(path: str, sheet_name: str | None = None) -> dict[int, dict[in
 
     grid: dict[int, dict[int, str]] = {}
     r = 0
-    for row in table.findall(f"{_T}table-row"):
+    # iter (not findall): rows wrapped in table:table-header-rows or
+    # table:table-row-group must still surface, in document order
+    for row in table.iter(f"{_T}table-row"):
         row_rep = min(int(row.get(f"{_T}number-rows-repeated", "1")), _MAX_REPEAT)
         values: dict[int, str] = {}
         c = 0

@@ -2490,87 +2490,18 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracled: the DuckDB side replicates signature, piece-blocking and
     xor/bit_count pair arithmetic for both legs.
 
-    The two legs share ONE signature kernel pass AND one blocking shuffle:
-    bit sums for bit i are width-independent, so the 64-bit
-    `simhash_bit_sums` feeds a single projection carrying all three
-    signature values (48-bit long + 64-bit hi/lo), and one explode emits
-    all 8 (leg, piece, block) entries per doc. The whole query is then a
-    single linear plan — kernel groupBy → piece explode → ONE
-    groupBy(leg, piece, block) with local pair explosion — with no
-    union, no checkpoint, and no double execution of anything."""
-    from etl_edi_data_scrapper_spark.functions.dedup import (
-        simhash_bit_sums,
-        simhash_combined_from_sums,
-    )
+    The two legs share ONE signature kernel pass AND one blocking shuffle
+    (`dedup.simhash_pairs_multi`): bit sums for bit i are
+    width-independent, so the 64-bit `simhash_bit_sums` feeds a single
+    projection carrying all three signature values (48-bit long + 64-bit
+    hi/lo), and one explode emits all 8 (leg, piece, block) entries per
+    doc. The whole query is a single linear plan — kernel groupBy → piece
+    explode → ONE groupBy(leg, piece, block) with local pair explosion —
+    with no union, no checkpoint, and no double execution of anything."""
+    from etl_edi_data_scrapper_spark.functions.dedup import simhash_pairs_multi
 
-    docs = _t(spark, sf_dir, "documents")
-    sig = simhash_combined_from_sums(
-        simhash_bit_sums(docs, bits=64), single_bits=48
-    )
-    # 8 blocking entries per doc: pieces 0-3 of the 48-bit signature
-    # (12-bit pieces) and pieces 0-3 of the 64-bit hi/lo halves (16-bit
-    # pieces); same exact-double floor/mod arithmetic as the oracle
-    entries = []
-    for p in range(4):
-        blk48 = F.floor(F.col("simhash") / F.pow(F.lit(2.0), F.lit(12 * p))).cast(
-            "long"
-        ) % F.lit(4096)
-        entries.append(
-            F.struct(F.lit(48).alias("sb"), F.lit(p).alias("p"), blk48.alias("blk"))
-        )
-    for p in range(4):
-        src = F.col("simhash_lo") if p < 2 else F.col("simhash_hi")
-        blk64 = F.floor(src / F.pow(F.lit(2.0), F.lit(16 * (p % 2)))).cast(
-            "long"
-        ) % F.lit(65536)
-        entries.append(
-            F.struct(F.lit(64).alias("sb"), F.lit(p).alias("p"), blk64.alias("blk"))
-        )
-    pieced = sig.select(
-        "doc_id",
-        "simhash",
-        "simhash_hi",
-        "simhash_lo",
-        F.explode(F.array(*entries)).alias("pc"),
-    ).select("doc_id", "simhash", "simhash_hi", "simhash_lo", "pc.sb", "pc.p", "pc.blk")
-    grp = (
-        pieced.groupBy("sb", "p", "blk")
-        .agg(
-            F.sort_array(
-                F.collect_set(
-                    F.struct(
-                        F.col("doc_id").alias("i"),
-                        F.col("simhash").alias("s"),
-                        F.col("simhash_hi").alias("sh"),
-                        F.col("simhash_lo").alias("sl"),
-                    )
-                )
-            ).alias("m")
-        )
-        .filter(F.size("m") > 1)
-    )
-    hamming = lambda x, y: F.when(  # noqa: E731 — per-leg distance
-        F.col("sb") == 48, F.bit_count(x["s"].bitwiseXOR(y["s"]))
-    ).otherwise(
-        F.bit_count(x["sh"].bitwiseXOR(y["sh"]))
-        + F.bit_count(x["sl"].bitwiseXOR(y["sl"]))
-    )
-    pairs = F.flatten(
-        F.transform(
-            F.col("m"),
-            lambda x: F.transform(
-                F.filter(F.col("m"), lambda y: y["i"] > x["i"]),
-                lambda y: F.struct(
-                    x["i"].alias("a"), y["i"].alias("b"), hamming(x, y).alias("hamming")
-                ),
-            ),
-        )
-    )
-    return (
-        grp.select(F.col("sb").alias("sig_bits"), F.explode(pairs).alias("pr"))
-        .select("pr.a", "pr.b", "pr.hamming", "sig_bits")
-        .filter(F.col("hamming") <= 3)
-        .distinct()  # a pair can collide in several pieces of its leg
+    return simhash_pairs_multi(
+        _t(spark, sf_dir, "documents"), single_bits=48, max_hamming=3
     )
 
 

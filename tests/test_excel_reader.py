@@ -474,3 +474,82 @@ def test_html_range_filter(spark, tmp_path):
     df = read_excel(spark, str(p), range_="A2:B3")
     assert df.columns == ["h1", "h2"]
     assert [tuple(r) for r in df.collect()] == [("a", "b")]
+
+
+def test_ods_header_rows_wrapper_and_string_value_attr(tmp_path):
+    # LibreOffice wraps repeating headers in table:table-header-rows, and
+    # valid ODF may carry strings in office:string-value with no text:p —
+    # both must surface
+    import zipfile
+
+    from etl_edi_data_scrapper_spark.sources.ods import ODS_MIMETYPE, read_ods_grid
+
+    content = (
+        '<?xml version="1.0" encoding="UTF-8"?>'
+        '<office:document-content '
+        'xmlns:office="urn:oasis:names:tc:opendocument:xmlns:office:1.0" '
+        'xmlns:table="urn:oasis:names:tc:opendocument:xmlns:table:1.0" '
+        'xmlns:text="urn:oasis:names:tc:opendocument:xmlns:text:1.0">'
+        "<office:body><office:spreadsheet>"
+        '<table:table table:name="S">'
+        "<table:table-header-rows><table:table-row>"
+        '<table:table-cell office:value-type="string"><text:p>hdr</text:p></table:table-cell>'
+        "</table:table-row></table:table-header-rows>"
+        "<table:table-row>"
+        '<table:table-cell office:value-type="string" office:string-value="attr-only"/>'
+        "</table:table-row>"
+        "</table:table>"
+        "</office:spreadsheet></office:body></office:document-content>"
+    )
+    p = tmp_path / "hdr.ods"
+    with zipfile.ZipFile(p, "w") as z:
+        z.writestr("mimetype", ODS_MIMETYPE)
+        z.writestr("content.xml", content)
+    grid = read_ods_grid(str(p))
+    assert grid == {0: {0: "hdr"}, 1: {0: "attr-only"}}
+
+
+def test_html_nested_table_kept_out_of_grid():
+    from etl_edi_data_scrapper_spark.sources.html_table import _FirstTableParser
+
+    parser = _FirstTableParser()
+    parser.feed(
+        "<table><tr><td>a<table><tr><td>x</td></tr></table>b</td>"
+        "<td>c</td></tr></table>"
+    )
+    parser.close()
+    # nested table skipped whole; outer cell keeps its surrounding text
+    assert parser.rows == [["ab", "c"]]
+
+
+def test_html_table_after_big_head(spark, tmp_path):
+    # an export with >4 KB of <style> before the table must still be
+    # detected as HTML, not misrouted to the CSV parser
+    p = tmp_path / "styled.html"
+    p.write_text(
+        "<!DOCTYPE html><html><head><style>"
+        + ("/* corporate styles */ " * 400)
+        + "</style></head><body><table>"
+        "<tr><th>k</th></tr><tr><td>v1</td></tr></table></body></html>"
+    )
+    df = read_excel(spark, str(p))
+    assert df.columns == ["k"] and [r.k for r in df.collect()] == ["v1"]
+
+
+def test_empty_file_crisp_error(spark, tmp_path):
+    from etl_edi_data_scrapper_spark.sources.files import UnsupportedFormatError
+
+    p = tmp_path / "empty.xlsx"
+    p.write_bytes(b"")
+    with pytest.raises(UnsupportedFormatError, match="empty"):
+        read_excel(spark, str(p))
+
+
+def test_csv_range_through_excel_handler(spark, tmp_path):
+    # the reference loads CSV into a worksheet and THEN slices the range —
+    # a ranged read must not silently return the whole file
+    p = tmp_path / "r.csv"
+    p.write_text("junk,junk2\nUPC,Qty\n0042,15\n0043,7\n")
+    df = read_excel(spark, str(p), range_="A2:B4")
+    assert df.columns == ["UPC", "Qty"]
+    assert sorted(tuple(r) for r in df.collect()) == [("0042", "15"), ("0043", "7")]
