@@ -329,6 +329,14 @@ def read_excel(spark: SparkSession, source: str, range_: str | None = None) -> D
             header, rows = _read_xls_biff8(path, range_)
         elif magic[:2] == b"PK" and is_ods_zip(path):
             header, rows = _read_ods(path, range_)
+        elif magic[:2] == b"\x1f\x8b":
+            # gzip container → Gnumeric workbook
+            from etl_edi_data_scrapper_spark.sources.gnumeric import read_gnumeric_grid
+
+            sheet_name, cells = (None, None)
+            if range_:
+                sheet_name, cells = normalize_excel_range(range_, max_row=2**20)
+            header, rows = _grid_to_table(read_gnumeric_grid(path, sheet_name), cells)
         elif magic[:2] != b"PK" and b"\x00" not in head:
             # plain text through the spreadsheet handler: PhpSpreadsheet's
             # IOFactory tries an Html reader (supplier-portal "download as
@@ -339,10 +347,17 @@ def read_excel(spark: SparkSession, source: str, range_: str | None = None) -> D
                 read_html_grid,
             )
 
+            from etl_edi_data_scrapper_spark.sources.sylk import (
+                looks_like_sylk,
+                read_sylk_grid,
+            )
+
             cells = None
             if range_:
                 _sheet, cells = normalize_excel_range(range_, max_row=2**20)
-            if looks_like_html_table(head):
+            if looks_like_sylk(head):
+                header, rows = _grid_to_table(read_sylk_grid(path), cells)
+            elif looks_like_html_table(head):
                 header, rows = _grid_to_table(read_html_grid(path), cells)
             elif range_:
                 # a range demands the grid path so the box filter applies

@@ -553,3 +553,40 @@ def test_csv_range_through_excel_handler(spark, tmp_path):
     df = read_excel(spark, str(p), range_="A2:B4")
     assert df.columns == ["UPC", "Qty"]
     assert sorted(tuple(r) for r in df.collect()) == [("0042", "15"), ("0043", "7")]
+
+
+def test_sylk_through_excel_handler(spark, tmp_path):
+    from etl_edi_data_scrapper_spark.sources.sylk import write_minimal_sylk
+
+    p = tmp_path / "feed.slk"
+    write_minimal_sylk(
+        p,
+        [
+            ["UPC", "Qty", "Note"],
+            ["0042", 15.0, "a;b"],   # semicolon escape roundtrip
+            ["0043", 7.5, None],
+        ],
+    )
+    df = read_excel(spark, str(p))
+    assert df.columns == ["UPC", "Qty", "Note"]
+    rows = {r.UPC: r for r in df.collect()}
+    assert rows["0042"].Qty == "15" and rows["0042"].Note == "a;b"
+    assert rows["0043"].Qty == "7.5" and rows["0043"].Note is None
+
+
+def test_gnumeric_through_excel_handler(spark, tmp_path):
+    from etl_edi_data_scrapper_spark.sources.gnumeric import write_minimal_gnumeric
+
+    p = tmp_path / "feed.gnumeric"
+    write_minimal_gnumeric(
+        p,
+        [["UPC", "Qty"], ["0042", 15.0], ["0043", "x & y"]],
+        sheet_name="Data",
+    )
+    df = read_excel(spark, str(p))
+    assert df.columns == ["UPC", "Qty"]
+    rows = {r.UPC: r.Qty for r in df.collect()}
+    assert rows == {"0042": "15", "0043": "x & y"}
+    # sheet selection parity: named range on a missing sheet raises
+    with pytest.raises(ValueError, match="not found"):
+        read_excel(spark, str(p), range_="Nope!A1:B2")
