@@ -288,6 +288,26 @@ def _csv_grid(path: str) -> dict[int, dict[int, str]]:
     return grid
 
 
+def _read_gnumeric(path: str, range_: str | None) -> tuple[list[str], list[list]]:
+    """Gnumeric workbook (``sources/gnumeric.py``); same header/range/padding
+    contract. Corrupt gzip or non-workbook XML surfaces as the module's
+    crisp ``UnsupportedFormatError``, matching the other format paths."""
+    import gzip
+
+    from etl_edi_data_scrapper_spark.sources.gnumeric import read_gnumeric_grid
+
+    sheet_name, cells = (None, None)
+    if range_:
+        sheet_name, cells = normalize_excel_range(range_, max_row=2**20)
+    try:
+        grid = read_gnumeric_grid(path, sheet_name)
+    except (gzip.BadGzipFile, OSError, ET.ParseError) as e:
+        raise UnsupportedFormatError(
+            f"{path!r}: gzip container is not a Gnumeric workbook ({e})"
+        ) from e
+    return _grid_to_table(grid, cells)
+
+
 def _read_ods(path: str, range_: str | None) -> tuple[list[str], list[list]]:
     """OpenDocument spreadsheet (``sources/ods.py``); same header/range/
     padding contract as the XLSX/BIFF8 paths. The reference accepts ODS via
@@ -330,13 +350,7 @@ def read_excel(spark: SparkSession, source: str, range_: str | None = None) -> D
         elif magic[:2] == b"PK" and is_ods_zip(path):
             header, rows = _read_ods(path, range_)
         elif magic[:2] == b"\x1f\x8b":
-            # gzip container → Gnumeric workbook
-            from etl_edi_data_scrapper_spark.sources.gnumeric import read_gnumeric_grid
-
-            sheet_name, cells = (None, None)
-            if range_:
-                sheet_name, cells = normalize_excel_range(range_, max_row=2**20)
-            header, rows = _grid_to_table(read_gnumeric_grid(path, sheet_name), cells)
+            header, rows = _read_gnumeric(path, range_)
         elif magic[:2] != b"PK" and b"\x00" not in head:
             # plain text through the spreadsheet handler: PhpSpreadsheet's
             # IOFactory tries an Html reader (supplier-portal "download as

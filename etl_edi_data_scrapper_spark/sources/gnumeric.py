@@ -45,7 +45,7 @@ def read_gnumeric_grid(path: str, sheet_name: str | None = None) -> dict[int, di
         if vt == "40":  # float
             try:
                 text = _fmt_num(float(text))
-            except ValueError:
+            except (ValueError, OverflowError):  # malformed / 1e999 → inf
                 pass
         elif vt == "20":  # boolean
             text = text.upper()

@@ -62,8 +62,10 @@ def read_sylk_grid(path: str) -> dict[int, dict[int, str]]:
                         val = rest[1:-1]
                     else:
                         try:
+                            # OverflowError: 1e999 parses to inf, which
+                            # _fmt_num's int() rejects — keep literal text
                             val = _fmt_num(float(rest))
-                        except ValueError:
+                        except (ValueError, OverflowError):
                             val = rest
             if val is not None:
                 grid.setdefault(y - 1, {})[x - 1] = val

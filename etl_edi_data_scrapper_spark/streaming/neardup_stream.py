@@ -5,8 +5,12 @@ ingestion (a new crawl slice must not re-admit near-copies of the corpus).
 Composition (all batch operators reused inside ``foreachBatch``):
 
   batch docs → `dedup.minhash_signatures` → `dedup.lsh_band_keys`
-            → equi-join against the ACCUMULATED band-key store (parquet)
-            → signature-agreement verify on candidates only
+            → intra-batch near-dup CLUSTERS (`dedup.connected_components`
+              over verified candidate pairs: canonical = earliest id per
+              component — a doc near a rejected doc collapses to the same
+              admitted canonical, never to a phantom)
+            → equi-join against the ACCUMULATED band-key store (parquet,
+              partitioned by band) → signature-agreement verify
             → accepted docs' band keys appended to the store
 
 The store holds (band, band_key, doc_id, h0..h{n-1}) — band keys plus the
@@ -14,30 +18,35 @@ signature longs, never document text, so state size is
 O(accepted docs × bands) smalls and the verify step needs no second scan.
 Candidate verification estimates Jaccard as the fraction of agreeing
 minhash components (the standard unbiased estimator E[matches/n] = J) —
-``threshold`` is applied to that estimate. Intra-batch near-dups are
-resolved first (earliest doc_id wins), so a batch full of copies admits
-exactly one.
+``threshold`` applies to that estimate. ``dup_of`` is the SMALLEST
+near-duplicate id across both legs (in-store or in-batch canonical).
 
 Scale notes:
-  * the join is band-key equi-join (shuffle on 16-byte keys) — no
-    all-pairs against history, and the store is partitioned by band so a
-    band's bucket files prune on read;
+  * candidate generation is a band-key equi-join (shuffle on 16-byte keys)
+    — no all-pairs against history; the store is written
+    ``partitionBy("band")`` so a band's files prune on read;
   * the store grows O(accepted docs); at 10⁹ docs it is ~12 longs + keys
-    per doc — a compacted parquet table, readable with partition pruning.
-    Delivery is at-least-once (a replayed batch re-checks against the
-    store; already-admitted ids are de-duplicated by the store append
-    being keyed on doc_id at read time via max — documented trade).
+    per doc — a compacted parquet table;
+  * the store is read with an EXPLICIT schema pinned to the batch's key
+    frame, so the path works on any Hadoop filesystem (no driver-local
+    existence probe) and an empty store directory cannot wedge the stream
+    on schema inference;
+  * delivery is at-least-once: a replayed batch re-checks against the
+    store (a doc never matches itself) and re-appends its accepted rows —
+    verdicts stay correct (dup_of takes a MIN over candidates); duplicate
+    store rows are an offline-compaction concern, not a correctness one.
 """
 
 from __future__ import annotations
 
-import os
 from typing import Callable
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from etl_edi_data_scrapper_spark.functions.dedup import (
+    connected_components,
     lsh_band_keys,
     minhash_signatures,
 )
@@ -70,19 +79,24 @@ def dedup_batch_against_store(
     bands: int = 6,
     threshold: float = 0.5,
 ) -> DataFrame:
-    """One increment: returns the batch with ``dup_of`` (the earliest
-    near-duplicate's id — in-store or earlier in-batch — else NULL) and
-    appends the ACCEPTED docs' band keys + signatures to the store.
+    """One increment: returns the batch with ``dup_of`` (the smallest
+    near-duplicate id — in-store, or the in-batch cluster canonical — else
+    NULL) and appends the ACCEPTED docs' band keys + signatures to the
+    store. The returned frame is eagerly checkpointed (materialized before
+    the store append), so it is safe to evaluate any number of times.
 
     Pure batch function so it is testable without a stream; the streaming
     entry point `run_incremental_neardup` calls it per micro-batch."""
-    sig = minhash_signatures(batch, id_col, text_col, n_hashes).cache()
+    sig = minhash_signatures(batch, id_col, text_col, n_hashes)
     keys = lsh_band_keys(sig, id_col, n_hashes, bands)
-    keyed = keys.join(sig, id_col)  # (id, band, band_key, h0..h{n-1})
+    keyed = keys.join(sig, id_col).cache()  # (id, band, band_key, h0..)
 
-    # --- intra-batch: earliest doc per colliding verified pair wins
     old_side = [F.col(c).alias(f"{c}_old") for c in _sig_cols(n_hashes)]
-    intra = (
+
+    # --- intra-batch: verified pairs → connected components; every
+    # non-canonical doc collapses to its cluster's earliest id (a doc near
+    # a rejected doc is transitively near the admitted canonical)
+    intra_pairs = (
         keyed.alias("x")
         .join(
             keyed.select(
@@ -92,14 +106,23 @@ def dedup_batch_against_store(
         )
         .filter(F.col("old_id") < F.col(id_col))
         .filter(_agreement(n_hashes) >= threshold)
-        .groupBy(id_col)
-        .agg(F.min("old_id").alias("dup_of_intra"))
+        .select(F.col("old_id").alias("a"), F.col(id_col).alias("b"))
+        .distinct()
+    )
+    intra = (
+        connected_components(intra_pairs, out_id=id_col)
+        .filter(~F.col("is_canonical"))
+        .select(id_col, F.col("cluster_id").alias("dup_of_intra"))
     )
 
-    # --- against the accumulated store (band equi-join, candidates only)
-    store_exists = os.path.exists(os.path.join(store_dir, "_SUCCESS"))
-    if store_exists:
-        store = spark.read.parquet(store_dir)
+    # --- against the accumulated store (band equi-join, candidates only).
+    # Explicit schema: no driver-local existence probe (works on any
+    # Hadoop FS) and an empty store directory reads as an empty frame
+    try:
+        store = spark.read.schema(keyed.schema).parquet(store_dir)
+    except AnalysisException:
+        store = None  # first increment: nothing accepted yet
+    if store is not None:
         hist = (
             keyed.join(
                 store.select(
@@ -122,14 +145,22 @@ def dedup_batch_against_store(
     verdict = (
         batch.join(intra, id_col, "left")
         .join(hist, id_col, "left")
-        .withColumn("dup_of", F.coalesce("dup_of_store", "dup_of_intra"))
+        # least() skips NULLs → the smallest duplicate id across both legs
+        .withColumn("dup_of", F.least("dup_of_store", "dup_of_intra"))
         .drop("dup_of_intra", "dup_of_store")
+        # eager checkpoint BEFORE the append below mutates the store
+        # directory: the write invalidates the shared file-status cache, so
+        # any later lineage re-evaluation would re-list the store and see
+        # this call's own partitioned output under the pre-append resolved
+        # schema. Checkpointing severs the lineage — the verdict is
+        # RDD-block-backed and never touches the store files again.
+        .localCheckpoint(eager=True)
     )
 
     accepted = verdict.filter(F.col("dup_of").isNull()).select(id_col)
     new_state = keyed.join(accepted, id_col)
-    new_state.write.mode("append").parquet(store_dir)
-    sig.unpersist()
+    new_state.write.mode("append").partitionBy("band").parquet(store_dir)
+    keyed.unpersist()
     return verdict
 
 

@@ -590,3 +590,22 @@ def test_gnumeric_through_excel_handler(spark, tmp_path):
     # sheet selection parity: named range on a missing sheet raises
     with pytest.raises(ValueError, match="not found"):
         read_excel(spark, str(p), range_="Nope!A1:B2")
+
+
+def test_sylk_gnumeric_inf_literal_and_gzip_garbage(spark, tmp_path):
+    import gzip as gzmod
+
+    from etl_edi_data_scrapper_spark.sources.files import UnsupportedFormatError
+    from etl_edi_data_scrapper_spark.sources.sylk import read_sylk_grid
+
+    # 1e999 parses to inf — must fall back to literal text, not crash
+    p = tmp_path / "inf.slk"
+    p.write_text("ID;PTEST\r\nC;Y1;X1;K1e999\r\nE\r\n", newline="")
+    assert read_sylk_grid(str(p)) == {0: {0: "1e999"}}
+
+    # a gzipped CSV is NOT a Gnumeric workbook — crisp error, not ParseError
+    g = tmp_path / "feed.csv.gz"
+    with gzmod.open(g, "wb") as fh:
+        fh.write(b"UPC,Qty\n0042,15\n")
+    with pytest.raises(UnsupportedFormatError, match="Gnumeric"):
+        read_excel(spark, str(g))

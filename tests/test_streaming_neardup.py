@@ -95,3 +95,41 @@ def test_replayed_batch_never_self_dups(spark, tmp_path):
     assert first == {1: None, 2: None}
     replay = {r.doc_id: r.dup_of for r in dedup_batch_against_store(spark, b, store).collect()}
     assert replay == {1: None, 2: None}
+
+
+def test_chain_collapses_to_admitted_canonical(spark, tmp_path):
+    # C≈B≈A but C is not near A directly: connected components must point
+    # BOTH B and C at the admitted canonical A — never at a rejected doc
+    from etl_edi_data_scrapper_spark.streaming.neardup_stream import (
+        dedup_batch_against_store,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lamda mu"
+    near1 = base.replace("mu", "nu")        # ≈ base
+    near2 = near1.replace("alpha", "omega")  # ≈ near1, farther from base
+    b = spark.createDataFrame(
+        [(1, base), (2, near1), (3, near2)], "doc_id long, text string"
+    )
+    v = {
+        r.doc_id: r.dup_of
+        for r in dedup_batch_against_store(
+            spark, b, str(tmp_path / "store"), threshold=0.4
+        ).collect()
+    }
+    assert v[1] is None
+    assert v[2] == 1 and v[3] == 1  # cluster canonical, not a phantom
+
+
+def test_empty_first_batch_does_not_wedge_store(spark, tmp_path):
+    from etl_edi_data_scrapper_spark.streaming.neardup_stream import (
+        dedup_batch_against_store,
+    )
+
+    store = str(tmp_path / "store")
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert dedup_batch_against_store(spark, empty, store).count() == 0
+    # the store dir now exists but holds no rows — the next increment must
+    # read it as empty, not crash on schema inference
+    b = spark.createDataFrame([(1, DOC_A)], "doc_id long, text string")
+    v = {r.doc_id: r.dup_of for r in dedup_batch_against_store(spark, b, store).collect()}
+    assert v == {1: None}
