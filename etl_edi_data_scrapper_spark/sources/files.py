@@ -299,9 +299,13 @@ def _read_gnumeric(path: str, range_: str | None) -> tuple[list[str], list[list]
     sheet_name, cells = (None, None)
     if range_:
         sheet_name, cells = normalize_excel_range(range_, max_row=2**20)
+    import zlib
+
     try:
         grid = read_gnumeric_grid(path, sheet_name)
-    except (gzip.BadGzipFile, OSError, ET.ParseError) as e:
+    except (gzip.BadGzipFile, EOFError, zlib.error, ET.ParseError) as e:
+        # format-level failures only — a genuine I/O error (permissions,
+        # disk) propagates as what it is instead of "bad supplier file"
         raise UnsupportedFormatError(
             f"{path!r}: gzip container is not a Gnumeric workbook ({e})"
         ) from e

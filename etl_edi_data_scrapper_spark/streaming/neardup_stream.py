@@ -18,8 +18,12 @@ signature longs, never document text, so state size is
 O(accepted docs × bands) smalls and the verify step needs no second scan.
 Candidate verification estimates Jaccard as the fraction of agreeing
 minhash components (the standard unbiased estimator E[matches/n] = J) —
-``threshold`` applies to that estimate. ``dup_of`` is the SMALLEST
-near-duplicate id across both legs (in-store or in-batch canonical).
+``threshold`` applies to that estimate. ``dup_of`` always names an
+ADMITTED representative: a doc's intra-batch cluster collapses to its
+earliest id, that representative is checked against the store, and the
+whole cluster inherits the verdict — so a dup_of pointer never dangles at
+a doc that was itself rejected. The store layout is fixed (parquet
+partitioned by ``band``); never mix layouts in one store directory.
 
 Scale notes:
   * candidate generation is a band-key equi-join (shuffle on 16-byte keys)
@@ -79,11 +83,12 @@ def dedup_batch_against_store(
     bands: int = 6,
     threshold: float = 0.5,
 ) -> DataFrame:
-    """One increment: returns the batch with ``dup_of`` (the smallest
-    near-duplicate id — in-store, or the in-batch cluster canonical — else
-    NULL) and appends the ACCEPTED docs' band keys + signatures to the
-    store. The returned frame is eagerly checkpointed (materialized before
-    the store append), so it is safe to evaluate any number of times.
+    """One increment: returns the batch with ``dup_of`` (the ADMITTED
+    representative this doc duplicates — a store doc or the in-batch
+    cluster canonical — else NULL) and appends the ACCEPTED docs' band
+    keys + signatures to the store. The returned frame is eagerly
+    checkpointed (materialized before the store append), so it is safe to
+    evaluate any number of times.
 
     Pure batch function so it is testable without a stream; the streaming
     entry point `run_incremental_neardup` calls it per micro-batch."""
@@ -93,9 +98,12 @@ def dedup_batch_against_store(
 
     old_side = [F.col(c).alias(f"{c}_old") for c in _sig_cols(n_hashes)]
 
-    # --- intra-batch: verified pairs → connected components; every
-    # non-canonical doc collapses to its cluster's earliest id (a doc near
-    # a rejected doc is transitively near the admitted canonical)
+    id_type = batch.schema[id_col].dataType
+
+    # --- intra-batch: verified pairs → connected components; every doc
+    # collapses to its cluster's earliest id. Fast path: most steady-state
+    # micro-batches have no intra-batch collisions — skip the iterative
+    # clustering (several fixed-latency jobs) when there are no pairs.
     intra_pairs = (
         keyed.alias("x")
         .join(
@@ -109,19 +117,37 @@ def dedup_batch_against_store(
         .select(F.col("old_id").alias("a"), F.col(id_col).alias("b"))
         .distinct()
     )
-    intra = (
-        connected_components(intra_pairs, out_id=id_col)
-        .filter(~F.col("is_canonical"))
-        .select(id_col, F.col("cluster_id").alias("dup_of_intra"))
-    )
+    if intra_pairs.take(1):
+        clusters = connected_components(intra_pairs, out_id=id_col).select(
+            id_col, "cluster_id"
+        )
+        with_cluster = batch.join(clusters, id_col, "left")
+    else:
+        with_cluster = batch.withColumn("cluster_id", F.lit(None).cast(id_type))
 
     # --- against the accumulated store (band equi-join, candidates only).
-    # Explicit schema: no driver-local existence probe (works on any
-    # Hadoop FS) and an empty store directory reads as an empty frame
+    # Explicit schema on the read: no driver-local existence probe (works
+    # on any Hadoop FS) and an empty store directory reads as empty. The
+    # plain read probes first so (a) only PATH_NOT_FOUND / empty-dir mean
+    # "no store yet" — any OTHER analysis failure (corrupt store, wrong
+    # path type, permissions) raises instead of silently dropping the
+    # dedup history — and (b) a store written under different settings
+    # (n_hashes/bands drift changes the column set) fails loudly instead
+    # of null-filling signature columns and silently missing matches.
     try:
+        actual_cols = set(spark.read.parquet(store_dir).schema.names)
+        if actual_cols != set(keyed.schema.names):
+            raise ValueError(
+                f"near-dup store at {store_dir!r} has columns "
+                f"{sorted(actual_cols)} but this job produces "
+                f"{sorted(keyed.schema.names)} — n_hashes/bands drift? "
+                "Use the store's original settings or rebuild it."
+            )
         store = spark.read.schema(keyed.schema).parquet(store_dir)
-    except AnalysisException:
-        store = None  # first increment: nothing accepted yet
+    except AnalysisException as e:
+        if "PATH_NOT_FOUND" not in str(e) and "UNABLE_TO_INFER_SCHEMA" not in str(e):
+            raise
+        store = None  # first increment (or empty store): nothing accepted yet
     if store is not None:
         hist = (
             keyed.join(
@@ -138,16 +164,33 @@ def dedup_batch_against_store(
             .agg(F.min("old_id").alias("dup_of_store"))
         )
     else:
-        hist = sig.select(
-            F.col(id_col), F.lit(None).cast("long").alias("dup_of_store")
-        ).limit(0)
+        hist = None
 
+    # --- verdict: dup_of always names an ADMITTED representative. Each
+    # doc's cluster representative (itself when unclustered) is checked
+    # against the store; the whole cluster inherits that verdict — the
+    # representative's store duplicate when it has one, else the admitted
+    # representative itself for the non-representative members.
+    wc = with_cluster.withColumn("_canon", F.coalesce("cluster_id", F.col(id_col)))
+    if hist is not None:
+        wc = wc.join(
+            hist.select(
+                F.col(id_col).alias("_canon"),
+                F.col("dup_of_store").alias("_canon_dup"),
+            ),
+            "_canon",
+            "left",
+        )
+    else:
+        wc = wc.withColumn("_canon_dup", F.lit(None).cast(id_type))
     verdict = (
-        batch.join(intra, id_col, "left")
-        .join(hist, id_col, "left")
-        # least() skips NULLs → the smallest duplicate id across both legs
-        .withColumn("dup_of", F.least("dup_of_store", "dup_of_intra"))
-        .drop("dup_of_intra", "dup_of_store")
+        wc.withColumn(
+            "dup_of",
+            F.when(F.col(id_col) == F.col("_canon"), F.col("_canon_dup")).otherwise(
+                F.coalesce("_canon_dup", F.col("_canon"))
+            ),
+        )
+        .drop("cluster_id", "_canon", "_canon_dup")
         # eager checkpoint BEFORE the append below mutates the store
         # directory: the write invalidates the shared file-status cache, so
         # any later lineage re-evaluation would re-list the store and see

@@ -133,3 +133,22 @@ def test_empty_first_batch_does_not_wedge_store(spark, tmp_path):
     b = spark.createDataFrame([(1, DOC_A)], "doc_id long, text string")
     v = {r.doc_id: r.dup_of for r in dedup_batch_against_store(spark, b, store).collect()}
     assert v == {1: None}
+
+
+def test_member_inherits_representative_store_verdict(spark, tmp_path):
+    # store holds X; batch has A≈X and B≈A: BOTH must point at the
+    # ADMITTED doc (X) — dup_of never dangles at the rejected A
+    from etl_edi_data_scrapper_spark.streaming.neardup_stream import (
+        dedup_batch_against_store,
+    )
+
+    store = str(tmp_path / "store")
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lamda mu"
+    near1 = base.replace("mu", "nu")
+    near2 = near1.replace("alpha", "omega")
+    first = spark.createDataFrame([(7, base)], "doc_id long, text string")
+    assert dedup_batch_against_store(spark, first, store, threshold=0.4).collect()[0].dup_of is None
+    b = spark.createDataFrame([(5, near1), (6, near2)], "doc_id long, text string")
+    v = {r.doc_id: r.dup_of for r in dedup_batch_against_store(spark, b, store, threshold=0.4).collect()}
+    assert v[5] == 7
+    assert v[6] == 7  # inherited the representative's store verdict
