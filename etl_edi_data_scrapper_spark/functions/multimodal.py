@@ -68,6 +68,11 @@ def real_decode_kernel(content: bytes, kind: str, dim: int = 8) -> list[float] |
     swap in ``fake_decode_kernel`` to exercise the identical Arrow path.
     Corrupt/undecodable bytes yield ``None`` (a NULL feature), not an
     exception — a single bad blob must never abort a 100 TB stage."""
+    if dim < 2 or dim % 2:
+        # the 4x2-thumbnail layout yields 2*(dim//2) pixels — an odd dim
+        # would silently return dim-1 values and break the shape contract
+        # shared with fake_decode_kernel
+        raise ValueError(f"dim must be an even integer >= 2, got {dim}")
     if content is None:
         return [0.0] * dim
     if kind == "image":

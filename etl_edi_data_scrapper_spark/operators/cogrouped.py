@@ -78,6 +78,22 @@ def cogroup_apply_batched(
     Full-outer key semantics are preserved: a key present on one side only
     arrives in that side's frame (hash of the same key value lands in the
     same bucket on both sides)."""
+    mismatched = [
+        (k, str(left.schema[k].dataType), str(right.schema[k].dataType))
+        for k in keys
+        if left.schema[k].dataType != right.schema[k].dataType
+    ]
+    if mismatched:
+        # F.hash is type-sensitive: hash(1 as int) != hash(1 as bigint), so a
+        # dtype-mismatched key would land its left/right rows in DIFFERENT
+        # buckets and silently break the full-outer reconcile per-key cogroup
+        # gives. Fail loudly; the caller casts to a common type.
+        raise ValueError(
+            "cogroup_apply_batched key dtype mismatch (bucket hashing is "
+            "type-sensitive): "
+            + ", ".join(f"{k}: left={lt} right={rt}" for k, lt, rt in mismatched)
+            + " — cast both sides to a common type first"
+        )
     n = num_buckets or left.sparkSession.sparkContext.defaultParallelism
     ck = "_ck"
     while ck in left.columns or ck in right.columns:  # never clobber user data

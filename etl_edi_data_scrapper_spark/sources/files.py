@@ -373,17 +373,26 @@ def read_excel(spark: SparkSession, source: str, range_: str | None = None) -> D
             cells = None
             if range_:
                 _sheet, cells = normalize_excel_range(range_, max_row=2**20)
+                if _sheet is not None:
+                    # CSV/HTML/SYLK have no sheets — a sheet-qualified range
+                    # here is a typo'd job config; silently applying only the
+                    # box filter would return data where the XLSX/ODS/
+                    # Gnumeric paths raise "sheet not found"
+                    raise ValueError(
+                        f"sheet {_sheet!r} in range {range_!r} but {path!r} "
+                        "is a sheetless format (CSV/HTML/SYLK)"
+                    )
             if looks_like_sylk(head):
                 header, rows = _grid_to_table(read_sylk_grid(path), cells)
             elif looks_like_html_table(head):
                 header, rows = _grid_to_table(read_html_grid(path), cells)
-            elif range_:
-                # a range demands the grid path so the box filter applies
-                # (the reference loads CSV into a sheet and THEN slices)
-                header, rows = _grid_to_table(_csv_grid(path), cells)
             else:
-                frames.append(read_csv(spark, path))
-                continue
+                # CSV through the spreadsheet handler ALWAYS takes the grid
+                # path: the reference loads CSV into a worksheet (padding
+                # short rows) whether or not a range then slices it —
+                # read_csv's DROPMALFORMED would drop those rows instead,
+                # making the row set depend on the presence of a range
+                header, rows = _grid_to_table(_csv_grid(path), cells)
         else:
             header, rows = _read_xlsx_stdlib(path, range_)
         if not header:

@@ -60,6 +60,33 @@ def streaming_exact_dedup(doc_stream: DataFrame) -> DataFrame:
     )
 
 
+def _ttl_handle_rows(seen_state, rows) -> Iterator[pd.DataFrame]:
+    """Per-fingerprint decision for the TTL dedup, split out so the
+    sliding-window semantics are unit-testable without a live
+    transformWithState runner (which needs protobuf + RocksDB):
+
+    * first sighting → record the fingerprint, emit the smallest-doc_id row;
+    * re-sighting → emit nothing BUT refresh the state ("unseen for ttl_ms"
+      means ttl_ms since the LAST sighting, not since first admission —
+      without the refresh a continuously-re-seen document would expire and
+      be re-admitted mid-stream).
+    """
+    if seen_state.exists():
+        seen_state.update((True,))  # reset the native TTL clock
+        return
+    first = None
+    for pdf in rows:
+        if pdf.empty:
+            continue
+        cand = pdf.sort_values("doc_id").iloc[:1]
+        if first is None or cand["doc_id"].iloc[0] < first["doc_id"].iloc[0]:
+            first = cand
+    if first is None:
+        return
+    seen_state.update((True,))
+    yield first[["fingerprint", "doc_id", "text"]]
+
+
 def streaming_exact_dedup_ttl(doc_stream: DataFrame, ttl_ms: int = 86_400_000) -> DataFrame:
     """Bounded-retention exact dedup on Spark 4's `transformWithStateInPandas`
     (the successor to `applyInPandasWithState`): per-fingerprint ValueState
@@ -99,19 +126,7 @@ def streaming_exact_dedup_ttl(doc_stream: DataFrame, ttl_ms: int = 86_400_000) -
             self._seen = handle.getValueState("seen", STATE_SCHEMA, ttlDurationMs=ttl)
 
         def handleInputRows(self, key, rows, timer_values):
-            if self._seen.exists():
-                return
-            first = None
-            for pdf in rows:
-                if pdf.empty:
-                    continue
-                cand = pdf.sort_values("doc_id").iloc[:1]
-                if first is None or cand["doc_id"].iloc[0] < first["doc_id"].iloc[0]:
-                    first = cand
-            if first is None:
-                return
-            self._seen.update((True,))
-            yield first[["fingerprint", "doc_id", "text"]]
+            yield from _ttl_handle_rows(self._seen, rows)
 
         def close(self) -> None:
             pass

@@ -609,3 +609,43 @@ def test_sylk_gnumeric_inf_literal_and_gzip_garbage(spark, tmp_path):
         fh.write(b"UPC,Qty\n0042,15\n")
     with pytest.raises(UnsupportedFormatError, match="Gnumeric"):
         read_excel(spark, str(g))
+
+
+def test_csv_short_rows_padded_through_excel_handler(spark, tmp_path):
+    # the reference loads CSV into a worksheet in the UNRANGED case too, so
+    # short rows are padded with null — not dropped the way the plain CSV
+    # scan's DROPMALFORMED contract drops them; the row set must not depend
+    # on whether a range was passed
+    p = tmp_path / "short.csv"
+    p.write_text("UPC,Quantity,Wholesale\n0042,15,9.99\n0043,7\n")
+    df = read_excel(spark, str(p))
+    assert df.columns == ["UPC", "Quantity", "Wholesale"]
+    rows = {r.UPC: r for r in df.collect()}
+    assert rows["0043"].Quantity == "7" and rows["0043"].Wholesale is None
+    # ranged read over the same file sees the same (padded) rows
+    ranged = read_excel(spark, str(p), range_="A1:C3")
+    assert sorted(map(tuple, ranged.collect())) == sorted(map(tuple, df.collect()))
+
+
+def test_sheet_qualified_range_on_sheetless_format_raises(spark, tmp_path):
+    # CSV/HTML/SYLK have no sheets: a sheet-qualified range is a typo'd job
+    # config and must raise like the XLSX/ODS/Gnumeric paths do — not
+    # silently apply only the box filter and return data
+    import pytest
+
+    from etl_edi_data_scrapper_spark.sources.sylk import write_minimal_sylk
+
+    c = tmp_path / "feed.csv"
+    c.write_text("UPC,Qty\n0042,15\n")
+    with pytest.raises(ValueError, match="sheetless"):
+        read_excel(spark, str(c), range_="Nope!A1:B2")
+
+    s = tmp_path / "feed.slk"
+    write_minimal_sylk(s, [["UPC"], ["0042"]])
+    with pytest.raises(ValueError, match="sheetless"):
+        read_excel(spark, str(s), range_="Nope!A1:B2")
+
+    h = tmp_path / "feed.html"
+    h.write_text("<html><body><table><tr><th>k</th></tr><tr><td>v</td></tr></table></body></html>")
+    with pytest.raises(ValueError, match="sheetless"):
+        read_excel(spark, str(h), range_="Nope!A1:B2")

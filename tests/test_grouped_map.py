@@ -149,3 +149,17 @@ def test_cogroup_batched_matches_per_key(spark):
             ).collect()
         }
         assert got == want, f"num_buckets={nb}"
+
+
+def test_cogroup_batched_key_dtype_mismatch_raises(spark):
+    # F.hash is type-sensitive: int-1 and bigint-1 hash differently, so a
+    # dtype-mismatched key would land its left/right rows in different
+    # buckets and silently break the full-outer reconcile — must fail loudly
+    import pytest
+
+    from etl_edi_data_scrapper_spark.operators.cogrouped import cogroup_apply_batched
+
+    left = spark.sql("SELECT CAST(1 AS INT) AS k, 'l' AS v")
+    right = spark.sql("SELECT CAST(1 AS BIGINT) AS k, 'r' AS v")
+    with pytest.raises(ValueError, match="dtype mismatch"):
+        cogroup_apply_batched(left, right, ["k"], lambda l, r: l, "k int, v string")

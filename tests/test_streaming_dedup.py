@@ -159,3 +159,37 @@ def test_streaming_dedup_ttl_variant(spark, tmp_path):
             q.stop()
     finally:
         spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+
+def test_ttl_handle_rows_refreshes_state_on_resighting():
+    """Sliding-window TTL semantics, unit-tested with a fake ValueState (the
+    live transformWithState runner needs protobuf + RocksDB): a re-seen
+    fingerprint emits nothing but MUST refresh its state, resetting the
+    native TTL clock — otherwise a continuously-hot document expires
+    ttl_ms after its FIRST write and its duplicates get re-admitted."""
+    import pandas as pd
+
+    from etl_edi_data_scrapper_spark.streaming.dedup_stream import _ttl_handle_rows
+
+    class FakeState:
+        def __init__(self):
+            self.value = None
+            self.updates = 0
+
+        def exists(self):
+            return self.value is not None
+
+        def update(self, v):
+            self.value = v
+            self.updates += 1
+
+    batch = [pd.DataFrame({"fingerprint": ["f"], "doc_id": [7], "text": ["t"]})]
+
+    st = FakeState()
+    out1 = list(_ttl_handle_rows(st, iter(batch)))  # first sighting: emit
+    assert len(out1) == 1 and out1[0]["doc_id"].iloc[0] == 7
+    assert st.updates == 1
+
+    out2 = list(_ttl_handle_rows(st, iter(batch)))  # re-sighting: no emit,
+    assert out2 == []                               # but TTL clock reset
+    assert st.updates == 2

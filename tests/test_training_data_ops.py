@@ -399,3 +399,14 @@ def test_connected_components_pointer_jump_long_chain(spark):
     # without jumping, 10 rounds cannot close a 40-diameter chain → strict raises
     with pytest.raises(RuntimeError, match="converge"):
         connected_components(pairs, max_iters=10, pointer_jump=False)
+
+
+def test_real_decode_kernel_rejects_odd_dim():
+    # the 4x2-thumbnail layout yields 2*(dim//2) pixels; an odd dim would
+    # silently violate the shape contract shared with fake_decode_kernel
+    from etl_edi_data_scrapper_spark.functions import multimodal
+
+    with pytest.raises(ValueError, match="even"):
+        multimodal.real_decode_kernel(b"bytes", "image", dim=7)
+    with pytest.raises(ValueError, match="even"):
+        multimodal.real_decode_kernel(None, "image", dim=1)
