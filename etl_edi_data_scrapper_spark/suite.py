@@ -2516,7 +2516,13 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
       ('0052', '12', NULL),
       ('0053', '5', '7.5'),
       ('0061', '9', '3,10'),
-      ('0062', '2', NULL)
+      ('0062', '2', NULL),
+      ('0071', '4', '2,50'),
+      ('0072', '6', NULL),
+      ('0081', '11', '8.25'),
+      ('0082', '3', NULL),
+      ('0091', '14', '6,75'),
+      ('0092', '1', NULL)
     ) AS t(UPC, Quantity, Wholesale)
     """,
 )
@@ -2527,9 +2533,11 @@ def q_excel_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     XML) parsed by the stdlib reader — header row, shared strings, numeric
     cells as literal text, short-row padding — unioned with a legacy BIFF8
     ``.xls`` (OLE2 mini-stream container, SST/LABELSST/NUMBER records) and
-    an OpenDocument ``.ods`` (zip, content.xml typed cells) through the
-    same ``read_excel`` dispatch-on-magic path (multi-file glob union =
-    `ExcelInputHandler.php:44-49`)."""
+    an OpenDocument ``.ods`` (zip, content.xml typed cells), a supplier-
+    portal HTML table export, a SYLK ``.slk`` (semicolon records) and a
+    gzipped Gnumeric workbook — the COMPLETE IOFactory auto-detect matrix
+    — through the same ``read_excel`` dispatch-on-magic path (multi-file
+    glob union = `ExcelInputHandler.php:44-49`)."""
     import os
     import tempfile
     import zipfile
@@ -2593,6 +2601,40 @@ def q_excel_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             ["UPC", "Quantity", "Wholesale"],
             ["0061", 9.0, "3,10"],
             ["0062", "2", None],
+        ],
+    )
+
+    # supplier-portal "download as spreadsheet" HTML export
+    # (IOFactory's Html reader leg)
+    with open(os.path.join(stage, "portal.html"), "w", encoding="utf-8") as fh:
+        fh.write(
+            "<!DOCTYPE html><html><head><title>Feed</title></head><body>"
+            "<h1>Export</h1><table>"
+            "<tr><th>UPC</th><th>Quantity</th><th>Wholesale</th></tr>"
+            "<tr><td>0071</td><td>4</td><td>2,50</td></tr>"
+            "<tr><td>0072</td><td>6</td></tr>"
+            "</table></body></html>"
+        )
+
+    from etl_edi_data_scrapper_spark.sources.sylk import write_minimal_sylk
+
+    write_minimal_sylk(
+        os.path.join(stage, "legacy.slk"),
+        [
+            ["UPC", "Quantity", "Wholesale"],
+            ["0081", 11.0, "8.25"],
+            ["0082", "3", None],
+        ],
+    )
+
+    from etl_edi_data_scrapper_spark.sources.gnumeric import write_minimal_gnumeric
+
+    write_minimal_gnumeric(
+        os.path.join(stage, "gnome.gnumeric"),
+        [
+            ["UPC", "Quantity", "Wholesale"],
+            ["0091", 14.0, "6,75"],
+            ["0092", "1", None],
         ],
     )
     return read_excel(spark, os.path.join(stage, "*.*"))
