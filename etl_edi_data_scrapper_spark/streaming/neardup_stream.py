@@ -126,28 +126,35 @@ def dedup_batch_against_store(
         with_cluster = batch.withColumn("cluster_id", F.lit(None).cast(id_type))
 
     # --- against the accumulated store (band equi-join, candidates only).
-    # Explicit schema on the read: no driver-local existence probe (works
-    # on any Hadoop FS) and an empty store directory reads as empty. The
-    # plain read probes first so (a) only PATH_NOT_FOUND / empty-dir mean
-    # "no store yet" — any OTHER analysis failure (corrupt store, wrong
-    # path type, permissions) raises instead of silently dropping the
-    # dedup history — and (b) a store written under different settings
-    # (n_hashes/bands drift changes the column set) fails loudly instead
-    # of null-filling signature columns and silently missing matches.
+    # ONE read serves both the drift probe and the join (on object stores a
+    # second `spark.read...parquet` is a second directory listing per
+    # micro-batch): only PATH_NOT_FOUND / empty-dir mean "no store yet" —
+    # any OTHER analysis failure (corrupt store, wrong path type,
+    # permissions) raises instead of silently dropping the dedup history —
+    # and a store written under different settings (n_hashes/bands drift
+    # changes the columns; a band dtype change breaks the equi-join) fails
+    # loudly instead of null-filling signature columns and silently
+    # missing matches. The select() below only reorders columns (the
+    # partition column `band` lists last on read) — no second listing.
     try:
-        actual_cols = set(spark.read.parquet(store_dir).schema.names)
-        if actual_cols != set(keyed.schema.names):
-            raise ValueError(
-                f"near-dup store at {store_dir!r} has columns "
-                f"{sorted(actual_cols)} but this job produces "
-                f"{sorted(keyed.schema.names)} — n_hashes/bands drift? "
-                "Use the store's original settings or rebuild it."
-            )
-        store = spark.read.schema(keyed.schema).parquet(store_dir)
+        probe = spark.read.parquet(store_dir)
+        probe.schema  # force analysis inside the try
     except AnalysisException as e:
         if "PATH_NOT_FOUND" not in str(e) and "UNABLE_TO_INFER_SCHEMA" not in str(e):
             raise
         store = None  # first increment (or empty store): nothing accepted yet
+    else:
+        actual = {f.name: f.dataType for f in probe.schema.fields}
+        wanted = {f.name: f.dataType for f in keyed.schema.fields}
+        if actual != wanted:
+            raise ValueError(
+                f"near-dup store at {store_dir!r} has columns "
+                f"{sorted((n, str(t)) for n, t in actual.items())} but this "
+                f"job produces {sorted((n, str(t)) for n, t in wanted.items())}"
+                " — n_hashes/bands drift? Use the store's original settings "
+                "or rebuild it."
+            )
+        store = probe.select(*keyed.schema.names)
     if store is not None:
         hist = (
             keyed.join(
@@ -205,6 +212,55 @@ def dedup_batch_against_store(
     new_state.write.mode("append").partitionBy("band").parquet(store_dir)
     keyed.unpersist()
     return verdict
+
+
+def compact_neardup_store(spark: SparkSession, store_dir: str) -> tuple[int, int]:
+    """Offline compaction for the accumulated band-key store. Two things
+    accumulate under at-least-once delivery and per-batch appends:
+
+    * duplicate rows — a replayed batch re-appends its accepted docs' band
+      keys (documented at the top of this module as "an offline-compaction
+      concern, not a correctness one"): verdicts stay correct because
+      ``dup_of`` takes a MIN over candidates, but every duplicate store row
+      costs join work in every later micro-batch;
+    * small files — each micro-batch appends one file per band partition,
+      so a long-running stream turns each band directory into thousands of
+      tiny parquet files (listing + footer overhead dominates the scan).
+
+    Compaction is a full-row ``dropDuplicates`` (replays append IDENTICAL
+    rows — id, band, band_key and signature longs are all deterministic
+    functions of the document) plus a ``repartition("band")`` so each band
+    partition lands in exactly one task → ONE file per band, written
+    ``partitionBy("band")`` like the live store. The rewrite goes to a
+    sibling temp directory first, then swaps via the Hadoop FileSystem API
+    (works on HDFS/S3A/local alike). The swap is delete-then-rename, NOT
+    atomic: run compaction with the stream STOPPED (between deployments /
+    from a maintenance job), never concurrently with an appending batch.
+
+    Returns ``(rows_before, rows_after)``.
+    """
+    before_df = spark.read.parquet(store_dir)
+    before = before_df.count()
+    tmp = store_dir.rstrip("/") + "__compacting"
+    (
+        before_df.dropDuplicates()
+        .repartition("band")
+        .write.mode("overwrite")
+        .partitionBy("band")
+        .parquet(tmp)
+    )
+    jpath = spark._jvm.org.apache.hadoop.fs.Path
+    src, dst = jpath(tmp), jpath(store_dir)
+    fs = dst.getFileSystem(spark._jsc.hadoopConfiguration())
+    after = spark.read.parquet(tmp).count()  # footer-stats count, cheap
+    if not fs.delete(dst, True):
+        raise IOError(f"compaction could not remove the old store at {store_dir!r}")
+    if not fs.rename(src, dst):
+        raise IOError(
+            f"compaction wrote {tmp!r} but could not rename it over "
+            f"{store_dir!r} — the compacted store is intact at the temp path"
+        )
+    return before, after
 
 
 def run_incremental_neardup(

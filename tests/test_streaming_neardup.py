@@ -152,3 +152,65 @@ def test_member_inherits_representative_store_verdict(spark, tmp_path):
     v = {r.doc_id: r.dup_of for r in dedup_batch_against_store(spark, b, store, threshold=0.4).collect()}
     assert v[5] == 7
     assert v[6] == 7  # inherited the representative's store verdict
+
+
+def test_store_schema_drift_fails_loudly(spark, tmp_path):
+    # a store written under different n_hashes/bands has a different column
+    # set — the next increment must refuse it, not null-fill signatures and
+    # silently miss matches
+    import pytest
+
+    from etl_edi_data_scrapper_spark.streaming.neardup_stream import (
+        dedup_batch_against_store,
+    )
+
+    store = str(tmp_path / "store")
+    b = spark.createDataFrame([(1, DOC_A)], "doc_id long, text string")
+    dedup_batch_against_store(spark, b, store, n_hashes=12, bands=6)
+    b2 = spark.createDataFrame([(2, DOC_B)], "doc_id long, text string")
+    with pytest.raises(ValueError, match="drift"):
+        dedup_batch_against_store(spark, b2, store, n_hashes=8, bands=4)
+
+
+def test_compacted_store_yields_identical_verdicts(spark, tmp_path):
+    # at-least-once replay appends duplicate store rows; compaction must
+    # (a) shrink the store to its distinct rows and files, (b) change NO
+    # verdict: the same probe batch returns byte-identical results against
+    # the compacted and uncompacted store
+    import glob
+    import shutil
+
+    from etl_edi_data_scrapper_spark.streaming.neardup_stream import (
+        compact_neardup_store,
+        dedup_batch_against_store,
+    )
+
+    store = str(tmp_path / "store")
+    b1 = spark.createDataFrame([(1, DOC_A), (2, DOC_B)], "doc_id long, text string")
+    dedup_batch_against_store(spark, b1, store)
+    dedup_batch_against_store(spark, b1, store)  # replay: duplicate rows
+    b2 = spark.createDataFrame([(3, DOC_C)], "doc_id long, text string")
+    dedup_batch_against_store(spark, b2, store)  # second append: more files
+
+    frozen = str(tmp_path / "store_uncompacted")
+    shutil.copytree(store, frozen)
+
+    files_before = len(glob.glob(store + "/band=*/*.parquet"))
+    before, after = compact_neardup_store(spark, store)
+    files_after = len(glob.glob(store + "/band=*/*.parquet"))
+    assert before > after            # replay duplicates dropped
+    assert files_after < files_before  # small files coalesced
+    bands = {p.split("band=")[1].split("/")[0] for p in glob.glob(store + "/band=*")}
+    assert files_after == len(bands)   # exactly one file per band
+
+    probe = spark.createDataFrame(
+        [(10, DOC_A_NEAR), (11, DOC_C), (12, "totally novel words here")],
+        "doc_id long, text string",
+    )
+    def run(st):
+        return sorted(
+            (r.doc_id, r.dup_of)
+            for r in dedup_batch_against_store(spark, probe, st).collect()
+        )
+
+    assert run(store) == run(frozen) == [(10, 1), (11, 3), (12, None)]
