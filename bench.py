@@ -1,6 +1,9 @@
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
 JSON line: {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}.
+The stdout line is kept COMPACT (the driver captures a bounded tail); the
+full report, including the per-query vs_baseline map, is also written to
+BENCH_FULL.json beside this script.
 
 Each query executes fully through the noop sink (no collect — measures the
 whole plan incl. shuffles, not driver materialization).
@@ -115,6 +118,11 @@ def main() -> None:
             out["value"] = round(sum(timings.values()), 3)  # totals track the min policy
 
         out["vs_baseline"] = ratios
+        srt = sorted(ratios.values())
+        out["vs_baseline_mean"] = round(sum(srt) / len(srt), 2) if srt else None
+        out["vs_baseline_max"] = (
+            max(ratios, key=ratios.get) + ":" + str(srt[-1]) if srt else None
+        )
         out["baseline_breaches"] = sorted(
             q for q in ratios if breach(q) and q not in noted
         )
@@ -129,7 +137,17 @@ def main() -> None:
         out["baseline_pass"] = not out["baseline_breaches"] and not out["baseline_missing"]
     if errors:
         out["errors"] = errors
-    print(json.dumps(out))
+
+    # full report → file (the driver captures only a bounded stdout tail;
+    # r4's final line outgrew it and BENCH_r04.json recorded parsed:null)
+    full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json")
+    with open(full_path, "w") as fh:
+        json.dump(out, fh, indent=1)
+    # stdout gets a COMPACT final line: per-query timings + gate verdict,
+    # without the 50-entry vs_baseline map (mean/max + breach lists carry
+    # the decision; the full map lives in BENCH_FULL.json)
+    compact = {k: v for k, v in out.items() if k != "vs_baseline"}
+    print(json.dumps(compact))
 
 
 if __name__ == "__main__":

@@ -141,6 +141,35 @@ def time_query(fn, spark, sf_dir: str) -> float:
     return round(best, 3)
 
 
+def time_neardup_increment(spark, sf_dir: str, work_dir: str) -> float:
+    """The production ingestion shape (streaming/neardup_stream.py): seed
+    the band-key store with half the documents table (untimed), then time
+    ONE increment of the other half against it — candidate band equi-join
+    against the store, intra-batch clustering, verify, append. Both the
+    batch AND the store scale with the factor, so this measures the one
+    shuffle surface the per-query smoke misses: the store join. Each trial
+    gets a fresh store (the call appends, so rerunning against the same
+    store would not be the same work); min-of-2 damps JIT/GC noise."""
+    import shutil
+
+    from etl_edi_data_scrapper_spark.streaming.neardup_stream import (
+        dedup_batch_against_store,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    best = None
+    for trial in range(2):
+        store = os.path.join(work_dir, f"store_{trial}")
+        shutil.rmtree(store, ignore_errors=True)
+        dedup_batch_against_store(spark, docs.filter("doc_id % 2 = 0"), store)
+        batch = docs.filter("doc_id % 2 = 1")
+        t0 = time.perf_counter()
+        dedup_batch_against_store(spark, batch, store)  # eager: checkpoint+append
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+    return round(best, 3)
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--factor", type=int, default=10)
@@ -165,6 +194,22 @@ def main() -> None:
             "ratio": round(scaled / base, 2) if base > 0 else None,
         }
         print(f"# {name}: {base}s -> {scaled}s (x{report[name]['ratio']})", file=sys.stderr)
+
+    import tempfile
+
+    nd_work = tempfile.mkdtemp(prefix="scale_neardup_")
+    nd_base = time_neardup_increment(spark, BASE_SF, os.path.join(nd_work, "base"))
+    nd_scaled = time_neardup_increment(spark, out_dir, os.path.join(nd_work, "scaled"))
+    report["neardup_increment"] = {
+        "base": nd_base,
+        "scaled": nd_scaled,
+        "ratio": round(nd_scaled / nd_base, 2) if nd_base > 0 else None,
+    }
+    print(
+        f"# neardup_increment: {nd_base}s -> {nd_scaled}s "
+        f"(x{report['neardup_increment']['ratio']})",
+        file=sys.stderr,
+    )
 
     flagged = sorted(
         q
