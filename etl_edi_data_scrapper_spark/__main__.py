@@ -15,6 +15,11 @@
         --checkpoint DIR --output DIR
         the streaming upgrade of the one-message loop: every JSON line
         dropped into DIR is a job; outputs land under OUTPUT/supplier_id=N.
+
+    python -m etl_edi_data_scrapper_spark compact-store --store DIR
+        offline maintenance for the incremental near-dup band-key store:
+        drop replay-duplicated rows, coalesce each band partition to one
+        file. Run with the ingestion stream STOPPED.
 """
 
 from __future__ import annotations
@@ -48,6 +53,12 @@ def main(argv: list[str] | None = None, engine=None) -> int:
     ps.add_argument("--output", required=True)
     ps.add_argument("--timeout-s", type=float, default=None,
                     help="stop after N seconds (default: run until interrupted)")
+
+    pk = sub.add_parser(
+        "compact-store",
+        help="offline near-dup store compaction (stream must be stopped)",
+    )
+    pk.add_argument("--store", required=True, help="band-key store directory")
 
     args = p.parse_args(argv)
 
@@ -83,6 +94,15 @@ def main(argv: list[str] | None = None, engine=None) -> int:
             if not args.sink_path:
                 p.error("--sink-path required for parquet/jsonl sinks")
             engine.run_job(cfg, sink=args.sink, sink_path=args.sink_path)
+        return 0
+
+    if args.cmd == "compact-store":
+        from etl_edi_data_scrapper_spark.streaming.neardup_stream import (
+            compact_neardup_store,
+        )
+
+        before, after = compact_neardup_store(engine.spark, args.store)
+        print(f"SUCCESS: Store compacted | Rows: {before} -> {after}")
         return 0
 
     if args.cmd == "serve":

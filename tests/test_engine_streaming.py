@@ -186,3 +186,22 @@ def test_cli_run_job_parquet_sink(spark, sf_dir, tmp_path):
     )
     assert rc == 0
     assert spark.read.parquet(str(out_dir)).count() > 0
+
+
+def test_cli_compact_store(spark, tmp_path, capsys):
+    from etl_edi_data_scrapper_spark.__main__ import main
+    from etl_edi_data_scrapper_spark.engine import Engine
+    from etl_edi_data_scrapper_spark.streaming.neardup_stream import (
+        dedup_batch_against_store,
+    )
+
+    store = str(tmp_path / "store")
+    b = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta")], "doc_id long, text string"
+    )
+    dedup_batch_against_store(spark, b, store)
+    dedup_batch_against_store(spark, b, store)  # replay: duplicate rows
+    rc = main(["compact-store", "--store", store], engine=Engine(spark=spark))
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "SUCCESS: Store compacted | Rows: 12 -> 6" in out
