@@ -905,6 +905,116 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jaccard_pairs(docs, cand)
 
 
+def _neardup_increment_oracle(n_hashes: int = 12, bands: int = 6, threshold: float = 0.5) -> str:
+    """DuckDB replica of `streaming/neardup_stream.dedup_batch_against_store`
+    run as two increments over the documents table: seed = even doc_ids
+    (its intra-batch cluster canonicals become the accepted store), then
+    the odd half dedups against that store. Signature/band arithmetic
+    reuses the `_minhash_oracle` fragments; the candidate verify is the
+    SIGNATURE-AGREEMENT Jaccard estimator (fraction of matching minhash
+    components), exactly as the streaming code computes it; intra-batch
+    clustering is the min-reachable-id recursive CTE from
+    `_dedup_clusters_oracle`."""
+    rows = n_hashes // bands
+    hs = ", ".join(
+        f"min((w1 + {j} * w2) % 4294967296) AS h{j}" for j in range(n_hashes)
+    )
+    band_rows = "\n      UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, md5("
+        + " || ':' || ".join(f"h{b * rows + r}::VARCHAR" for r in range(rows))
+        + ") AS band_key FROM sig"
+        for b in range(bands)
+    )
+    agree = (
+        "("
+        + " + ".join(
+            f"CASE WHEN sa.h{j} = sb.h{j} THEN 1 ELSE 0 END" for j in range(n_hashes)
+        )
+        + f")::DOUBLE / {n_hashes} >= {threshold}"
+    )
+    sh = _SQL_SHINGLES.format(t="t")
+
+    def cluster_ctes(tag: str, parity: int) -> str:
+        # verified intra-batch pairs (band collision + signature agreement)
+        # -> min-reachable-id per doc = the batch's cluster canonical
+        return f"""
+    {tag}_pairs AS (
+      SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+      FROM bands l JOIN bands r ON l.band = r.band AND l.band_key = r.band_key
+      JOIN sig sa ON sa.doc_id = l.doc_id
+      JOIN sig sb ON sb.doc_id = r.doc_id
+      WHERE l.doc_id % 2 = {parity} AND r.doc_id % 2 = {parity}
+        AND l.doc_id < r.doc_id AND {agree}),
+    {tag}_edges AS (
+      SELECT a AS src, b AS dst FROM {tag}_pairs
+      UNION ALL SELECT b AS src, a AS dst FROM {tag}_pairs),
+    {tag}_reach(node, lbl) AS (
+      SELECT src, src FROM {tag}_edges
+      UNION
+      SELECT e.src, r.lbl FROM {tag}_edges e JOIN {tag}_reach r ON r.node = e.dst),
+    {tag}_canon AS (
+      SELECT d.doc_id,
+             coalesce((SELECT min(lbl) FROM {tag}_reach r WHERE r.node = d.doc_id),
+                      d.doc_id) AS canon
+      FROM documents d WHERE d.doc_id % 2 = {parity})"""
+
+    return f"""
+    WITH RECURSIVE tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    shingled AS (SELECT doc_id, {sh} AS shingles FROM tok),
+    ex AS (SELECT doc_id, md5(unnest(shingles)) AS h FROM shingled),
+    words AS (SELECT doc_id, {_sql_hex_word("h", 1)} AS w1,
+                     {_sql_hex_word("h", 9)} AS w2 FROM ex),
+    sig AS (SELECT doc_id, {hs} FROM words GROUP BY doc_id),
+    bands AS ({band_rows}),
+    {cluster_ctes("seed", 0)},
+    accepted AS (
+      SELECT doc_id FROM seed_canon WHERE doc_id = canon),
+    {cluster_ctes("batch", 1)},
+    hist AS (
+      SELECT l.doc_id, min(r.doc_id) AS dup_of_store
+      FROM bands l JOIN bands r ON l.band = r.band AND l.band_key = r.band_key
+      JOIN accepted acc ON acc.doc_id = r.doc_id
+      JOIN sig sa ON sa.doc_id = l.doc_id
+      JOIN sig sb ON sb.doc_id = r.doc_id
+      WHERE l.doc_id % 2 = 1 AND {agree}
+      GROUP BY l.doc_id)
+    SELECT bc.doc_id,
+           CASE WHEN bc.doc_id = bc.canon THEN hc.dup_of_store
+                ELSE coalesce(hc.dup_of_store, bc.canon) END AS dup_of
+    FROM batch_canon bc
+    LEFT JOIN hist hc ON hc.doc_id = bc.canon
+    """
+
+
+@register("neardup_increment", oracle=_neardup_increment_oracle())
+def q_neardup_increment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production ingestion shape through the oracle gate: the
+    incremental near-dup (`streaming/neardup_stream.py`) run as two batch
+    increments — the even half of `documents` seeds the accumulated
+    band-key store (its intra-batch cluster canonicals are the accepted
+    corpus), then the odd half dedups against that store. Covers, hash-
+    checked: signature/band-key generation, the band equi-join against the
+    store (candidates only — no history rescan), the signature-agreement
+    Jaccard estimator, intra-batch connected-components canonicalization,
+    and the admitted-representative verdict inheritance. The store is a
+    per-run temp directory (same pattern as `excel_scan`'s staged files);
+    the eager checkpoint inside the operator makes the returned frame
+    safely re-evaluable."""
+    import tempfile
+
+    from etl_edi_data_scrapper_spark.streaming.neardup_stream import (
+        dedup_batch_against_store,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    store = tempfile.mkdtemp(prefix="etl_ndq_") + "/store"
+    seed = docs.filter(F.col("doc_id") % 2 == 0)
+    dedup_batch_against_store(spark, seed, store)
+    batch = docs.filter(F.col("doc_id") % 2 == 1)
+    verdict = dedup_batch_against_store(spark, batch, store)
+    return verdict.select("doc_id", "dup_of")
+
+
 @register(
     "vocab_topk",
     oracle=None,  # filled below (needs _sql_shingles, defined earlier)
