@@ -1,0 +1,54 @@
+"""Sequence packing: assign documents to fixed token-budget training
+windows ("bins") — the step between curation and tokenization in an LLM
+data pipeline (training consumes fixed-length sequences, so documents are
+concatenated shard-by-shard and sliced every `budget` tokens; a document
+belongs to the bin its first token lands in, and long documents straddle
+bin boundaries exactly as concatenation-style packing does).
+
+Scale design: a GLOBAL greedy pack is inherently sequential — one ordered
+scan, one partition, a scale-killer at 100 TB. Packing within hash shards
+(`shard = id % shards`) keeps bins just as full (each shard sees a uniform
+sample of the corpus) while every shard packs independently: the plan is
+one narrow projection + one per-shard running-sum window — `shards`-way
+parallel, no global sort, no driver state. Assignment is deterministic and
+repartition-stable: (shard, order-by-id, cumulative tokens) never depends
+on physical layout, unlike zipWithIndex-style packers.
+
+The reference has no analog (it has no notion of training windows); this
+is part of the engine's training-data surface alongside dedup/curation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def pack_by_token_budget(
+    df: DataFrame,
+    budget: int = 2048,
+    shards: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, n_tokens, pack_shard, shard_offset, pack_bin) per document.
+
+    ``n_tokens`` is the whitespace token count (the same tokenizer the
+    quality/vocab queries use — swap in a BPE count upstream by providing
+    a precomputed column instead of ``text_col``); ``shard_offset`` is the
+    document's first-token offset within its shard's concatenation stream;
+    ``pack_bin = shard_offset DIV budget`` (integer division on longs — no
+    float boundary jitter).
+    """
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
+    w = Window.partitionBy("pack_shard").orderBy(id_col)
+    return (
+        df.select(
+            F.col(id_col),
+            F.size(F.split(F.col(text_col), " ")).cast("long").alias("n_tokens"),
+            F.pmod(F.col(id_col), F.lit(shards)).cast("long").alias("pack_shard"),
+        )
+        .withColumn("shard_offset", F.sum("n_tokens").over(w) - F.col("n_tokens"))
+        .withColumn("pack_bin", F.expr(f"shard_offset DIV {int(budget)}"))
+    )

@@ -1526,6 +1526,118 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return strat.unionByName(split)
 
 
+def _pack_sequences_oracle(budget: int = 2048, shards: int = 32) -> str:
+    return f"""
+    WITH tok AS (
+      SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             CAST(doc_id % {shards} AS BIGINT) AS pack_shard
+      FROM documents),
+    c AS (
+      SELECT *,
+             sum(n_tokens) OVER (PARTITION BY pack_shard ORDER BY doc_id)
+               - n_tokens AS shard_offset
+      FROM tok)
+    SELECT doc_id, n_tokens, pack_shard, shard_offset,
+           shard_offset // {budget} AS pack_bin
+    FROM c
+    """
+
+
+@register("pack_sequences", oracle=_pack_sequences_oracle())
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget sequence packing (`functions/packing.py`): documents →
+    fixed-size training windows, packed within hash shards so the plan is
+    one narrow projection + one per-shard running-sum window — `shards`-way
+    parallel with no global sort (a single global greedy pack is a
+    sequential scan and a 100 TB scale-killer). Deterministic and
+    repartition-stable; the bin id is integer division on longs, so the
+    oracle replicates it with zero float boundary jitter."""
+    from etl_edi_data_scrapper_spark.functions.packing import pack_by_token_budget
+
+    return pack_by_token_budget(_t(spark, sf_dir, "documents"))
+
+
+def _domain_mixture_oracle(budget: int = 200) -> str:
+    dword = _sql_hex_word("md5(CAST(doc_id AS VARCHAR))", 1)
+    return f"""
+    WITH counts AS (
+      SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),
+    z AS (SELECT sum(sqrt(n_docs)) AS z FROM counts),
+    rates AS (
+      SELECT lang, n_docs,
+             sqrt(n_docs) / z AS weight,
+             least(100, CAST(floor({budget} * (sqrt(n_docs) / z) * 100 / n_docs)
+                             AS BIGINT)) AS rate_pct
+      FROM counts, z),
+    kept AS (
+      SELECT d.lang,
+             CAST(count(*) AS BIGINT) AS n_kept,
+             min(d.doc_id) AS lo_kept,
+             max(d.doc_id) AS hi_kept
+      FROM documents d JOIN rates r USING (lang)
+      WHERE ({dword}) % 100 < r.rate_pct
+      GROUP BY d.lang)
+    SELECT r.lang, r.n_docs, r.weight, r.rate_pct,
+           coalesce(k.n_kept, 0) AS n_kept, k.lo_kept, k.hi_kept
+    FROM rates r LEFT JOIN kept k USING (lang)
+    """
+
+
+@register("domain_mixture", oracle=_domain_mixture_oracle())
+def q_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-reweighted domain mixture (the data-mixing step of LLM
+    training — here over the skewed `lang` column: upweight low-resource
+    languages, downweight the dominant one): per-language
+    weight ∝ sqrt(n_docs) (temperature α = 0.5 — sqrt, not pow, because
+    sqrt is IEEE-correctly-rounded on BOTH engines, so the oracle matches
+    bit-for-bit), target sampling rate = budget·weight/n_docs capped at
+    100 %, membership by the same deterministic md5 selection as
+    `stratified_sample` (rerun/repartition/growth-stable). Plan: one
+    groupBy(source) over the corpus, a 1-row broadcast normalizer, a
+    broadcast rate join back, one filtered re-aggregation — two linear
+    passes, no shuffle wider than the source dimension."""
+    from etl_edi_data_scrapper_spark.functions.hashing import hex_word
+
+    budget = 200
+    docs = _t(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    z = counts.agg(F.sum(F.sqrt("n_docs")).alias("z"))
+    rates = (
+        counts.crossJoin(F.broadcast(z))
+        .withColumn("weight", F.sqrt("n_docs") / F.col("z"))
+        .withColumn(
+            "rate_pct",
+            F.least(
+                F.lit(100).cast("long"),
+                F.floor(F.lit(budget) * F.col("weight") * 100 / F.col("n_docs")),
+            ),
+        )
+    )
+    kept = (
+        docs.join(F.broadcast(rates.select("lang", "rate_pct")), "lang")
+        .filter(hex_word(F.md5(F.col("doc_id").cast("string")), 1) % 100 < F.col("rate_pct"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.min("doc_id").alias("lo_kept"),
+            F.max("doc_id").alias("hi_kept"),
+        )
+    )
+    return (
+        rates.join(kept, "lang", "left")
+        .select(
+            "lang",
+            "n_docs",
+            "weight",
+            "rate_pct",
+            F.coalesce("n_kept", F.lit(0).cast("long")).alias("n_kept"),
+            "lo_kept",
+            "hi_kept",
+        )
+    )
+
+
 def q_keyed_merge_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The skew-proof two-stage merge through the oracle gate: byte-identical
     results to `keyed_merge` (same oracle SQL) via (key, salt) partial

@@ -410,3 +410,25 @@ def test_real_decode_kernel_rejects_odd_dim():
         multimodal.real_decode_kernel(b"bytes", "image", dim=7)
     with pytest.raises(ValueError, match="even"):
         multimodal.real_decode_kernel(None, "image", dim=1)
+
+
+def test_pack_by_token_budget_invariants(spark):
+    from etl_edi_data_scrapper_spark.functions.packing import pack_by_token_budget
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(["tok"] * (5 + i % 7))) for i in range(40)],
+        "doc_id long, text string",
+    )
+    out = pack_by_token_budget(docs, budget=16, shards=4).collect()
+    assert len(out) == 40
+    by_shard = {}
+    for r in sorted(out, key=lambda r: (r.pack_shard, r.doc_id)):
+        assert r.pack_shard == r.doc_id % 4
+        # offsets are the running concatenation stream per shard
+        assert r.shard_offset == by_shard.get(r.pack_shard, 0)
+        by_shard[r.pack_shard] = r.shard_offset + r.n_tokens
+        # the bin is where the document STARTS
+        assert r.pack_bin == r.shard_offset // 16
+
+    with pytest.raises(ValueError, match="positive"):
+        pack_by_token_budget(docs, budget=0)
