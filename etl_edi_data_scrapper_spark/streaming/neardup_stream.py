@@ -116,6 +116,12 @@ def dedup_batch_against_store(
         .filter(_agreement(n_hashes) >= threshold)
         .select(F.col("old_id").alias("a"), F.col(id_col).alias("b"))
         .distinct()
+        # materialize ONCE: the emptiness probe below and (in the slow
+        # path) connected_components both need the pair set — without the
+        # checkpoint the self-join executes twice. The fast path pays
+        # nothing extra: probing an empty pair set scans everything anyway
+        # (there is no row for take(1) to short-circuit on).
+        .localCheckpoint(eager=True)
     )
     if intra_pairs.take(1):
         clusters = connected_components(intra_pairs, out_id=id_col).select(
@@ -209,7 +215,13 @@ def dedup_batch_against_store(
 
     accepted = verdict.filter(F.col("dup_of").isNull()).select(id_col)
     new_state = keyed.join(accepted, id_col)
-    new_state.write.mode("append").partitionBy("band").parquet(store_dir)
+    # one file per band per increment (repartition puts each band in one
+    # task): without this, every shuffle partition writes its own file
+    # into every band directory — ~partitions× the files, and every later
+    # micro-batch pays the listing + footer cost on the store read
+    new_state.repartition("band").write.mode("append").partitionBy("band").parquet(
+        store_dir
+    )
     keyed.unpersist()
     return verdict
 
