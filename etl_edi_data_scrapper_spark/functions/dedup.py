@@ -694,3 +694,94 @@ def embedding_near_pairs(
         )
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def winnowing_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    w: int = 8,
+) -> DataFrame:
+    """(id, fp) — winnowing document fingerprints (Schleimer/Wilkerson/
+    Aiken, SIGMOD'03 — the MOSS scheme) over WORD n-grams: hash every
+    n-word gram of the normalized text, slide a w-window over the hash
+    sequence, keep each window's minimum; the distinct minima are the
+    document's fingerprints.
+
+    Guarantee: any shared run of ≥ n + w − 1 words yields at least one
+    shared fingerprint — POSITIONAL overlap detection. This is the dedup
+    modality MinHash misses: a long plagiarized/boilerplate passage inside
+    two otherwise-different documents never lifts whole-document Jaccard
+    over an LSH threshold, but it always shares a winnowing window.
+
+    Plan/efficiency shape: ONE narrow projection per document
+    (split/sequence/transform/slice/array_min array expressions, all
+    JVM-side), no shuffle, no per-position explode until the final
+    distinct fingerprint set. Word grams (not MOSS's char grams — those
+    cost one hash per CHARACTER) keep it at one md5 per word position, and
+    window minima compare the md5 hex STRINGS byte-wise — identical
+    ordering in Spark and DuckDB, no hex→int parsing per position.
+    """
+    from etl_edi_data_scrapper_spark.functions.text import normalize_text
+
+    d = df.select(
+        F.col(id_col), F.split(normalize_text(text_col), " ").alias("_t")
+    )
+    n_grams = F.size("_t") - F.lit(n - 1)
+    grams = F.when(
+        n_grams >= 1,
+        F.transform(
+            F.sequence(F.lit(1), n_grams),
+            lambda i: F.md5(F.array_join(F.slice(F.col("_t"), i, F.lit(n)), " ")),
+        ),
+    ).otherwise(F.expr("CAST(array() AS array<string>)"))
+    d = d.select(F.col(id_col), grams.alias("_h"))
+    n_windows = F.greatest(F.lit(1), F.size("_h") - F.lit(w - 1))
+    mins = F.when(
+        F.size("_h") >= 1,
+        F.transform(
+            F.sequence(F.lit(1), n_windows),
+            lambda j: F.array_min(F.slice(F.col("_h"), j, F.lit(w))),
+        ),
+    ).otherwise(F.expr("CAST(array() AS array<string>)"))
+    return d.select(F.col(id_col), F.explode(F.array_distinct(mins)).alias("fp"))
+
+
+def winnowing_shared_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    w: int = 8,
+    max_df: int = 5,
+    min_shared: int = 2,
+) -> DataFrame:
+    """(a, b, n_shared) — document pairs sharing ≥ ``min_shared`` winnowing
+    fingerprints (passage-overlap candidates).
+
+    Scale guard: fingerprints appearing in more than ``max_df`` documents
+    (template boilerplate — the positional analog of stopwords) are
+    dropped BEFORE the self-join, so per-fingerprint join fan-out is
+    ≤ max_df² and total work is Σ df(fp)² over surviving fingerprints —
+    bounded candidate generation, never all-pairs (the winnowing analog of
+    the MinHash bucket-size guard)."""
+    fps = winnowing_fingerprints(df, id_col, text_col, n, w).localCheckpoint(
+        eager=False  # fingerprints feed the df-filter AND the self-join —
+        # materialize once instead of running the per-gram hashing twice
+    )
+    keep = (
+        fps.groupBy("fp")
+        .agg(F.countDistinct(id_col).alias("_df"))
+        .filter((F.col("_df") >= 2) & (F.col("_df") <= max_df))
+        .select("fp")
+    )
+    kept = fps.join(keep, "fp")
+    return (
+        kept.join(kept.select(F.col("fp"), F.col(id_col).alias("_rid")), "fp")
+        .filter(F.col(id_col) < F.col("_rid"))
+        .groupBy(F.col(id_col).alias("a"), F.col("_rid").alias("b"))
+        .agg(F.countDistinct("fp").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+        .select("a", "b", "n_shared")
+    )

@@ -890,6 +890,62 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(verified)
 
 
+def _winnow_pairs_oracle(
+    n: int = 3, w: int = 8, max_df: int = 5, min_shared: int = 3
+) -> str:
+    return f"""
+    WITH nrm AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS t
+      FROM documents),
+    h AS (SELECT doc_id,
+            CASE WHEN len(t) >= {n}
+                 THEN list_transform(range(1, len(t) - {n} + 2),
+                        i -> md5(array_to_string(list_slice(t, i, i + {n} - 1), ' ')))
+                 ELSE CAST([] AS VARCHAR[]) END AS hs
+          FROM nrm),
+    m AS (SELECT doc_id,
+            CASE WHEN len(hs) >= 1
+                 THEN list_distinct(list_transform(
+                        range(1, greatest(1, len(hs) - {w} + 1) + 1),
+                        j -> list_min(list_slice(hs, j, j + {w} - 1))))
+                 ELSE CAST([] AS VARCHAR[]) END AS fps
+          FROM h),
+    fp AS (SELECT doc_id, unnest(fps) AS fp FROM m),
+    keep AS (SELECT fp FROM fp GROUP BY fp
+             HAVING count(DISTINCT doc_id) BETWEEN 2 AND {max_df}),
+    pairs AS (
+      SELECT l.doc_id AS a, r.doc_id AS b,
+             CAST(count(DISTINCT l.fp) AS BIGINT) AS n_shared
+      FROM fp l JOIN keep kp ON l.fp = kp.fp JOIN fp r ON l.fp = r.fp
+      WHERE l.doc_id < r.doc_id
+      GROUP BY 1, 2)
+    SELECT a, b, n_shared FROM pairs WHERE n_shared >= {min_shared}
+    """
+
+
+@register("winnow_pairs", oracle=_winnow_pairs_oracle())
+def q_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POSITIONAL near-dup candidates via winnowing fingerprints
+    (Schleimer/Wilkerson/Aiken SIGMOD'03 — the MOSS scheme, over word
+    n-grams; `functions/dedup.py::winnowing_shared_pairs`): any shared run
+    of ≥ n+w−1 words guarantees a shared window-minimum fingerprint, so
+    two documents sharing one long passage surface here even when their
+    whole-document Jaccard is far below the MinHash threshold — the
+    passage-level dedup modality the doc-level sketches miss.
+    Fingerprinting is one narrow array-expression projection (one md5 per
+    WORD position — not per char — and window minima compare md5 hex
+    strings byte-wise, identical ordering on both engines); the candidate
+    self-join drops fingerprints in > max_df docs first (boilerplate =
+    positional stopwords), bounding fan-out at Σ df(fp)² — never
+    all-pairs."""
+    from etl_edi_data_scrapper_spark.functions.dedup import winnowing_shared_pairs
+
+    return winnowing_shared_pairs(
+        _t(spark, sf_dir, "documents"), n=3, w=8, max_df=5, min_shared=3
+    )
+
+
 @register("minhash_lsh", oracle=_minhash_oracle())
 def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup candidates with exact Jaccard verification —

@@ -432,3 +432,35 @@ def test_pack_by_token_budget_invariants(spark):
 
     with pytest.raises(ValueError, match="positive"):
         pack_by_token_budget(docs, budget=0)
+
+
+def test_winnowing_guarantee_and_edges(spark):
+    from etl_edi_data_scrapper_spark.functions.dedup import (
+        winnowing_fingerprints,
+        winnowing_shared_pairs,
+    )
+
+    passage = "the quick brown fox jumps over the lazy dog near the river bank"
+    docs = spark.createDataFrame(
+        [
+            (1, "completely unrelated preamble here. " + passage),
+            (2, passage + " and then something entirely different follows after"),
+            (3, "no overlap with anything else in this tiny corpus at all okay"),
+            (4, "x"),   # fewer than n words: zero fingerprints, no crash
+            (5, ""),    # empty
+        ],
+        "doc_id long, text string",
+    )
+    # the shared passage is far longer than n+w-1 words -> docs 1 and 2
+    # MUST share at least one window-minimum fingerprint
+    pairs = winnowing_shared_pairs(
+        docs, n=3, w=8, max_df=5, min_shared=1
+    ).collect()
+    assert {(r.a, r.b) for r in pairs} == {(1, 2)}
+
+    fps = winnowing_fingerprints(docs, n=3, w=8)
+    by_doc = {}
+    for r in fps.collect():
+        by_doc.setdefault(r.doc_id, set()).add(r.fp)
+    assert 4 not in by_doc and 5 not in by_doc  # short/empty: no fingerprints
+    assert by_doc[1] & by_doc[2]                # the guarantee, directly
