@@ -48,6 +48,7 @@ QUERIES = [
     "ann_recall",
     "vocab_topk",
     "cogroup_stats",
+    "winnow_pairs",
 ]
 
 # a linear operator on a fixed 32-thread pool should scale ≈ data ratio;
