@@ -1694,6 +1694,76 @@ def q_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _chunk_documents_oracle(width: int = 16, stride: int = 12) -> str:
+    return f"""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      FROM documents),
+    g AS (
+      SELECT doc_id, toks,
+             unnest(range(CAST(0 AS BIGINT), n_tokens, CAST({stride} AS BIGINT)))
+               AS start_tok
+      FROM t),
+    s AS (
+      SELECT doc_id, toks, CAST(start_tok AS BIGINT) AS start_tok,
+             CAST(start_tok // {stride} AS BIGINT) AS chunk_idx
+      FROM g)
+    SELECT doc_id, chunk_idx, start_tok,
+           CAST(len(list_slice(toks, start_tok + 1, start_tok + {width}))
+                AS BIGINT) AS chunk_tokens,
+           md5(array_to_string(
+               list_slice(toks, start_tok + 1, start_tok + {width}), ' '))
+             AS chunk_hash
+    FROM s
+    """
+
+
+@register("chunk_documents", oracle=_chunk_documents_oracle())
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping sliding-window chunking (`functions/chunking.py`): the
+    RAG-indexing / long-document-slicing step. width=16, stride=12 → 4-token
+    overlap. Plan: ZERO shuffles — one projection + one bounded generate
+    (explode factor ≤ ceil(n_tokens/stride)), all JVM built-ins; chunk
+    identity derives from data so the output is repartition-stable, and
+    ``chunk_hash`` (md5 of the chunk text) is the cache/dedup key
+    downstream embedding stages join on."""
+    from etl_edi_data_scrapper_spark.functions.chunking import chunk_by_words
+
+    return chunk_by_words(_t(spark, sf_dir, "documents"), width=16, stride=12)
+
+
+def _shuffle_shards_oracle(shards: int = 64, seed: int = 0) -> str:
+    key = f"md5('{seed}' || ':' || CAST(doc_id AS VARCHAR))"
+    return f"""
+    WITH k AS (
+      SELECT doc_id,
+             {key} AS shuffle_key,
+             CAST(({_sql_hex_word(key, 1)}) % {shards} AS BIGINT) AS shard
+      FROM documents)
+    SELECT doc_id, shuffle_key, shard,
+           CAST(row_number() OVER (PARTITION BY shard
+                                   ORDER BY shuffle_key, doc_id)
+                AS BIGINT) AS shard_pos
+    FROM k
+    """
+
+
+@register("shuffle_shards", oracle=_shuffle_shards_oracle())
+def q_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle into training shards
+    (`functions/shuffle.py`): hash-shard + per-shard local sort — the
+    scale-out replacement for ``ORDER BY rand()`` (whose single total
+    order is a 100 TB scale-killer). One `shards`-way hash exchange, one
+    per-shard sort, no global order anywhere; seeded md5 keys make the
+    permutation rerun/repartition-stable and a new epoch is just a new
+    seed. Hash-oracled bit-for-bit (md5 hex strings order identically as
+    ASCII on both engines)."""
+    from etl_edi_data_scrapper_spark.functions.shuffle import shuffle_to_shards
+
+    return shuffle_to_shards(_t(spark, sf_dir, "documents"), shards=64, seed=0)
+
+
 def q_keyed_merge_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The skew-proof two-stage merge through the oracle gate: byte-identical
     results to `keyed_merge` (same oracle SQL) via (key, salt) partial

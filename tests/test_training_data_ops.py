@@ -464,3 +464,80 @@ def test_winnowing_guarantee_and_edges(spark):
         by_doc.setdefault(r.doc_id, set()).add(r.fp)
     assert 4 not in by_doc and 5 not in by_doc  # short/empty: no fingerprints
     assert by_doc[1] & by_doc[2]                # the guarantee, directly
+
+
+def test_chunk_by_words_coverage_and_overlap(spark):
+    import hashlib
+
+    from etl_edi_data_scrapper_spark.functions.chunking import chunk_by_words
+
+    words = [f"w{i}" for i in range(37)]
+    docs = spark.createDataFrame(
+        [(1, " ".join(words)), (2, "solo"), (3, "a b c")],
+        "doc_id long, text string",
+    )
+    out = chunk_by_words(docs, width=16, stride=12).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+
+    # doc 1: starts at 0,12,24,36 — every token covered, consecutive chunks
+    # overlap by width-stride=4, final chunk clipped to the remaining token
+    rows = sorted(by_doc[1], key=lambda r: r.chunk_idx)
+    assert [r.start_tok for r in rows] == [0, 12, 24, 36]
+    assert [r.chunk_tokens for r in rows] == [16, 16, 13, 1]
+    assert [r.chunk_idx for r in rows] == [0, 1, 2, 3]
+    # chunk_hash is md5 of the space-joined window (the downstream cache key)
+    expect = hashlib.md5(" ".join(words[12:28]).encode()).hexdigest()
+    assert rows[1].chunk_hash == expect
+    # coverage: union of [start, start+chunk_tokens) is exactly [0, 37)
+    covered = set()
+    for r in rows:
+        covered |= set(range(r.start_tok, r.start_tok + r.chunk_tokens))
+    assert covered == set(range(37))
+
+    # short docs: exactly one clipped chunk, never padded
+    assert [(r.start_tok, r.chunk_tokens) for r in by_doc[2]] == [(0, 1)]
+    assert [(r.start_tok, r.chunk_tokens) for r in by_doc[3]] == [(0, 3)]
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="stride"):
+        chunk_by_words(docs, width=8, stride=9)
+    with _pytest.raises(ValueError, match="positive"):
+        chunk_by_words(docs, width=0, stride=0)
+
+
+def test_shuffle_to_shards_is_stable_permutation(spark):
+    from etl_edi_data_scrapper_spark.functions.shuffle import shuffle_to_shards
+
+    docs = spark.createDataFrame([(i,) for i in range(200)], "doc_id long")
+    out = shuffle_to_shards(docs, shards=8, seed=0).collect()
+    assert len(out) == 200
+    # (shard, shard_pos) is a total permutation: positions are 1..n per shard
+    by_shard = {}
+    for r in out:
+        assert 0 <= r.shard < 8
+        by_shard.setdefault(r.shard, []).append(r.shard_pos)
+    for positions in by_shard.values():
+        assert sorted(positions) == list(range(1, len(positions) + 1))
+
+    # deterministic under repartition (physical layout must not matter)
+    again = shuffle_to_shards(docs.repartition(13), shards=8, seed=0).collect()
+    assert {(r.doc_id, r.shard, r.shard_pos) for r in again} == {
+        (r.doc_id, r.shard, r.shard_pos) for r in out
+    }
+
+    # a different seed is a different permutation (fresh epoch order)
+    other = shuffle_to_shards(docs, shards=8, seed=1).collect()
+    assert {(r.doc_id, r.shard, r.shard_pos) for r in other} != {
+        (r.doc_id, r.shard, r.shard_pos) for r in out
+    }
+
+    # no empty shards on 200 uniform keys (sanity on the hash spread)
+    assert len(by_shard) == 8
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="positive"):
+        shuffle_to_shards(docs, shards=0)
