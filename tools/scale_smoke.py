@@ -49,6 +49,7 @@ QUERIES = [
     "vocab_topk",
     "cogroup_stats",
     "winnow_pairs",
+    "shuffle_shards",
 ]
 
 # a linear operator on a fixed 32-thread pool should scale ≈ data ratio;
