@@ -186,3 +186,59 @@ def normalize_text(c: Column | str) -> Column:
 def fingerprint(c: Column | str) -> Column:
     """Deterministic document fingerprint: md5 of the normalized text."""
     return F.md5(normalize_text(c))
+
+
+def unigram_cross_entropy(
+    df,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lo_milli: int = 2000,
+    hi_milli: int = 6000,
+):
+    """Perplexity-proxy quality filter (the CCNet-style LM filter, without
+    the external LM): fit a unigram model on THIS corpus (p(w) =
+    count(w)/total tokens) and score each document by its average
+    cross-entropy under it. Abnormally LOW entropy = repetitive/boilerplate
+    (the model predicts it too well); abnormally HIGH = gibberish / wrong
+    domain. ``keep`` brackets the healthy band [lo_milli, hi_milli]
+    milli-nats.
+
+    Engine parity: per-token -ln p is quantized to integer micro-nats
+    BEFORE any aggregation (Java ``log`` and libm ``ln`` differ in the
+    last ulp; sums of longs are exact and order-free), and the per-doc
+    average is integer division — both engines replicate it bit-for-bit.
+
+    Scale: tokenize → one (doc, term) shuffle for per-doc term counts; the
+    vocabulary aggregate is tiny relative to the corpus (sub-linear growth)
+    and broadcast back with the 1-row total riding along — same shape as
+    TF-IDF, two shuffles total, no Python anywhere.
+
+    Returns (id, n_tokens, xent_sum_micro, xent_milli, keep).
+    """
+    tok = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
+    tf = tok.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    vocab = tf.groupBy("term").agg(F.sum("tf").alias("cnt"))
+    total = vocab.agg(F.sum("cnt").alias("total_tokens"))
+    scored = (
+        tf.join(F.broadcast(vocab), "term")
+        .crossJoin(F.broadcast(total))
+        .withColumn(
+            "tok_micro",
+            F.floor(
+                -F.log(F.col("cnt").cast("double") / F.col("total_tokens").cast("double"))
+                * F.lit(1000000)
+            ).cast("long"),
+        )
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.sum("tf").cast("long").alias("n_tokens"),
+            F.sum(F.col("tf") * F.col("tok_micro")).cast("long").alias("xent_sum_micro"),
+        )
+        .withColumn("xent_milli", F.expr("(xent_sum_micro DIV n_tokens) DIV 1000"))
+        .withColumn(
+            "keep",
+            (F.col("xent_milli") >= lo_milli) & (F.col("xent_milli") <= hi_milli),
+        )
+    )

@@ -1764,6 +1764,45 @@ def q_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shuffle_to_shards(_t(spark, sf_dir, "documents"), shards=64, seed=0)
 
 
+_XENT_ORACLE = """
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+    vocab AS (SELECT term, sum(tf) AS cnt FROM tf GROUP BY term),
+    tot AS (SELECT sum(cnt) AS total_tokens FROM vocab),
+    scored AS (
+      SELECT tf.doc_id, tf.tf,
+             CAST(floor(-ln(vocab.cnt::DOUBLE / tot.total_tokens::DOUBLE)
+                        * 1000000) AS BIGINT) AS tok_micro
+      FROM tf JOIN vocab USING (term) CROSS JOIN tot),
+    agg AS (
+      SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+             CAST(sum(tf * tok_micro) AS BIGINT) AS xent_sum_micro
+      FROM scored GROUP BY doc_id),
+    m AS (
+      SELECT doc_id, n_tokens, xent_sum_micro,
+             (xent_sum_micro // n_tokens) // 1000 AS xent_milli
+      FROM agg)
+    SELECT doc_id, n_tokens, xent_sum_micro, xent_milli,
+           xent_milli BETWEEN 2000 AND 6000 AS keep
+    FROM m
+    """
+
+
+@register("unigram_xent", oracle=_XENT_ORACLE)
+def q_unigram_xent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-proxy quality filter (`functions/text.py::
+    unigram_cross_entropy`): corpus-fit unigram LM, per-doc average
+    cross-entropy, keep-band verdict — the LM-filter modality of a CCNet
+    curation stack without an external model. Same two-shuffle shape as
+    TF-IDF (one (doc,term) aggregate; vocabulary aggregate broadcast
+    back); per-token -ln p quantized to integer micro-nats before the
+    exact long-sum average, so the score is engine-stable bit-for-bit."""
+    from etl_edi_data_scrapper_spark.functions.text import unigram_cross_entropy
+
+    return unigram_cross_entropy(_t(spark, sf_dir, "documents"))
+
+
 def q_keyed_merge_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The skew-proof two-stage merge through the oracle gate: byte-identical
     results to `keyed_merge` (same oracle SQL) via (key, salt) partial

@@ -541,3 +541,34 @@ def test_shuffle_to_shards_is_stable_permutation(spark):
 
     with _pytest.raises(ValueError, match="positive"):
         shuffle_to_shards(docs, shards=0)
+
+
+def test_unigram_cross_entropy_hand_computed(spark):
+    import math
+
+    from etl_edi_data_scrapper_spark.functions.text import unigram_cross_entropy
+
+    # corpus: 8 tokens total — "a" x4, "b" x2, "c" x1, "d" x1
+    docs = spark.createDataFrame(
+        [(1, "a a a a"), (2, "b b c"), (3, "d")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in unigram_cross_entropy(docs, lo_milli=800, hi_milli=1500).collect()}
+
+    def micro(p):
+        return math.floor(-math.log(p) * 1_000_000)
+
+    # doc 1: 4 tokens of p=1/2 -> avg = micro(1/2)
+    assert out[1].n_tokens == 4
+    assert out[1].xent_sum_micro == 4 * micro(0.5)
+    assert out[1].xent_milli == (4 * micro(0.5) // 4) // 1000  # ≈ 693
+    # doc 2: b(p=1/4) x2 + c(p=1/8) -> exact long arithmetic
+    assert out[2].xent_sum_micro == 2 * micro(0.25) + micro(0.125)
+    # doc 3: single rare token, highest entropy
+    assert out[3].xent_milli == micro(0.125) // 1000  # ≈ 2079
+    # keep band [800, 1500] milli-nats: doc1 (693) too repetitive, doc3
+    # (2079) too surprising, doc2 (~1617) ... compute expected explicitly
+    expect2 = ((2 * micro(0.25) + micro(0.125)) // 3) // 1000
+    assert out[2].xent_milli == expect2
+    for d in (1, 2, 3):
+        assert out[d].keep == (800 <= out[d].xent_milli <= 1500)
