@@ -93,3 +93,54 @@ def kmeans_fit(
         ]
     work.unpersist()
     return centroids, assign_clusters(df, vec_col, centroids)
+
+
+def semantic_dedup(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 8,
+    n_iters: int = 3,
+    threshold: float = 0.3,
+) -> DataFrame:
+    """SemDeDup (Abbas et al., 2023): cluster-then-dedup over embeddings —
+    k-means partitions the space, then near-duplicate pairs are searched
+    only WITHIN each cluster, so the pair count is Σ cluster² instead of
+    N² (the same blocked-pairs discipline as `dedup.embedding_near_pairs`,
+    with the blocks LEARNED from the data instead of taken from a label).
+    A vector is dropped when a lower-id vector in its cluster sits within
+    ``threshold`` cosine — one representative per semantic duplicate set.
+
+    Scale: k-means cost is n_iters narrow argmin passes (centroids are
+    bounded driver state, k×dim); the within-cluster self-join is the
+    only quadratic term and k is the knob that caps it (SemDeDup's paper
+    setting uses k in the tens of thousands at web scale precisely so
+    clusters stay self-joinable). Deterministic end-to-end: md5-ordered
+    init + exact DECIMAL means + sequential-fold cosine.
+
+    Returns (id, cluster, n_dupped_by, keep).
+    """
+    from etl_edi_data_scrapper_spark.functions.dedup import embedding_near_pairs
+
+    _, assigned = kmeans_fit(df, vec_col=vec_col, k=k, n_iters=n_iters, id_col=id_col)
+    blocked = assigned.select(
+        F.col(id_col), F.col(vec_col), F.col("cluster").cast("long").alias("cluster")
+    )
+    pairs = embedding_near_pairs(
+        blocked,
+        id_col=id_col,
+        vec_col=vec_col,
+        block_col="cluster",
+        threshold=threshold,
+    )
+    cnt = pairs.groupBy("b").agg(F.count(F.lit(1)).alias("_n"))
+    return (
+        blocked.select(id_col, "cluster")
+        .join(cnt, F.col(id_col) == F.col("b"), "left")
+        .select(
+            F.col(id_col),
+            F.col("cluster"),
+            F.coalesce("_n", F.lit(0)).cast("long").alias("n_dupped_by"),
+            (F.coalesce("_n", F.lit(0)) == 0).alias("keep"),
+        )
+    )

@@ -3281,11 +3281,11 @@ def q_sql_api(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
-def _kmeans_oracle(k: int = 8, n_iters: int = 3, dim: int = 64) -> str:
-    """Lloyd's unrolled in SQL: the engine's k-means is DETERMINISTIC
-    (md5-ordered init, sequential-fold distances, exact DECIMAL mean
-    updates), so n_iters of assign→update replay as a CTE chain and the
-    final cluster sizes hash-compare."""
+def _kmeans_assign_ctes(k: int = 8, n_iters: int = 3, dim: int = 64) -> str:
+    """The unrolled Lloyd's CTE chain ending at ``afinal(vec_id, c)`` —
+    shared by the kmeans and semdedup oracles (the engine's k-means is
+    DETERMINISTIC: md5-ordered init, sequential-fold distances, exact
+    DECIMAL mean updates, so n_iters of assign→update replay exactly)."""
     sqdist = (
         "list_sum(list_transform(list_zip(nv.embedding, cen.cv), "
         "p -> (p[1]::DOUBLE - p[2]) * (p[1]::DOUBLE - p[2])))"
@@ -3323,10 +3323,34 @@ def _kmeans_oracle(k: int = 8, n_iters: int = 3, dim: int = 64) -> str:
                                   ORDER BY {sqdist}, cen.c) AS rk
         FROM nv CROSS JOIN cen{n_iters} cen) t WHERE rk = 1)"""
     ctes.append(final)
+    return "WITH " + ",\n    ".join(ctes)
+
+
+def _kmeans_oracle(k: int = 8, n_iters: int = 3, dim: int = 64) -> str:
     return (
-        "WITH " + ",\n    ".join(ctes)
+        _kmeans_assign_ctes(k, n_iters, dim)
         + "\n    SELECT c AS cluster, count(*) AS n FROM afinal GROUP BY c"
     )
+
+
+def _semdedup_oracle(
+    k: int = 8, n_iters: int = 3, dim: int = 64, threshold: float = 0.3
+) -> str:
+    return f"""{_kmeans_assign_ctes(k, n_iters, dim)},
+    bl AS (
+      SELECT a.vec_id, a.c, e.embedding, {_SQL_NORM.format(v="e.embedding")} AS nrm
+      FROM afinal a JOIN embeddings e USING (vec_id)),
+    pairs AS (
+      SELECT x.vec_id AS pa, y.vec_id AS pb
+      FROM bl x JOIN bl y ON x.c = y.c AND x.vec_id < y.vec_id
+      WHERE {_SQL_DOT.format(a="x.embedding", b="y.embedding")} / (x.nrm * y.nrm)
+            >= {threshold}),
+    cnt AS (SELECT pb, count(*) AS n FROM pairs GROUP BY pb)
+    SELECT bl.vec_id, CAST(bl.c AS BIGINT) AS cluster,
+           CAST(coalesce(cnt.n, 0) AS BIGINT) AS n_dupped_by,
+           coalesce(cnt.n, 0) = 0 AS keep
+    FROM bl LEFT JOIN cnt ON cnt.pb = bl.vec_id
+    """
 
 
 @register("kmeans", oracle=_kmeans_oracle())
@@ -3346,5 +3370,18 @@ def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("cluster")
     )
+
+
+@register("semdedup", oracle=_semdedup_oracle())
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (`functions/clustering.py::semantic_dedup`): k-means
+    clusters as LEARNED dedup blocks, cosine near-dup verdicts within
+    blocks only (Σ cluster², never N²) — the embedding-space curation
+    modality of a web-scale pipeline. Deterministic end-to-end, so the
+    oracle replays Lloyd's unrolled CTEs plus the within-cluster pair
+    join and the verdict hash-compares."""
+    from etl_edi_data_scrapper_spark.functions.clustering import semantic_dedup
+
+    return semantic_dedup(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
 
 

@@ -572,3 +572,30 @@ def test_unigram_cross_entropy_hand_computed(spark):
     assert out[2].xent_milli == expect2
     for d in (1, 2, 3):
         assert out[d].keep == (800 <= out[d].xent_milli <= 1500)
+
+
+def test_semantic_dedup_drops_near_copies_within_clusters(spark):
+    from etl_edi_data_scrapper_spark.functions.clustering import semantic_dedup
+
+    # two tight groups far apart: exact-ish copies inside each group must
+    # dedup to ONE kept representative (the lowest id), the loner survives
+    def v(base, eps):
+        return [base + eps, base, base, base]
+
+    rows = [
+        (1, v(10.0, 0.0)), (2, v(10.0, 0.001)), (3, v(10.0, 0.002)),   # group A
+        (10, v(-10.0, 0.0)), (11, v(-10.0, 0.001)),                    # group B
+        (20, [5.0, -7.0, 3.0, 9.0]),                                   # loner
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r.vec_id: r for r in semantic_dedup(df, k=3, n_iters=2, threshold=0.999).collect()}
+    assert len(out) == 6
+    # each group keeps exactly its lowest id; the loner is kept
+    assert out[1].keep and not out[2].keep and not out[3].keep
+    assert out[10].keep and not out[11].keep
+    assert out[20].keep
+    # n_dupped_by counts the lower-id near-copies
+    assert out[3].n_dupped_by == 2 and out[2].n_dupped_by == 1
+    # verdicts are cluster-local: dropped rows share their keeper's cluster
+    assert out[2].cluster == out[1].cluster == out[3].cluster
+    assert out[11].cluster == out[10].cluster
