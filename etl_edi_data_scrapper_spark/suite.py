@@ -721,6 +721,30 @@ def _sql_lang_score(words: tuple[str, ...]) -> str:
     return f"len(list_filter(t, x -> list_contains({arr}, x)))"
 
 
+# DuckDB replica of functions/text.py::unigram_cross_entropy — CTE names
+# prefixed x* so they compose with the text_quality oracle's tok/sc
+_XENT_CTES = """
+    xtok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+    xtf AS (SELECT doc_id, term, count(*) AS tf FROM xtok GROUP BY doc_id, term),
+    xvocab AS (SELECT term, sum(tf) AS cnt FROM xtf GROUP BY term),
+    xtot AS (SELECT sum(cnt) AS total_tokens FROM xvocab),
+    xscored AS (
+      SELECT xtf.doc_id, xtf.tf,
+             CAST(floor(-ln(xvocab.cnt::DOUBLE / xtot.total_tokens::DOUBLE)
+                        * 1000000) AS BIGINT) AS tok_micro
+      FROM xtf JOIN xvocab USING (term) CROSS JOIN xtot),
+    xagg AS (
+      SELECT doc_id, CAST(sum(tf * tok_micro) AS BIGINT) AS xent_sum_micro
+      FROM xscored GROUP BY doc_id),
+    xm AS (
+      SELECT x.doc_id, x.xent_sum_micro,
+             (x.xent_sum_micro // t.n_tokens) // 1000 AS xent_milli
+      FROM xagg x JOIN (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT)
+                          AS n_tokens FROM documents) t USING (doc_id))
+    """
+
+
 @register(
     "text_quality",
     oracle=None,  # filled below (generated SQL)
@@ -729,18 +753,27 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document profile: quality features + composite score
     (functions.text) plus dictionary-based language ID (argmax stopword
     hits, asc-code tiebreak, 'und' when all zero) and the canonical
-    fingerprint — one pure narrow projection, no shuffle, codegen'd.
-    [r3 consolidation: absorbs the former `lang_id` query.]"""
+    fingerprint — one pure narrow projection, no shuffle, codegen'd —
+    joined with the corpus-LM cross-entropy verdict
+    (`functions/text.py::unigram_cross_entropy`: per-token -ln p quantized
+    to micro-nats before exact long-sum averaging, the perplexity-filter
+    modality) and the exact-dedup group stats (`functions/dedup.py::
+    exact_dedup`: shuffle on the 16-byte fingerprint, never the text).
+    [r3 consolidation: absorbs the former `lang_id` query; r5: absorbs
+    `unigram_xent` and `dedup_exact` to fit the driver's 50-query
+    correctness cap — every leg's values stay hash-checked.]"""
+    from etl_edi_data_scrapper_spark.functions.dedup import exact_dedup
     from etl_edi_data_scrapper_spark.functions.text import (
         fingerprint,
         lang_id,
         quality_features,
         quality_score,
+        unigram_cross_entropy,
     )
 
     docs = _t(spark, sf_dir, "documents")
     feats = quality_features(F.col("text"))
-    return docs.select(
+    quality = docs.select(
         "doc_id",
         "lang",
         lang_id(F.col("text")).alias("lang_pred"),
@@ -751,6 +784,19 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         feats["stopword_ratio"].alias("stopword_ratio"),
         feats["uniq_ratio"].alias("uniq_ratio"),
         quality_score(F.col("text")).alias("quality"),
+    )
+    xent = unigram_cross_entropy(docs).select(
+        "doc_id", "xent_sum_micro", "xent_milli", F.col("keep").alias("xent_keep")
+    )
+    groups = exact_dedup(docs)  # (fingerprint, canonical_id, n_dups)
+    return (
+        quality.join(xent, "doc_id")
+        .join(groups, "fingerprint")
+        .select(
+            "doc_id", "lang", "lang_pred", "fingerprint", "n_chars", "n_tokens",
+            "avg_token_len", "stopword_ratio", "uniq_ratio", "quality",
+            "xent_sum_micro", "xent_milli", "xent_keep", "canonical_id", "n_dups",
+        )
     )
 
 
@@ -765,7 +811,8 @@ def _text_quality_oracle() -> str:
     pick = " ".join(f"WHEN s_{lg} = {mx} THEN '{lg}'" for lg in langs[:-1])
     return f"""
     WITH tok AS (SELECT doc_id, lang, text, string_split(text, ' ') AS t FROM documents),
-    sc AS (SELECT doc_id, lang, text, t, {scores} FROM tok)
+    sc AS (SELECT doc_id, lang, text, t, {scores} FROM tok),
+    q AS (
     SELECT doc_id, lang,
       CASE WHEN {mx} = 0 THEN 'und' {pick} ELSE '{langs[-1]}' END AS lang_pred,
       md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fingerprint,
@@ -779,28 +826,23 @@ def _text_quality_oracle() -> str:
         + 0.3 * least((len(list_filter(t, x -> list_contains({_SQL_EN_STOP}, x)))::DOUBLE
                        / len(t)::DOUBLE) * 4, 1.0)
         + 0.3 * (len(list_distinct(t))::DOUBLE / len(t)::DOUBLE) AS quality
-    FROM sc
+    FROM sc),
+    {_XENT_CTES.strip()},
+    grp AS (
+      SELECT md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fingerprint,
+             min(doc_id) AS canonical_id,
+             count(*) AS n_dups
+      FROM documents GROUP BY 1)
+    SELECT q.doc_id, q.lang, q.lang_pred, q.fingerprint, q.n_chars, q.n_tokens,
+           q.avg_token_len, q.stopword_ratio, q.uniq_ratio, q.quality,
+           xm.xent_sum_micro, xm.xent_milli,
+           xm.xent_milli BETWEEN 2000 AND 6000 AS xent_keep,
+           grp.canonical_id, grp.n_dups
+    FROM q JOIN xm USING (doc_id) JOIN grp USING (fingerprint)
     """
 
 
 ORACLES["text_quality"] = _text_quality_oracle()
-
-
-@register(
-    "dedup_exact",
-    oracle="""
-    SELECT md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fingerprint,
-           min(doc_id) AS canonical_id,
-           count(*) AS n_dups
-    FROM documents GROUP BY 1
-    """,
-)
-def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact dedup groups: shuffle on the 16-byte fingerprint, never on the
-    text itself."""
-    from etl_edi_data_scrapper_spark.functions.dedup import exact_dedup
-
-    return exact_dedup(_t(spark, sf_dir, "documents"))
 
 
 def _sql_hex_word(h: str, start: int) -> str:
@@ -924,41 +966,82 @@ def _winnow_pairs_oracle(
     """
 
 
-@register("winnow_pairs", oracle=_winnow_pairs_oracle())
-def q_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """POSITIONAL near-dup candidates via winnowing fingerprints
-    (Schleimer/Wilkerson/Aiken SIGMOD'03 — the MOSS scheme, over word
-    n-grams; `functions/dedup.py::winnowing_shared_pairs`): any shared run
-    of ≥ n+w−1 words guarantees a shared window-minimum fingerprint, so
-    two documents sharing one long passage surface here even when their
-    whole-document Jaccard is far below the MinHash threshold — the
-    passage-level dedup modality the doc-level sketches miss.
-    Fingerprinting is one narrow array-expression projection (one md5 per
-    WORD position — not per char — and window minima compare md5 hex
-    strings byte-wise, identical ordering on both engines); the candidate
-    self-join drops fingerprints in > max_df docs first (boilerplate =
-    positional stopwords), bounding fan-out at Σ df(fp)² — never
-    all-pairs."""
-    from etl_edi_data_scrapper_spark.functions.dedup import winnowing_shared_pairs
-
-    return winnowing_shared_pairs(
-        _t(spark, sf_dir, "documents"), n=3, w=8, max_df=5, min_shared=3
-    )
-
-
-@register("minhash_lsh", oracle=_minhash_oracle())
+@register("minhash_lsh", oracle=None)  # filled below (3-leg union)
 def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup candidates with exact Jaccard verification —
-    candidate generation is a band-key equi-join (NO all-pairs); verify
-    touches only collided pairs."""
+    """Text near-dup pair detection, three modalities tagged by ``leg``:
+
+    * 'lsh' — MinHash+LSH candidates with exact Jaccard verification:
+      candidate generation is a band-key equi-join (NO all-pairs), verify
+      touches only collided pairs — the doc-level sketch path at scale;
+    * 'allpairs' — exact n-gram Jaccard on an explicit candidate set (all
+      pairs of a 40-doc slice): the verification stage isolated;
+    * 'winnow' — POSITIONAL overlap via winnowing fingerprints
+      (Schleimer/Wilkerson/Aiken SIGMOD'03 — the MOSS scheme over word
+      n-grams, `functions/dedup.py::winnowing_shared_pairs`): any shared
+      run of ≥ n+w−1 words guarantees a shared window-minimum
+      fingerprint, surfacing long shared passages whose whole-document
+      Jaccard sits far below the LSH threshold; the > max_df
+      stop-fingerprint guard bounds the self-join at Σ df(fp)², never
+      all-pairs. ``score`` is the leg's native measure (jaccard /
+      jaccard / shared-fingerprint count).
+
+    [r5 consolidation: absorbs `ngram_jaccard` and `winnow_pairs` to fit
+    the driver's 50-query correctness cap — every leg's values stay
+    hash-checked.]"""
     from etl_edi_data_scrapper_spark.functions.dedup import (
         jaccard_pairs,
         minhash_candidate_pairs,
+        winnowing_shared_pairs,
     )
 
     docs = _t(spark, sf_dir, "documents")
     cand = minhash_candidate_pairs(docs, n_hashes=12, bands=4)
-    return jaccard_pairs(docs, cand)
+    lsh = jaccard_pairs(docs, cand)
+
+    slice40 = docs.filter(F.col("doc_id") < 40)
+    ids = slice40.select(F.col("doc_id"))
+    allpairs_cand = (
+        ids.select(F.col("doc_id").alias("a"))
+        .crossJoin(ids.select(F.col("doc_id").alias("b")))
+        .filter(F.col("a") < F.col("b"))
+    )
+    allpairs = jaccard_pairs(slice40, allpairs_cand)
+
+    winnow = winnowing_shared_pairs(docs, n=3, w=8, max_df=5, min_shared=3)
+
+    def tag(df: DataFrame, leg: str, score: str) -> DataFrame:
+        return df.select(
+            F.lit(leg).alias("leg"), "a", "b",
+            F.col(score).cast("double").alias("score"),
+        )
+
+    return (
+        tag(lsh, "lsh", "jaccard")
+        .unionByName(tag(allpairs, "allpairs", "jaccard"))
+        .unionByName(tag(winnow, "winnow", "n_shared"))
+    )
+
+
+_NGRAM_ALLPAIRS_ORACLE = f"""
+    WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+                 WHERE doc_id < 40),
+    shingled AS (SELECT doc_id, {_SQL_SHINGLES.format(t="t")} AS shingles FROM tok)
+    SELECT a.doc_id AS a, b.doc_id AS b,
+           len(list_intersect(a.shingles, b.shingles))::DOUBLE /
+           (len(a.shingles) + len(b.shingles)
+            - len(list_intersect(a.shingles, b.shingles)))::DOUBLE AS jaccard
+    FROM shingled a JOIN shingled b ON a.doc_id < b.doc_id
+    """
+
+ORACLES["minhash_lsh"] = f"""
+    SELECT 'lsh' AS leg, a, b, jaccard AS score FROM ({_minhash_oracle()}) t
+    UNION ALL
+    SELECT 'allpairs' AS leg, a, b, jaccard AS score
+    FROM ({_NGRAM_ALLPAIRS_ORACLE}) t
+    UNION ALL
+    SELECT 'winnow' AS leg, a, b, CAST(n_shared AS DOUBLE) AS score
+    FROM ({_winnow_pairs_oracle()}) t
+    """
 
 
 def _neardup_increment_oracle(n_hashes: int = 12, bands: int = 6, threshold: float = 0.5) -> str:
@@ -1582,7 +1665,10 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return strat.unionByName(split)
 
 
-def _pack_sequences_oracle(budget: int = 2048, shards: int = 32) -> str:
+def _pack_sequences_oracle(
+    budget: int = 2048, shards: int = 32, shuffle_shards: int = 64, seed: int = 0
+) -> str:
+    key = f"md5('{seed}' || ':' || CAST(doc_id AS VARCHAR))"
     return f"""
     WITH tok AS (
       SELECT doc_id,
@@ -1593,25 +1679,49 @@ def _pack_sequences_oracle(budget: int = 2048, shards: int = 32) -> str:
       SELECT *,
              sum(n_tokens) OVER (PARTITION BY pack_shard ORDER BY doc_id)
                - n_tokens AS shard_offset
-      FROM tok)
-    SELECT doc_id, n_tokens, pack_shard, shard_offset,
-           shard_offset // {budget} AS pack_bin
-    FROM c
+      FROM tok),
+    k AS (
+      SELECT doc_id,
+             {key} AS shuffle_key,
+             CAST(({_sql_hex_word(key, 1)}) % {shuffle_shards} AS BIGINT) AS shard
+      FROM documents),
+    s AS (
+      SELECT doc_id, shuffle_key, shard,
+             CAST(row_number() OVER (PARTITION BY shard
+                                     ORDER BY shuffle_key, doc_id)
+                  AS BIGINT) AS shard_pos
+      FROM k)
+    SELECT c.doc_id, c.n_tokens, c.pack_shard, c.shard_offset,
+           c.shard_offset // {budget} AS pack_bin,
+           s.shuffle_key, s.shard, s.shard_pos
+    FROM c JOIN s USING (doc_id)
     """
 
 
 @register("pack_sequences", oracle=_pack_sequences_oracle())
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token-budget sequence packing (`functions/packing.py`): documents →
-    fixed-size training windows, packed within hash shards so the plan is
-    one narrow projection + one per-shard running-sum window — `shards`-way
-    parallel with no global sort (a single global greedy pack is a
-    sequential scan and a 100 TB scale-killer). Deterministic and
-    repartition-stable; the bin id is integer division on longs, so the
-    oracle replicates it with zero float boundary jitter."""
+    """Training-corpus assembly, both halves: token-budget sequence packing
+    (`functions/packing.py`: fixed-size training windows packed within
+    hash shards — one narrow projection + one per-shard running-sum
+    window, `shards`-way parallel, no global sort; a single global greedy
+    pack is a sequential scan and a 100 TB scale-killer) joined with the
+    deterministic shard shuffle (`functions/shuffle.py::shuffle_to_shards`:
+    seeded-md5 hash-shard + per-shard local sort — the scale-out
+    `ORDER BY rand()` replacement; a new seed is a new epoch permutation).
+    Both halves deterministic and repartition-stable; bin ids and shard
+    positions are integer arithmetic, zero float boundary jitter.
+    [r5 consolidation: absorbs `shuffle_shards` to fit the driver's
+    50-query correctness cap — both legs' values stay hash-checked.]"""
     from etl_edi_data_scrapper_spark.functions.packing import pack_by_token_budget
+    from etl_edi_data_scrapper_spark.functions.shuffle import shuffle_to_shards
 
-    return pack_by_token_budget(_t(spark, sf_dir, "documents"))
+    docs = _t(spark, sf_dir, "documents")
+    pack = pack_by_token_budget(docs)
+    shuf = shuffle_to_shards(docs, shards=64, seed=0)
+    return pack.join(shuf, "doc_id").select(
+        "doc_id", "n_tokens", "pack_shard", "shard_offset", "pack_bin",
+        "shuffle_key", "shard", "shard_pos",
+    )
 
 
 def _domain_mixture_oracle(budget: int = 200) -> str:
@@ -1619,13 +1729,18 @@ def _domain_mixture_oracle(budget: int = 200) -> str:
     return f"""
     WITH counts AS (
       SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),
-    z AS (SELECT sum(sqrt(n_docs)) AS z FROM counts),
+    cq AS (
+      SELECT lang, n_docs,
+             CAST(floor(sqrt(n_docs) * 1000000) AS BIGINT) AS sqrt_micro
+      FROM counts),
+    z AS (SELECT CAST(sum(sqrt_micro) AS BIGINT) AS z_micro FROM cq),
     rates AS (
       SELECT lang, n_docs,
-             sqrt(n_docs) / z AS weight,
-             least(100, CAST(floor({budget} * (sqrt(n_docs) / z) * 100 / n_docs)
-                             AS BIGINT)) AS rate_pct
-      FROM counts, z),
+             sqrt_micro::DOUBLE / z_micro::DOUBLE AS weight,
+             least(CAST(100 AS BIGINT),
+                   CAST(({budget} * 100 * sqrt_micro) // (z_micro * n_docs)
+                        AS BIGINT)) AS rate_pct
+      FROM cq, z),
     kept AS (
       SELECT d.lang,
              CAST(count(*) AS BIGINT) AS n_kept,
@@ -1645,12 +1760,16 @@ def q_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-reweighted domain mixture (the data-mixing step of LLM
     training — here over the skewed `lang` column: upweight low-resource
     languages, downweight the dominant one): per-language
-    weight ∝ sqrt(n_docs) (temperature α = 0.5 — sqrt, not pow, because
-    sqrt is IEEE-correctly-rounded on BOTH engines, so the oracle matches
-    bit-for-bit), target sampling rate = budget·weight/n_docs capped at
-    100 %, membership by the same deterministic md5 selection as
-    `stratified_sample` (rerun/repartition/growth-stable). Plan: one
-    groupBy(source) over the corpus, a 1-row broadcast normalizer, a
+    weight ∝ sqrt(n_docs) (temperature α = 0.5), target sampling rate =
+    budget·weight/n_docs capped at 100 %, membership by the same
+    deterministic md5 selection as `stratified_sample`
+    (rerun/repartition/growth-stable). Engine parity: sqrt is quantized to
+    micro-units BEFORE the normalizer sum (sqrt itself is IEEE-exact on
+    both engines, but a float SUM is order-dependent — Spark's parallel
+    partial order vs DuckDB's sequential fold differ in the last ulp), so
+    z is an exact long sum and weight/rate are a deterministic long
+    division — bit-stable on both engines and across partitionings. Plan:
+    one groupBy(source) over the corpus, a 1-row broadcast normalizer, a
     broadcast rate join back, one filtered re-aggregation — two linear
     passes, no shuffle wider than the source dimension."""
     from etl_edi_data_scrapper_spark.functions.hashing import hex_word
@@ -1658,15 +1777,20 @@ def q_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     budget = 200
     docs = _t(spark, sf_dir, "documents")
     counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
-    z = counts.agg(F.sum(F.sqrt("n_docs")).alias("z"))
+    cq = counts.withColumn(
+        "sqrt_micro", F.floor(F.sqrt("n_docs") * 1000000).cast("long")
+    )
+    z = cq.agg(F.sum("sqrt_micro").cast("long").alias("z_micro"))
     rates = (
-        counts.crossJoin(F.broadcast(z))
-        .withColumn("weight", F.sqrt("n_docs") / F.col("z"))
+        cq.crossJoin(F.broadcast(z))
+        .withColumn(
+            "weight", F.col("sqrt_micro").cast("double") / F.col("z_micro").cast("double")
+        )
         .withColumn(
             "rate_pct",
             F.least(
                 F.lit(100).cast("long"),
-                F.floor(F.lit(budget) * F.col("weight") * 100 / F.col("n_docs")),
+                F.expr(f"({budget} * 100 * sqrt_micro) DIV (z_micro * n_docs)"),
             ),
         )
     )
@@ -1731,76 +1855,6 @@ def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_edi_data_scrapper_spark.functions.chunking import chunk_by_words
 
     return chunk_by_words(_t(spark, sf_dir, "documents"), width=16, stride=12)
-
-
-def _shuffle_shards_oracle(shards: int = 64, seed: int = 0) -> str:
-    key = f"md5('{seed}' || ':' || CAST(doc_id AS VARCHAR))"
-    return f"""
-    WITH k AS (
-      SELECT doc_id,
-             {key} AS shuffle_key,
-             CAST(({_sql_hex_word(key, 1)}) % {shards} AS BIGINT) AS shard
-      FROM documents)
-    SELECT doc_id, shuffle_key, shard,
-           CAST(row_number() OVER (PARTITION BY shard
-                                   ORDER BY shuffle_key, doc_id)
-                AS BIGINT) AS shard_pos
-    FROM k
-    """
-
-
-@register("shuffle_shards", oracle=_shuffle_shards_oracle())
-def q_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic global shuffle into training shards
-    (`functions/shuffle.py`): hash-shard + per-shard local sort — the
-    scale-out replacement for ``ORDER BY rand()`` (whose single total
-    order is a 100 TB scale-killer). One `shards`-way hash exchange, one
-    per-shard sort, no global order anywhere; seeded md5 keys make the
-    permutation rerun/repartition-stable and a new epoch is just a new
-    seed. Hash-oracled bit-for-bit (md5 hex strings order identically as
-    ASCII on both engines)."""
-    from etl_edi_data_scrapper_spark.functions.shuffle import shuffle_to_shards
-
-    return shuffle_to_shards(_t(spark, sf_dir, "documents"), shards=64, seed=0)
-
-
-_XENT_ORACLE = """
-    WITH tok AS (
-      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
-    tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
-    vocab AS (SELECT term, sum(tf) AS cnt FROM tf GROUP BY term),
-    tot AS (SELECT sum(cnt) AS total_tokens FROM vocab),
-    scored AS (
-      SELECT tf.doc_id, tf.tf,
-             CAST(floor(-ln(vocab.cnt::DOUBLE / tot.total_tokens::DOUBLE)
-                        * 1000000) AS BIGINT) AS tok_micro
-      FROM tf JOIN vocab USING (term) CROSS JOIN tot),
-    agg AS (
-      SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
-             CAST(sum(tf * tok_micro) AS BIGINT) AS xent_sum_micro
-      FROM scored GROUP BY doc_id),
-    m AS (
-      SELECT doc_id, n_tokens, xent_sum_micro,
-             (xent_sum_micro // n_tokens) // 1000 AS xent_milli
-      FROM agg)
-    SELECT doc_id, n_tokens, xent_sum_micro, xent_milli,
-           xent_milli BETWEEN 2000 AND 6000 AS keep
-    FROM m
-    """
-
-
-@register("unigram_xent", oracle=_XENT_ORACLE)
-def q_unigram_xent(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Perplexity-proxy quality filter (`functions/text.py::
-    unigram_cross_entropy`): corpus-fit unigram LM, per-doc average
-    cross-entropy, keep-band verdict — the LM-filter modality of a CCNet
-    curation stack without an external model. Same two-shuffle shape as
-    TF-IDF (one (doc,term) aggregate; vocabulary aggregate broadcast
-    back); per-token -ln p quantized to integer micro-nats before the
-    exact long-sum average, so the score is engine-stable bit-for-bit."""
-    from etl_edi_data_scrapper_spark.functions.text import unigram_cross_entropy
-
-    return unigram_cross_entropy(_t(spark, sf_dir, "documents"))
 
 
 def q_keyed_merge_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1915,9 +1969,7 @@ def q_cogroup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "quality_histogram",
-    oracle=f"""
+_QUALITY_HIST_ORACLE = f"""
     WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
     q AS (
       SELECT doc_id,
@@ -1929,8 +1981,9 @@ def q_cogroup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(least(floor(quality * 10), 9) AS BIGINT) AS bucket,
            count(*) AS n, min(quality) AS min_q, max(quality) AS max_q
     FROM q GROUP BY 1
-    """.replace("{arr}", "PLACEHOLDER"),
-)
+    """.replace("{arr}", "PLACEHOLDER")
+
+
 def q_quality_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus quality distribution: decile histogram of the composite
     quality score — the aggregate view a curation run reports. One narrow
@@ -1947,14 +2000,9 @@ def q_quality_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLES["quality_histogram"] = ORACLES["quality_histogram"].replace(
-    "PLACEHOLDER", _sql_lang_arr()
-)
+_QUALITY_HIST_ORACLE = _QUALITY_HIST_ORACLE.replace("PLACEHOLDER", _sql_lang_arr())
 
-
-@register(
-    "cohort_retention",
-    oracle="""
+_COHORT_ORACLE = """
     WITH firstday AS (
       SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day
       FROM events GROUP BY user_id),
@@ -1966,8 +2014,9 @@ ORACLES["quality_histogram"] = ORACLES["quality_histogram"].replace(
     FROM activity a JOIN firstday f USING (user_id)
     WHERE datediff('day', f.cohort_day, a.day) <= 7
     GROUP BY 1, 2
-    """,
-)
+    """
+
+
 def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Retention triangle: users grouped by first-active day, counted on
     each subsequent day (offsets 0-7). Both legs shuffle once on user_id
@@ -1987,9 +2036,7 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "funnel",
-    oracle="""
+_FUNNEL_ORACLE = """
     WITH v AS (
       SELECT user_id, min(epoch_us(ts)) AS t FROM events
       WHERE event_type = 'view' GROUP BY user_id),
@@ -2004,8 +2051,9 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT '1_view' AS stage, count(*) AS users FROM v
     UNION ALL SELECT '2_click', count(*) FROM c
     UNION ALL SELECT '3_purchase', count(*) FROM p
-    """,
-)
+    """
+
+
 def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered funnel: users who viewed, then clicked AFTER the first view,
     then purchased AFTER that click. Each stage is one aggregate + a
@@ -2035,6 +2083,74 @@ def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         for name, s in legs
     ]
     return outs[0].unionByName(outs[1]).unionByName(outs[2])
+
+
+@register(
+    "analytics_rollups",
+    oracle=f"""
+    SELECT 'funnel' AS leg, stage AS k1, CAST(NULL AS VARCHAR) AS k2,
+           CAST(users AS BIGINT) AS n,
+           CAST(NULL AS DOUBLE) AS v1, CAST(NULL AS DOUBLE) AS v2
+    FROM ({_FUNNEL_ORACLE}) t
+    UNION ALL
+    SELECT 'cohort' AS leg, CAST(cohort_day AS VARCHAR) AS k1,
+           CAST(day_offset AS VARCHAR) AS k2, CAST(active_users AS BIGINT) AS n,
+           CAST(NULL AS DOUBLE) AS v1, CAST(NULL AS DOUBLE) AS v2
+    FROM ({_COHORT_ORACLE}) t
+    UNION ALL
+    SELECT 'quality_hist' AS leg, CAST(bucket AS VARCHAR) AS k1,
+           CAST(NULL AS VARCHAR) AS k2, CAST(n AS BIGINT) AS n,
+           min_q AS v1, max_q AS v2
+    FROM ({_QUALITY_HIST_ORACLE}) t
+    """,
+)
+def q_analytics_rollups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reporting rollups, three legs tagged by ``leg`` on a harmonized
+    (k1, k2, n, v1, v2) schema: 'funnel' = ordered view→click→purchase
+    user funnel (each stage one aggregate + a co-partitioned user join —
+    the user key carries through all stages, so on a cluster the three
+    joins reuse one partitioning); 'cohort' = retention triangle (users by
+    first-active day × day offset 0-7; both legs shuffle once on user_id,
+    then one map-side-partial aggregate); 'quality_hist' = decile
+    histogram of the corpus quality score (narrow scoring projection + a
+    10-group aggregate). [r5 consolidation: merges the former `funnel`,
+    `cohort_retention` and `quality_histogram` queries to fit the
+    driver's 50-query correctness cap — every leg's values stay
+    hash-checked on the shared schema (dates/offsets as ISO strings,
+    identical casts on both engines).]"""
+    fun = q_funnel(spark, sf_dir)
+    coh = q_cohort_retention(spark, sf_dir)
+    hist = q_quality_histogram(spark, sf_dir)
+
+    def _nulls() -> tuple:
+        return (
+            F.lit(None).cast("double").alias("v1"),
+            F.lit(None).cast("double").alias("v2"),
+        )
+
+    f = fun.select(
+        F.lit("funnel").alias("leg"),
+        F.col("stage").alias("k1"),
+        F.lit(None).cast("string").alias("k2"),
+        F.col("users").cast("long").alias("n"),
+        *_nulls(),
+    )
+    c = coh.select(
+        F.lit("cohort").alias("leg"),
+        F.col("cohort_day").cast("string").alias("k1"),
+        F.col("day_offset").cast("string").alias("k2"),
+        F.col("active_users").cast("long").alias("n"),
+        *_nulls(),
+    )
+    h = hist.select(
+        F.lit("quality_hist").alias("leg"),
+        F.col("bucket").cast("string").alias("k1"),
+        F.lit(None).cast("string").alias("k2"),
+        F.col("n").cast("long").alias("n"),
+        F.col("min_q").alias("v1"),
+        F.col("max_q").alias("v2"),
+    )
+    return f.unionByName(c).unionByName(h)
 
 
 def _simhash_sig_ctes(bits: int = 32) -> str:
@@ -2179,18 +2295,33 @@ _ANN_TOPK_ORACLE = f"""
     """
 
 
-@register("ann_topk", oracle=_ANN_TOPK_ORACLE)
+@register("ann_topk", oracle=None)  # filled after _ann_ivf_oracle is defined
 def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Brute-force cosine top-k (the exact ANN baseline): broadcast queries
-    × corpus scan, partitioned window rank. LSH-bucketed approximate path in
-    functions.similarity.lsh_topk."""
-    from etl_edi_data_scrapper_spark.functions.similarity import cosine_topk
+    """ANN over the embeddings, two legs tagged by ``leg``: 'brute' =
+    exact cosine top-k baseline (broadcast queries × corpus scan,
+    partitioned window rank); 'ivf' = IVF route+rerank (deterministic
+    train='sample' centroids, top-nprobe routing, in-bucket exact rerank —
+    per-query cost ~nprobe/n_centroids of the corpus, the scale path).
+    LSH-bucketed probing is `ann_recall`'s legs. [r5 consolidation:
+    absorbs `ann_ivf` to fit the driver's 50-query correctness cap —
+    both legs' values stay hash-checked.]"""
+    from etl_edi_data_scrapper_spark.functions.similarity import (
+        cosine_topk,
+        ivf_index,
+        ivf_topk,
+    )
 
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
     )
-    return cosine_topk(queries, emb, k=5)
+    brute = cosine_topk(queries, emb, k=5)
+    centroids, assigned = ivf_index(emb, n_centroids=16)
+    ivf = ivf_topk(queries, centroids, assigned, k=5, nprobe=4)
+    tag = lambda df, leg: df.select(  # noqa: E731
+        F.lit(leg).alias("leg"), "q_id", "vec_id", "cosine", "rank"
+    )
+    return tag(brute, "brute").unionByName(tag(ivf, "ivf"))
 
 
 # ---------------------------------------------------------------------------
@@ -2707,35 +2838,6 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "ngram_jaccard",
-    oracle=f"""
-    WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents
-                 WHERE doc_id < 40),
-    shingled AS (SELECT doc_id, {_SQL_SHINGLES.format(t="t")} AS shingles FROM tok)
-    SELECT a.doc_id AS a, b.doc_id AS b,
-           len(list_intersect(a.shingles, b.shingles))::DOUBLE /
-           (len(a.shingles) + len(b.shingles)
-            - len(list_intersect(a.shingles, b.shingles)))::DOUBLE AS jaccard
-    FROM shingled a JOIN shingled b ON a.doc_id < b.doc_id
-    """,
-)
-def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact n-gram Jaccard on an explicit candidate set (all pairs of a
-    40-doc slice — the verification stage isolated; candidate GENERATION at
-    scale is minhash_lsh's band join)."""
-    from etl_edi_data_scrapper_spark.functions.dedup import jaccard_pairs
-
-    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 40)
-    ids = docs.select(F.col("doc_id"))
-    pairs = (
-        ids.select(F.col("doc_id").alias("a"))
-        .crossJoin(ids.select(F.col("doc_id").alias("b")))
-        .filter(F.col("a") < F.col("b"))
-    )
-    return jaccard_pairs(docs, pairs)
-
-
-@register(
     "approx_stats",
     oracle="""
     SELECT l_returnflag,
@@ -3073,20 +3175,11 @@ def _ann_ivf_oracle(n_centroids: int = 16, nprobe: int = 4, k: int = 5) -> str:
     """
 
 
-@register("ann_ivf", oracle=_ann_ivf_oracle())
-def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN: centroid routing + in-bucket exact rerank — the second
-    scale path beside hyperplane LSH (`ann_recall`'s lsh legs); per-query cost drops to
-    ~nprobe/n_centroids of the corpus. train='sample' is deterministic, so
-    the whole route+rerank pipeline is oracled exactly."""
-    from etl_edi_data_scrapper_spark.functions.similarity import ivf_index, ivf_topk
-
-    emb = _t(spark, sf_dir, "embeddings")
-    centroids, assigned = ivf_index(emb, n_centroids=16)
-    queries = emb.filter(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
-    )
-    return ivf_topk(queries, centroids, assigned, k=5, nprobe=4)
+ORACLES["ann_topk"] = f"""
+    SELECT 'brute' AS leg, q_id, vec_id, cosine, rank FROM ({_ANN_TOPK_ORACLE}) t
+    UNION ALL
+    SELECT 'ivf' AS leg, q_id, vec_id, cosine, rank FROM ({_ann_ivf_oracle()}) t
+    """
 
 
 _RECALL_THRESHOLDS = {"lsh_p0": 0.2, "lsh_p1": 0.4, "ivf": 0.4}

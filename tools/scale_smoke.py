@@ -44,12 +44,12 @@ QUERIES = [
     "simhash_pairs",
     "tfidf_topk",
     "kmeans",
-    "ann_ivf",
+    "ann_topk",
     "ann_recall",
     "vocab_topk",
     "cogroup_stats",
-    "winnow_pairs",
-    "shuffle_shards",
+    "pack_sequences",
+    "semdedup",
 ]
 
 # a linear operator on a fixed 32-thread pool should scale ≈ data ratio;
