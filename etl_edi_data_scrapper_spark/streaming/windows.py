@@ -70,6 +70,44 @@ def windowed_aggregate(
     )
 
 
+def sessionized_aggregate(
+    stream: DataFrame,
+    ts_col: str = "ts",
+    watermark: str = "5 minutes",
+    gap: str = "10 minutes",
+    keys: Sequence[str] = ("user_id",),
+    aggs: Sequence[Column] | None = None,
+) -> DataFrame:
+    """stream → (win_start, win_end, *keys, n, total) SESSION windows: a
+    session extends while events arrive within ``gap`` of the previous
+    one and closes after a quiet period — the streaming face of the batch
+    `sessionize` query's native-session leg.
+
+    Session state merges adjacent windows as events arrive (Spark's
+    session_window aggregation handles the merge natively); a session
+    finalizes and emits once the watermark passes its end + gap. State is
+    O(open sessions × keys), bounded by the watermark — same memory
+    contract as `windowed_aggregate`.
+    """
+    if aggs is None:
+        aggs = [
+            F.count(F.lit(1)).alias("n"),
+            F.sum("value").alias("total"),
+        ]
+    win = F.session_window(F.col(ts_col), gap)
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(win.alias("win"), *[F.col(k) for k in keys])
+        .agg(*aggs)
+        .select(
+            F.col("win.start").alias("win_start"),
+            F.col("win.end").alias("win_end"),
+            *[F.col(k) for k in keys],
+            *[F.col(n) for n in _agg_names(aggs)],
+        )
+    )
+
+
 def _agg_names(aggs: Sequence[Column]) -> list[str]:
     """Output names of aliased aggregate columns (Spark puts the alias last
     in the column's string form: ``sum(value) AS total``)."""

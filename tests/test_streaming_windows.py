@@ -123,3 +123,54 @@ def test_windowed_aggregate_sliding_and_custom_aggs(spark, tmp_path):
 
     with pytest.raises(ValueError, match="aliased"):
         windowed_aggregate(batch, aggs=[F.sum("value")])
+
+
+def test_sessionized_aggregate_merges_and_finalizes(spark, tmp_path):
+    from etl_edi_data_scrapper_spark.streaming.windows import sessionized_aggregate
+
+    src = tmp_path / "events"
+    src.mkdir()
+    stream = spark.readStream.schema(SCHEMA).json(str(src))
+    agg = sessionized_aggregate(
+        stream, watermark="5 minutes", gap="10 minutes", keys=("event_type",)
+    )
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("sess_agg")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        # two events 8m apart (< gap): ONE merged session 00:02-00:20;
+        # a second session starts at 00:35 (25m later, > gap)
+        _write_events(src / "b1.jsonl", [("00:02", "click", 1.0), ("00:10", "click", 2.0)])
+        q.processAllAvailable()
+        _write_events(src / "b2.jsonl", [("00:35", "click", 4.0)])
+        q.processAllAvailable()
+        # watermark after b2 = 00:30 > first session end (00:20) → emitted
+        rows = spark.sql("SELECT * FROM sess_agg").collect()
+        got = {(r.win_start.minute, r.win_end.minute, r.n, r.total) for r in rows}
+        assert got == {(2, 20, 2, 3.0)}  # merged: end = last event + gap
+
+        # close the second session too
+        _write_events(src / "b3.jsonl", [("01:10", "view", 8.0)])
+        q.processAllAvailable()
+        rows2 = spark.sql("SELECT * FROM sess_agg").collect()
+        got2 = {(r.win_start.minute, r.win_end.minute, r.n, r.total) for r in rows2}
+        assert (35, 45, 1, 4.0) in got2
+    finally:
+        q.stop()
+
+    # batch A/B: same operator on the files as a batch frame sees all three
+    # sessions (none dropped; batch never closes state early)
+    batch = spark.read.schema(SCHEMA).json(str(src))
+    out = {
+        (r.win_start.minute, r.win_end.minute, r.event_type, r.n, r.total)
+        for r in sessionized_aggregate(batch, keys=("event_type",)).collect()
+    }
+    assert out == {
+        (2, 20, "click", 2, 3.0),
+        (35, 45, "click", 1, 4.0),
+        (10, 20, "view", 1, 8.0),  # 01:10 → minute 10 of the next hour
+    }
