@@ -49,7 +49,10 @@ QUERIES = [
     "vocab_topk",
     "cogroup_stats",
     "pack_sequences",
-    "semdedup",
+    "chunk_documents",
+    # NOT semdedup: with k fixed its within-cluster self-join is quadratic
+    # in cluster size BY DESIGN (SemDeDup scales k with corpus size — the
+    # knob, see SCALE.md); the smoke hunts ACCIDENTAL super-linearity
 ]
 
 # a linear operator on a fixed 32-thread pool should scale ≈ data ratio;
