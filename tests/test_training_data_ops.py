@@ -599,3 +599,48 @@ def test_semantic_dedup_drops_near_copies_within_clusters(spark):
     # verdicts are cluster-local: dropped rows share their keeper's cluster
     assert out[2].cluster == out[1].cluster == out[3].cluster
     assert out[11].cluster == out[10].cluster
+
+
+def test_chunk_and_shuffle_match_pure_python_model(spark):
+    """Model test: both operators replicated independently in pure Python
+    over a varied corpus (empty-ish, one-token, exact-boundary and long
+    docs) — every output row must match the model exactly."""
+    import hashlib
+
+    from etl_edi_data_scrapper_spark.functions.chunking import chunk_by_words
+    from etl_edi_data_scrapper_spark.functions.shuffle import shuffle_to_shards
+
+    W, S, SHARDS, SEED = 7, 5, 6, 3
+    docs = [(i, " ".join(f"t{i}_{j}" for j in range(n)))
+            for i, n in enumerate([1, 2, 4, 5, 6, 7, 8, 10, 14, 15, 21, 35, 36])]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    # chunking model
+    expect = {}
+    for i, text in docs:
+        toks = text.split(" ")
+        for idx, start in enumerate(range(0, len(toks), S)):
+            chunk = toks[start : start + W]
+            expect[(i, idx)] = (
+                start, len(chunk),
+                hashlib.md5(" ".join(chunk).encode()).hexdigest(),
+            )
+    got = {
+        (r.doc_id, r.chunk_idx): (r.start_tok, r.chunk_tokens, r.chunk_hash)
+        for r in chunk_by_words(df, width=W, stride=S).collect()
+    }
+    assert got == expect
+
+    # shuffle model: seeded md5 key, first-8-hex-chars shard, rank in shard
+    keys = {i: hashlib.md5(f"{SEED}:{i}".encode()).hexdigest() for i, _ in docs}
+    shard_of = {i: int(k[:8], 16) % SHARDS for i, k in keys.items()}
+    expect_pos = {}
+    for sh in range(SHARDS):
+        members = sorted((keys[i], i) for i in shard_of if shard_of[i] == sh)
+        for pos, (_, i) in enumerate(members, start=1):
+            expect_pos[i] = (sh, pos)
+    got_shuffle = {
+        r.doc_id: (r.shard, r.shard_pos)
+        for r in shuffle_to_shards(df, shards=SHARDS, seed=SEED).collect()
+    }
+    assert got_shuffle == expect_pos
