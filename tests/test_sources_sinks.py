@@ -411,3 +411,47 @@ def test_job_stream_message_flood_trips_guard(spark, tmp_path, monkeypatch):
         q.processAllAvailable()
         q.awaitTermination(10)
     q.stop()
+
+
+def test_write_range_clustered_files_own_disjoint_key_ranges(spark, tmp_path):
+    """The layout contract itself, asserted from the parquet footers: each
+    output file's [min, max] interval of the cluster key must not overlap
+    any other file's — that disjointness is exactly what lets a selective
+    scan skip whole files via stats pushdown at 100 TB."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from etl_edi_data_scrapper_spark.sinks import write_range_clustered
+
+    df = spark.range(0, 10_000).selectExpr(
+        "CAST(pmod(id * 2654435761, 10000) AS LONG) AS k",  # scrambled order
+        "id AS payload",
+    )
+    out = str(tmp_path / "clustered")
+    write_range_clustered(df, out, cluster_by=["k"], n_files=8)
+
+    intervals = []
+    for f in glob.glob(out + "/*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            col = md.row_group(rg).column(0)
+            assert col.path_in_schema == "k" and col.statistics is not None
+            mins.append(col.statistics.min)
+            maxs.append(col.statistics.max)
+        intervals.append((min(mins), max(maxs)))
+    assert len(intervals) >= 4  # range partitioner actually spread the data
+    intervals.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(intervals, intervals[1:]):
+        assert hi1 <= lo2, f"files overlap: [{lo1},{hi1}] vs [{lo2},{hi2}]"
+
+    # rows survive the relayout and a selective filter stays correct
+    back = spark.read.parquet(out)
+    assert back.count() == 10_000
+    assert back.filter("k < 100").count() == df.filter("k < 100").count()
+
+    import pytest
+
+    with pytest.raises(ValueError, match="cluster_by"):
+        write_range_clustered(df, out, cluster_by=[])
