@@ -126,6 +126,10 @@ def semantic_dedup(
     blocked = assigned.select(
         F.col(id_col), F.col(vec_col), F.col("cluster").cast("long").alias("cluster")
     )
+    # the assignment (k argmin distance folds over the corpus) feeds both
+    # the self-join and the final verdict join — cut the recompute and the
+    # lineage in one move (same discipline as winnowing_shared_pairs)
+    blocked = blocked.localCheckpoint(eager=False)
     pairs = embedding_near_pairs(
         blocked,
         id_col=id_col,

@@ -204,9 +204,13 @@ def unigram_cross_entropy(
     milli-nats.
 
     Engine parity: per-token -ln p is quantized to integer micro-nats
-    BEFORE any aggregation (Java ``log`` and libm ``ln`` differ in the
-    last ulp; sums of longs are exact and order-free), and the per-doc
-    average is integer division — both engines replicate it bit-for-bit.
+    BEFORE any aggregation (sums of longs are exact and order-free), and
+    the per-doc average is integer division. Residual risk, shared with
+    the TF-IDF oracle's identical pattern: ``log`` (unlike ``sqrt``) is
+    not required to be correctly rounded, so a term whose scaled value
+    lies within ~1e-10 of an integer could floor differently across
+    engines — per-term odds ~1e-10, negligible at gate scale but not
+    structurally zero.
 
     Scale: tokenize → one (doc, term) shuffle for per-doc term counts; the
     vocabulary aggregate is tiny relative to the corpus (sub-linear growth)

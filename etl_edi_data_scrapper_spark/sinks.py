@@ -147,7 +147,11 @@ def write_range_clustered(
     if not cluster_by:
         raise ValueError("cluster_by must name at least one column")
     out = df.repartitionByRange(n_files, *[F.col(c) for c in cluster_by])
-    out = out.sortWithinPartitions(*[F.col(c) for c in cluster_by])
+    # partition columns lead the sort: the file writer requires ordering on
+    # partition_by and would otherwise insert its own sort, voiding the
+    # documented tight-row-group contract on the cluster key
+    sort_cols = [*(partition_by or ()), *cluster_by]
+    out = out.sortWithinPartitions(*[F.col(c) for c in sort_cols])
     writer = out.write.mode(mode)
     if partition_by:
         writer = writer.partitionBy(*partition_by)

@@ -44,11 +44,15 @@ def stream_interval_join(
     ``right_ts`` when both sides call it ``ts``. Works identically on
     batch DataFrames (no watermark applied) for A/B checks.
     """
-    renames = {
-        c: f"{c}_r"
-        for c in right.columns
-        if c in left.columns and c != key
-    }
+    taken = set(left.columns) | set(right.columns)
+    renames = {}
+    for c in right.columns:
+        if c in left.columns and c != key:
+            new = f"{c}_r"
+            while new in taken:  # right may already have a '<col>_r' column
+                new += "_r"
+            taken.add(new)
+            renames[c] = new
     r = right
     for old, new in renames.items():
         r = r.withColumnRenamed(old, new)

@@ -43,31 +43,16 @@ def windowed_aggregate(
     ``window`` gives overlapping sliding windows (each row contributes to
     window/slide windows — state grows by the same factor, so keep the
     ratio small). Default aggregates are row count ``n`` and
-    ``total = sum(value)``; pass ``aggs`` to override. Works identically
-    on a batch DataFrame (windows just never close) — handy for A/B
-    checks against the batch oracle.
+    ``total = sum(value)``; pass ``aggs`` to override (each must be
+    aliased). Works identically on a batch DataFrame (windows just never
+    close) — handy for A/B checks against the batch oracle.
     """
     win = (
         F.window(F.col(ts_col), window)
         if slide is None
         else F.window(F.col(ts_col), window, slide)
     )
-    if aggs is None:
-        aggs = [
-            F.count(F.lit(1)).alias("n"),
-            F.sum("value").alias("total"),
-        ]
-    return (
-        stream.withWatermark(ts_col, watermark)
-        .groupBy(win.alias("win"), *[F.col(k) for k in keys])
-        .agg(*aggs)
-        .select(
-            F.col("win.start").alias("win_start"),
-            F.col("win.end").alias("win_end"),
-            *[F.col(k) for k in keys],
-            *[F.col(n) for n in _agg_names(aggs)],
-        )
-    )
+    return _windowed(stream, win, ts_col, watermark, keys, aggs)
 
 
 def sessionized_aggregate(
@@ -89,34 +74,39 @@ def sessionized_aggregate(
     O(open sessions × keys), bounded by the watermark — same memory
     contract as `windowed_aggregate`.
     """
+    win = F.session_window(F.col(ts_col), gap)
+    return _windowed(stream, win, ts_col, watermark, keys, aggs)
+
+
+def _windowed(
+    stream: DataFrame,
+    win: Column,
+    ts_col: str,
+    watermark: str,
+    keys: Sequence[str],
+    aggs: Sequence[Column] | None,
+) -> DataFrame:
     if aggs is None:
         aggs = [
             F.count(F.lit(1)).alias("n"),
             F.sum("value").alias("total"),
         ]
-    win = F.session_window(F.col(ts_col), gap)
-    return (
+    grouped = (
         stream.withWatermark(ts_col, watermark)
         .groupBy(win.alias("win"), *[F.col(k) for k in keys])
         .agg(*aggs)
-        .select(
-            F.col("win.start").alias("win_start"),
-            F.col("win.end").alias("win_end"),
-            *[F.col(k) for k in keys],
-            *[F.col(n) for n in _agg_names(aggs)],
-        )
     )
-
-
-def _agg_names(aggs: Sequence[Column]) -> list[str]:
-    """Output names of aliased aggregate columns (Spark puts the alias last
-    in the column's string form: ``sum(value) AS total``)."""
-    names = []
-    for a in aggs:
-        s = str(a)
-        if s.startswith("Column<'") and s.endswith("'>"):
-            s = s[len("Column<'") : -len("'>")]
-        if " AS " not in s:
-            raise ValueError(f"aggregate column must be aliased, got: {s}")
-        names.append(s.rsplit(" AS ", 1)[1].strip("`"))
-    return names
+    # aggregate output names come from the RESULT schema, not from parsing
+    # Column reprs (repr formats differ across classic/Connect); an
+    # unaliased aggregate surfaces as its auto-generated expression name —
+    # reject it so callers get a crisp error instead of a weird column
+    agg_names = [c for c in grouped.columns if c != "win" and c not in keys]
+    bad = [c for c in agg_names if "(" in c or " " in c]
+    if bad:
+        raise ValueError(f"aggregate columns must be aliased, got: {bad}")
+    return grouped.select(
+        F.col("win.start").alias("win_start"),
+        F.col("win.end").alias("win_end"),
+        *[F.col(k) for k in keys],
+        *[F.col(n) for n in agg_names],
+    )

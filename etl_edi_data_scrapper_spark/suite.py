@@ -1738,7 +1738,7 @@ def _domain_mixture_oracle(budget: int = 200) -> str:
       SELECT lang, n_docs,
              sqrt_micro::DOUBLE / z_micro::DOUBLE AS weight,
              least(CAST(100 AS BIGINT),
-                   CAST(({budget} * 100 * sqrt_micro) // (z_micro * n_docs)
+                   CAST((({budget} * 100 * sqrt_micro) // z_micro) // n_docs
                         AS BIGINT)) AS rate_pct
       FROM cq, z),
     kept AS (
@@ -1788,9 +1788,13 @@ def q_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn(
             "rate_pct",
+            # two-step integer division (floor(floor(a/b)/c) == floor(a/(b·c))
+            # for positive longs): z_micro * n_docs as a single product
+            # overflows BIGINT around n_docs ≈ 4e8 — silently under Spark's
+            # non-ANSI wraparound, loudly in DuckDB, diverging either way
             F.least(
                 F.lit(100).cast("long"),
-                F.expr(f"({budget} * 100 * sqrt_micro) DIV (z_micro * n_docs)"),
+                F.expr(f"(({budget} * 100 * sqrt_micro) DIV z_micro) DIV n_docs"),
             ),
         )
     )
@@ -3475,6 +3479,6 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     join and the verdict hash-compares."""
     from etl_edi_data_scrapper_spark.functions.clustering import semantic_dedup
 
-    return semantic_dedup(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
+    return semantic_dedup(_t(spark, sf_dir, "embeddings"))
 
 

@@ -451,6 +451,22 @@ def test_write_range_clustered_files_own_disjoint_key_ranges(spark, tmp_path):
     assert back.count() == 10_000
     assert back.filter("k < 100").count() == df.filter("k < 100").count()
 
+    # partition_by path: stats must stay tight WITHIN each directory too
+    out2 = str(tmp_path / "clustered_part")
+    df2 = df.selectExpr("*", "CAST(pmod(payload, 2) AS INT) AS tenant")
+    write_range_clustered(df2, out2, cluster_by=["k"], n_files=4, partition_by=["tenant"])
+    for tenant_dir in glob.glob(out2 + "/tenant=*"):
+        ivs = []
+        for f in glob.glob(tenant_dir + "/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            stats = [md.row_group(rg).column(0).statistics for rg in range(md.num_row_groups)]
+            ivs.append((min(s.min for s in stats), max(s.max for s in stats)))
+        assert len(ivs) >= 2
+        ivs.sort()
+        for (lo1, hi1), (lo2, hi2) in zip(ivs, ivs[1:]):
+            assert hi1 <= lo2, f"{tenant_dir}: [{lo1},{hi1}] overlaps [{lo2},{hi2}]"
+    assert spark.read.parquet(out2).count() == 10_000
+
     import pytest
 
     with pytest.raises(ValueError, match="cluster_by"):

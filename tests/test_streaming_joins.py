@@ -97,8 +97,8 @@ def test_stream_interval_join_left_outer_emits_after_watermark(spark, tmp_path):
         _write(buys / "b2.jsonl", [("00:40", 9, 40.0)])
         q.processAllAvailable()
         q.processAllAvailable()
-        got = {(r.user_id, r.value_r) for r in spark.sql("SELECT * FROM ssj_outer").collect()}
-        assert (2, None) in got  # the proven-unmatched row, exactly once
-        assert len([1 for u, v in got if u == 2]) == 1
+        # LIST, not set — a double emission of the outer null row must fail
+        rows = [(r.user_id, r.value_r) for r in spark.sql("SELECT * FROM ssj_outer").collect()]
+        assert rows.count((2, None)) == 1  # the proven-unmatched row, exactly once
     finally:
         q.stop()
