@@ -2106,6 +2106,12 @@ def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(NULL AS VARCHAR) AS k2, CAST(n AS BIGINT) AS n,
            min_q AS v1, max_q AS v2
     FROM ({_QUALITY_HIST_ORACLE}) t
+    UNION ALL
+    SELECT 'daily_rollup' AS leg, CAST(CAST(ts AS DATE) AS VARCHAR) AS k1,
+           event_type AS k2, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(value AS DECIMAL(28,10))) AS DOUBLE) AS v1,
+           CAST(NULL AS DOUBLE) AS v2
+    FROM events GROUP BY CAST(ts AS DATE), event_type
     """,
 )
 def q_analytics_rollups(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2117,14 +2123,46 @@ def q_analytics_rollups(spark: SparkSession, sf_dir: str) -> DataFrame:
     first-active day × day offset 0-7; both legs shuffle once on user_id,
     then one map-side-partial aggregate); 'quality_hist' = decile
     histogram of the corpus quality score (narrow scoring projection + a
-    10-group aggregate). [r5 consolidation: merges the former `funnel`,
+    10-group aggregate); 'daily_rollup' = the CONTINUOUS AGGREGATE path
+    (`operators/rollup.py::merge_daily_rollup` — hypertable-rollup
+    pattern: per-day partials merged incrementally with dynamic partition
+    overwrite, O(batch + touched days) per refresh, DECIMAL partials so
+    merge boundaries never drift): the query runs TWO real incremental
+    merges (events split by even/odd event_id) into a scratch table and
+    the oracle is the from-scratch recompute -- incremental == full,
+    hash-checked. [r5 consolidation: merges the former `funnel`,
     `cohort_retention` and `quality_histogram` queries to fit the
     driver's 50-query correctness cap — every leg's values stay
     hash-checked on the shared schema (dates/offsets as ISO strings,
     identical casts on both engines).]"""
+    import shutil
+    import tempfile
+
+    from etl_edi_data_scrapper_spark.operators.rollup import merge_daily_rollup
+
     fun = q_funnel(spark, sf_dir)
     coh = q_cohort_retention(spark, sf_dir)
     hist = q_quality_histogram(spark, sf_dir)
+
+    ev = _events(spark, sf_dir)
+    rollup_dir = tempfile.mkdtemp(prefix="etl_rollupq_") + "/rollup"
+    merge_daily_rollup(spark, rollup_dir, ev.filter(F.col("event_id") % 2 == 0))
+    merge_daily_rollup(spark, rollup_dir, ev.filter(F.col("event_id") % 2 == 1))
+    roll = (
+        spark.read.parquet(rollup_dir)
+        .select(
+            F.lit("daily_rollup").alias("leg"),
+            F.col("day").cast("string").alias("k1"),
+            F.col("event_type").alias("k2"),
+            F.col("n").cast("long").alias("n"),
+            F.col("total").cast("double").alias("v1"),
+            F.lit(None).cast("double").alias("v2"),
+        )
+        # eager copy: the scratch table is deleted right below, so the
+        # returned plan must not re-scan it when the driver collects
+        .localCheckpoint(eager=True)
+    )
+    shutil.rmtree(rollup_dir, ignore_errors=True)
 
     def _nulls() -> tuple:
         return (
@@ -2154,7 +2192,7 @@ def q_analytics_rollups(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("min_q").alias("v1"),
         F.col("max_q").alias("v2"),
     )
-    return f.unionByName(c).unionByName(h)
+    return f.unionByName(c).unionByName(h).unionByName(roll)
 
 
 def _simhash_sig_ctes(bits: int = 32) -> str:

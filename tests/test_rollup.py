@@ -1,0 +1,72 @@
+"""Continuous aggregate (`operators/rollup.py`):
+
+  * three overlapping-day batches merged incrementally == the full
+    recompute, exactly (DECIMAL partials — no float drift across merge
+    boundaries);
+  * a merge touching only day B leaves day A's partition files
+    PHYSICALLY untouched (dynamic partition overwrite — the O(batch)
+    refresh contract).
+"""
+
+import glob
+import os
+
+
+def _batch(spark, rows):
+    return spark.createDataFrame(
+        [(f"2024-01-0{d}T0{h}:00:00", et, v) for d, h, et, v in rows],
+        "ts_s string, event_type string, value double",
+    ).selectExpr("CAST(ts_s AS TIMESTAMP) AS ts", "event_type", "value")
+
+
+def test_incremental_rollup_equals_full_recompute(spark, tmp_path):
+    from etl_edi_data_scrapper_spark.operators.rollup import (
+        full_rollup,
+        merge_daily_rollup,
+    )
+
+    out = str(tmp_path / "rollup")
+    b1 = _batch(spark, [(1, 1, "view", 1.1), (1, 2, "view", 2.2), (2, 1, "click", 3.3)])
+    b2 = _batch(spark, [(1, 3, "view", 4.4), (2, 2, "click", 5.5), (2, 3, "view", 6.6)])
+    b3 = _batch(spark, [(3, 1, "view", 7.7)])
+
+    merge_daily_rollup(spark, out, b1)
+    merge_daily_rollup(spark, out, b2)
+    merge_daily_rollup(spark, out, b3)
+
+    got = {
+        (str(r.day), r.event_type): (r.n, r.total)
+        for r in spark.read.parquet(out).collect()
+    }
+    want = {
+        (str(r.day), r.event_type): (r.n, r.total)
+        for r in full_rollup(b1.unionByName(b2).unionByName(b3)).collect()
+    }
+    assert got == want
+    assert got[("2024-01-01", "view")][0] == 3  # merged across batches
+
+
+def test_rollup_leaves_untouched_day_partitions_alone(spark, tmp_path):
+    from etl_edi_data_scrapper_spark.operators.rollup import merge_daily_rollup
+
+    out = str(tmp_path / "rollup")
+    merge_daily_rollup(spark, out, _batch(spark, [(1, 1, "view", 1.0), (2, 1, "click", 2.0)]))
+
+    day1_files = {
+        f: os.path.getmtime(f) for f in glob.glob(out + "/day=2024-01-01/*.parquet")
+    }
+    assert day1_files
+
+    # second merge touches ONLY day 2: day 1's files must be bit-identical
+    merge_daily_rollup(spark, out, _batch(spark, [(2, 5, "click", 4.0)]))
+    after = {
+        f: os.path.getmtime(f) for f in glob.glob(out + "/day=2024-01-01/*.parquet")
+    }
+    assert after == day1_files  # same paths, same mtimes — not rewritten
+
+    got = {
+        (str(r.day), r.event_type): (r.n, float(r.total))
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got[("2024-01-02", "click")] == (2, 6.0)
+    assert got[("2024-01-01", "view")] == (1, 1.0)
