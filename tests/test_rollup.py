@@ -70,3 +70,60 @@ def test_rollup_leaves_untouched_day_partitions_alone(spark, tmp_path):
     }
     assert got[("2024-01-02", "click")] == (2, 6.0)
     assert got[("2024-01-01", "view")] == (1, 1.0)
+
+
+def test_rollup_maintained_from_a_stream(spark, tmp_path):
+    """Production shape: readStream → foreachBatch(merge_daily_rollup) —
+    the rollup table stays correct across micro-batches."""
+    import json as _json
+
+    from etl_edi_data_scrapper_spark.operators.rollup import (
+        full_rollup,
+        merge_daily_rollup,
+    )
+
+    src = tmp_path / "events"
+    src.mkdir()
+    out = str(tmp_path / "rollup")
+
+    def write_batch(name, rows):
+        with open(src / name, "w") as f:
+            for d, h, et, v in rows:
+                f.write(
+                    _json.dumps(
+                        {"ts": f"2024-01-0{d}T0{h}:00:00.000Z", "event_type": et, "value": v}
+                    )
+                    + "\n"
+                )
+
+    stream = spark.readStream.schema("ts timestamp, event_type string, value double").json(
+        str(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            lambda df, _bid: merge_daily_rollup(spark, out, df)
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        write_batch("b1.jsonl", [(1, 1, "view", 1.5), (2, 1, "click", 2.5)])
+        q.processAllAvailable()
+        write_batch("b2.jsonl", [(1, 2, "view", 3.5), (3, 1, "view", 4.5)])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    batch_all = spark.read.schema("ts timestamp, event_type string, value double").json(
+        str(src)
+    )
+    got = {
+        (str(r.day), r.event_type): (r.n, float(r.total))
+        for r in spark.read.parquet(out).collect()
+    }
+    want = {
+        (str(r.day), r.event_type): (r.n, float(r.total))
+        for r in full_rollup(batch_all).collect()
+    }
+    assert got == want
+    assert got[("2024-01-01", "view")] == (2, 5.0)
