@@ -20,6 +20,12 @@
         offline maintenance for the incremental near-dup band-key store:
         drop replay-duplicated rows, coalesce each band partition to one
         file. Run with the ingestion stream STOPPED.
+
+    python -m etl_edi_data_scrapper_spark rollup-merge --rollup DIR \
+        --events PATH [--ts-col ts --keys event_type --value-col value]
+        fold one batch of events (parquet/JSONL) into the continuous
+        daily-rollup table: O(batch + touched days), only touched day
+        partitions rewritten.
 """
 
 from __future__ import annotations
@@ -59,6 +65,15 @@ def main(argv: list[str] | None = None, engine=None) -> int:
         help="offline near-dup store compaction (stream must be stopped)",
     )
     pk.add_argument("--store", required=True, help="band-key store directory")
+
+    pm = sub.add_parser(
+        "rollup-merge", help="fold an event batch into the continuous daily rollup"
+    )
+    pm.add_argument("--rollup", required=True, help="rollup table directory")
+    pm.add_argument("--events", required=True, help="events batch (parquet dir or JSONL)")
+    pm.add_argument("--ts-col", default="ts")
+    pm.add_argument("--keys", default="event_type", help="comma-separated key columns")
+    pm.add_argument("--value-col", default="value")
 
     args = p.parse_args(argv)
 
@@ -103,6 +118,26 @@ def main(argv: list[str] | None = None, engine=None) -> int:
 
         before, after = compact_neardup_store(engine.spark, args.store)
         print(f"SUCCESS: Store compacted | Rows: {before} -> {after}")
+        return 0
+
+    if args.cmd == "rollup-merge":
+        from etl_edi_data_scrapper_spark.operators.rollup import merge_daily_rollup
+
+        if args.events.endswith((".json", ".jsonl")):
+            batch = engine.spark.read.json(args.events)
+            batch = batch.withColumn(args.ts_col, batch[args.ts_col].cast("timestamp"))
+        else:
+            batch = engine.spark.read.parquet(args.events)
+        merge_daily_rollup(
+            engine.spark,
+            args.rollup,
+            batch,
+            ts_col=args.ts_col,
+            keys=tuple(k for k in args.keys.split(",") if k),
+            value_col=args.value_col,
+        )
+        n = engine.spark.read.parquet(args.rollup).count()
+        print(f"SUCCESS: Rollup merged | Rows: {n}")
         return 0
 
     if args.cmd == "serve":

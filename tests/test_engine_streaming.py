@@ -205,3 +205,25 @@ def test_cli_compact_store(spark, tmp_path, capsys):
     out = capsys.readouterr().out
     assert rc == 0
     assert "SUCCESS: Store compacted | Rows: 12 -> 6" in out
+
+
+def test_cli_rollup_merge(spark, tmp_path, capsys):
+    import json
+
+    from etl_edi_data_scrapper_spark.__main__ import main
+    from etl_edi_data_scrapper_spark.engine import Engine
+
+    batch = tmp_path / "events.jsonl"
+    with open(batch, "w") as f:
+        for h, et, v in [(1, "view", 1.0), (2, "view", 2.0), (3, "click", 4.0)]:
+            f.write(json.dumps({"ts": f"2024-01-01T0{h}:00:00.000Z", "event_type": et, "value": v}) + "\n")
+    rollup = str(tmp_path / "rollup")
+    eng = Engine(spark=spark)
+    rc = main(["rollup-merge", "--rollup", rollup, "--events", str(batch)], engine=eng)
+    assert rc == 0
+    assert "SUCCESS: Rollup merged | Rows: 2" in capsys.readouterr().out
+    # a second merge folds in, not replaces
+    rc = main(["rollup-merge", "--rollup", rollup, "--events", str(batch)], engine=eng)
+    assert rc == 0
+    got = {r.event_type: (r.n, float(r.total)) for r in spark.read.parquet(rollup).collect()}
+    assert got == {"view": (4, 6.0), "click": (2, 8.0)}
