@@ -211,3 +211,59 @@ def ivf_topk(
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def quantize_embeddings(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    out_col: str = "q_vec",
+    scale_col: str = "q_scale",
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization: ``q[i] = clamp(round(x[i] /
+    scale), -127, 127)`` with ``scale = max|x| / 127`` — the standard 4×
+    storage/IO compression for embedding tables (float32 → int8) that an
+    ANN corpus at 100 TB needs before anything else: scan time is
+    IO-bound, and candidate generation (LSH/IVF routing) tolerates the
+    ≤ scale/2 per-coordinate error easily; exact rerank can fetch the
+    float originals for the top candidates only.
+
+    Pure JVM array expressions (transform/greatest/round) — no Python, no
+    shuffle; the quantized column is array<tinyint> (Spark's parquet
+    writer stores it compactly) plus one float scale per vector.
+    All-zero vectors get scale 0 and all-zero codes (dequantizes to the
+    exact original).
+    """
+    absmax = F.aggregate(
+        F.col(vec_col),
+        F.lit(0.0),
+        lambda acc, v: F.greatest(acc, F.abs(v.cast("double"))),
+    )
+    scale = (absmax / F.lit(127.0)).alias(scale_col)
+    q = F.when(
+        F.col(scale_col) > 0,
+        F.transform(
+            F.col(vec_col),
+            lambda v: F.greatest(
+                F.lit(-127),
+                F.least(F.lit(127), F.round(v.cast("double") / F.col(scale_col))),
+            ).cast("tinyint"),
+        ),
+    ).otherwise(F.transform(F.col(vec_col), lambda v: F.lit(0).cast("tinyint")))
+    return df.withColumn(scale_col, scale).withColumn(out_col, q)
+
+
+def dequantize_embeddings(
+    df: DataFrame,
+    q_col: str = "q_vec",
+    scale_col: str = "q_scale",
+    out_col: str = "embedding",
+) -> DataFrame:
+    """Inverse of `quantize_embeddings`: ``x'[i] = q[i] * scale`` as
+    array<float>. Per-coordinate reconstruction error ≤ scale/2 by
+    construction (round-to-nearest)."""
+    return df.withColumn(
+        out_col,
+        F.transform(
+            F.col(q_col), lambda v: (v.cast("double") * F.col(scale_col)).cast("float")
+        ),
+    )

@@ -644,3 +644,54 @@ def test_chunk_and_shuffle_match_pure_python_model(spark):
         for r in shuffle_to_shards(df, shards=SHARDS, seed=SEED).collect()
     }
     assert got_shuffle == expect_pos
+
+
+def test_embedding_quantization_roundtrip_error_bound(spark):
+    """int8 quantize/dequantize: per-coordinate error ≤ scale/2 everywhere,
+    zero vectors exact, and brute-force top-k over the DEQUANTIZED corpus
+    reproduces the float top-1 on a well-separated corpus."""
+    from etl_edi_data_scrapper_spark.functions.similarity import (
+        cosine_topk,
+        dequantize_embeddings,
+        quantize_embeddings,
+    )
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").limit(200)
+    q = quantize_embeddings(emb)
+    rt = dequantize_embeddings(q, out_col="rebuilt")
+
+    checked = rt.select(
+        "vec_id",
+        "q_scale",
+        F.aggregate(
+            F.zip_with(
+                "embedding", "rebuilt", lambda a, b: F.abs(a.cast("double") - b.cast("double"))
+            ),
+            F.lit(0.0),
+            lambda acc, v: F.greatest(acc, v),
+        ).alias("max_err"),
+        F.aggregate(
+            "q_vec", F.lit(0), lambda acc, v: F.greatest(acc, F.abs(v.cast("int")))
+        ).alias("max_code"),
+    ).collect()
+    for r in checked:
+        assert r.max_code <= 127
+        # float32 storage of the rebuilt value adds ≤1 ulp on top of scale/2
+        assert r.max_err <= r.q_scale / 2 + 1e-6
+
+    # zero vector: scale 0, exact roundtrip
+    z = spark.createDataFrame([(0, [0.0] * 4)], "vec_id long, embedding array<float>")
+    zr = dequantize_embeddings(quantize_embeddings(z), out_col="rebuilt").collect()[0]
+    assert zr.q_scale == 0.0 and list(zr.rebuilt) == [0.0, 0.0, 0.0, 0.0]
+
+    # retrieval survives quantization: top-1 for 3 query vectors unchanged
+    corpus_q = dequantize_embeddings(
+        quantize_embeddings(emb).select("vec_id", "q_vec", "q_scale")
+    ).select("vec_id", "embedding")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    top_f = {r.q_id: r.vec_id for r in cosine_topk(queries, emb, k=1).collect()}
+    top_q = {r.q_id: r.vec_id for r in cosine_topk(queries, corpus_q, k=1).collect()}
+    assert top_f == top_q
