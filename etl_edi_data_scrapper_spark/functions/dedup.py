@@ -254,13 +254,29 @@ def _sign_bits_long(lo_bit: int, n_bits: int) -> Column:
     ).cast("long")
 
 
-def _block_pairs(grp: DataFrame, hamming, max_hamming: int, keep_cols: tuple[str, ...] = ()) -> DataFrame:
+def _block_pairs(
+    grp: DataFrame,
+    hamming,
+    max_hamming: int,
+    keep_cols: tuple[str, ...] = (),
+    max_block: int | None = None,
+) -> DataFrame:
     """Blocked groups → deduped (a, b, hamming[, keep_cols]) pairs.
 
     ``grp`` carries column ``m``: a SORTED array of structs with field ``i``
     (the doc id) plus whatever signature fields ``hamming(x, y)`` needs.
     Local pair explosion per block (never a self-join — see `bucket_pairs`);
-    a pair colliding in several blocks is emitted once."""
+    a pair colliding in several blocks is emitted once.
+
+    ``max_block`` is the same degenerate-block guard as `bucket_pairs`'s
+    ``max_bucket``: a block is truncated to its ``max_block`` smallest ids
+    before pairing, capping per-block work at max_block²/2. Narrow piece
+    widths saturate at scale (a 32-bit/4-piece demo signature has only 256
+    block values per piece — occupancy grows ∝ corpus/256, measured
+    super-linear past ~10× sf0.1), so production paths should either use
+    wide pieces (the 64-bit signature's 65k blocks) or set this cap."""
+    if max_block is not None:
+        grp = grp.withColumn("m", F.slice("m", 1, int(max_block)))
     pairs = F.flatten(
         F.transform(
             F.col("m"),
@@ -308,6 +324,7 @@ def simhash_near_pairs(
     max_hamming: int = 3,
     bits: int = 32,
     n_pieces: int | None = None,
+    max_block: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs by Hamming distance via multi-piece blocking (the
     64-bit-fingerprint scheme of Manku/Jain/Sarma, WWW'07 — here on the
@@ -367,7 +384,10 @@ def simhash_near_pairs(
         .filter(F.size("m") > 1)
     )
     return _block_pairs(
-        grp, lambda x, y: F.bit_count(x["s"].bitwiseXOR(y["s"])), max_hamming
+        grp,
+        lambda x, y: F.bit_count(x["s"].bitwiseXOR(y["s"])),
+        max_hamming,
+        max_block=max_block,
     )
 
 
@@ -410,7 +430,10 @@ def simhash64(
 
 
 def simhash64_near_pairs(
-    sig: DataFrame, id_col: str = "doc_id", max_hamming: int = 3
+    sig: DataFrame,
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    max_block: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs on 64-bit signatures — the production operating point
     of Manku/Jain/Sarma WWW'07: 4 disjoint 16-bit pieces (65k blocks per
@@ -448,7 +471,7 @@ def simhash64_near_pairs(
         )
         .filter(F.size("m") > 1)
     )
-    return _block_pairs(grp, _hamming64, max_hamming)
+    return _block_pairs(grp, _hamming64, max_hamming, max_block=max_block)
 
 
 def _hamming64(x, y) -> Column:

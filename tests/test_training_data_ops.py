@@ -695,3 +695,27 @@ def test_embedding_quantization_roundtrip_error_bound(spark):
     top_f = {r.q_id: r.vec_id for r in cosine_topk(queries, emb, k=1).collect()}
     top_q = {r.q_id: r.vec_id for r in cosine_topk(queries, corpus_q, k=1).collect()}
     assert top_f == top_q
+
+
+def test_simhash_pairs_max_block_guard(spark):
+    """max_block truncates degenerate blocks (e.g. many byte-identical
+    docs → identical signatures → one giant block) to bound the local
+    quadratic pairing work, keeping the smallest ids."""
+    from etl_edi_data_scrapper_spark.functions.dedup import (
+        simhash,
+        simhash_near_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "identical text body repeated many times over and over") for i in range(20)]
+        + [(100, "a completely different document about other things entirely")],
+        "doc_id long, text string",
+    )
+    sig = simhash(docs)
+    full = simhash_near_pairs(sig, max_hamming=0).collect()
+    assert len(full) == 20 * 19 // 2  # the 20-clone family, all pairs
+
+    capped = simhash_near_pairs(sig, max_hamming=0, max_block=5).collect()
+    # truncated to the 5 smallest ids -> exactly C(5,2) pairs, ids 0-4
+    assert len(capped) == 10
+    assert {x for r in capped for x in (r.a, r.b)} == {0, 1, 2, 3, 4}
