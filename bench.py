@@ -126,6 +126,13 @@ def main() -> None:
         out["baseline_breaches"] = sorted(
             q for q in ratios if breach(q) and q not in noted
         )
+        # sub-second queries over 2.0x are excluded from breaches by the
+        # 0.5 s-excess rule (scheduler jitter dominates them), but a query
+        # drifting >2x for consecutive rounds should stay VISIBLE without
+        # reading BENCH_FULL.json — surface them on the compact line
+        out["soft_over_2x"] = sorted(
+            q for q in ratios if ratios[q] > 2.0 and not breach(q) and q not in noted
+        )
         out["baseline_scope_grown"] = sorted(
             q for q in ratios if ratios[q] > 2.0 and q in noted
         )

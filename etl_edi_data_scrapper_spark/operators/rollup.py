@@ -28,6 +28,7 @@ from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.errors import AnalysisException
 
 
 def merge_daily_rollup(
@@ -55,10 +56,18 @@ def merge_daily_rollup(
         )
     )
 
+    # Only PATH_NOT_FOUND / empty-dir mean "first merge" — any OTHER
+    # failure (permissions, transient FS error, corrupt footer) must
+    # raise: merging as first-write would dynamic-overwrite the touched
+    # day partitions with batch-only counts and silently lose history.
+    # Same probe discipline as streaming/neardup_stream.py's store read.
     try:
         existing = spark.read.parquet(rollup_dir)
+        existing.schema  # force analysis inside the try
         have_existing = True
-    except Exception:  # first merge: nothing to read yet
+    except AnalysisException as e:
+        if "PATH_NOT_FOUND" not in str(e) and "UNABLE_TO_INFER_SCHEMA" not in str(e):
+            raise
         have_existing = False
 
     if have_existing:
@@ -72,6 +81,11 @@ def merge_daily_rollup(
                 F.sum("total").cast("decimal(28,10)").alias("total"),
             )
         )
+        # `merged` reads the same files the overwrite below deletes at
+        # commit; materialize it eagerly first so a mid-commit failure
+        # cannot leave touched-day partitions deleted with their inputs
+        # gone and nothing staged to replace them.
+        merged = merged.localCheckpoint(eager=True)
     else:
         merged = delta
 

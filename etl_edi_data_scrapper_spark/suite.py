@@ -7,7 +7,13 @@ Conventions that make the oracle comparison deterministic:
     never from file order;
   * double aggregation goes through exact DECIMAL partials, final cast to
     double (order-independent, so Spark's parallel sum == DuckDB's);
-  * every computed column is aliased identically on both sides.
+  * every computed column is aliased identically on both sides;
+  * oracle output columns must be DuckDB BIGINT/DOUBLE/DECIMAL/VARCHAR/
+    BOOLEAN/DATE — integer window/aggregate sums (and `//` on them)
+    promote to HUGEINT, which the driver's pandas canonicalization
+    renders as float64 and hash-mismatches Spark's long: always
+    ``CAST(... AS BIGINT)`` them back (enforced by
+    tests/test_oracle_types.py, which binds every oracle in DuckDB).
 """
 
 from __future__ import annotations
@@ -1136,9 +1142,11 @@ def q_neardup_increment(spark: SparkSession, sf_dir: str) -> DataFrame:
     store (candidates only — no history rescan), the signature-agreement
     Jaccard estimator, intra-batch connected-components canonicalization,
     and the admitted-representative verdict inheritance. The store is a
-    per-run temp directory (same pattern as `excel_scan`'s staged files);
-    the eager checkpoint inside the operator makes the returned frame
-    safely re-evaluable."""
+    per-run temp directory removed before returning — the operator's
+    eager localCheckpoint makes the returned frame re-evaluable without
+    the store files, so nothing leaks across correctness/bench/plan-lint
+    passes."""
+    import shutil
     import tempfile
 
     from etl_edi_data_scrapper_spark.streaming.neardup_stream import (
@@ -1146,11 +1154,15 @@ def q_neardup_increment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    store = tempfile.mkdtemp(prefix="etl_ndq_") + "/store"
-    seed = docs.filter(F.col("doc_id") % 2 == 0)
-    dedup_batch_against_store(spark, seed, store)
-    batch = docs.filter(F.col("doc_id") % 2 == 1)
-    verdict = dedup_batch_against_store(spark, batch, store)
+    root = tempfile.mkdtemp(prefix="etl_ndq_")
+    try:
+        store = root + "/store"
+        seed = docs.filter(F.col("doc_id") % 2 == 0)
+        dedup_batch_against_store(spark, seed, store)
+        batch = docs.filter(F.col("doc_id") % 2 == 1)
+        verdict = dedup_batch_against_store(spark, batch, store)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
     return verdict.select("doc_id", "dup_of")
 
 
@@ -1676,9 +1688,12 @@ def _pack_sequences_oracle(
              CAST(doc_id % {shards} AS BIGINT) AS pack_shard
       FROM documents),
     c AS (
+      -- CAST back to BIGINT: DuckDB promotes integer window sums to
+      -- HUGEINT (int128), which the driver's pandas canonicalization
+      -- renders as float64 and hash-mismatches Spark's long.
       SELECT *,
-             sum(n_tokens) OVER (PARTITION BY pack_shard ORDER BY doc_id)
-               - n_tokens AS shard_offset
+             CAST(sum(n_tokens) OVER (PARTITION BY pack_shard ORDER BY doc_id)
+                  - n_tokens AS BIGINT) AS shard_offset
       FROM tok),
     k AS (
       SELECT doc_id,
@@ -1692,7 +1707,7 @@ def _pack_sequences_oracle(
                   AS BIGINT) AS shard_pos
       FROM k)
     SELECT c.doc_id, c.n_tokens, c.pack_shard, c.shard_offset,
-           c.shard_offset // {budget} AS pack_bin,
+           CAST(c.shard_offset // {budget} AS BIGINT) AS pack_bin,
            s.shuffle_key, s.shard, s.shard_pos
     FROM c JOIN s USING (doc_id)
     """
@@ -2145,7 +2160,8 @@ def q_analytics_rollups(spark: SparkSession, sf_dir: str) -> DataFrame:
     hist = q_quality_histogram(spark, sf_dir)
 
     ev = _events(spark, sf_dir)
-    rollup_dir = tempfile.mkdtemp(prefix="etl_rollupq_") + "/rollup"
+    rollup_root = tempfile.mkdtemp(prefix="etl_rollupq_")
+    rollup_dir = rollup_root + "/rollup"
     merge_daily_rollup(spark, rollup_dir, ev.filter(F.col("event_id") % 2 == 0))
     merge_daily_rollup(spark, rollup_dir, ev.filter(F.col("event_id") % 2 == 1))
     roll = (
@@ -2162,7 +2178,7 @@ def q_analytics_rollups(spark: SparkSession, sf_dir: str) -> DataFrame:
         # returned plan must not re-scan it when the driver collects
         .localCheckpoint(eager=True)
     )
-    shutil.rmtree(rollup_dir, ignore_errors=True)
+    shutil.rmtree(rollup_root, ignore_errors=True)  # root, not just the subdir
 
     def _nulls() -> tuple:
         return (

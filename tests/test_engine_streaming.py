@@ -227,3 +227,49 @@ def test_cli_rollup_merge(spark, tmp_path, capsys):
     assert rc == 0
     got = {r.event_type: (r.n, float(r.total)) for r in spark.read.parquet(rollup).collect()}
     assert got == {"view": (4, 6.0), "click": (2, 8.0)}
+
+
+def test_cli_rollup_merge_two_increments_equal_full_recompute(spark, tmp_path):
+    """End-to-end oracle for the CLI path: two DISTINCT overlapping-day
+    increments folded through `rollup-merge` must equal `full_rollup` of
+    their union, exactly (DECIMAL partials — no drift at merge seams)."""
+    import json
+
+    from etl_edi_data_scrapper_spark.__main__ import main
+    from etl_edi_data_scrapper_spark.engine import Engine
+    from etl_edi_data_scrapper_spark.operators.rollup import full_rollup
+
+    rows = {
+        "b1.jsonl": [(1, 1, "view", 1.1), (1, 2, "view", 2.2), (2, 1, "click", 3.3)],
+        "b2.jsonl": [(1, 3, "view", 4.4), (2, 2, "click", 5.5), (3, 1, "view", 6.6)],
+    }
+    for fname, rs in rows.items():
+        with open(tmp_path / fname, "w") as f:
+            for d, h, et, v in rs:
+                f.write(json.dumps({
+                    "ts": f"2024-01-0{d}T0{h}:00:00.000Z",
+                    "event_type": et, "value": v,
+                }) + "\n")
+
+    rollup = str(tmp_path / "rollup")
+    eng = Engine(spark=spark)
+    for fname in rows:
+        rc = main(
+            ["rollup-merge", "--rollup", rollup, "--events", str(tmp_path / fname)],
+            engine=eng,
+        )
+        assert rc == 0
+
+    all_events = (
+        spark.read.json([str(tmp_path / f) for f in rows])
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    got = {
+        (str(r.day), r.event_type): (r.n, r.total)
+        for r in spark.read.parquet(rollup).collect()
+    }
+    want = {
+        (str(r.day), r.event_type): (r.n, r.total)
+        for r in full_rollup(all_events).collect()
+    }
+    assert got == want and len(got) == 3  # (d1,view) (d2,click) (d3,view)

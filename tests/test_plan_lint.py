@@ -17,13 +17,11 @@ without executing anything.
 
 from etl_edi_data_scrapper_spark.suite import QUERIES
 
-SF_DIR = "/root/testdata/sf0.001"
 
-
-def test_no_cartesian_products_or_row_python_udfs_anywhere(spark):
+def test_no_cartesian_products_or_row_python_udfs_anywhere(spark, sf_dir):
     offenders: dict[str, list[str]] = {}
     for name, fn in QUERIES.items():
-        plan = fn(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+        plan = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
         bad = [
             marker
             for marker in ("CartesianProduct", "BatchEvalPython")

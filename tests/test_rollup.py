@@ -72,6 +72,32 @@ def test_rollup_leaves_untouched_day_partitions_alone(spark, tmp_path):
     assert got[("2024-01-01", "view")] == (1, 1.0)
 
 
+def test_corrupt_store_raises_instead_of_merging_as_first_write(spark, tmp_path):
+    """A store read failure that is NOT missing-path must propagate: if it
+    were swallowed as 'first merge', the dynamic overwrite would replace
+    touched-day partitions with batch-only counts — silent history loss."""
+    import pytest
+
+    from etl_edi_data_scrapper_spark.operators.rollup import merge_daily_rollup
+
+    out = tmp_path / "rollup"
+    merge_daily_rollup(spark, str(out), _batch(spark, [(1, 1, "view", 1.0)]))
+
+    # corrupt every parquet footer in place
+    for f in glob.glob(str(out) + "/day=*/*.parquet"):
+        with open(f, "wb") as fh:
+            fh.write(b"not a parquet file")
+
+    with pytest.raises(Exception) as ei:
+        merge_daily_rollup(spark, str(out), _batch(spark, [(1, 2, "view", 9.0)]))
+    assert "PATH_NOT_FOUND" not in str(ei.value)
+
+    # missing path is still a clean first merge
+    fresh = tmp_path / "fresh"
+    merge_daily_rollup(spark, str(fresh), _batch(spark, [(2, 1, "click", 2.0)]))
+    assert spark.read.parquet(str(fresh)).count() == 1
+
+
 def test_rollup_maintained_from_a_stream(spark, tmp_path):
     """Production shape: readStream → foreachBatch(merge_daily_rollup) —
     the rollup table stays correct across micro-batches."""

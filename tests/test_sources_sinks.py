@@ -517,3 +517,16 @@ def test_write_zorder_clustered_bounds_both_dimensions(spark, tmp_path):
     assert back.count() == 10_000
     assert "__z" not in back.columns  # layout key is not part of the data
     assert back.filter("x = 7 AND y = 3").count() == df.filter("x = 7 AND y = 3").count()
+
+    # the point of the layout: a selective predicate on EITHER key alone
+    # touches a strict subset of the files (single-key clustering would
+    # concentrate only its own key; the z-curve concentrates both)
+    total_files = len(files)
+    for pred in ("x = 7", "y = 3"):
+        touched = (
+            back.filter(pred)
+            .select(F.input_file_name().alias("f"))
+            .distinct()
+            .count()
+        )
+        assert 0 < touched < total_files, (pred, touched, total_files)

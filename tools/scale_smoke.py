@@ -179,6 +179,13 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--factor", type=int, default=10)
     ap.add_argument("--out", default=None)
+    ap.add_argument(
+        "--only",
+        default=None,
+        help="comma-separated subset of suite queries to measure (any "
+        "registered query name — used by the per-round rotating 30x "
+        "spot-check; 'neardup_increment' selects the store-join timing leg)",
+    )
     args = ap.parse_args()
     out_dir = args.out or f"/tmp/scale_sf{args.factor}x"
 
@@ -188,8 +195,19 @@ def main() -> None:
     spark = get_spark("scale-smoke")
     build_scaled(spark, out_dir, args.factor)
 
+    if args.only:
+        selected = [q for q in args.only.split(",") if q]
+        unknown = [q for q in selected if q not in ALL]
+        if unknown:
+            ap.error(f"unknown queries: {unknown}")
+        run_queries = [q for q in selected if q != "neardup_increment"]
+        run_neardup = "neardup_increment" in selected
+    else:
+        run_queries = QUERIES
+        run_neardup = True
+
     report: dict[str, dict[str, float]] = {}
-    for name in QUERIES:
+    for name in run_queries:
         fn = ALL[name]
         base = time_query(fn, spark, BASE_SF)
         scaled = time_query(fn, spark, out_dir)
@@ -200,21 +218,26 @@ def main() -> None:
         }
         print(f"# {name}: {base}s -> {scaled}s (x{report[name]['ratio']})", file=sys.stderr)
 
-    import tempfile
+    if run_neardup:
+        import shutil
+        import tempfile
 
-    nd_work = tempfile.mkdtemp(prefix="scale_neardup_")
-    nd_base = time_neardup_increment(spark, BASE_SF, os.path.join(nd_work, "base"))
-    nd_scaled = time_neardup_increment(spark, out_dir, os.path.join(nd_work, "scaled"))
-    report["neardup_increment"] = {
-        "base": nd_base,
-        "scaled": nd_scaled,
-        "ratio": round(nd_scaled / nd_base, 2) if nd_base > 0 else None,
-    }
-    print(
-        f"# neardup_increment: {nd_base}s -> {nd_scaled}s "
-        f"(x{report['neardup_increment']['ratio']})",
-        file=sys.stderr,
-    )
+        nd_work = tempfile.mkdtemp(prefix="scale_neardup_")
+        try:
+            nd_base = time_neardup_increment(spark, BASE_SF, os.path.join(nd_work, "base"))
+            nd_scaled = time_neardup_increment(spark, out_dir, os.path.join(nd_work, "scaled"))
+        finally:
+            shutil.rmtree(nd_work, ignore_errors=True)
+        report["neardup_increment"] = {
+            "base": nd_base,
+            "scaled": nd_scaled,
+            "ratio": round(nd_scaled / nd_base, 2) if nd_base > 0 else None,
+        }
+        print(
+            f"# neardup_increment: {nd_base}s -> {nd_scaled}s "
+            f"(x{report['neardup_increment']['ratio']})",
+            file=sys.stderr,
+        )
 
     flagged = sorted(
         q
