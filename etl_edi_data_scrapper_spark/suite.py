@@ -896,9 +896,16 @@ def _minhash_oracle(n_hashes: int = 12, bands: int = 4) -> str:
     """
 
 
-def _dedup_clusters_oracle(threshold: float = 0.5) -> str:
+def _dedup_clusters_oracle(
+    threshold: float = 0.5, train_pct: int = 90, seed: int = 0
+) -> str:
     """Min-reachable-id per node over the verified dup-pair graph —
-    a recursive CTE replicates the label-propagation fixpoint exactly."""
+    a recursive CTE replicates the label-propagation fixpoint exactly —
+    left-joined back to every document (singletons are their own
+    cluster), plus the leakage-safe split bucket on the CLUSTER
+    canonical (functions/splits.py formula)."""
+    canon = "coalesce(c.cl, d.doc_id)"
+    bucket = _sql_hex_word(f"md5('{seed}:' || CAST({canon} AS VARCHAR))", 1)
     return f"""
     WITH RECURSIVE pairs AS (
       SELECT a, b FROM ({_minhash_oracle()}) t WHERE jaccard >= {threshold}
@@ -912,30 +919,49 @@ def _dedup_clusters_oracle(threshold: float = 0.5) -> str:
       SELECT src, src FROM edges
       UNION
       SELECT e.src, r.lbl FROM edges e JOIN reach r ON r.node = e.dst
+    ),
+    comp AS (
+      SELECT node AS doc_id, min(lbl) AS cl FROM reach GROUP BY node
     )
-    SELECT node AS doc_id, min(lbl) AS cluster_id,
-           (node = min(lbl)) AS is_canonical
-    FROM reach GROUP BY node
+    SELECT d.doc_id,
+           {canon} AS cluster_id,
+           ({canon} = d.doc_id) AS is_canonical,
+           CASE WHEN ({bucket}) % 100 < {train_pct}
+                THEN 'train' ELSE 'test' END AS split
+    FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
     """
 
 
 @register("dedup_clusters", oracle=_dedup_clusters_oracle())
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup pairs → duplicate CLUSTERS (the actual dedup decision):
-    connected components over jaccard-verified MinHash pairs, canonical =
-    min doc_id per component. Iterative min-label propagation — rounds =
-    component diameter (near-cliques: 2-3), one shuffle per round; see
-    `functions/dedup.connected_components` for the 100 TB shape."""
+    """Near-dup pairs → duplicate CLUSTERS → leakage-safe train/test
+    split, the full dedup decision chain: connected components over
+    jaccard-verified MinHash pairs (canonical = min doc_id per
+    component; iterative min-label propagation — rounds = component
+    diameter, near-cliques: 2-3, one shuffle per round; see
+    `functions/dedup.connected_components` for the 100 TB shape), then
+    `functions/splits.cluster_aware_split` assigns EVERY document a
+    90/10 split hashed on its cluster's canonical id — so a test
+    document's near-duplicates can never leak into train (all members
+    of a cluster share the canonical, hence the bucket). One row per
+    document; singletons are their own cluster.
+    [r6: grain widened from clustered-docs-only to all documents, and
+    the split column added — the split leg of the r3 `stratified_sample`
+    consolidation upgraded to the leakage-safe form.]"""
     from etl_edi_data_scrapper_spark.functions.dedup import (
         connected_components,
         jaccard_pairs,
         minhash_candidate_pairs,
     )
+    from etl_edi_data_scrapper_spark.functions.splits import cluster_aware_split
 
     docs = _t(spark, sf_dir, "documents")
     cand = minhash_candidate_pairs(docs, n_hashes=12, bands=4)
     verified = jaccard_pairs(docs, cand).filter(F.col("jaccard") >= 0.5)
-    return connected_components(verified)
+    comps = connected_components(verified)
+    return cluster_aware_split(docs, comps).select(
+        "doc_id", "cluster_id", "is_canonical", "split"
+    )
 
 
 def _winnow_pairs_oracle(
@@ -1285,7 +1311,23 @@ _PII_INJECT = (
 )
 
 
+# 16 words = exactly two 8-word spans, so the prefix is span-ALIGNED in
+# every injected document — the boilerplate-header shape (nav chrome,
+# license banners) cross-document span dedup exists to catch. The
+# documents table has organic near-dups but few exact aligned spans, so
+# inject deterministically (same literal on both engines).
+_SPAN_BOILERPLATE = (
+    "home about contact privacy terms copyright all rights reserved "
+    "site map search login register subscribe newsletter"
+)
+_SPAN_INJECT = (
+    f"CASE WHEN doc_id % 5 = 0 THEN concat('{_SPAN_BOILERPLATE} ', text) "
+    "ELSE text END"
+)
+
+
 def _pii_oracle() -> str:
+    from etl_edi_data_scrapper_spark.functions.span_dedup import span_dedup_oracle_sql
     from etl_edi_data_scrapper_spark.functions.text import PII_PATTERNS
 
     scrubbed = "injected"
@@ -1296,19 +1338,24 @@ def _pii_oracle() -> str:
         for kind, (pattern, _tag) in PII_PATTERNS.items()
     )
     inject = _PII_INJECT.replace("AS STRING", "AS VARCHAR")
+    span_sql = span_dedup_oracle_sql(table="sfeed", width=8)
     return f"""
     WITH feed AS (SELECT doc_id, {inject} AS injected FROM documents),
+    sfeed AS (SELECT doc_id, {_SPAN_INJECT} AS text FROM documents),
+    sp AS (SELECT * FROM ({span_sql}) t),
     scrub AS (
       SELECT doc_id, {scrubbed} AS clean_text,
         {counts}
       FROM feed),
     tok AS (SELECT *, string_split(clean_text, ' ') AS t FROM scrub)
-    SELECT doc_id, clean_text, n_email, n_ipv4, n_phone,
+    SELECT doc_id, tok.clean_text, n_email, n_ipv4, n_phone,
            len(t)::BIGINT AS n_before,
            len(list_filter(t, (x, i) -> i = 1 OR x != t[i - 1]))::BIGINT AS n_after,
            array_to_string(list_filter(t, (x, i) -> i = 1 OR x != t[i - 1]), ' ')
-             AS collapsed_text
-    FROM tok
+             AS collapsed_text,
+           sp.n_spans, sp.n_spans_dropped,
+           sp.clean_text AS span_clean_text
+    FROM tok JOIN sp USING (doc_id)
     """
 
 
@@ -1322,11 +1369,29 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB scrub pass wants (runs inside the scan's codegen stage). The
     index-aware filter keeps the FIRST of each run (Spark lambda index is
     0-based, DuckDB's 1-based — the oracle mirrors the same logic).
-    [r3 consolidation: absorbs the former `repetition_collapse` query.]"""
+
+    r6 adds the CROSS-document leg of the same cleanup family:
+    duplicate-SPAN removal (`functions/span_dedup.py`, C4-style — every
+    8-word span occurring more than once corpus-wide is cut from all but
+    its first occurrence; boilerplate headers injected deterministically
+    so the drop path is exercised). The scrub/collapse legs stay
+    zero-shuffle; the span leg's wide join moves only (md5, doc_id, pos)
+    rows — text shuffles at most once, on the per-doc cut-list join.
+    [r3 consolidation: absorbs the former `repetition_collapse` query;
+    r6: absorbs `span_dedup`.]"""
+    from etl_edi_data_scrapper_spark.functions.span_dedup import dedup_spans
     from etl_edi_data_scrapper_spark.functions.text import pii_counts, scrub_pii
 
     docs = _t(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism
+    )
+    spanned = dedup_spans(
+        docs.select("doc_id", F.expr(_SPAN_INJECT).alias("text")), width=8
+    ).select(
+        "doc_id",
+        F.col("n_spans").cast("long").alias("n_spans"),
+        F.col("n_spans_dropped").cast("long").alias("n_spans_dropped"),
+        F.col("clean_text").alias("span_clean_text"),
     )
     injected = docs.select("doc_id", F.expr(_PII_INJECT).alias("injected"))
     counts = pii_counts(F.col("injected"))
@@ -1346,7 +1411,7 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("t").cast("long").alias("n_before"),
         F.size(kept).cast("long").alias("n_after"),
         F.array_join(kept, " ").alias("collapsed_text"),
-    )
+    ).join(spanned, "doc_id")
 
 
 @register(

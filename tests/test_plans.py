@@ -110,11 +110,21 @@ def test_tfidf_broadcasts_vocabulary(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
 
 
-def test_pii_scrub_is_narrow(spark, sf_dir):
+def test_pii_scrub_narrow_legs_and_hash_only_span_shuffle(spark, sf_dir):
+    """The scrub/collapse legs stay narrow (one widen repartition, no
+    key exchange of their own); the r6 span-dedup leg may shuffle, but
+    ONLY on the 16-byte span hash and doc_id — never on text. Partition
+    keys named in the plan's exchanges are the proof surface here; the
+    payload discipline (the `h` exchange carries (h, doc_id, pos), not
+    spans) is asserted in span_dedup's own docstring-audited plan."""
+    import re
+
     plan = plan_of(spark, "pii_scrub", sf_dir)
-    # one explicit widen repartition; NO key-hash exchange (pure projection)
-    assert "hashpartitioning" not in plan
-    assert plan.count("RoundRobinPartitioning") == 1  # the widen, only exchange
+    # the widen repartition appears once per reuse of the shared docs scan
+    # (pii leg + the span leg's two derivations), never zero
+    assert plan.count("RoundRobinPartitioning") >= 1
+    keys = set(re.findall(r"hashpartitioning\((\w+)#", plan))
+    assert keys <= {"h", "doc_id"}, keys
 
 
 def test_cogroup_stats_copartitions_both_sides(spark, sf_dir):
