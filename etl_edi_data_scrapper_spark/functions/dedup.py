@@ -487,6 +487,7 @@ def simhash_pairs_multi(
     text_col: str = "text",
     single_bits: int = 48,
     max_hamming: int = 3,
+    max_block: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs at TWO signature widths from ONE kernel pass and ONE
     blocking shuffle: the ``single_bits`` single-long signature and the
@@ -558,9 +559,12 @@ def simhash_pairs_multi(
             F.col("sb") == single_bits, F.bit_count(x["s"].bitwiseXOR(y["s"]))
         ).otherwise(_hamming64(x, y))
 
-    return _block_pairs(grp, hamming, max_hamming, keep_cols=("sb",)).withColumnRenamed(
-        "sb", "sig_bits"
-    )
+    # max_block is the same saturation guard as the single-width paths
+    # (r6: a 30x replication OOM'ed the unguarded 48-bit leg's local pair
+    # explosion — hot blocks of B entries emit B²/2 structs per row)
+    return _block_pairs(
+        grp, hamming, max_hamming, keep_cols=("sb",), max_block=max_block
+    ).withColumnRenamed("sb", "sig_bits")
 
 
 def connected_components(

@@ -719,3 +719,27 @@ def test_simhash_pairs_max_block_guard(spark):
     # truncated to the 5 smallest ids -> exactly C(5,2) pairs, ids 0-4
     assert len(capped) == 10
     assert {x for r in capped for x in (r.a, r.b)} == {0, 1, 2, 3, 4}
+
+
+def test_simhash_pairs_multi_max_block_guard(spark):
+    """r6: the guard is threaded through the two-width composite path too
+    (the unguarded 48-bit leg OOM'ed a 30x replication's pair explosion).
+    Capped: both legs' clone-family pairs shrink to the 5 smallest ids."""
+    from etl_edi_data_scrapper_spark.functions.dedup import simhash_pairs_multi
+
+    docs = spark.createDataFrame(
+        [(i, "identical text body repeated many times over and over") for i in range(20)]
+        + [(100, "a completely different document about other things entirely")],
+        "doc_id long, text string",
+    )
+    full = simhash_pairs_multi(docs, max_hamming=0).collect()
+    by_leg = {}
+    for r in full:
+        by_leg.setdefault(r.sig_bits, set()).add((r.a, r.b))
+    assert {len(v) for v in by_leg.values()} == {20 * 19 // 2}
+
+    capped = simhash_pairs_multi(docs, max_hamming=0, max_block=5).collect()
+    ids = {x for r in capped for x in (r.a, r.b)}
+    assert ids == {0, 1, 2, 3, 4}
+    assert len([r for r in capped if r.sig_bits == 48]) == 10
+    assert len([r for r in capped if r.sig_bits == 64]) == 10

@@ -44,6 +44,7 @@ QUERIES = [
     "simhash_pairs",
     "tfidf_topk",
     "kmeans",
+    "pii_scrub",  # r6: the span-dedup leg is a new shuffle surface
     "ann_topk",
     "ann_recall",
     "vocab_topk",
