@@ -22,10 +22,17 @@
         file. Run with the ingestion stream STOPPED.
 
     python -m etl_edi_data_scrapper_spark rollup-merge --rollup DIR \
-        --events PATH [--ts-col ts --keys event_type --value-col value]
+        --events PATH [--ts-col ts --keys event_type --value-col value] \
+        [--batch-id N]
         fold one batch of events (parquet/JSONL) into the continuous
         daily-rollup table: O(batch + touched days), only touched day
-        partitions rewritten.
+        partitions rewritten. With --batch-id, use the replay-IDEMPOTENT
+        per-batch-partial store (re-running the same id never
+        double-counts; read via operators.rollup.read_rollup).
+
+    python -m etl_edi_data_scrapper_spark rollup-compact --rollup DIR
+        fold a per-batch-partial rollup's history into one partial per
+        day. Offline only; compact past the replay horizon.
 """
 
 from __future__ import annotations
@@ -74,6 +81,21 @@ def main(argv: list[str] | None = None, engine=None) -> int:
     pm.add_argument("--ts-col", default="ts")
     pm.add_argument("--keys", default="event_type", help="comma-separated key columns")
     pm.add_argument("--value-col", default="value")
+    pm.add_argument(
+        "--batch-id",
+        type=int,
+        default=None,
+        help="use the replay-idempotent per-batch-partial store, keyed by "
+        "this id (re-running the same id never double-counts)",
+    )
+
+    pq = sub.add_parser(
+        "rollup-compact",
+        help="fold a per-batch-partial rollup's history into one partial "
+        "per day (run with the merging stream STOPPED, past the replay horizon)",
+    )
+    pq.add_argument("--rollup", required=True, help="rollup table directory")
+    pq.add_argument("--keys", default="event_type")
 
     args = p.parse_args(argv)
 
@@ -121,23 +143,38 @@ def main(argv: list[str] | None = None, engine=None) -> int:
         return 0
 
     if args.cmd == "rollup-merge":
-        from etl_edi_data_scrapper_spark.operators.rollup import merge_daily_rollup
+        from etl_edi_data_scrapper_spark.operators.rollup import (
+            merge_daily_rollup,
+            merge_daily_rollup_idempotent,
+        )
 
         if args.events.endswith((".json", ".jsonl")):
             batch = engine.spark.read.json(args.events)
             batch = batch.withColumn(args.ts_col, batch[args.ts_col].cast("timestamp"))
         else:
             batch = engine.spark.read.parquet(args.events)
-        merge_daily_rollup(
-            engine.spark,
-            args.rollup,
-            batch,
+        kw = dict(
             ts_col=args.ts_col,
             keys=tuple(k for k in args.keys.split(",") if k),
             value_col=args.value_col,
         )
+        if args.batch_id is not None:
+            merge_daily_rollup_idempotent(
+                engine.spark, args.rollup, batch, args.batch_id, **kw
+            )
+        else:
+            merge_daily_rollup(engine.spark, args.rollup, batch, **kw)
         n = engine.spark.read.parquet(args.rollup).count()
         print(f"SUCCESS: Rollup merged | Rows: {n}")
+        return 0
+
+    if args.cmd == "rollup-compact":
+        from etl_edi_data_scrapper_spark.operators.rollup import compact_rollup
+
+        before, after = compact_rollup(
+            engine.spark, args.rollup, keys=tuple(k for k in args.keys.split(",") if k)
+        )
+        print(f"SUCCESS: Rollup compacted | Rows: {before} -> {after}")
         return 0
 
     if args.cmd == "serve":

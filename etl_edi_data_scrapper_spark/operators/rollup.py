@@ -115,3 +115,105 @@ def full_rollup(
             F.sum(F.col(value_col).cast("decimal(28,10)")).cast("decimal(28,10)").alias("total"),
         )
     )
+
+
+# --- replay-idempotent variant ----------------------------------------------
+#
+# `merge_daily_rollup` is at-least-once on replay: re-merging the same
+# batch double-counts, because the merged aggregate has no memory of which
+# batches it already absorbed, and a data+marker two-step cannot be made
+# atomic on a plain object store (crash between the two loses or doubles a
+# batch either way). The idempotent form stores PER-BATCH partials instead:
+# each batch writes its own (day, batch_id) partitions with dynamic
+# overwrite — the same discipline as `sinks.idempotent_batch_writer` — so a
+# replay overwrites exactly its own partitions and can never double-count.
+# Readers aggregate the partials (O(batches-per-day rows), not O(events));
+# `compact_rollup` folds history into one partial per day so read cost
+# stays bounded on long-running tables. Compact only past the replay
+# horizon (batches the stream checkpoint has committed): replaying a batch
+# that was already folded re-adds its partition — the same rule as Kafka
+# log compaction vs consumer rewind.
+
+
+def merge_daily_rollup_idempotent(
+    spark: SparkSession,
+    rollup_dir: str,
+    batch: DataFrame,
+    batch_id: int,
+    ts_col: str = "ts",
+    keys: Sequence[str] = ("event_type",),
+    value_col: str = "value",
+) -> None:
+    """Fold one batch into the rollup store with exactly-once RESTART
+    semantics: wire as
+    ``stream.writeStream.foreachBatch(lambda df, bid:
+    merge_daily_rollup_idempotent(spark, path, df, bid))`` — Structured
+    Streaming replays a crashed batch with the SAME batch_id, and the
+    rewrite lands on the same partitions."""
+    delta = (
+        batch.withColumn("day", F.col(ts_col).cast("date"))
+        .groupBy("day", *[F.col(k) for k in keys])
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col(value_col).cast("decimal(28,10)")).cast("decimal(28,10)").alias("total"),
+        )
+        .withColumn("batch_id", F.lit(int(batch_id)))
+    )
+    conf = spark.conf
+    prev = conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        delta.write.mode("overwrite").partitionBy("day", "batch_id").parquet(rollup_dir)
+    finally:
+        conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
+def read_rollup(
+    spark: SparkSession, rollup_dir: str, keys: Sequence[str] = ("event_type",)
+) -> DataFrame:
+    """The rollup view over the partial store: (day, *keys, n, total).
+    Cost is one aggregate over partial rows (per-day-per-batch grain),
+    not over events; run `compact_rollup` to keep that grain at one row
+    per (day, keys) for history."""
+    return (
+        spark.read.parquet(rollup_dir)
+        .groupBy("day", *[F.col(k) for k in keys])
+        .agg(
+            F.sum("n").cast("long").alias("n"),
+            F.sum("total").cast("decimal(28,10)").alias("total"),
+        )
+    )
+
+
+def compact_rollup(
+    spark: SparkSession, rollup_dir: str, keys: Sequence[str] = ("event_type",)
+) -> tuple[int, int]:
+    """Fold all batch partials into one ``batch_id=-1`` partial per day
+    (temp-write + Hadoop-FS swap, same discipline as
+    `streaming.neardup_stream.compact_neardup_store`). OFFLINE only —
+    stop the merging stream first, and compact only batches past the
+    replay horizon. Returns (rows_before, rows_after)."""
+    before_df = spark.read.parquet(rollup_dir)
+    before = before_df.count()
+    compacted = (
+        before_df.groupBy("day", *[F.col(k) for k in keys])
+        .agg(
+            F.sum("n").cast("long").alias("n"),
+            F.sum("total").cast("decimal(28,10)").alias("total"),
+        )
+        .withColumn("batch_id", F.lit(-1))
+    )
+    tmp = rollup_dir.rstrip("/") + "__compacting"
+    compacted.write.mode("overwrite").partitionBy("day", "batch_id").parquet(tmp)
+    jpath = spark._jvm.org.apache.hadoop.fs.Path
+    src, dst = jpath(tmp), jpath(rollup_dir)
+    fs = dst.getFileSystem(spark._jsc.hadoopConfiguration())
+    after = spark.read.parquet(tmp).count()
+    if not fs.delete(dst, True):
+        raise IOError(f"compaction could not remove the old rollup at {rollup_dir!r}")
+    if not fs.rename(src, dst):
+        raise IOError(
+            f"compaction wrote {tmp!r} but could not rename it over "
+            f"{rollup_dir!r} — the compacted rollup is intact at the temp path"
+        )
+    return before, after

@@ -229,6 +229,35 @@ def test_cli_rollup_merge(spark, tmp_path, capsys):
     assert got == {"view": (4, 6.0), "click": (2, 8.0)}
 
 
+def test_cli_rollup_merge_idempotent_and_compact(spark, tmp_path, capsys):
+    """--batch-id routes to the replay-idempotent store: rerunning the
+    same id is a no-op for the view; rollup-compact folds partials."""
+    import json
+
+    from etl_edi_data_scrapper_spark.__main__ import main
+    from etl_edi_data_scrapper_spark.engine import Engine
+    from etl_edi_data_scrapper_spark.operators.rollup import read_rollup
+
+    batch = tmp_path / "events.jsonl"
+    with open(batch, "w") as f:
+        for h, et, v in [(1, "view", 1.0), (2, "view", 2.0), (3, "click", 4.0)]:
+            f.write(json.dumps({"ts": f"2024-01-01T0{h}:00:00.000Z", "event_type": et, "value": v}) + "\n")
+    rollup = str(tmp_path / "rollup")
+    eng = Engine(spark=spark)
+    args = ["rollup-merge", "--rollup", rollup, "--events", str(batch)]
+    assert main([*args, "--batch-id", "0"], engine=eng) == 0
+    assert main([*args, "--batch-id", "0"], engine=eng) == 0  # replay
+    view = {r.event_type: (r.n, float(r.total)) for r in read_rollup(spark, rollup).collect()}
+    assert view == {"view": (2, 3.0), "click": (1, 4.0)}  # not doubled
+
+    assert main([*args, "--batch-id", "1"], engine=eng) == 0  # a real second batch
+    rc = main(["rollup-compact", "--rollup", rollup], engine=eng)
+    out = capsys.readouterr().out
+    assert rc == 0 and "Rollup compacted" in out
+    view2 = {r.event_type: (r.n, float(r.total)) for r in read_rollup(spark, rollup).collect()}
+    assert view2 == {"view": (4, 6.0), "click": (2, 8.0)}
+
+
 def test_cli_rollup_merge_two_increments_equal_full_recompute(spark, tmp_path):
     """End-to-end oracle for the CLI path: two DISTINCT overlapping-day
     increments folded through `rollup-merge` must equal `full_rollup` of

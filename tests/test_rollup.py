@@ -98,6 +98,60 @@ def test_corrupt_store_raises_instead_of_merging_as_first_write(spark, tmp_path)
     assert spark.read.parquet(str(fresh)).count() == 1
 
 
+def test_idempotent_rollup_replay_and_compaction(spark, tmp_path):
+    """The replay-safe variant: re-merging the same batch_id (the crash-
+    replay shape) changes NOTHING; distinct batches accumulate; compaction
+    folds partials without changing the view; a replay of a NOT-compacted
+    batch after compaction is still idempotent."""
+    from etl_edi_data_scrapper_spark.operators.rollup import (
+        compact_rollup,
+        full_rollup,
+        merge_daily_rollup_idempotent,
+        read_rollup,
+    )
+
+    out = str(tmp_path / "rollup")
+    b1 = _batch(spark, [(1, 1, "view", 1.1), (1, 2, "view", 2.2), (2, 1, "click", 3.3)])
+    b2 = _batch(spark, [(1, 3, "view", 4.4), (2, 2, "click", 5.5)])
+
+    def view():
+        return {
+            (str(r.day), r.event_type): (r.n, r.total)
+            for r in read_rollup(spark, out).collect()
+        }
+
+    merge_daily_rollup_idempotent(spark, out, b1, batch_id=0)
+    merge_daily_rollup_idempotent(spark, out, b1, batch_id=0)  # crash replay
+    after_replay = view()
+    want_b1 = {
+        (str(r.day), r.event_type): (r.n, r.total) for r in full_rollup(b1).collect()
+    }
+    assert after_replay == want_b1  # NOT double-counted
+
+    merge_daily_rollup_idempotent(spark, out, b2, batch_id=1)
+    want_all = {
+        (str(r.day), r.event_type): (r.n, r.total)
+        for r in full_rollup(b1.unionByName(b2)).collect()
+    }
+    assert view() == want_all
+
+    before, after = compact_rollup(spark, out)
+    assert after < before  # partials folded
+    assert view() == want_all  # view unchanged by compaction
+
+    # batch 2 replays AFTER compaction folded batch 0/1? No — the contract
+    # is compact only PAST the replay horizon; but a brand-new batch id
+    # still merges cleanly into the compacted store
+    b3 = _batch(spark, [(3, 1, "view", 7.0)])
+    merge_daily_rollup_idempotent(spark, out, b3, batch_id=2)
+    merge_daily_rollup_idempotent(spark, out, b3, batch_id=2)  # replay again
+    want_all3 = {
+        (str(r.day), r.event_type): (r.n, r.total)
+        for r in full_rollup(b1.unionByName(b2).unionByName(b3)).collect()
+    }
+    assert view() == want_all3
+
+
 def test_rollup_maintained_from_a_stream(spark, tmp_path):
     """Production shape: readStream → foreachBatch(merge_daily_rollup) —
     the rollup table stays correct across micro-batches."""
