@@ -41,12 +41,105 @@ def assign_clusters(df: DataFrame, vec_col: str, centroids: list[list[float]]) -
     return df.withColumn("cluster", F.array_sort(scored)[0]["c"])
 
 
+def assign_clusters_ivf(
+    df: DataFrame,
+    vec_col: str,
+    centroids: list[list[float]],
+    n_probe: int = 2,
+) -> DataFrame:
+    """df + `cluster` column via TWO-LEVEL (IVF-style) routing: argmin over
+    ~√k coarse centroids first, then argmin over only the fine centroids
+    of the ``n_probe`` nearest coarse cells — per-row work drops from
+    O(k) distance folds to O(√k + n_probe·k/√k), the standard coarse-
+    quantizer trick that makes k ∝ corpus-size assignment affordable
+    (SemDeDup's web-scale k is tens of thousands; a flat argmin there is
+    the O(N·k) residual this replaces).
+
+    Construction: coarse centroids = k-means over the FINE CENTROIDS
+    themselves, run entirely on the driver (k rows — trivially small);
+    routing compiles to one narrow projection where each probed cell's
+    fine argmin sits in a lazily-evaluated CASE branch (only the matched
+    branches execute per row; no shuffle, no UDF, no join). APPROXIMATE by
+    construction: a vector near a cell boundary can route to a different
+    (near-equidistant) fine centroid than the flat argmin — raise
+    ``n_probe`` to trade compute for agreement.
+    """
+    k = len(centroids)
+    n_coarse = max(1, int(round(k ** 0.5)))
+    n_probe = min(n_probe, n_coarse)
+    coarse = _kmeans_driver(centroids, n_coarse)
+    cells: dict[int, list[int]] = {c: [] for c in range(len(coarse))}
+    for i, fc in enumerate(centroids):
+        cells[_argmin_driver(fc, coarse)].append(i)
+
+    coarse_scored = F.array(
+        *[
+            F.struct(_sqdist(F.col(vec_col), c).alias("d"), F.lit(i).alias("c"))
+            for i, c in enumerate(coarse)
+        ]
+    )
+    ranked = F.array_sort(coarse_scored)
+
+    def cell_best(cell: int) -> Column:
+        members = cells[cell]
+        if not members:  # empty cell: route to a sentinel no real row wins
+            return F.struct(
+                F.lit(float("inf")).alias("d"), F.lit(-1).alias("c")
+            )
+        scored = F.array(
+            *[
+                F.struct(
+                    _sqdist(F.col(vec_col), centroids[i]).alias("d"),
+                    F.lit(i).alias("c"),
+                )
+                for i in members
+            ]
+        )
+        return F.array_sort(scored)[0]
+
+    probes = []
+    for j in range(n_probe):
+        cj = ranked[j]["c"]
+        best: Column = cell_best(0)
+        for cell in range(1, len(coarse)):
+            best = F.when(cj == cell, cell_best(cell)).otherwise(best)
+        probes.append(best)
+    return df.withColumn("cluster", F.array_sort(F.array(*probes))[0]["c"])
+
+
+def _argmin_driver(vec: list[float], centroids: list[list[float]]) -> int:
+    return min(
+        range(len(centroids)),
+        key=lambda i: sum((a - b) ** 2 for a, b in zip(vec, centroids[i])),
+    )
+
+
+def _kmeans_driver(
+    points: list[list[float]], k: int, n_iters: int = 10
+) -> list[list[float]]:
+    """Plain-Python Lloyd's over a driver-resident point set (used for the
+    coarse quantizer: the points ARE the fine centroids, k of them).
+    Deterministic: init = every ceil(n/k)-th point of the input order."""
+    step = max(1, len(points) // k)
+    cents = [points[i * step] for i in range(min(k, len(points)))]
+    for _ in range(n_iters):
+        groups: dict[int, list[list[float]]] = {i: [] for i in range(len(cents))}
+        for p in points:
+            groups[_argmin_driver(p, cents)].append(p)
+        cents = [
+            [sum(col) / len(col) for col in zip(*grp)] if grp else cents[i]
+            for i, grp in groups.items()
+        ]
+    return cents
+
+
 def kmeans_fit(
     df: DataFrame,
     vec_col: str = "embedding",
     k: int = 8,
     n_iters: int = 5,
     id_col: str = "vec_id",
+    fit_fraction: float | None = None,
 ) -> tuple[list[list[float]], DataFrame]:
     """Lloyd's algorithm; returns (centroids, df + cluster assignment).
 
@@ -55,11 +148,25 @@ def kmeans_fit(
     all fall in one region — classic bad-init collapse). Runs as
     TakeOrderedAndProject (per-partition heaps), no global sort, stable
     across runs/partitionings. Empty clusters keep their previous centroid.
+
+    ``fit_fraction`` fits the centroids on a deterministic md5-bucket
+    sample of the corpus (the web-scale discipline: Lloyd's passes cost
+    O(sample·k·iters) instead of O(N·k·iters); only the single final
+    assignment sees every row) — stable under reruns and repartitioning,
+    unlike ``df.sample``.
     """
     # the iteration re-reads df n_iters+2 times (init, updates, final
     # assignment) — cache the projected columns once; Spark spills cached
     # partitions at scale, and only (id, vec) is held, not the full row
-    work = df.select(F.col(id_col), F.col(vec_col)).persist()
+    work = df.select(F.col(id_col), F.col(vec_col))
+    if fit_fraction is not None:
+        from etl_edi_data_scrapper_spark.functions.hashing import hex_word
+
+        pct = max(1, min(100, int(round(fit_fraction * 100))))
+        work = work.filter(
+            hex_word(F.md5(F.col(id_col).cast("string")), 1) % 100 < pct
+        )
+    work = work.persist()
     init = (
         work.orderBy(F.md5(F.col(id_col).cast("string")))
         .limit(k)
@@ -102,6 +209,8 @@ def semantic_dedup(
     k: int = 8,
     n_iters: int = 3,
     threshold: float = 0.3,
+    fit_fraction: float | None = None,
+    ivf_probe: int | None = None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al., 2023): cluster-then-dedup over embeddings —
     k-means partitions the space, then near-duplicate pairs are searched
@@ -118,11 +227,31 @@ def semantic_dedup(
     clusters stay self-joinable). Deterministic end-to-end: md5-ordered
     init + exact DECIMAL means + sequential-fold cosine.
 
+    The two web-scale knobs (r6 — both default OFF so the gate query
+    stays exact): ``fit_fraction`` fits centroids on a deterministic
+    md5-bucket sample (Lloyd's passes cost O(sample·k·iters), only the
+    final assignment is full-corpus), and ``ivf_probe`` routes that final
+    assignment through the two-level coarse quantizer
+    (`assign_clusters_ivf`: O(√k + probe·k/√k) per row instead of O(k) —
+    the residual flat-argmin cost k ∝ N would otherwise reintroduce).
+    Blocking stays conservative either way: an approximately-routed
+    vector still gets verified only against its own cluster.
+
     Returns (id, cluster, n_dupped_by, keep).
     """
     from etl_edi_data_scrapper_spark.functions.dedup import embedding_near_pairs
 
-    _, assigned = kmeans_fit(df, vec_col=vec_col, k=k, n_iters=n_iters, id_col=id_col)
+    if ivf_probe is not None:
+        centroids, _ = kmeans_fit(
+            df, vec_col=vec_col, k=k, n_iters=n_iters, id_col=id_col,
+            fit_fraction=fit_fraction,
+        )
+        assigned = assign_clusters_ivf(df, vec_col, centroids, n_probe=ivf_probe)
+    else:
+        _, assigned = kmeans_fit(
+            df, vec_col=vec_col, k=k, n_iters=n_iters, id_col=id_col,
+            fit_fraction=fit_fraction,
+        )
     blocked = assigned.select(
         F.col(id_col), F.col(vec_col), F.col("cluster").cast("long").alias("cluster")
     )

