@@ -163,18 +163,24 @@ def dsir_resample(
     """Gumbel top-k importance resampling: keep the ``n_keep`` source
     documents with the largest (logw_sum_micro + gumbel_micro) — a
     deterministic draw of sampling-without-replacement ∝ exp(log-weight).
-    Returns (id, n_grams, logw_sum_micro, key_micro, dsir_rank, dsir_keep)
-    for ALL source docs (callers filter on ``dsir_keep``)."""
-    from pyspark.sql import Window as W
+    Returns (id, n_grams, logw_sum_micro, key_micro, dsir_keep) for ALL
+    source docs (callers filter on ``dsir_keep``).
 
+    Scale shape: the top-k is ``orderBy(key desc, id asc).limit(n_keep)``
+    — Spark compiles that to TakeOrderedAndProject (per-partition bounded
+    heaps, no global sort, no single-task window) — and membership rides
+    back on a broadcast left join of the ≤ n_keep winning ids. The
+    deterministic (key, id) tiebreak makes the draw partition-count- and
+    rerun-stable."""
     weighted = dsir_log_weights(
         source, target, id_col=id_col, text_col=text_col,
         n_buckets=n_buckets, smoothing=smoothing,
     ).withColumn("key_micro", F.col("logw_sum_micro") + gumbel_micro(F.col(id_col), seed))
-    # rank window: fine at gate scale; at corpus scale take the top-k via
-    # orderBy(key).limit(n_keep) (TakeOrderedAndProject — per-partition
-    # heaps, no global sort) and anti-join back instead
-    w = W.orderBy(F.desc("key_micro"), F.asc(id_col))
-    return weighted.withColumn("dsir_rank", F.row_number().over(w)).withColumn(
-        "dsir_keep", F.col("dsir_rank") <= n_keep
+    top = (
+        weighted.orderBy(F.desc("key_micro"), F.asc(id_col))
+        .limit(n_keep)
+        .select(F.col(id_col), F.lit(True).alias("dsir_keep"))
+    )
+    return weighted.join(F.broadcast(top), id_col, "left").withColumn(
+        "dsir_keep", F.coalesce(F.col("dsir_keep"), F.lit(False))
     )

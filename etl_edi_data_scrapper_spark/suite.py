@@ -1804,10 +1804,87 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _dsir_by_lang_ctes(
+    target_lang: str = "fr", n_keep: int = 200, n_buckets: int = 256
+) -> str:
+    """DuckDB replica of functions/importance.py (DSIR importance
+    resampling), aggregated per lang. Mirrors the module step-for-step:
+    unigram+bigram feature hashing (md5 word mod B), per-corpus add-1
+    smoothed bucket log-probs pre-quantized to integer micro-nats,
+    count-weighted per-doc ratio sums, deterministic md5-Gumbel perturbed
+    top-k (rank window here; the engine uses orderBy().limit() — same
+    deterministic (key desc, id asc) order). All sums CAST to BIGINT
+    (HUGEINT discipline, tests/test_oracle_types.py)."""
+    gword = _sql_hex_word("md5(gram)", 1)
+    uword = _sql_hex_word("md5('0:' || CAST(doc_id AS VARCHAR))", 1)
+    denom = f"(t + {n_buckets})::DOUBLE"  # smoothing s=1: t + s*B
+    return f"""
+    dtoks AS (
+      SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
+    dgrams AS (
+      SELECT doc_id, lang,
+             unnest(list_concat(toks,
+               CASE WHEN len(toks) >= 2
+                 THEN list_transform(generate_series(1, len(toks) - 1),
+                                     i -> toks[i] || ' ' || toks[i + 1])
+                 ELSE [] END)) AS gram
+      FROM dtoks),
+    dbuck AS (
+      SELECT doc_id, lang, ({gword}) % {n_buckets} AS bucket FROM dgrams),
+    src_tf AS (
+      SELECT doc_id, bucket, CAST(count(*) AS BIGINT) AS tf
+      FROM dbuck GROUP BY doc_id, bucket),
+    tgt_tf AS (
+      SELECT doc_id, bucket, CAST(count(*) AS BIGINT) AS tf
+      FROM dbuck WHERE lang = '{target_lang}' GROUP BY doc_id, bucket),
+    src_b AS (SELECT bucket, CAST(sum(tf) AS BIGINT) AS c FROM src_tf GROUP BY bucket),
+    tgt_b AS (SELECT bucket, CAST(sum(tf) AS BIGINT) AS c FROM tgt_tf GROUP BY bucket),
+    src_t AS (SELECT CAST(sum(c) AS BIGINT) AS t FROM src_b),
+    tgt_t AS (SELECT CAST(sum(c) AS BIGINT) AS t FROM tgt_b),
+    lp_s AS (
+      SELECT bucket,
+             CAST(floor(ln((c + 1)::DOUBLE / {denom}) * 1000000) AS BIGINT) AS lp
+      FROM src_b, src_t),
+    lp_t AS (
+      SELECT bucket,
+             CAST(floor(ln((c + 1)::DOUBLE / {denom}) * 1000000) AS BIGINT) AS lp
+      FROM tgt_b, tgt_t),
+    dratio AS (
+      SELECT coalesce(lp_t.bucket, lp_s.bucket) AS bucket,
+             coalesce(lp_t.lp,
+               (SELECT CAST(floor(ln(1.0 / {denom}) * 1000000) AS BIGINT) FROM tgt_t))
+             - coalesce(lp_s.lp,
+               (SELECT CAST(floor(ln(1.0 / {denom}) * 1000000) AS BIGINT) FROM src_t))
+               AS ratio_micro
+      FROM lp_t FULL OUTER JOIN lp_s ON lp_t.bucket = lp_s.bucket),
+    dlogw AS (
+      SELECT s.doc_id,
+             CAST(sum(s.tf * r.ratio_micro) AS BIGINT) AS logw_sum_micro
+      FROM src_tf s JOIN dratio r USING (bucket) GROUP BY s.doc_id),
+    dkey AS (
+      SELECT doc_id, logw_sum_micro,
+             logw_sum_micro
+             + CAST(floor(-ln(-ln((({uword})::DOUBLE + 0.5) / 4294967296.0))
+                          * 1000000) AS BIGINT) AS key_micro
+      FROM dlogw),
+    dranked AS (
+      SELECT doc_id, logw_sum_micro,
+             row_number() OVER (ORDER BY key_micro DESC, doc_id ASC) AS rk
+      FROM dkey),
+    dsir AS (
+      SELECT d.lang,
+             CAST(count(*) AS BIGINT) AS dsir_kept,
+             CAST(sum(r.logw_sum_micro) AS BIGINT) AS dsir_logw_micro
+      FROM dranked r JOIN documents d USING (doc_id)
+      WHERE rk <= {n_keep} GROUP BY d.lang)
+    """
+
+
 def _domain_mixture_oracle(budget: int = 200) -> str:
     dword = _sql_hex_word("md5(CAST(doc_id AS VARCHAR))", 1)
     return f"""
-    WITH counts AS (
+    WITH {_dsir_by_lang_ctes()},
+    counts AS (
       SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),
     cq AS (
       SELECT lang, n_docs,
@@ -1830,8 +1907,10 @@ def _domain_mixture_oracle(budget: int = 200) -> str:
       WHERE ({dword}) % 100 < r.rate_pct
       GROUP BY d.lang)
     SELECT r.lang, r.n_docs, r.weight, r.rate_pct,
-           coalesce(k.n_kept, 0) AS n_kept, k.lo_kept, k.hi_kept
-    FROM rates r LEFT JOIN kept k USING (lang)
+           coalesce(k.n_kept, 0) AS n_kept, k.lo_kept, k.hi_kept,
+           coalesce(ds.dsir_kept, 0) AS dsir_kept,
+           coalesce(ds.dsir_logw_micro, 0) AS dsir_logw_micro
+    FROM rates r LEFT JOIN kept k USING (lang) LEFT JOIN dsir ds USING (lang)
     """
 
 
@@ -1851,8 +1930,23 @@ def q_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     division — bit-stable on both engines and across partitionings. Plan:
     one groupBy(source) over the corpus, a 1-row broadcast normalizer, a
     broadcast rate join back, one filtered re-aggregation — two linear
-    passes, no shuffle wider than the source dimension."""
+    passes, no shuffle wider than the source dimension.
+
+    [r7: absorbs a DSIR importance-resampling leg
+    (`functions/importance.py`, Xie et al. 2023) — the other half of the
+    same corpus-selection family: where the mixture leg reweights domains
+    by a sqrt-temperature rule, the DSIR leg selects individual documents
+    that LOOK LIKE a target corpus (here lang='fr') via hashed-ngram
+    importance weights + deterministic md5-Gumbel top-k (n_keep=200,
+    B=256 buckets). Per-bucket log-ratios and the Gumbel noise are
+    pre-quantized to integer micro-nats, so every aggregated column is an
+    exact BIGINT sum; the one residual float risk is the documented
+    last-ulp `ln` boundary shared with `unigram_cross_entropy`. Plan
+    shape: explode → one (doc,bucket) shuffle per corpus, broadcast ratio
+    table (≤B rows), TakeOrderedAndProject top-k, broadcast keep-set join
+    — no global sort, no window.]"""
     from etl_edi_data_scrapper_spark.functions.hashing import hex_word
+    from etl_edi_data_scrapper_spark.functions.importance import dsir_resample
 
     budget = 200
     docs = _t(spark, sf_dir, "documents")
@@ -1888,8 +1982,25 @@ def q_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("doc_id").alias("hi_kept"),
         )
     )
+    dsir = dsir_resample(
+        docs.select("doc_id", "text"),
+        docs.filter(F.col("lang") == "fr").select("doc_id", "text"),
+        n_keep=200,
+        n_buckets=256,
+        seed=0,
+    )
+    dsir_by_lang = (
+        dsir.filter("dsir_keep")
+        .join(docs.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("dsir_kept"),
+            F.sum("logw_sum_micro").cast("long").alias("dsir_logw_micro"),
+        )
+    )
     return (
         rates.join(kept, "lang", "left")
+        .join(dsir_by_lang, "lang", "left")
         .select(
             "lang",
             "n_docs",
@@ -1898,6 +2009,8 @@ def q_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_kept", F.lit(0).cast("long")).alias("n_kept"),
             "lo_kept",
             "hi_kept",
+            F.coalesce("dsir_kept", F.lit(0).cast("long")).alias("dsir_kept"),
+            F.coalesce("dsir_logw_micro", F.lit(0).cast("long")).alias("dsir_logw_micro"),
         )
     )
 
