@@ -2411,24 +2411,42 @@ def _simhash_sig_ctes(bits: int = 32) -> str:
 
 
 def _simhash_pairs_oracle(
-    bits: int = 32, max_hamming: int = 8, n_pieces: int | None = None
+    bits: int = 32,
+    max_hamming: int = 8,
+    n_pieces: int | None = None,
+    max_block: int | None = None,
 ) -> str:
     # Replicates the engine's multi-piece blocking (dedup.simhash_near_pairs):
     # piece value = floor(sig / 2^(p*width)) % 2^piece_width — double division
     # of a non-negative value by a power of two is exact, floor == truncate.
+    # ``max_block`` replicates _block_pairs' deterministic truncation guard:
+    # each (piece, block) keeps only its max_block smallest doc ids (the
+    # engine sorts the struct array — doc_id leads — and slices), so the
+    # rank window below IS the engine's slice, bit-for-bit.
     if n_pieces is None:
         n_pieces = max_hamming + 1
     width = bits // n_pieces
-    return f"""
-    WITH {_simhash_sig_ctes(bits)},
-    pieced AS (
+    pieced_core = f"""
       SELECT doc_id, simhash, g.p AS p,
              CAST(floor(simhash / power(2.0, g.p * {width})) AS BIGINT)
                % CAST(power(2.0, CASE WHEN g.p < {n_pieces - 1}
                                       THEN {width}
                                       ELSE {bits - width * (n_pieces - 1)} END)
                       AS BIGINT) AS blk
-      FROM sig CROSS JOIN generate_series(0, {n_pieces - 1}) AS g(p))
+      FROM sig CROSS JOIN generate_series(0, {n_pieces - 1}) AS g(p)"""
+    if max_block is None:
+        pieced = f"pieced AS ({pieced_core})"
+    else:
+        pieced = f"""pieced0 AS ({pieced_core}),
+    pieced AS (
+      SELECT doc_id, simhash, p, blk FROM (
+        SELECT doc_id, simhash, p, blk,
+               row_number() OVER (PARTITION BY p, blk ORDER BY doc_id) AS rk
+        FROM pieced0)
+      WHERE rk <= {max_block})"""
+    return f"""
+    WITH {_simhash_sig_ctes(bits)},
+    {pieced}
     SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
            CAST(bit_count(xor(x.simhash, y.simhash)) AS INT) AS hamming
     FROM pieced x JOIN pieced y
@@ -2461,17 +2479,29 @@ def _simhash64_sig_ctes() -> str:
     """
 
 
-def _simhash64_pairs_oracle(max_hamming: int = 3) -> str:
+def _simhash64_pairs_oracle(max_hamming: int = 3, max_block: int | None = None) -> str:
     # Replicates dedup.simhash64_near_pairs: 4 pieces × 16 bits, pieces 0-1
     # from the low half, 2-3 from the high half; hamming = sum of the two
-    # halves' xor popcounts.
-    return f"""
-    WITH {_simhash64_sig_ctes()},
-    pieced AS (
+    # halves' xor popcounts. ``max_block`` replicates the deterministic
+    # per-(piece, block) smallest-ids truncation, as in _simhash_pairs_oracle.
+    pieced_core = """
       SELECT doc_id, simhash_hi, simhash_lo, g.p AS p,
              CAST(floor((CASE WHEN g.p < 2 THEN simhash_lo ELSE simhash_hi END)
                         / power(2.0, (g.p % 2) * 16)) AS BIGINT) % 65536 AS blk
-      FROM sig CROSS JOIN generate_series(0, 3) AS g(p))
+      FROM sig CROSS JOIN generate_series(0, 3) AS g(p)"""
+    if max_block is None:
+        pieced = f"pieced AS ({pieced_core})"
+    else:
+        pieced = f"""pieced0 AS ({pieced_core}),
+    pieced AS (
+      SELECT doc_id, simhash_hi, simhash_lo, p, blk FROM (
+        SELECT doc_id, simhash_hi, simhash_lo, p, blk,
+               row_number() OVER (PARTITION BY p, blk ORDER BY doc_id) AS rk
+        FROM pieced0)
+      WHERE rk <= {max_block})"""
+    return f"""
+    WITH {_simhash64_sig_ctes()},
+    {pieced}
     SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
            CAST(bit_count(xor(x.simhash_hi, y.simhash_hi))
               + bit_count(xor(x.simhash_lo, y.simhash_lo)) AS INT) AS hamming
@@ -3183,14 +3213,17 @@ def _ann_lsh_oracle(
     """
 
 
+_SIMHASH_MAX_BLOCK = 256  # caps per-block pair work at 256²/2 structs/row
+
+
 @register(
     "simhash_pairs",
     oracle=f"""
     SELECT a, b, hamming, 48 AS sig_bits
-    FROM ({_simhash_pairs_oracle(bits=48, max_hamming=3)})
+    FROM ({_simhash_pairs_oracle(bits=48, max_hamming=3, max_block=_SIMHASH_MAX_BLOCK)})
     UNION ALL
     SELECT a, b, hamming, 64 AS sig_bits
-    FROM ({_simhash64_pairs_oracle(max_hamming=3)})
+    FROM ({_simhash64_pairs_oracle(max_hamming=3, max_block=_SIMHASH_MAX_BLOCK)})
     """,
 )
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3222,11 +3255,24 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     hi/lo), and one explode emits all 8 (leg, piece, block) entries per
     doc. The whole query is a single linear plan — kernel groupBy → piece
     explode → ONE groupBy(leg, piece, block) with local pair explosion —
-    with no union, no checkpoint, and no double execution of anything."""
+    with no union, no checkpoint, and no double execution of anything.
+
+    [r7: the `max_block` hot-block guard is ON in the registered form
+    (256 smallest ids per (leg, piece, block) — the r6 30× smoke OOM'ed
+    the unguarded 48-bit leg, whose 4096-value pieces saturate as the
+    corpus grows; a hot block of B entries emits B²/2 pair structs in one
+    row). The truncation is deterministic (sorted-struct slice ≡ rank
+    window over (piece, block) ordered by doc_id), so both legs' oracles
+    replicate it bit-for-bit and the query stays fully hash-checked. At
+    sf0.01/sf0.1 no block reaches 256, so results are unchanged; at 30×+
+    the cap bounds local pair work instead of OOMing.]"""
     from etl_edi_data_scrapper_spark.functions.dedup import simhash_pairs_multi
 
     return simhash_pairs_multi(
-        _t(spark, sf_dir, "documents"), single_bits=48, max_hamming=3
+        _t(spark, sf_dir, "documents"),
+        single_bits=48,
+        max_hamming=3,
+        max_block=_SIMHASH_MAX_BLOCK,
     )
 
 
