@@ -37,6 +37,23 @@ class UnsupportedFormatError(ValueError):
 _OLE2_MAGIC = b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1"
 
 
+def local_df(spark: SparkSession, rows: list, schema) -> DataFrame:
+    """Driver-parsed staging rows → DataFrame as a JVM LocalTableScan.
+
+    ``spark.createDataFrame(list_of_rows)`` plans a Python-RDD scan — one
+    Python-runner stage PER FRAME at every execution (measured 6x the cost
+    of the whole excel_scan query across its six format legs). Routing the
+    same rows through a pandas frame (positional columns + explicit schema,
+    object dtype so None stays SQL NULL and ints/floats keep their Python
+    types) embeds them as a local relation: zero Python workers at run
+    time, and downstream unions/joins see a plain LocalTableScan."""
+    if not rows:
+        return spark.createDataFrame([], schema)
+    import pandas as pd
+
+    return spark.createDataFrame(pd.DataFrame(rows, dtype=object), schema)
+
+
 def read_parquet(spark: SparkSession, source: str, range_: str | None = None) -> DataFrame:
     return spark.read.parquet(source)
 
@@ -113,7 +130,7 @@ def read_morris_xml(spark: SparkSession, source: str, range_: str | None = None)
                     float(price) if price not in (None, "") else None,
                 )
             )
-    return spark.createDataFrame(rows, MORRIS_SCHEMA)
+    return local_df(spark, rows, MORRIS_SCHEMA)
 
 
 # --- Excel ------------------------------------------------------------------
@@ -398,7 +415,7 @@ def read_excel(spark: SparkSession, source: str, range_: str | None = None) -> D
         if not header:
             continue
         schema = ", ".join(f"`{h}` string" for h in header)
-        frames.append(spark.createDataFrame(rows, schema))
+        frames.append(local_df(spark, rows, schema))
     if not frames:
         raise ValueError(f"no data in excel source {source!r} (range {range_!r})")
     out = frames[0]

@@ -92,7 +92,9 @@ def read_google_sheets(
     if not header:
         raise ValueError(f"sheet {spreadsheet_id!r} range {range_!r} returned no data")
     schema = ", ".join(f"`{h}` string" for h in header)
-    return spark.createDataFrame(rows, schema)
+    from etl_edi_data_scrapper_spark.sources.files import local_df
+
+    return local_df(spark, rows, schema)
 
 
 _EXCEL_MIMES = {
