@@ -22,6 +22,19 @@ Scale shape — the thing to get right at 100 TB:
 
 Determinism: ownership is min(struct(doc_id, pos)) — total order, no
 ties; output text depends only on data, not partitioning.
+
+Stride alignment (the honest limit, and its r7 mitigation): one pass sees
+only spans starting at multiples of ``width``, so boilerplate at a
+shifted offset in some documents escapes. :func:`dedup_spans_multi` runs
+the SAME pass sequentially at several grid offsets (default 0 and
+width/2), each pass re-cutting the previous pass's cleaned text — a
+cheap middle ground short of suffix-array ExactSubstr: per pass still
+only (md5, doc_id, pos) through the wide shuffle, and K passes cost K
+linear pipelines, not K× the text volume. Residual (still honest):
+a grid at offset o only matches occurrences sitting at residue o mod
+width in BOTH documents — a duplicate whose copies start at DIFFERENT
+residues escapes every grid union; full positional invariance needs the
+suffix-array ExactSubstr construction (Lee et al. 2022), out of scope.
 """
 
 from __future__ import annotations
@@ -30,12 +43,15 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def _span_expr(text_col: str, width: int) -> str:
+def _span_expr(text_col: str, width: int, offset: int = 0) -> str:
     """SQL expr producing the array of space-joined word spans of
-    ``width`` tokens (last span may be shorter)."""
+    ``width`` tokens starting at token ``offset`` (last span may be
+    shorter; tokens before ``offset`` belong to no span). A document
+    shorter than ``offset`` yields one empty span — callers exclude
+    ``span = ''`` from hashing AND rebuilding, so it is inert."""
     return (
-        f"transform(sequence(0, greatest(size(split({text_col}, ' ')) - 1, 0) DIV {width}), "
-        f"i -> array_join(slice(split({text_col}, ' '), i * {width} + 1, {width}), ' '))"
+        f"transform(sequence(0, greatest(size(split({text_col}, ' ')) - {offset} - 1, 0) DIV {width}), "
+        f"i -> array_join(slice(split({text_col}, ' '), {offset} + i * {width} + 1, {width}), ' '))"
     )
 
 
@@ -44,10 +60,13 @@ def dedup_spans(
     id_col: str = "doc_id",
     text_col: str = "text",
     width: int = 8,
+    offset: int = 0,
 ) -> DataFrame:
     """Remove every repeated occurrence of any ``width``-word span that
     appears more than once corpus-wide, keeping the first (smallest
-    (doc_id, pos)) occurrence in place.
+    (doc_id, pos)) occurrence in place. ``offset`` shifts the span grid:
+    spans cover tokens [offset + p·width, offset + (p+1)·width); the
+    leading ``offset`` tokens are preserved verbatim.
 
     Returns one row per input document: ``id_col``, ``n_spans``,
     ``n_spans_dropped``, ``clean_text`` (the document with dropped spans
@@ -55,10 +74,14 @@ def dedup_spans(
     """
     spans = docs.select(
         F.col(id_col),
-        F.posexplode(F.expr(_span_expr(text_col, width))).alias("pos", "span"),
+        F.posexplode(F.expr(_span_expr(text_col, width, offset))).alias("pos", "span"),
     )
-    # occurrence table: hash + coordinates only — text never shuffles here
-    occ = spans.select(id_col, "pos", F.md5(F.col("span")).alias("h"))
+    # occurrence table: hash + coordinates only — text never shuffles
+    # here. Empty spans (doc shorter than offset) carry no text and must
+    # not participate in ownership: md5('') collides corpus-wide.
+    occ = spans.filter(F.col("span") != "").select(
+        id_col, "pos", F.md5(F.col("span")).alias("h")
+    )
     owners = occ.groupBy("h").agg(
         F.min(F.struct(F.col(id_col), F.col("pos"))).alias("first_occ"),
         F.count(F.lit(1)).alias("n_occ"),
@@ -75,9 +98,27 @@ def dedup_spans(
         .groupBy(id_col)
         .agg(F.collect_set("pos").alias("__drop_pos"))
     )
+    kept_body = F.array_join(
+        F.filter(
+            "__spans",
+            lambda s, i: (s != "") & ~F.array_contains(F.col("__drop_pos"), i),
+        ),
+        " ",
+    )
+    if offset == 0:
+        rebuilt_text = kept_body
+    else:
+        prefix = F.array_join(
+            F.slice(F.split(F.col(text_col), " "), 1, offset), " "
+        )
+        rebuilt_text = F.when(prefix == "", kept_body).otherwise(
+            F.when(kept_body == "", prefix).otherwise(
+                F.concat(prefix, F.lit(" "), kept_body)
+            )
+        )
     rebuilt = (
         docs.join(drops, id_col, "left")
-        .withColumn("__spans", F.expr(_span_expr(text_col, width)))
+        .withColumn("__spans", F.expr(_span_expr(text_col, width, offset)))
         .select(
             F.col(id_col),
             F.size("__spans").alias("n_spans"),
@@ -87,19 +128,115 @@ def dedup_spans(
             .otherwise(F.size("__drop_pos"))
             .alias("n_spans_dropped"),
             F.when(F.col("__drop_pos").isNull(), F.col(text_col))
-            .otherwise(
-                F.array_join(
-                    F.filter(
-                        "__spans",
-                        lambda _s, i: ~F.array_contains(F.col("__drop_pos"), i),
-                    ),
-                    " ",
-                )
-            )
+            .otherwise(rebuilt_text)
             .alias("clean_text"),
         )
     )
     return rebuilt
+
+
+def dedup_spans_multi(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    width: int = 8,
+    offsets: tuple[int, ...] | None = None,
+) -> DataFrame:
+    """Sequential multi-offset span dedup: pass k re-runs
+    :func:`dedup_spans` on pass k−1's cleaned text with grid offset
+    ``offsets[k]`` — catching boilerplate that sits at a shifted position
+    in some documents (the single-grid pass's documented miss).
+
+    Default offsets: (0, width//2). Returns ``id_col``, ``n_spans`` (the
+    FIRST pass's grid size — comparable to the single-pass contract),
+    ``n_spans_dropped`` (total across all passes), ``clean_text`` (after
+    the last pass). Each pass keeps the proven scale shape; K passes are
+    K chained linear pipelines over shrinking text."""
+    if offsets is None:
+        offsets = (0, width // 2)
+    cur = docs.select(F.col(id_col), F.col(text_col).alias("__t"))
+    acc = None
+    for k, off in enumerate(offsets):
+        out = dedup_spans(cur, id_col=id_col, text_col="__t", width=width, offset=off)
+        cur = out.select(F.col(id_col), F.col("clean_text").alias("__t"))
+        if acc is None:
+            acc = out.select(
+                id_col, "n_spans", F.col("n_spans_dropped").alias("__d")
+            )
+        else:
+            acc = acc.join(
+                out.select(id_col, F.col("n_spans_dropped").alias(f"__d{k}")),
+                id_col,
+            ).select(
+                id_col,
+                "n_spans",
+                (F.col("__d") + F.col(f"__d{k}")).alias("__d"),
+            )
+    return acc.join(cur, id_col).select(
+        id_col,
+        "n_spans",
+        F.col("__d").alias("n_spans_dropped"),
+        F.col("__t").alias("clean_text"),
+    )
+
+
+def _span_pass_ctes(
+    prefix: str,
+    src: str,
+    id_col: str,
+    text_col: str,
+    width: int,
+    offset: int,
+) -> str:
+    """One dedup pass as a chain of CTEs ending in ``{prefix}out``
+    (``id_col``, n_spans, n_spans_dropped, text) — DuckDB replica of
+    :func:`dedup_spans` with the same grid offset, empty-span exclusion
+    and prefix-preserving rebuild."""
+    pref = f"array_to_string(list_slice(t.t, 1, {offset}), ' ')"
+    if offset == 0:
+        clean = "coalesce(r.body, '')"
+    else:
+        clean = f"""CASE WHEN {pref} = '' THEN coalesce(r.body, '')
+                 WHEN r.body IS NULL OR r.body = '' THEN {pref}
+                 ELSE {pref} || ' ' || r.body END"""
+    return f"""
+    {prefix}tok AS (
+      SELECT {id_col}, {text_col} AS __text,
+             string_split({text_col}, ' ') AS t
+      FROM {src}),
+    {prefix}spans AS (
+      SELECT {id_col}, pos,
+             array_to_string(list_slice(t, {offset} + pos * {width} + 1,
+                                        {offset} + pos * {width} + {width}), ' ') AS span
+      FROM (SELECT {id_col}, t,
+                   unnest(range(0, (greatest(len(t) - {offset} - 1, 0) // {width}) + 1)) AS pos
+            FROM {prefix}tok)),
+    {prefix}occ AS (
+      SELECT {id_col}, pos,
+             count(*) OVER (PARTITION BY md5(span)) AS n_occ,
+             row_number() OVER (PARTITION BY md5(span)
+                                ORDER BY {id_col}, pos) AS rn
+      FROM {prefix}spans WHERE span != ''),
+    {prefix}drops AS (
+      SELECT {id_col}, list(pos) AS dp
+      FROM {prefix}occ WHERE n_occ > 1 AND rn > 1 GROUP BY {id_col}),
+    {prefix}rebuilt AS (
+      SELECT s.{id_col},
+             string_agg(s.span, ' ' ORDER BY s.pos)
+               FILTER (WHERE s.span != ''
+                       AND (d.dp IS NULL OR NOT list_contains(d.dp, s.pos))) AS body,
+             count(*) AS n_spans
+      FROM {prefix}spans s LEFT JOIN {prefix}drops d USING ({id_col})
+      GROUP BY s.{id_col}),
+    {prefix}out AS (
+      SELECT t.{id_col},
+             CAST(r.n_spans AS BIGINT) AS n_spans,
+             CAST(coalesce(len(d.dp), 0) AS BIGINT) AS n_spans_dropped,
+             CASE WHEN d.dp IS NULL THEN t.__text
+                  ELSE {clean} END AS text
+      FROM {prefix}tok t
+      JOIN {prefix}rebuilt r USING ({id_col})
+      LEFT JOIN {prefix}drops d USING ({id_col}))"""
 
 
 def span_dedup_oracle_sql(
@@ -107,44 +244,45 @@ def span_dedup_oracle_sql(
     id_col: str = "doc_id",
     text_col: str = "text",
     width: int = 8,
+    offset: int = 0,
     hex_word_sql=None,
 ) -> str:
     """DuckDB oracle for :func:`dedup_spans` — same span windows, same
     first-occurrence ownership, same rebuild, expressed over list
     functions and one window. Column names match the Spark side."""
     return f"""
-    WITH tok AS (
-      SELECT {id_col}, {text_col} AS __text,
-             string_split({text_col}, ' ') AS t
-      FROM {table}),
-    spans AS (
-      SELECT {id_col}, pos,
-             array_to_string(list_slice(t, pos * {width} + 1, pos * {width} + {width}), ' ') AS span
-      FROM (SELECT {id_col}, t,
-                   unnest(range(0, ((len(t) - 1) // {width}) + 1)) AS pos
-            FROM tok)),
-    occ AS (
-      SELECT {id_col}, pos,
-             count(*) OVER (PARTITION BY md5(span)) AS n_occ,
-             row_number() OVER (PARTITION BY md5(span)
-                                ORDER BY {id_col}, pos) AS rn
-      FROM spans),
-    drops AS (
-      SELECT {id_col}, list(pos) AS dp
-      FROM occ WHERE n_occ > 1 AND rn > 1 GROUP BY {id_col}),
-    rebuilt AS (
-      SELECT s.{id_col},
-             string_agg(s.span, ' ' ORDER BY s.pos)
-               FILTER (WHERE d.dp IS NULL OR NOT list_contains(d.dp, s.pos)) AS agg_text,
-             count(*) AS n_spans
-      FROM spans s LEFT JOIN drops d USING ({id_col})
-      GROUP BY s.{id_col})
-    SELECT t.{id_col},
-           CAST(r.n_spans AS BIGINT) AS n_spans,
-           CAST(coalesce(len(d.dp), 0) AS BIGINT) AS n_spans_dropped,
-           CASE WHEN d.dp IS NULL THEN t.__text
-                ELSE coalesce(r.agg_text, '') END AS clean_text
-    FROM tok t
-    JOIN rebuilt r USING ({id_col})
-    LEFT JOIN drops d USING ({id_col})
+    WITH {_span_pass_ctes("sp0", table, id_col, text_col, width, offset)}
+    SELECT {id_col}, n_spans, n_spans_dropped, text AS clean_text
+    FROM sp0out
+    """
+
+
+def span_dedup_multi_oracle_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    width: int = 8,
+    offsets: tuple[int, ...] | None = None,
+) -> str:
+    """DuckDB oracle for :func:`dedup_spans_multi`: the pass CTE chain
+    instantiated once per offset, pass k reading pass k−1's ``out`` CTE —
+    a single WITH statement, no repeated work."""
+    if offsets is None:
+        offsets = (0, width // 2)
+    ctes, src = [], table
+    for k, off in enumerate(offsets):
+        tcol = text_col if k == 0 else "text"
+        ctes.append(_span_pass_ctes(f"sp{k}", src, id_col, tcol, width, off))
+        src = f"sp{k}out"
+    drop_sum = " + ".join(f"sp{k}out.n_spans_dropped" for k in range(len(offsets)))
+    joins = "".join(
+        f"\n    JOIN sp{k}out USING ({id_col})" for k in range(1, len(offsets))
+    )
+    return f"""
+    WITH {",".join(ctes)}
+    SELECT sp0out.{id_col},
+           sp0out.n_spans,
+           CAST({drop_sum} AS BIGINT) AS n_spans_dropped,
+           sp{len(offsets) - 1}out.text AS clean_text
+    FROM sp0out{joins}
     """

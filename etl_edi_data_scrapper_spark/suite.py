@@ -1312,22 +1312,32 @@ _PII_INJECT = (
 
 
 # 16 words = exactly two 8-word spans, so the prefix is span-ALIGNED in
-# every injected document — the boilerplate-header shape (nav chrome,
+# every doc_id%5=0 document — the boilerplate-header shape (nav chrome,
 # license banners) cross-document span dedup exists to catch. The
 # documents table has organic near-dups but few exact aligned spans, so
-# inject deterministically (same literal on both engines).
+# inject deterministically (same literal on both engines). r7 adds the
+# SHIFTED variant: doc_id%5=1 docs get a UNIQUE 4-token lead-in before the
+# same boilerplate, putting it at grid residue 4 — invisible to the
+# aligned pass (every grid span mixes unique prefix or differing text),
+# caught exactly by dedup_spans_multi's offset-4 pass.
 _SPAN_BOILERPLATE = (
     "home about contact privacy terms copyright all rights reserved "
     "site map search login register subscribe newsletter"
 )
 _SPAN_INJECT = (
     f"CASE WHEN doc_id % 5 = 0 THEN concat('{_SPAN_BOILERPLATE} ', text) "
+    "WHEN doc_id % 5 = 1 THEN concat("
+    "'u', CAST(doc_id AS STRING), ' v', CAST(doc_id AS STRING), "
+    "' w', CAST(doc_id AS STRING), ' x', CAST(doc_id AS STRING), "
+    f"' {_SPAN_BOILERPLATE} ', text) "
     "ELSE text END"
 )
 
 
 def _pii_oracle() -> str:
-    from etl_edi_data_scrapper_spark.functions.span_dedup import span_dedup_oracle_sql
+    from etl_edi_data_scrapper_spark.functions.span_dedup import (
+        span_dedup_multi_oracle_sql,
+    )
     from etl_edi_data_scrapper_spark.functions.text import PII_PATTERNS
 
     scrubbed = "injected"
@@ -1338,10 +1348,11 @@ def _pii_oracle() -> str:
         for kind, (pattern, _tag) in PII_PATTERNS.items()
     )
     inject = _PII_INJECT.replace("AS STRING", "AS VARCHAR")
-    span_sql = span_dedup_oracle_sql(table="sfeed", width=8)
+    sinject = _SPAN_INJECT.replace("AS STRING", "AS VARCHAR")
+    span_sql = span_dedup_multi_oracle_sql(table="sfeed", width=8)
     return f"""
     WITH feed AS (SELECT doc_id, {inject} AS injected FROM documents),
-    sfeed AS (SELECT doc_id, {_SPAN_INJECT} AS text FROM documents),
+    sfeed AS (SELECT doc_id, {sinject} AS text FROM documents),
     sp AS (SELECT * FROM ({span_sql}) t),
     scrub AS (
       SELECT doc_id, {scrubbed} AS clean_text,
@@ -1377,15 +1388,19 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the drop path is exercised). The scrub/collapse legs stay
     zero-shuffle; the span leg's wide join moves only (md5, doc_id, pos)
     rows — text shuffles at most once, on the per-doc cut-list join.
-    [r3 consolidation: absorbs the former `repetition_collapse` query;
-    r6: absorbs `span_dedup`.]"""
-    from etl_edi_data_scrapper_spark.functions.span_dedup import dedup_spans
+    r7 upgrades the leg to `dedup_spans_multi` (grid offsets 0 and 4):
+    a second pass over the first pass's cleaned text catches boilerplate
+    at a shared shifted offset — exercised by the doc_id%5=1 injection,
+    whose unique 4-token lead-ins hide the same banner from the aligned
+    grid. [r3 consolidation: absorbs the former `repetition_collapse`
+    query; r6: absorbs `span_dedup`.]"""
+    from etl_edi_data_scrapper_spark.functions.span_dedup import dedup_spans_multi
     from etl_edi_data_scrapper_spark.functions.text import pii_counts, scrub_pii
 
     docs = _t(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism
     )
-    spanned = dedup_spans(
+    spanned = dedup_spans_multi(
         docs.select("doc_id", F.expr(_SPAN_INJECT).alias("text")), width=8
     ).select(
         "doc_id",

@@ -187,3 +187,144 @@ def test_cluster_aware_split_seed_gives_new_assignment(spark):
     b = {r.doc_id: r.split for r in cluster_aware_split(docs, empty, seed=1).collect()}
     assert a != b  # a new seed re-rolls the split (new fold)
     assert set(a) == set(b)
+
+
+# --- multi-offset (r7): shifted boilerplate --------------------------------
+
+
+def _model_spans_off(text: str, width: int, offset: int) -> list[str]:
+    t = text.split(" ")
+    n = max(len(t) - offset - 1, 0) // width
+    return [
+        " ".join(t[offset + i * width : offset + i * width + width])
+        for i in range(n + 1)
+    ]
+
+
+def _model_dedup_off(docs, width: int, offset: int):
+    """dedup_spans with a grid offset: leading `offset` tokens preserved,
+    empty spans inert."""
+    first, counts = {}, {}
+    for doc_id, text in sorted(docs):
+        for pos, span in enumerate(_model_spans_off(text, width, offset)):
+            if span == "":
+                continue
+            counts[span] = counts.get(span, 0) + 1
+            first.setdefault(span, (doc_id, pos))
+    out = {}
+    for doc_id, text in docs:
+        spans = _model_spans_off(text, width, offset)
+        kept = [
+            s for pos, s in enumerate(spans)
+            if s != "" and (counts[s] == 1 or first[s] == (doc_id, pos))
+        ]
+        dropped = sum(
+            1 for pos, s in enumerate(spans)
+            if s != "" and not (counts[s] == 1 or first[s] == (doc_id, pos))
+        )
+        prefix = " ".join(text.split(" ")[:offset])
+        body = " ".join(kept)
+        if dropped == 0:
+            clean = text
+        elif prefix and body:
+            clean = prefix + " " + body
+        else:
+            clean = prefix or body
+        out[doc_id] = (len(spans), dropped, clean)
+    return out
+
+
+def _model_dedup_multi(docs, width: int, offsets):
+    cur = dict(docs)
+    n_spans_first, total_drop = {}, {k: 0 for k, _ in docs}
+    for j, off in enumerate(offsets):
+        res = _model_dedup_off(sorted(cur.items()), width, off)
+        for k, (ns, d, clean) in res.items():
+            if j == 0:
+                n_spans_first[k] = ns
+            total_drop[k] += d
+            cur[k] = clean
+    return {k: (n_spans_first[k], total_drop[k], cur[k]) for k in cur}
+
+
+# docs 10 and 11 both carry the same 4-word boilerplate at token offset 2
+# (a 2-token lead-in — dates, ids — before shared nav chrome): the aligned
+# pass chops it across two grid spans whose other halves differ, so it is
+# invisible at offset 0 and caught exactly by the offset-2 pass. (A pair
+# whose occurrences sit at DIFFERENT residues mod width remains out of
+# reach of any grid union — that residual is suffix-array ExactSubstr
+# territory and stays documented in span_dedup.py.)
+SHIFTED = [
+    (10, "d1 d2 nav home login search alpha beta gamma delta unique"),
+    (11, "xx yy nav home login search umber vermilion wisteria xanthic yolk"),
+    (12, "completely unrelated words that share nothing with the others at all"),
+]
+
+
+def test_offset_pass_matches_python_model(spark):
+    from etl_edi_data_scrapper_spark.functions.span_dedup import dedup_spans
+
+    df = spark.createDataFrame(SHIFTED + CORPUS, "doc_id long, text string")
+    for off in (1, 2, 3):
+        got = {
+            r.doc_id: (r.n_spans, r.n_spans_dropped, r.clean_text)
+            for r in dedup_spans(df, width=4, offset=off).collect()
+        }
+        assert got == _model_dedup_off(SHIFTED + CORPUS, 4, off), f"offset={off}"
+
+
+def test_multi_offset_catches_shifted_duplicate(spark):
+    from etl_edi_data_scrapper_spark.functions.span_dedup import (
+        dedup_spans,
+        dedup_spans_multi,
+    )
+
+    df = spark.createDataFrame(SHIFTED, "doc_id long, text string")
+    single = {r.doc_id: r.n_spans_dropped for r in dedup_spans(df, width=4).collect()}
+    assert single[11] == 0  # aligned pass is blind to the shifted copy
+    multi = {
+        r.doc_id: (r.n_spans_dropped, r.clean_text)
+        for r in dedup_spans_multi(df, width=4, offsets=(0, 2)).collect()
+    }
+    assert multi[11][0] == 1
+    assert "nav home login search" not in multi[11][1]
+    assert multi[11][1].startswith("xx yy ")      # prefix preserved
+    assert "nav home login search" in multi[10][1]  # first occurrence kept
+    assert multi[12] == (0, SHIFTED[2][1])          # doc 12 untouched
+    # model parity for the full contract
+    got = {
+        r.doc_id: (r.n_spans, r.n_spans_dropped, r.clean_text)
+        for r in dedup_spans_multi(df, width=4, offsets=(0, 2)).collect()
+    }
+    assert got == _model_dedup_multi(SHIFTED, 4, (0, 2))
+
+
+def test_multi_offset_duckdb_oracle_parity(spark):
+    import duckdb
+    import pandas as pd
+
+    from etl_edi_data_scrapper_spark.functions.span_dedup import (
+        dedup_spans_multi,
+        span_dedup_multi_oracle_sql,
+    )
+
+    docs = SHIFTED + CORPUS
+    got = sorted(
+        (r.doc_id, r.n_spans, r.n_spans_dropped, r.clean_text)
+        for r in dedup_spans_multi(
+            spark.createDataFrame(docs, "doc_id long, text string"),
+            width=4,
+            offsets=(0, 2),
+        ).collect()
+    )
+    con = duckdb.connect()
+    con.register("docs", pd.DataFrame(docs, columns=["doc_id", "text"]))
+    want = sorted(
+        map(
+            tuple,
+            con.sql(
+                span_dedup_multi_oracle_sql(table="docs", width=4, offsets=(0, 2))
+            ).fetchall(),
+        )
+    )
+    assert got == want
