@@ -66,11 +66,20 @@ def assign_clusters_ivf(
     """
     k = len(centroids)
     n_coarse = max(1, int(round(k ** 0.5)))
-    n_probe = min(n_probe, n_coarse)
     coarse = _kmeans_driver(centroids, n_coarse)
     cells: dict[int, list[int]] = {c: [] for c in range(len(coarse))}
     for i, fc in enumerate(centroids):
         cells[_argmin_driver(fc, coarse)].append(i)
+    # drop EMPTY coarse cells before building the routing expression:
+    # stale/duplicate fine centroids can leave a coarse centroid owning
+    # nothing, and a probe set landing only on empty cells would otherwise
+    # resolve to the -1 sentinel — silently lumping unrelated vectors into
+    # one dedup block. Every fine centroid belongs to some cell, so at
+    # least one survives and every probe now yields a real cluster id.
+    live = [c for c in range(len(coarse)) if cells[c]]
+    coarse = [coarse[c] for c in live]
+    cells = {new: cells[old] for new, old in enumerate(live)}
+    n_probe = max(1, min(n_probe, len(coarse)))
 
     coarse_scored = F.array(
         *[
@@ -174,6 +183,16 @@ def kmeans_fit(
         .collect()
     )
     centroids = [list(map(float, r[0])) for r in init]
+    if not centroids:
+        work.unpersist()
+        raise ValueError(
+            f"kmeans_fit: the fit sample is empty (fit_fraction="
+            f"{fit_fraction!r} over {id_col!r}) — raise fit_fraction or "
+            "fit on the full frame"
+        )
+    # a sparse sample can yield fewer than k init vectors; clamp k so the
+    # update loop never indexes past the centroids it actually has
+    k = min(k, len(centroids))
     for _ in range(n_iters):
         assigned = assign_clusters(work, vec_col, centroids)
         # exact mean: DECIMAL partial sums are associative/order-independent

@@ -89,15 +89,14 @@ def merge_daily_rollup(
     else:
         merged = delta
 
-    # dynamic mode: only partitions PRESENT in `merged` are replaced;
-    # save/restore the session setting rather than leaking it
-    conf = spark.conf
-    prev = conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
-        merged.write.mode("overwrite").partitionBy("day").parquet(rollup_dir)
-    finally:
-        conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    # dynamic mode: only partitions PRESENT in `merged` are replaced.
+    # Set per-write (DataFrameWriter option overrides the session conf)
+    # rather than toggling spark.sql.sources.partitionOverwriteMode
+    # session-globally — a concurrent writer on the same session must not
+    # inherit (or race the restore of) this call's overwrite semantics.
+    merged.write.option("partitionOverwriteMode", "dynamic").mode(
+        "overwrite"
+    ).partitionBy("day").parquet(rollup_dir)
 
 
 def full_rollup(
@@ -159,13 +158,50 @@ def merge_daily_rollup_idempotent(
         )
         .withColumn("batch_id", F.lit(int(batch_id)))
     )
-    conf = spark.conf
-    prev = conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
-        delta.write.mode("overwrite").partitionBy("day", "batch_id").parquet(rollup_dir)
-    finally:
-        conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    # per-write dynamic mode (writer option overrides session conf): safe
+    # under the advertised concurrent foreachBatch wiring — no session-
+    # global toggle to race or leak
+    delta.write.option("partitionOverwriteMode", "dynamic").mode(
+        "overwrite"
+    ).partitionBy("day", "batch_id").parquet(rollup_dir)
+
+
+def run_rollup_stream(
+    stream: DataFrame,
+    rollup_dir: str,
+    checkpoint_dir: str,
+    ts_col: str = "ts",
+    keys: Sequence[str] = ("event_type",),
+    value_col: str = "value",
+):
+    """The DEFAULT serve-loop rollup wiring (r7): a streaming event frame
+    → ``foreachBatch(merge_daily_rollup_idempotent)`` with the stream's
+    REAL batch id, checkpointed — so a crash anywhere between the partial
+    write and the checkpoint commit replays the batch onto its own
+    (day, batch_id) partitions and can never double-count. Read the
+    maintained table with :func:`read_rollup`; fold history offline with
+    ``rollup-compact``. Returns the started StreamingQuery.
+
+    This is the exactly-once counterpart of the bare
+    ``foreachBatch(lambda df, _: merge_daily_rollup(...))`` wiring, which
+    is at-least-once on replay and should only be used behind an upstream
+    exactly-once sink."""
+    spark = stream.sparkSession
+    return (
+        stream.writeStream.foreachBatch(
+            lambda df, bid: merge_daily_rollup_idempotent(
+                spark,
+                rollup_dir,
+                df,
+                bid,
+                ts_col=ts_col,
+                keys=keys,
+                value_col=value_col,
+            )
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
 
 
 def read_rollup(
@@ -204,16 +240,27 @@ def compact_rollup(
         .withColumn("batch_id", F.lit(-1))
     )
     tmp = rollup_dir.rstrip("/") + "__compacting"
+    bak = rollup_dir.rstrip("/") + "__backup"
     compacted.write.mode("overwrite").partitionBy("day", "batch_id").parquet(tmp)
     jpath = spark._jvm.org.apache.hadoop.fs.Path
-    src, dst = jpath(tmp), jpath(rollup_dir)
+    src, dst, bkp = jpath(tmp), jpath(rollup_dir), jpath(bak)
     fs = dst.getFileSystem(spark._jsc.hadoopConfiguration())
     after = spark.read.parquet(tmp).count()
-    if not fs.delete(dst, True):
-        raise IOError(f"compaction could not remove the old rollup at {rollup_dir!r}")
+    # swap via a backup rename, never a delete-then-rename: a crash
+    # between the two renames leaves the live data at __backup (recover by
+    # renaming it back), and the no-rollup-path window shrinks from a full
+    # recursive delete to one atomic-on-HDFS rename
+    fs.delete(bkp, True)  # stale backup from a prior crashed compaction
+    if not fs.rename(dst, bkp):
+        raise IOError(
+            f"compaction could not move the live rollup {rollup_dir!r} "
+            f"aside to {bak!r} — store untouched, compacted data at {tmp!r}"
+        )
     if not fs.rename(src, dst):
+        fs.rename(bkp, dst)  # restore the live store before failing
         raise IOError(
             f"compaction wrote {tmp!r} but could not rename it over "
-            f"{rollup_dir!r} — the compacted rollup is intact at the temp path"
+            f"{rollup_dir!r} — original store restored from backup"
         )
+    fs.delete(bkp, True)
     return before, after

@@ -207,3 +207,86 @@ def test_rollup_maintained_from_a_stream(spark, tmp_path):
     }
     assert got == want
     assert got[("2024-01-01", "view")] == (2, 5.0)
+
+
+def test_serve_loop_rollup_crash_replay_e2e(spark, tmp_path):
+    """run_rollup_stream (the r7 default serve-loop wiring): the rollup
+    store stays exactly-once across an injected crash BETWEEN the partial
+    write and the checkpoint commit — Structured Streaming replays the
+    batch with the same batch_id onto the same (day, batch_id) partitions.
+    """
+    import json as _json
+
+    from etl_edi_data_scrapper_spark.operators.rollup import (
+        full_rollup,
+        merge_daily_rollup_idempotent,
+        read_rollup,
+        run_rollup_stream,
+    )
+
+    src = tmp_path / "events"
+    src.mkdir()
+    out = str(tmp_path / "rollup")
+    ckpt = str(tmp_path / "ckpt")
+
+    def write_batch(name, rows):
+        with open(src / name, "w") as f:
+            for d, h, et, v in rows:
+                f.write(
+                    _json.dumps(
+                        {"ts": f"2024-01-0{d}T0{h}:00:00.000Z", "event_type": et, "value": v}
+                    )
+                    + "\n"
+                )
+
+    schema = "ts timestamp, event_type string, value double"
+    write_batch("b1.jsonl", [(1, 1, "view", 1.5), (2, 1, "click", 2.5)])
+
+    # first run: wrap the SAME merge the helper uses, crashing after the
+    # partial lands but before the checkpoint commits — the worst-case
+    # at-least-once window
+    crashed = {"done": False}
+
+    def crash_after_merge(df, bid):
+        merge_daily_rollup_idempotent(spark, out, df, bid)
+        if not crashed["done"]:
+            crashed["done"] = True
+            raise RuntimeError("injected crash between rollup write and commit")
+
+    q = (
+        spark.readStream.schema(schema).json(str(src))
+        .writeStream.foreachBatch(crash_after_merge)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    except Exception:
+        pass
+    q.stop()
+    assert crashed["done"]
+    # the partial landed but the batch is uncommitted — the dangerous half
+    assert spark.read.parquet(out).count() > 0
+
+    # restart on the SAME checkpoint with the production helper: batch 0
+    # replays, overwrites exactly its own partitions; then feed more data
+    q = run_rollup_stream(
+        spark.readStream.schema(schema).json(str(src)), out, ckpt
+    )
+    try:
+        q.processAllAvailable()
+        write_batch("b2.jsonl", [(1, 2, "view", 3.5), (3, 1, "view", 4.5)])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    events = spark.read.schema(schema).json(str(src))
+    want = {
+        (str(r.day), r.event_type, r.n, float(r.total))
+        for r in full_rollup(events).collect()
+    }
+    got = {
+        (str(r.day), r.event_type, r.n, float(r.total))
+        for r in read_rollup(spark, out).collect()
+    }
+    assert got == want  # crash-replay did not double-count anything

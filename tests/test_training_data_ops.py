@@ -813,3 +813,59 @@ def test_simhash_pairs_multi_max_block_guard(spark):
     assert ids == {0, 1, 2, 3, 4}
     assert len([r for r in capped if r.sig_bits == 48]) == 10
     assert len([r for r in capped if r.sig_bits == 64]) == 10
+
+
+def test_ivf_empty_coarse_cells_never_yield_sentinel(spark):
+    """Duplicate/stale fine centroids can leave coarse cells empty; the
+    routing must drop those cells instead of resolving to cluster -1
+    (which would lump unrelated vectors into one dedup block)."""
+    from etl_edi_data_scrapper_spark.functions.clustering import (
+        assign_clusters,
+        assign_clusters_ivf,
+    )
+
+    # 9 fine centroids, 8 of them identical -> coarse k-means (k=3) leaves
+    # at least one coarse cell owning nothing
+    centroids = [[0.0, 0.0]] * 8 + [[10.0, 10.0]]
+    df = spark.createDataFrame(
+        [(i, [float(i % 3), float(i % 5)]) for i in range(20)]
+        + [(100, [9.0, 9.0])],
+        "vec_id long, embedding array<double>",
+    )
+    got = assign_clusters_ivf(df, "embedding", centroids, n_probe=2).collect()
+    assert all(0 <= r["cluster"] < len(centroids) for r in got)
+    # the far vector must still route to the far centroid, as flat argmin does
+    flat = {
+        r["vec_id"]: r["cluster"]
+        for r in assign_clusters(df, "embedding", centroids).collect()
+    }
+    ivf = {r["vec_id"]: r["cluster"] for r in got}
+    assert ivf[100] == flat[100] == 8
+
+
+def test_kmeans_fit_sample_smaller_than_k_clamps(spark):
+    """fit_fraction sampling can yield fewer than k vectors; the update
+    loop must clamp k to the sample instead of IndexError-ing."""
+    import hashlib
+
+    from etl_edi_data_scrapper_spark.functions.clustering import kmeans_fit
+
+    ids = list(range(20))
+    pct = 5
+    sampled = [
+        i
+        for i in ids
+        if int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % 100 < pct
+    ]
+    assert 0 < len(sampled) < 8  # the precondition this test exists for
+    df = spark.createDataFrame(
+        [(i, [float(i), float(2 * i)]) for i in ids],
+        "vec_id long, embedding array<double>",
+    )
+    centroids, assigned = kmeans_fit(
+        df, k=8, n_iters=2, fit_fraction=pct / 100
+    )
+    assert len(centroids) == len(sampled)
+    rows = assigned.collect()
+    assert len(rows) == len(ids)  # final assignment covers the FULL frame
+    assert all(0 <= r["cluster"] < len(centroids) for r in rows)
