@@ -87,3 +87,57 @@ def test_every_oracle_binds_and_emits_only_canonical_types(con):
         "(HUGEINT/FLOAT/...): wrap in CAST(... AS BIGINT/DOUBLE): "
         f"{bad}"
     )
+
+
+# --- r7: the one remaining hash hazard — raw transcendental doubles --------
+#
+# The HUGEINT rule above guards integer promotion; the float analogue is a
+# DOUBLE output column fed by ln/log/exp: libm last-ulp differences between
+# the JVM and DuckDB would flip the value hash. Suite discipline: every
+# log-derived quantity is floor-quantized to integer micro-nats BEFORE any
+# aggregation (text.py unigram xent, tfidf, DSIR), so a DOUBLE column may
+# coexist with transcendental SQL only when it is a deterministic ratio of
+# PRE-QUANTIZED integers — documented at the query site and allowlisted
+# here. A new entry requires that documentation; a stale entry fails too.
+DOCUMENTED_TRANSCENDENTAL_DOUBLES = {
+    # avg/ratio/quality: single divisions of exact integer counts
+    # (suite.py::_text_quality_oracle; ln appears only in the xent leg,
+    # whose outputs are the BIGINT xent_*_micro columns)
+    "text_quality": {"avg_token_len", "stopword_ratio", "uniq_ratio", "quality"},
+    # weight = sqrt_micro/z_micro, both exact longs (q_domain_mixture
+    # docstring); ln appears only in the DSIR CTEs, quantized to BIGINT
+    # micro-nats before every sum
+    "domain_mixture": {"weight"},
+}
+
+_TRANSCENDENTAL = re.compile(r"\b(ln|log|log2|log10|exp)\s*\(", re.IGNORECASE)
+
+
+def test_no_raw_transcendental_double_reaches_an_oracle_output(con):
+    bad: dict[str, list[str]] = {}
+    stale = dict(DOCUMENTED_TRANSCENDENTAL_DOUBLES)
+    for name, sql in ORACLES.items():
+        if not _TRANSCENDENTAL.search(sql):
+            assert name not in stale, (
+                f"{name} is allowlisted but its oracle no longer uses "
+                "transcendental math — remove the stale entry"
+            )
+            continue
+        rel = con.sql(sql)
+        doubles = {
+            col for col, typ in zip(rel.columns, rel.types) if str(typ) == "DOUBLE"
+        }
+        documented = stale.pop(name, set())
+        assert documented <= doubles, (
+            f"{name}: allowlisted columns {sorted(documented - doubles)} "
+            "no longer exist / are no longer DOUBLE — prune the entry"
+        )
+        undocumented = doubles - documented
+        if undocumented:
+            bad[name] = sorted(undocumented)
+    assert not bad, (
+        "oracle DOUBLE columns in transcendental-math oracles without "
+        "query-site documentation — quantize to integer micro-units before "
+        "aggregating, or document why the value is a deterministic ratio "
+        f"of pre-quantized integers and allowlist: {bad}"
+    )
