@@ -33,7 +33,24 @@ U32 = 2**32
 
 
 def hashed_bucket(gram: Column, n_buckets: int) -> Column:
-    """Feature hash: first md5 word of the gram, mod ``n_buckets``."""
+    """Feature hash: first md5 word of the gram, mod ``n_buckets``.
+
+    Exact fast path for power-of-two ``n_buckets`` = 2^b: the word is
+    Σ c_i·16^(8−i), and 2^b divides 16^c for c ≥ b/4, so the mod depends
+    only on the LAST ceil(b/4) hex chars of the word — 2 substring+instr
+    ops per gram instead of 8 for B=256 (this projection runs over every
+    gram of the corpus; measured on the featurization hot path). Values
+    are bit-identical to the full parse, so oracles are unaffected."""
+    b = n_buckets.bit_length() - 1
+    if n_buckets == 1 << b and 0 < b <= 32:
+        c = -(-b // 4)  # ceil(b/4) trailing hex chars of the 8-char word
+        h = F.md5(gram)
+        v: Column = F.lit(0).cast("long")
+        for k in range(c):
+            from etl_edi_data_scrapper_spark.functions.hashing import hex_val
+
+            v = v * 16 + hex_val(F.substring(h, 8 - c + 1 + k, 1))
+        return v % n_buckets
     return hex_word(F.md5(gram), 1) % n_buckets
 
 
