@@ -171,3 +171,10 @@ def test_dsir_resample_partition_count_stable(spark):
     kept_a = {r["doc_id"] for r in a.collect() if r["dsir_keep"]}
     kept_b = {r["doc_id"] for r in b.collect() if r["dsir_keep"]}
     assert kept_a == kept_b and len(kept_a) == 4
+
+
+def test_dsir_resample_n_keep_exceeding_corpus_keeps_all(spark):
+    src, tgt = _frames(spark)
+    rows = dsir_resample(src, tgt, n_keep=1000, n_buckets=N_BUCKETS).collect()
+    assert len(rows) == len(SOURCE)
+    assert all(r["dsir_keep"] for r in rows)

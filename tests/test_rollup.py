@@ -290,3 +290,39 @@ def test_serve_loop_rollup_crash_replay_e2e(spark, tmp_path):
         for r in read_rollup(spark, out).collect()
     }
     assert got == want  # crash-replay did not double-count anything
+
+
+def test_compact_rollup_cleans_stale_backup_from_prior_crash(spark, tmp_path):
+    """A crash between the two swap renames leaves the live data at
+    __backup; a later compaction must clear any stale backup and still
+    swap correctly (and the view must be unchanged by compaction)."""
+    from etl_edi_data_scrapper_spark.operators.rollup import (
+        compact_rollup,
+        merge_daily_rollup_idempotent,
+        read_rollup,
+    )
+
+    out = str(tmp_path / "rollup")
+    merge_daily_rollup_idempotent(
+        spark, out, _batch(spark, [(1, 1, "view", 1.0), (2, 1, "click", 2.0)]), 0
+    )
+    merge_daily_rollup_idempotent(
+        spark, out, _batch(spark, [(1, 2, "view", 3.0)]), 1
+    )
+    before_view = {
+        (str(r.day), r.event_type, r.n, float(r.total))
+        for r in read_rollup(spark, out).collect()
+    }
+    # plant a stale backup (what a crash between the renames leaves behind)
+    stale = tmp_path / "rollup__backup"
+    stale.mkdir()
+    (stale / "junk.txt").write_text("leftover from a crashed compaction")
+
+    n_before, n_after = compact_rollup(spark, out)
+    assert n_after <= n_before
+    assert not stale.exists()  # stale backup cleared, successful swap cleaned up
+    after_view = {
+        (str(r.day), r.event_type, r.n, float(r.total))
+        for r in read_rollup(spark, out).collect()
+    }
+    assert after_view == before_view
