@@ -180,6 +180,128 @@ def dedup_spans_multi(
     )
 
 
+def dedup_spans_sliding(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    width: int = 8,
+) -> DataFrame:
+    """POSITION-INVARIANT duplicate-span removal — the stride-1 member of
+    the family, and the fixed-minimum-length analogue of suffix-array
+    ExactSubstr (Lee et al. 2022): EVERY ``width``-token sliding window
+    (stride 1, any offset) that occurs more than once corpus-wide is cut
+    from every occurrence except the first (min (doc_id, pos)); a token is
+    dropped when ANY dropped window covers it. Any shared passage of ≥
+    ``width`` tokens therefore vanishes from non-first occurrences at
+    whatever offset it sits — the cross-residue duplicates the grid-based
+    :func:`dedup_spans_multi` documents as out of reach.
+
+    Cost model vs the grid passes: the wide shuffle still carries ONLY
+    (16-byte md5, doc_id, pos) rows, but one per TOKEN instead of one per
+    ``width`` tokens — ~width× the rows. That is the price of positional
+    invariance; text still moves at most once (per-doc drop-position
+    arrays, one array row per affected doc). Ownership of overlapping
+    windows is per-window, so a passage shared by 3+ documents may be
+    partially retained where different windows' first occurrences land in
+    different docs — deterministic (total (doc_id, pos) order), the same
+    raggedness C4's span rule accepts.
+
+    Returns one row per document: ``id_col``, n_tokens,
+    n_tokens_dropped, clean_text. Docs shorter than ``width`` form one
+    whole-doc window (consistent with the grid variants' short-span rule).
+    """
+    t = F.split(F.col(text_col), " ")
+    wins = (
+        f"transform(sequence(0, greatest(size(split({text_col}, ' ')) - {width}, 0)), "
+        f"i -> array_join(slice(split({text_col}, ' '), i + 1, {width}), ' '))"
+    )
+    occ = docs.select(
+        F.col(id_col),
+        F.posexplode(F.expr(wins)).alias("pos", "win"),
+    ).select(id_col, "pos", F.md5(F.col("win")).alias("h"))
+    owners = occ.groupBy("h").agg(
+        F.min(F.struct(F.col(id_col), F.col("pos"))).alias("first_occ"),
+        F.count(F.lit(1)).alias("n_occ"),
+    )
+    drops = (
+        occ.join(owners, "h")
+        .filter(
+            (F.col("n_occ") > 1)
+            & (
+                (F.col(id_col) != F.col(f"first_occ.{id_col}"))
+                | (F.col("pos") != F.col("first_occ.pos"))
+            )
+        )
+        .groupBy(id_col)
+        .agg(F.collect_set("pos").alias("__dp"))
+    )
+    kept = F.filter(
+        t,
+        lambda _tok, i: ~F.exists(
+            F.col("__dp"), lambda p: (p <= i) & (i < p + width)
+        ),
+    )
+    return (
+        docs.join(drops, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.size(t).alias("n_tokens"),
+            F.when(F.col("__dp").isNull(), F.lit(0))
+            .otherwise(F.size(t) - F.size(kept))
+            .alias("n_tokens_dropped"),
+            F.when(F.col("__dp").isNull(), F.col(text_col))
+            .otherwise(F.array_join(kept, " "))
+            .alias("clean_text"),
+        )
+    )
+
+
+def span_dedup_sliding_oracle_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    width: int = 8,
+) -> str:
+    """DuckDB replica of :func:`dedup_spans_sliding`: same stride-1
+    windows, per-window first-occurrence ownership, and covered-token
+    rebuild (1-based list indices: token i is dropped iff some dropped
+    0-based window start p satisfies p+1 ≤ i ≤ p+width)."""
+    return f"""
+    WITH slt AS (
+      SELECT {id_col}, {text_col} AS __text,
+             string_split({text_col}, ' ') AS t
+      FROM {table}),
+    slwin AS (
+      SELECT {id_col}, pos,
+             array_to_string(list_slice(t, pos + 1, pos + {width}), ' ') AS win
+      FROM (SELECT {id_col}, t,
+                   unnest(range(0, greatest(len(t) - {width}, 0) + 1)) AS pos
+            FROM slt)),
+    slocc AS (
+      SELECT {id_col}, pos,
+             count(*) OVER (PARTITION BY md5(win)) AS n_occ,
+             row_number() OVER (PARTITION BY md5(win)
+                                ORDER BY {id_col}, pos) AS rn
+      FROM slwin),
+    sldrops AS (
+      SELECT {id_col}, list(pos) AS dp
+      FROM slocc WHERE n_occ > 1 AND rn > 1 GROUP BY {id_col})
+    SELECT s.{id_col},
+           CAST(len(s.t) AS BIGINT) AS n_tokens,
+           CASE WHEN d.dp IS NULL THEN CAST(0 AS BIGINT)
+                ELSE CAST(len(s.t) - len(list_filter(s.t,
+                       (x, i) -> len(list_filter(d.dp,
+                           p -> p + 1 <= i AND i <= p + {width})) = 0))
+                     AS BIGINT) END AS n_tokens_dropped,
+           CASE WHEN d.dp IS NULL THEN s.__text
+                ELSE coalesce(array_to_string(list_filter(s.t,
+                       (x, i) -> len(list_filter(d.dp,
+                           p -> p + 1 <= i AND i <= p + {width})) = 0), ' '), '')
+                END AS clean_text
+    FROM slt s LEFT JOIN sldrops d USING ({id_col})
+    """
+
+
 def _span_pass_ctes(
     prefix: str,
     src: str,

@@ -1272,8 +1272,20 @@ def q_text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     conditional sums, single shuffle with map-side partials). The join is
     doc_id-equi (the fingerprint side is a narrow projection of the same
     scan). [r3 consolidation: absorbs the former `simhash` query;
-    `simhash_pairs` keeps the near-pair path oracled.]"""
+    `simhash_pairs` keeps the near-pair path oracled.]
+
+    r7 adds the POSITION-INVARIANT span-dedup leg
+    (`span_dedup.dedup_spans_sliding` — the stride-1 /
+    fixed-minimum-length analogue of suffix-array ExactSubstr, closing
+    the cross-residue gap the grid-based `pii_scrub` leg documents): per
+    doc, `exsub_dropped` = tokens removed because an 8-token sliding
+    window they sit in repeats corpus-wide at ANY offset, and
+    `exsub_clean_fp` = md5 of the cleaned text (fingerprint, not the
+    text, through the driver compare). Shuffle rows are one (md5,
+    doc_id, pos) per TOKEN — width× the grid pass, the price of
+    positional invariance; 4.7 % of corpus tokens drop at sf0.1."""
     from etl_edi_data_scrapper_spark.functions.dedup import simhash
+    from etl_edi_data_scrapper_spark.functions.span_dedup import dedup_spans_sliding
     from etl_edi_data_scrapper_spark.functions.text import (
         bpe_token_count,
         rolling_fingerprint,
@@ -1290,7 +1302,12 @@ def q_text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         rolling_fingerprint(F.col("text")).alias("rolling_fp"),
     )
     sig = simhash(docs, bits=32)
-    return fp.join(sig, "doc_id")
+    exsub = dedup_spans_sliding(docs, width=8).select(
+        "doc_id",
+        F.col("n_tokens_dropped").cast("long").alias("exsub_dropped"),
+        F.md5("clean_text").alias("exsub_clean_fp"),
+    )
+    return fp.join(sig, "doc_id").join(exsub, "doc_id")
 
 
 # ---------------------------------------------------------------------------
@@ -2527,12 +2544,23 @@ def _simhash64_pairs_oracle(max_hamming: int = 3, max_block: int | None = None) 
     """
 
 
-ORACLES["text_fingerprints"] = f"""
+def _text_fingerprints_oracle() -> str:
+    from etl_edi_data_scrapper_spark.functions.span_dedup import (
+        span_dedup_sliding_oracle_sql,
+    )
+
+    return f"""
     WITH {_simhash_sig_ctes(32)},
-    fp AS ({_text_fingerprints_select()})
-    SELECT fp.doc_id, fp.bpe_tokens, fp.rolling_fp, sig.simhash
-    FROM fp JOIN sig USING (doc_id)
+    fp AS ({_text_fingerprints_select()}),
+    exsub AS (SELECT * FROM ({span_dedup_sliding_oracle_sql(width=8)}) t)
+    SELECT fp.doc_id, fp.bpe_tokens, fp.rolling_fp, sig.simhash,
+           exsub.n_tokens_dropped AS exsub_dropped,
+           md5(exsub.clean_text) AS exsub_clean_fp
+    FROM fp JOIN sig USING (doc_id) JOIN exsub USING (doc_id)
     """
+
+
+ORACLES["text_fingerprints"] = _text_fingerprints_oracle()
 
 
 @register(

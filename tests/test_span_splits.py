@@ -328,3 +328,108 @@ def test_multi_offset_duckdb_oracle_parity(spark):
         )
     )
     assert got == want
+
+
+# --- stride-1 sliding (r7): position-invariant -----------------------------
+
+
+def _model_sliding(docs, width: int):
+    """Pure-Python dedup_spans_sliding."""
+    wins = {}
+    for doc_id, text in docs:
+        t = text.split(" ")
+        n = max(len(t) - width, 0) + 1
+        wins[doc_id] = [" ".join(t[p : p + width]) for p in range(n)]
+    first, counts = {}, {}
+    for doc_id in sorted(wins):
+        for pos, w in enumerate(wins[doc_id]):
+            counts[w] = counts.get(w, 0) + 1
+            first.setdefault(w, (doc_id, pos))
+    out = {}
+    for doc_id, text in docs:
+        t = text.split(" ")
+        dropped_pos = [
+            pos
+            for pos, w in enumerate(wins[doc_id])
+            if counts[w] > 1 and first[w] != (doc_id, pos)
+        ]
+        covered = set()
+        for p in dropped_pos:
+            covered.update(range(p, p + width))
+        kept = [tok for i, tok in enumerate(t) if i not in covered]
+        clean = text if not dropped_pos else " ".join(kept)
+        out[doc_id] = (len(t), len(t) - len(kept) if dropped_pos else 0, clean)
+    return out
+
+
+# the cross-residue case the grid family CANNOT catch: the same 4-word
+# passage at residue 0 in doc 20 and residue 2 in doc 21 (width=4)
+CROSS_RESIDUE = [
+    (20, "nav home login search alpha beta gamma delta unique tail ten"),
+    (21, "xx yy nav home login search umber vermilion wisteria xanthic yolk"),
+    (22, "completely unrelated words that share nothing with the others at all"),
+]
+
+
+def test_sliding_matches_python_model(spark):
+    from etl_edi_data_scrapper_spark.functions.span_dedup import dedup_spans_sliding
+
+    corpus = CROSS_RESIDUE + CORPUS + SHIFTED
+    # SHIFTED and CROSS_RESIDUE reuse ids? SHIFTED uses 10-12, CROSS 20-22,
+    # CORPUS 0-5 — disjoint.
+    df = spark.createDataFrame(corpus, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_tokens, r.n_tokens_dropped, r.clean_text)
+        for r in dedup_spans_sliding(df, width=4).collect()
+    }
+    assert got == _model_sliding(corpus, 4)
+
+
+def test_sliding_catches_cross_residue_duplicate(spark):
+    from etl_edi_data_scrapper_spark.functions.span_dedup import (
+        dedup_spans_multi,
+        dedup_spans_sliding,
+    )
+
+    df = spark.createDataFrame(CROSS_RESIDUE, "doc_id long, text string")
+    # the grid family misses it even with both offsets
+    multi = {
+        r.doc_id: r.n_spans_dropped
+        for r in dedup_spans_multi(df, width=4, offsets=(0, 2)).collect()
+    }
+    assert multi[21] == 0
+    # the sliding pass cuts the passage out of the later occurrence
+    got = {
+        r.doc_id: (r.n_tokens_dropped, r.clean_text)
+        for r in dedup_spans_sliding(df, width=4).collect()
+    }
+    assert got[21][0] > 0
+    assert "nav home login search" not in got[21][1]
+    assert got[21][1].startswith("xx yy ")
+    assert "nav home login search" in got[20][1]  # first occurrence intact
+    assert got[22] == (0, CROSS_RESIDUE[2][1])    # unrelated doc untouched
+    assert got[20] == (0, CROSS_RESIDUE[0][1])    # first doc loses nothing
+
+
+def test_sliding_duckdb_oracle_parity(spark):
+    import duckdb
+    import pandas as pd
+
+    from etl_edi_data_scrapper_spark.functions.span_dedup import (
+        dedup_spans_sliding,
+        span_dedup_sliding_oracle_sql,
+    )
+
+    corpus = CROSS_RESIDUE + CORPUS
+    got = sorted(
+        (r.doc_id, r.n_tokens, r.n_tokens_dropped, r.clean_text)
+        for r in dedup_spans_sliding(
+            spark.createDataFrame(corpus, "doc_id long, text string"), width=4
+        ).collect()
+    )
+    con = duckdb.connect()
+    con.register("docs", pd.DataFrame(corpus, columns=["doc_id", "text"]))
+    want = sorted(
+        map(tuple, con.sql(span_dedup_sliding_oracle_sql(table="docs", width=4)).fetchall())
+    )
+    assert got == want
