@@ -30,11 +30,15 @@ the SAME pass sequentially at several grid offsets (default 0 and
 width/2), each pass re-cutting the previous pass's cleaned text — a
 cheap middle ground short of suffix-array ExactSubstr: per pass still
 only (md5, doc_id, pos) through the wide shuffle, and K passes cost K
-linear pipelines, not K× the text volume. Residual (still honest):
-a grid at offset o only matches occurrences sitting at residue o mod
-width in BOTH documents — a duplicate whose copies start at DIFFERENT
-residues escapes every grid union; full positional invariance needs the
-suffix-array ExactSubstr construction (Lee et al. 2022), out of scope.
+linear pipelines, not K× the text volume. A grid at offset o only
+matches occurrences sitting at residue o mod width in BOTH documents —
+a duplicate whose copies start at DIFFERENT residues escapes every grid
+union. :func:`dedup_spans_sliding` (r7) closes that last gap for a fixed
+minimum length: stride-1 windows catch shared passages at ANY offset
+pair, at width× the shuffle rows — the ladder is grid (cheapest) →
+multi-offset grid → sliding (positional invariance); what remains beyond
+all three is only variable-minimum-length matching, the full
+suffix-array ExactSubstr construction (Lee et al. 2022).
 """
 
 from __future__ import annotations
