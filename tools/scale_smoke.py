@@ -45,6 +45,7 @@ QUERIES = [
     "tfidf_topk",
     "kmeans",
     "pii_scrub",  # r6: the span-dedup leg is a new shuffle surface
+    "text_fingerprints",  # r7: the sliding exsub leg shuffles one row per token
     "ann_topk",
     "ann_recall",
     "vocab_topk",
