@@ -433,3 +433,39 @@ def test_sliding_duckdb_oracle_parity(spark):
         map(tuple, con.sql(span_dedup_sliding_oracle_sql(table="docs", width=4)).fetchall())
     )
     assert got == want
+
+
+# --- randomized model parity (adversarial small-vocab corpus) ---------------
+
+
+def test_span_family_matches_models_on_random_small_vocab_corpus(spark):
+    """A seeded random corpus over a 4-token vocabulary maximizes window
+    collisions, overlap, within-doc repeats and short docs — every edge
+    the hand corpus can't enumerate. Both the sliding and the multi-offset
+    operators must equal their pure-Python models exactly."""
+    import random
+
+    from etl_edi_data_scrapper_spark.functions.span_dedup import (
+        dedup_spans_multi,
+        dedup_spans_sliding,
+    )
+
+    rng = random.Random(7)
+    vocab = ["a", "b", "c", "d"]
+    corpus = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 12))))
+        for i in range(120)
+    ]
+    df = spark.createDataFrame(corpus, "doc_id long, text string")
+
+    got_slide = {
+        r.doc_id: (r.n_tokens, r.n_tokens_dropped, r.clean_text)
+        for r in dedup_spans_sliding(df, width=3).collect()
+    }
+    assert got_slide == _model_sliding(corpus, 3)
+
+    got_multi = {
+        r.doc_id: (r.n_spans, r.n_spans_dropped, r.clean_text)
+        for r in dedup_spans_multi(df, width=3, offsets=(0, 1, 2)).collect()
+    }
+    assert got_multi == _model_dedup_multi(corpus, 3, (0, 1, 2))
