@@ -46,6 +46,7 @@ QUERIES = [
     "kmeans",
     "pii_scrub",  # r6: the span-dedup leg is a new shuffle surface
     "text_fingerprints",  # r7: the sliding exsub leg shuffles one row per token
+    "domain_mixture",  # r7: the DSIR leg explodes unigram+bigram buckets
     "ann_topk",
     "ann_recall",
     "vocab_topk",
