@@ -160,11 +160,20 @@ def minhash_candidate_pairs(
     n_hashes: int = 12,
     bands: int = 4,
     shingle_n: int = 3,
+    max_bucket: int | None = None,
 ) -> DataFrame:
-    """Distinct candidate pairs (a < b) sharing ≥1 LSH band."""
+    """Distinct candidate pairs (a < b) sharing ≥1 LSH band.
+
+    ``max_bucket`` is `bucket_pairs`' saturation guard: when near-dup
+    FAMILY size grows with the corpus (heavy replication — the regime the
+    r7 100× smoke measured at a super-linear 30×→100× segment), band
+    buckets grow ∝ family size and local pair work ∝ size² per bucket;
+    the guard truncates each bucket to its ``max_bucket`` smallest ids —
+    deterministic (sorted-array slice == a rank window over (band,
+    band_key) ordered by id), so the gate oracle replicates it exactly."""
     sig = minhash_signatures(df, id_col, text_col, n_hashes, shingle_n)
     bk = lsh_band_keys(sig, id_col, n_hashes, bands)
-    return bucket_pairs(bk, id_col, ["band", "band_key"])
+    return bucket_pairs(bk, id_col, ["band", "band_key"], max_bucket=max_bucket)
 
 
 def jaccard_pairs(
@@ -174,15 +183,24 @@ def jaccard_pairs(
     text_col: str = "text",
     shingle_n: int = 3,
     threshold: float = 0.0,
+    broadcast_candidates: bool = True,
 ) -> DataFrame:
     """Exact shingle-set Jaccard for candidate pairs (verification stage).
 
-    The candidate set is BROADCAST (it is small by LSH construction); the
-    shingle frame streams through both joins — it is never shuffled and
-    never built into a hash relation, so the doc scan stays a map-side
-    pass at any corpus size. (Letting the optimizer pick the build side
-    here is wrong-way: size estimates for the shingle projection are
-    garbage, and broadcasting it materializes the whole shingle pipeline.)
+    The candidate set is BROADCAST by default (it is small by LSH
+    construction); the shingle frame streams through both joins — it is
+    never shuffled and never built into a hash relation, so the doc scan
+    stays a map-side pass at any corpus size. (Letting the optimizer pick
+    the build side here is wrong-way: size estimates for the shingle
+    projection are garbage, and broadcasting it materializes the whole
+    shingle pipeline.)
+
+    ``broadcast_candidates=False`` is the DENSE-DUPLICATION escape hatch:
+    when every document has many genuine near-dups (heavy replication —
+    the r7 100× smoke regime), the candidate set grows ∝ corpus ×
+    family-size and no longer fits a broadcast; this flips both joins to
+    shuffle joins on the id keys instead. The result is identical — pick
+    by candidate volume, not semantics.
     """
     # widen the doc scan first: a compact corpus file yields few input
     # splits, and without this the whole shingle computation runs on ONE
@@ -190,7 +208,9 @@ def jaccard_pairs(
     df = df.repartition(df.sparkSession.sparkContext.defaultParallelism, id_col)
     sh = df.select(F.col(id_col), shingles(text_col, shingle_n).alias("sh"))
     sa, sb = sh.alias("sa"), sh.alias("sb")
-    pairs = F.broadcast(pairs.alias("p"))
+    pairs = pairs.alias("p")
+    if broadcast_candidates:
+        pairs = F.broadcast(pairs)
     inter = F.size(F.array_intersect(F.col("sa.sh"), F.col("sb.sh")))
     union = F.size(F.col("sa.sh")) + F.size(F.col("sb.sh")) - inter
     return (

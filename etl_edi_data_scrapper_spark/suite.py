@@ -860,7 +860,12 @@ def _sql_hex_word(h: str, start: int) -> str:
     return v
 
 
-def _minhash_oracle(n_hashes: int = 12, bands: int = 4) -> str:
+_LSH_MAX_BUCKET = 256  # caps per-band-bucket pair work at 256²/2
+
+
+def _minhash_oracle(
+    n_hashes: int = 12, bands: int = 4, max_bucket: int | None = None
+) -> str:
     rows = n_hashes // bands
     hs = ", ".join(
         f"min((w1 + {j} * w2) % 4294967296) AS h{j}" for j in range(n_hashes)
@@ -871,6 +876,21 @@ def _minhash_oracle(n_hashes: int = 12, bands: int = 4) -> str:
         + ") AS band_key FROM sig"
         for b in range(bands)
     )
+    # max_bucket replicates bucket_pairs' deterministic truncation: each
+    # (band, band_key) bucket keeps only its max_bucket smallest doc_ids
+    # (engine: sorted-array slice ≡ this rank window), so the guard-on
+    # candidate set is bit-identical on both engines.
+    if max_bucket is None:
+        bands_cte = f"bands AS ({band_rows})"
+    else:
+        bands_cte = f"""bands0 AS ({band_rows}),
+    bands AS (
+      SELECT doc_id, band, band_key FROM (
+        SELECT doc_id, band, band_key,
+               row_number() OVER (PARTITION BY band, band_key
+                                  ORDER BY doc_id) AS rk
+        FROM bands0)
+      WHERE rk <= {max_bucket})"""
     sh = _SQL_SHINGLES.format(t="t")
     return f"""
     WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
@@ -879,7 +899,7 @@ def _minhash_oracle(n_hashes: int = 12, bands: int = 4) -> str:
     words AS (SELECT doc_id, {_sql_hex_word("h", 1)} AS w1,
                      {_sql_hex_word("h", 9)} AS w2 FROM ex),
     sig AS (SELECT doc_id, {hs} FROM words GROUP BY doc_id),
-    bands AS ({band_rows}),
+    {bands_cte},
     cand AS (
       SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
       FROM bands l JOIN bands r ON l.band = r.band AND l.band_key = r.band_key
@@ -908,7 +928,7 @@ def _dedup_clusters_oracle(
     bucket = _sql_hex_word(f"md5('{seed}:' || CAST({canon} AS VARCHAR))", 1)
     return f"""
     WITH RECURSIVE pairs AS (
-      SELECT a, b FROM ({_minhash_oracle()}) t WHERE jaccard >= {threshold}
+      SELECT a, b FROM ({_minhash_oracle(max_bucket=_LSH_MAX_BUCKET)}) t WHERE jaccard >= {threshold}
     ),
     edges AS (
       SELECT a AS src, b AS dst FROM pairs
@@ -956,7 +976,9 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_edi_data_scrapper_spark.functions.splits import cluster_aware_split
 
     docs = _t(spark, sf_dir, "documents")
-    cand = minhash_candidate_pairs(docs, n_hashes=12, bands=4)
+    cand = minhash_candidate_pairs(
+        docs, n_hashes=12, bands=4, max_bucket=_LSH_MAX_BUCKET
+    )
     verified = jaccard_pairs(docs, cand).filter(F.col("jaccard") >= 0.5)
     comps = connected_components(verified)
     return cluster_aware_split(docs, comps).select(
@@ -1027,7 +1049,9 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = _t(spark, sf_dir, "documents")
-    cand = minhash_candidate_pairs(docs, n_hashes=12, bands=4)
+    cand = minhash_candidate_pairs(
+        docs, n_hashes=12, bands=4, max_bucket=_LSH_MAX_BUCKET
+    )
     lsh = jaccard_pairs(docs, cand)
 
     slice40 = docs.filter(F.col("doc_id") < 40)
@@ -1066,7 +1090,7 @@ _NGRAM_ALLPAIRS_ORACLE = f"""
     """
 
 ORACLES["minhash_lsh"] = f"""
-    SELECT 'lsh' AS leg, a, b, jaccard AS score FROM ({_minhash_oracle()}) t
+    SELECT 'lsh' AS leg, a, b, jaccard AS score FROM ({_minhash_oracle(max_bucket=_LSH_MAX_BUCKET)}) t
     UNION ALL
     SELECT 'allpairs' AS leg, a, b, jaccard AS score
     FROM ({_NGRAM_ALLPAIRS_ORACLE}) t

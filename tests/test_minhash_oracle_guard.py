@@ -1,0 +1,69 @@
+"""Oracle parity for the LSH max_bucket truncation guard WHEN IT BINDS —
+the minhash analogue of tests/test_simhash_oracle_guard.py. The gate
+corpus never fills a band bucket past 256, so the driver exercises the
+guard-on oracle only in its no-op regime; this test builds a hot-bucket
+corpus (a family of near-identical docs that collide in every band) and
+pins engine == DuckDB with a cap small enough to bind. Also covers the
+broadcast_candidates=False shuffle-join path (identical results).
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+
+from etl_edi_data_scrapper_spark.functions.dedup import (
+    jaccard_pairs,
+    minhash_candidate_pairs,
+)
+from etl_edi_data_scrapper_spark.suite import _minhash_oracle
+
+# one 30-member near-dup family (identical text -> identical signatures ->
+# every band bucket holds all 30) + distinct background docs
+_DOCS = [
+    (i, "the quick brown fox jumps over the lazy dog again and again")
+    for i in range(30)
+] + [
+    (100 + i, f"background document number {i} with its own distinct words {i * 3}")
+    for i in range(8)
+]
+
+
+def _oracle_pairs(max_bucket):
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame(_DOCS, columns=["doc_id", "text"]))
+    sql = f"SELECT a, b FROM ({_minhash_oracle(max_bucket=max_bucket)}) t"
+    return sorted(map(tuple, con.sql(sql).fetchall()))
+
+
+def _engine_pairs(spark, max_bucket):
+    df = spark.createDataFrame(_DOCS, "doc_id long, text string")
+    cand = minhash_candidate_pairs(df, n_hashes=12, bands=4, max_bucket=max_bucket)
+    return sorted((r.a, r.b) for r in cand.collect())
+
+
+def test_lsh_guard_binding_matches_oracle(spark):
+    unguarded = _engine_pairs(spark, None)
+    guarded = _engine_pairs(spark, 4)
+    assert len(guarded) < len(unguarded)  # the cap must actually bind
+    assert set(guarded) <= set(unguarded)
+    # truncation keeps the smallest ids: the 4-member head of the family
+    assert (0, 1) in guarded and (28, 29) not in guarded
+    assert guarded == _oracle_pairs(4)
+
+
+def test_lsh_guard_nonbinding_is_identity(spark):
+    assert _engine_pairs(spark, 10_000) == _engine_pairs(spark, None)
+    assert _oracle_pairs(10_000) == _oracle_pairs(None)
+
+
+def test_jaccard_shuffle_join_path_matches_broadcast(spark):
+    df = spark.createDataFrame(_DOCS, "doc_id long, text string")
+    cand = minhash_candidate_pairs(df, n_hashes=12, bands=4, max_bucket=4)
+    via_broadcast = sorted(
+        tuple(r) for r in jaccard_pairs(df, cand, broadcast_candidates=True).collect()
+    )
+    via_shuffle = sorted(
+        tuple(r) for r in jaccard_pairs(df, cand, broadcast_candidates=False).collect()
+    )
+    assert via_broadcast == via_shuffle and via_broadcast
