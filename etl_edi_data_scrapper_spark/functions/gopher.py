@@ -1,0 +1,187 @@
+"""Gopher-style repetition quality filters (Rae et al. 2021, "Scaling
+Language Models: Methods, Analysis & Insights from Training Gopher",
+table A1): documents dominated by repeated n-grams are low-quality
+training data, and the published filter drops a document when
+
+  * the single most frequent {2,3,4}-gram covers more than
+    {20%, 18%, 16%} of its characters (only when it actually repeats —
+    count >= 2, the public DataTrove reading, which otherwise penalizes
+    short unique documents for a single occurrence), or
+  * characters covered by ANY duplicated {5..10}-gram exceed
+    {15% .. 10%}.
+
+Everything here is a chain of narrow per-row projections — the shape a
+100 TB quality pass wants: tokenize once, sort each n-gram array once,
+then fold. ZERO shuffles, zero Python; the whole block pipelines with
+the scan.
+
+Implementation constraint that shaped the API: Spark's higher-order
+functions (`transform`/`filter`/`aggregate`) are CodegenFallback — they
+run interpreted, with NO common-subexpression elimination, and any
+non-trivial expression referenced inside a lambda body is re-evaluated
+PER ARRAY ELEMENT. A membership test like `array_contains(<sorted+
+deduped array expr>, x)` inside a `filter` lambda therefore re-sorts the
+array once per position — quadratic per row. So this module materializes
+each expensive intermediate (token array, gram-sorted struct array) as a
+real column in its own projection, and every lambda body references only
+column attributes and its own lambda variables; that is why the public
+API is the DataFrame transform :func:`add_gopher_features` rather than
+free-standing Column expressions. (Each helper column is also referenced
+more than once downstream, which keeps Catalyst's CollapseProject from
+inlining it back into a lambda body.)
+
+Two deliberate, documented departures from the paper's letter:
+
+  * top-n-gram coverage is char-exact (occurrences × gram char length /
+    total chars, the paper's definition), but DUPLICATED-n-gram coverage
+    is measured over TOKENS (fraction of token positions lying under at
+    least one occurrence of a duplicated n-gram, overlap counted once)
+    rather than characters — char-weighting would need a per-token
+    prefix-sum array that the HOFs can only build quadratically; on
+    whitespace tokenization the two measures track each other closely.
+  * the line/paragraph duplicate rules are omitted: this corpus has no
+    newlines (and the rules are the same machinery as
+    `functions/span_dedup.py` at line granularity).
+
+All fractions are pre-quantized to integer micro-units (`* 1_000_000
+DIV total`) so the DuckDB oracle compares exact integers, never
+engine-rounded doubles — the suite's standing discipline.
+
+Determinism: the top gram tiebreak (equal counts) picks the
+lexicographically smallest gram — the run-length fold over the
+gram-sorted array here and the oracle's `ORDER BY cnt DESC, gram ASC`
+land on the same winner, so `count × length(gram)` is well-defined even
+under ties.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# published Gopher thresholds, in micro-units
+TOP_NGRAM_MAX_MICRO = {2: 200_000, 3: 180_000, 4: 160_000}
+DUP_NGRAM_MAX_MICRO = {5: 150_000, 6: 140_000, 7: 130_000, 8: 120_000, 9: 110_000, 10: 100_000}
+
+GOPHER_FEATURE_COLS = (
+    "top2_frac_micro",
+    "top3_frac_micro",
+    "top4_frac_micro",
+    "dup5_cov_micro",
+    "dup10_cov_micro",
+    "gopher_keep",
+)
+
+
+def _sorted_grams(toks: str, n: int) -> str:
+    """SQL: (gram, pos) structs for every ``n``-token gram of the token
+    ARRAY COLUMN ``toks``, sorted by gram then pos. The lambda touches
+    only the column attribute — evaluated per element, but each slice is
+    O(n) on an already-materialized array. Empty when the doc is shorter
+    than ``n`` tokens (sequence() would run descending)."""
+    return (
+        f"IF(size({toks}) < {n}, "
+        f"CAST(array() AS array<struct<g string, p bigint>>), "
+        f"array_sort(transform(sequence(0, size({toks}) - {n}), "
+        f"i -> struct(array_join(slice({toks}, i + 1, {n}), ' ') AS g, "
+        f"CAST(i AS BIGINT) AS p))))"
+    )
+
+
+def _top_fold(sp: str) -> str:
+    """SQL: run-length fold over the gram-sorted struct column ``sp`` →
+    struct(best gram, bestrun). Equal grams are adjacent after the sort,
+    so the most frequent gram is the longest run; strict `>` keeps the
+    FIRST maximal run = the lexicographically smallest winner."""
+    return (
+        f"aggregate({sp}, "
+        f"named_struct('prev', '', 'run', 0L, 'best', '', 'bestrun', 0L), "
+        f"(acc, x) -> named_struct("
+        f"  'prev', x.g, "
+        f"  'run', IF(x.g = acc.prev, acc.run + 1L, 1L), "
+        f"  'best', IF(IF(x.g = acc.prev, acc.run + 1L, 1L) > acc.bestrun, x.g, acc.best), "
+        f"  'bestrun', greatest(IF(x.g = acc.prev, acc.run + 1L, 1L), acc.bestrun)))"
+    )
+
+
+def _dup_positions(sp: str) -> str:
+    """SQL: ascending start positions of grams occurring >= 2x, read off
+    the gram-sorted struct column ``sp``: element j is duplicated iff its
+    gram equals a neighbor's in sorted order. element_at on a column
+    attribute is O(1) per probe — no per-element recomputation."""
+    return (
+        f"IF(size({sp}) < 1, CAST(array() AS array<bigint>), "
+        f"array_sort(filter(transform(sequence(1, size({sp})), "
+        f"j -> IF((j > 1 AND element_at({sp}, j).g = element_at({sp}, j - 1).g) "
+        f"     OR (j < size({sp}) AND element_at({sp}, j).g = element_at({sp}, j + 1).g), "
+        f"element_at({sp}, j).p, NULL)), x -> x IS NOT NULL)))"
+    )
+
+
+def _covered_fold(dp: str, n: int) -> str:
+    """SQL: union length of the intervals [p, p+n-1] over the ascending
+    duplicated start positions ``dp`` — each interval contributes only
+    the tokens past the running end, so overlap counts once."""
+    return (
+        f"aggregate({dp}, named_struct('e', -1L, 'tot', 0L), "
+        f"(acc, i) -> named_struct("
+        f"  'e', greatest(acc.e, i + {n - 1}L), "
+        f"  'tot', acc.tot + greatest(0L, (i + {n - 1}L) "
+        f"         - greatest(i, acc.e + 1L) + 1L))).tot"
+    )
+
+
+def add_gopher_features(
+    df: DataFrame,
+    text_col: str = "text",
+    top_ns: tuple[int, ...] = (2, 3, 4),
+    dup_ns: tuple[int, ...] = (5, 10),
+) -> DataFrame:
+    """Add the repetition feature block to ``df``: ``top{n}_frac_micro``
+    (BIGINT micro-fraction of characters covered by the most frequent
+    ``n``-gram, 0 unless it repeats) for each ``top_ns``,
+    ``dup{n}_cov_micro`` (BIGINT micro-fraction of token positions under
+    any duplicated ``n``-gram, overlap once) for each ``dup_ns``, and the
+    combined published-threshold verdict ``gopher_keep``. Three chained
+    narrow projections (tokens → sorted gram arrays → folds); helper
+    columns are dropped."""
+    toks = "__gopher_toks"
+    out = df.withColumn(toks, F.expr(f"split({text_col}, ' ')"))
+    sp_cols = {}
+    for n in sorted(set(top_ns) | set(dup_ns)):
+        sp_cols[n] = f"__gopher_sp{n}"
+        out = out.withColumn(sp_cols[n], F.expr(_sorted_grams(toks, n)))
+    # materialize each top fold as its own column: the feature arithmetic
+    # references it three times, and an inline fold would run three times
+    # per row (HOFs are interpreted — nothing deduplicates them)
+    tf_cols = {}
+    for n in top_ns:
+        tf_cols[n] = f"__gopher_tf{n}"
+        out = out.withColumn(tf_cols[n], F.expr(_top_fold(sp_cols[n])))
+
+    feats: dict[str, F.Column] = {}
+    keep = F.lit(True)
+    for n in top_ns:
+        fold = tf_cols[n]
+        c = F.expr(
+            f"CASE WHEN size({toks}) < {n} OR {fold}.bestrun < 2 THEN 0L ELSE "
+            f"{fold}.bestrun * CAST(length({fold}.best) AS BIGINT) * 1000000L "
+            f"DIV greatest(CAST(length({text_col}) AS BIGINT), 1L) END"
+        )
+        feats[f"top{n}_frac_micro"] = c
+        keep = keep & (c <= F.lit(TOP_NGRAM_MAX_MICRO[n]))
+    for n in dup_ns:
+        c = F.expr(
+            f"CASE WHEN size({toks}) < {max(n, 2)} THEN 0L ELSE "
+            f"{_covered_fold(_dup_positions(sp_cols[n]), n)} * 1000000L "
+            f"DIV CAST(size({toks}) AS BIGINT) END"
+        )
+        feats[f"dup{n}_cov_micro"] = c
+        keep = keep & (c <= F.lit(DUP_NGRAM_MAX_MICRO[n]))
+    feats["gopher_keep"] = keep
+
+    out = out.select(
+        *[F.col(c) for c in df.columns],
+        *[c.alias(k) for k, c in feats.items()],
+    )
+    return out

@@ -765,10 +765,20 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     to micro-nats before exact long-sum averaging, the perplexity-filter
     modality) and the exact-dedup group stats (`functions/dedup.py::
     exact_dedup`: shuffle on the 16-byte fingerprint, never the text).
+
+    r7 adds the Gopher repetition filter block (`functions/gopher.py`,
+    Rae et al. 2021 table A1): top-{2,3,4}-gram char coverage,
+    duplicated-{5,10}-gram token coverage (interval-union, overlap
+    counted once), and the published-threshold `gopher_keep` verdict —
+    all pre-quantized integer micro-fractions, computed as per-row
+    sorted-array folds inside the same zero-shuffle projection as the
+    quality features (the oracle re-states them relationally:
+    explode → per-(doc,gram) counts → rank / gaps-and-islands union).
     [r3 consolidation: absorbs the former `lang_id` query; r5: absorbs
     `unigram_xent` and `dedup_exact` to fit the driver's 50-query
     correctness cap — every leg's values stay hash-checked.]"""
     from etl_edi_data_scrapper_spark.functions.dedup import exact_dedup
+    from etl_edi_data_scrapper_spark.functions.gopher import add_gopher_features
     from etl_edi_data_scrapper_spark.functions.text import (
         fingerprint,
         lang_id,
@@ -777,20 +787,28 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         unigram_cross_entropy,
     )
 
-    docs = _t(spark, sf_dir, "documents")
-    feats = quality_features(F.col("text"))
-    quality = docs.select(
-        "doc_id",
-        "lang",
-        lang_id(F.col("text")).alias("lang_pred"),
-        fingerprint(F.col("text")).alias("fingerprint"),
-        feats["n_chars"].alias("n_chars"),
-        feats["n_tokens"].alias("n_tokens"),
-        feats["avg_token_len"].alias("avg_token_len"),
-        feats["stopword_ratio"].alias("stopword_ratio"),
-        feats["uniq_ratio"].alias("uniq_ratio"),
-        quality_score(F.col("text")).alias("quality"),
+    # local parallelism: the sf0.1 parquet reads as ONE split, which would
+    # serialize the (cheap but now wider) per-row feature block; at real
+    # scale the scan has thousands of splits and no repartition is needed
+    docs = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
     )
+    feats = quality_features(F.col("text"))
+    quality = add_gopher_features(
+        docs.select(
+            "doc_id",
+            "lang",
+            "text",
+            lang_id(F.col("text")).alias("lang_pred"),
+            fingerprint(F.col("text")).alias("fingerprint"),
+            feats["n_chars"].alias("n_chars"),
+            feats["n_tokens"].alias("n_tokens"),
+            feats["avg_token_len"].alias("avg_token_len"),
+            feats["stopword_ratio"].alias("stopword_ratio"),
+            feats["uniq_ratio"].alias("uniq_ratio"),
+            quality_score(F.col("text")).alias("quality"),
+        )
+    ).drop("text")
     xent = unigram_cross_entropy(docs).select(
         "doc_id", "xent_sum_micro", "xent_milli", F.col("keep").alias("xent_keep")
     )
@@ -801,14 +819,89 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id", "lang", "lang_pred", "fingerprint", "n_chars", "n_tokens",
             "avg_token_len", "stopword_ratio", "uniq_ratio", "quality",
+            "top2_frac_micro", "top3_frac_micro", "top4_frac_micro",
+            "dup5_cov_micro", "dup10_cov_micro", "gopher_keep",
             "xent_sum_micro", "xent_milli", "xent_keep", "canonical_id", "n_dups",
         )
     )
 
 
+def _sql_gopher_ctes(top_ns=(2, 3, 4), dup_ns=(5, 10)) -> tuple[str, str, str]:
+    """DuckDB replica of functions/gopher.py, stated RELATIONALLY (the
+    Spark side is a per-row fold; the oracle is explode → count → rank /
+    gaps-and-islands interval union — independent formulations, same
+    integers). Returns (ctes, select_cols, join_clauses); composes with
+    the text_quality oracle's `tok` CTE (t = string_split(text, ' '))."""
+    ctes, cols, joins = [], [], []
+    for n in top_ns:
+        g, w = f"t{n}", n - 1
+        ctes.append(
+            f"""{g}g AS (
+      SELECT doc_id, unnest(list_transform(
+        generate_series(1, greatest(len(t) - {w}, 0)),
+        i -> array_to_string(t[i:i+{w}], ' '))) AS gram FROM tok),
+    {g}c AS (SELECT doc_id, gram, count(*) AS cnt FROM {g}g GROUP BY doc_id, gram),
+    {g}b AS (
+      SELECT doc_id, cnt * length(gram) AS cov,
+             row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, gram ASC) AS rn
+      FROM {g}c WHERE cnt >= 2),
+    {g}t AS (SELECT doc_id, cov FROM {g}b WHERE rn = 1)"""
+        )
+        cols.append(
+            f"CAST(coalesce({g}t.cov, 0) * 1000000 // greatest(q.n_chars, 1) AS BIGINT)"
+            f" AS top{n}_frac_micro"
+        )
+        joins.append(f"LEFT JOIN {g}t ON {g}t.doc_id = q.doc_id")
+    for n in dup_ns:
+        g, w = f"d{n}", n - 1
+        ctes.append(
+            f"""{g}g AS (
+      SELECT doc_id,
+             unnest(generate_series(1, greatest(len(t) - {w}, 0))) - 1 AS pos,
+             unnest(list_transform(
+               generate_series(1, greatest(len(t) - {w}, 0)),
+               i -> array_to_string(t[i:i+{w}], ' '))) AS gram
+      FROM tok),
+    {g}d AS (
+      SELECT doc_id, pos FROM (
+        SELECT doc_id, pos, count(*) OVER (PARTITION BY doc_id, gram) AS cnt
+        FROM {g}g) WHERE cnt >= 2),
+    {g}o AS (
+      SELECT doc_id, pos,
+             max(pos + {w}) OVER (PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pe
+      FROM {g}d),
+    {g}c AS (
+      SELECT doc_id,
+             sum(greatest(0, (pos + {w}) - greatest(pos, coalesce(pe, -1) + 1) + 1))
+               AS covered
+      FROM {g}o GROUP BY doc_id)"""
+        )
+        cols.append(
+            f"CAST(coalesce({g}c.covered, 0) * 1000000 // q.n_tokens AS BIGINT)"
+            f" AS dup{n}_cov_micro"
+        )
+        joins.append(f"LEFT JOIN {g}c ON {g}c.doc_id = q.doc_id")
+    from etl_edi_data_scrapper_spark.functions.gopher import (
+        DUP_NGRAM_MAX_MICRO,
+        TOP_NGRAM_MAX_MICRO,
+    )
+
+    keep_terms = [
+        f"coalesce(t{n}t.cov, 0) * 1000000 // greatest(q.n_chars, 1) <= {TOP_NGRAM_MAX_MICRO[n]}"
+        for n in top_ns
+    ] + [
+        f"coalesce(d{n}c.covered, 0) * 1000000 // q.n_tokens <= {DUP_NGRAM_MAX_MICRO[n]}"
+        for n in dup_ns
+    ]
+    cols.append("(" + " AND ".join(keep_terms) + ") AS gopher_keep")
+    return ",\n    ".join(ctes), ", ".join(cols), " ".join(joins)
+
+
 def _text_quality_oracle() -> str:
     from etl_edi_data_scrapper_spark.functions.text import LANG_STOPWORDS
 
+    gopher_ctes, gopher_cols, gopher_joins = _sql_gopher_ctes()
     scores = ", ".join(
         f"{_sql_lang_score(w)} AS s_{lang}" for lang, w in sorted(LANG_STOPWORDS.items())
     )
@@ -838,13 +931,17 @@ def _text_quality_oracle() -> str:
       SELECT md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fingerprint,
              min(doc_id) AS canonical_id,
              count(*) AS n_dups
-      FROM documents GROUP BY 1)
+      FROM documents GROUP BY 1),
+    {gopher_ctes}
     SELECT q.doc_id, q.lang, q.lang_pred, q.fingerprint, q.n_chars, q.n_tokens,
            q.avg_token_len, q.stopword_ratio, q.uniq_ratio, q.quality,
+           {gopher_cols},
            xm.xent_sum_micro, xm.xent_milli,
            xm.xent_milli BETWEEN 2000 AND 6000 AS xent_keep,
            grp.canonical_id, grp.n_dups
-    FROM q JOIN xm USING (doc_id) JOIN grp USING (fingerprint)
+    FROM q JOIN xm ON xm.doc_id = q.doc_id
+      JOIN grp ON grp.fingerprint = q.fingerprint
+      {gopher_joins}
     """
 
 
