@@ -715,18 +715,38 @@ def embedding_near_pairs(
     vec_col: str = "embedding",
     block_col: str | None = "label",
     threshold: float = 0.95,
+    max_block: int | None = None,
 ) -> DataFrame:
     """Near-duplicate vectors by cosine ≥ threshold.
 
     Blocked all-pairs within `block_col` (cluster id, shard, LSH bucket —
     see similarity.hyperplane_lsh_buckets for hash-derived blocks when no
     natural one exists). The equi-join on the block key keeps the pair count
-    at Σ block² instead of N²."""
+    at Σ block² instead of N².
+
+    ``max_block`` is the saturation guard of the bucket_pairs/simhash
+    family: when duplication density makes a block grow with the corpus
+    (every member near-identical to every other), block² work and OUTPUT
+    both go quadratic. The guard deterministically truncates each block to
+    its ``max_block`` smallest ids before the self-join (rank window —
+    same shuffle key as the join, so AQE reuses the exchange), capping
+    per-block work at max_block²/2. The truncation rule is
+    oracle-expressible verbatim (QUALIFY row_number() OVER (PARTITION BY
+    block ORDER BY id) <= max_block)."""
     cols = [F.col(id_col), F.col(vec_col)] + ([F.col(block_col)] if block_col else [F.lit(0).alias("__blk")])
     blk = block_col or "__blk"
     # norms once per vector (N), not per pair (N²); aliased self-join so
     # both sides share one subplan (shuffle computed once)
     base = df.select(*cols).withColumn("__nrm", norm_expr(F.col(vec_col)))
+    if max_block is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(blk).orderBy(F.col(id_col))
+        base = (
+            base.withColumn("__rk", F.row_number().over(w))
+            .filter(F.col("__rk") <= int(max_block))
+            .drop("__rk")
+        )
     a, b = base.alias("ea"), base.alias("eb")
     sim = dot_expr(F.col(f"ea.{vec_col}"), F.col(f"eb.{vec_col}")) / (
         F.col("ea.__nrm") * F.col("eb.__nrm")

@@ -30,18 +30,24 @@ free-standing Column expressions. (Each helper column is also referenced
 more than once downstream, which keeps Catalyst's CollapseProject from
 inlining it back into a lambda body.)
 
-Two deliberate, documented departures from the paper's letter:
+Both coverage families are char-exact (the paper's definition):
+top-n-gram coverage is occurrences × gram char length / total chars, and
+duplicated-n-gram coverage is the fraction of CHARACTERS lying under at
+least one occurrence of a duplicated n-gram, overlap counted once —
+including the inter-token spaces inside an occurrence's span but not the
+space between two merely-abutting occurrences. The naive char-weighting
+needs a per-token char-offset prefix-sum array, which HOFs can only
+build quadratically (array append copies); this module instead runs ONE
+linear fold over all token positions that merge-walks the ascending
+duplicated-start array with an O(1) pointer (`acc.k`) — per element it
+advances the pointer, extends the running covered-end, and accumulates
+`length(token)` plus the preceding space when covered. O(L) per row,
+still zero shuffle.
 
-  * top-n-gram coverage is char-exact (occurrences × gram char length /
-    total chars, the paper's definition), but DUPLICATED-n-gram coverage
-    is measured over TOKENS (fraction of token positions lying under at
-    least one occurrence of a duplicated n-gram, overlap counted once)
-    rather than characters — char-weighting would need a per-token
-    prefix-sum array that the HOFs can only build quadratically; on
-    whitespace tokenization the two measures track each other closely.
-  * the line/paragraph duplicate rules are omitted: this corpus has no
-    newlines (and the rules are the same machinery as
-    `functions/span_dedup.py` at line granularity).
+One deliberate, documented departure from the paper's letter: the
+line/paragraph duplicate rules are omitted — this corpus has no newlines
+(and the rules are the same machinery as `functions/span_dedup.py` at
+line granularity).
 
 All fractions are pre-quantized to integer micro-units (`* 1_000_000
 DIV total`) so the DuckDB oracle compares exact integers, never
@@ -118,16 +124,32 @@ def _dup_positions(sp: str) -> str:
     )
 
 
-def _covered_fold(dp: str, n: int) -> str:
-    """SQL: union length of the intervals [p, p+n-1] over the ascending
-    duplicated start positions ``dp`` — each interval contributes only
-    the tokens past the running end, so overlap counts once."""
+def _char_covered_fold(dp: str, toks: str, n: int) -> str:
+    """SQL: CHARACTERS covered by the union of occurrences [p, p+n-1]
+    over the ascending duplicated start positions in COLUMN ``dp`` —
+    overlap counted once, inter-token spaces counted when inside an
+    occurrence's span (abutting occurrences do NOT cover the space
+    between them). One linear fold over every token position ``j``:
+    ``acc.k`` merge-walks ``dp`` (both ascend, so the probe is O(1)
+    ``element_at``), ``acc.e`` is the running covered end in token
+    coordinates, and the space before token ``j`` is covered exactly
+    when the PRE-update ``acc.e`` already reaches ``j`` (some start
+    <= j-1 spans both j-1 and j). ``dp`` and ``toks`` MUST be
+    materialized columns — both are probed inside the lambda, and an
+    inline expression would re-evaluate per element (module header)."""
+    is_start = f"(IF(acc.k <= size({dp}), element_at({dp}, acc.k), -2L) = CAST(j AS BIGINT))"
+    e_new = f"IF({is_start}, greatest(acc.e, CAST(j AS BIGINT) + {n - 1}L), acc.e)"
     return (
-        f"aggregate({dp}, named_struct('e', -1L, 'tot', 0L), "
-        f"(acc, i) -> named_struct("
-        f"  'e', greatest(acc.e, i + {n - 1}L), "
-        f"  'tot', acc.tot + greatest(0L, (i + {n - 1}L) "
-        f"         - greatest(i, acc.e + 1L) + 1L))).tot"
+        f"aggregate(sequence(0, size({toks}) - 1), "
+        f"named_struct('k', 1, 'e', -1L, 'chars', 0L), "
+        f"(acc, j) -> named_struct("
+        f"  'k', acc.k + IF({is_start}, 1, 0), "
+        f"  'e', {e_new}, "
+        f"  'chars', acc.chars "
+        f"    + IF(acc.e >= CAST(j AS BIGINT), 1L, 0L) "
+        f"    + IF({e_new} >= CAST(j AS BIGINT), "
+        f"         CAST(length(element_at({toks}, j + 1)) AS BIGINT), 0L))"
+        f").chars"
     )
 
 
@@ -140,8 +162,9 @@ def add_gopher_features(
     """Add the repetition feature block to ``df``: ``top{n}_frac_micro``
     (BIGINT micro-fraction of characters covered by the most frequent
     ``n``-gram, 0 unless it repeats) for each ``top_ns``,
-    ``dup{n}_cov_micro`` (BIGINT micro-fraction of token positions under
-    any duplicated ``n``-gram, overlap once) for each ``dup_ns``, and the
+    ``dup{n}_cov_micro`` (BIGINT micro-fraction of CHARACTERS under any
+    duplicated ``n``-gram occurrence, overlap once) for each ``dup_ns``,
+    and the
     combined published-threshold verdict ``gopher_keep``. Three chained
     narrow projections (tokens → sorted gram arrays → folds); helper
     columns are dropped."""
@@ -171,10 +194,14 @@ def add_gopher_features(
         feats[f"top{n}_frac_micro"] = c
         keep = keep & (c <= F.lit(TOP_NGRAM_MAX_MICRO[n]))
     for n in dup_ns:
+        # materialize the ascending dup-start array: the char fold probes
+        # it inside its lambda, so it must be a column attribute
+        dp_col = f"__gopher_dp{n}"
+        out = out.withColumn(dp_col, F.expr(_dup_positions(sp_cols[n])))
         c = F.expr(
             f"CASE WHEN size({toks}) < {max(n, 2)} THEN 0L ELSE "
-            f"{_covered_fold(_dup_positions(sp_cols[n]), n)} * 1000000L "
-            f"DIV CAST(size({toks}) AS BIGINT) END"
+            f"{_char_covered_fold(dp_col, toks, n)} * 1000000L "
+            f"DIV greatest(CAST(length({text_col}) AS BIGINT), 1L) END"
         )
         feats[f"dup{n}_cov_micro"] = c
         keep = keep & (c <= F.lit(DUP_NGRAM_MAX_MICRO[n]))

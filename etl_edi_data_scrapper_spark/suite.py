@@ -852,6 +852,18 @@ def _sql_gopher_ctes(top_ns=(2, 3, 4), dup_ns=(5, 10)) -> tuple[str, str, str]:
             f" AS top{n}_frac_micro"
         )
         joins.append(f"LEFT JOIN {g}t ON {g}t.doc_id = q.doc_id")
+    # per-token char offsets (0-based start + length), shared by every
+    # dup-n family: cs(i) = sum of (len + 1 space) over prior tokens —
+    # exact because split-on-' '/join-with-' ' is an inverse pair, so the
+    # source text IS the tokens joined by single spaces
+    ctes.append(
+        """tkcs AS (
+      SELECT doc_id, i - 1 AS pos,
+             coalesce(sum(length(t[i]) + 1) OVER (PARTITION BY doc_id ORDER BY i
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cs,
+             length(t[i]) AS tl
+      FROM (SELECT doc_id, t, unnest(generate_series(1, len(t))) AS i FROM tok))"""
+    )
     for n in dup_ns:
         g, w = f"d{n}", n - 1
         ctes.append(
@@ -866,19 +878,24 @@ def _sql_gopher_ctes(top_ns=(2, 3, 4), dup_ns=(5, 10)) -> tuple[str, str, str]:
       SELECT doc_id, pos FROM (
         SELECT doc_id, pos, count(*) OVER (PARTITION BY doc_id, gram) AS cnt
         FROM {g}g) WHERE cnt >= 2),
+    {g}i AS (
+      SELECT d.doc_id, a.cs AS cs, b.cs + b.tl - 1 AS ce
+      FROM {g}d d
+      JOIN tkcs a ON a.doc_id = d.doc_id AND a.pos = d.pos
+      JOIN tkcs b ON b.doc_id = d.doc_id AND b.pos = d.pos + {w}),
     {g}o AS (
-      SELECT doc_id, pos,
-             max(pos + {w}) OVER (PARTITION BY doc_id ORDER BY pos
+      SELECT doc_id, cs, ce,
+             max(ce) OVER (PARTITION BY doc_id ORDER BY cs
                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pe
-      FROM {g}d),
+      FROM {g}i),
     {g}c AS (
       SELECT doc_id,
-             sum(greatest(0, (pos + {w}) - greatest(pos, coalesce(pe, -1) + 1) + 1))
+             sum(greatest(0, ce - greatest(cs, coalesce(pe, -1) + 1) + 1))
                AS covered
       FROM {g}o GROUP BY doc_id)"""
         )
         cols.append(
-            f"CAST(coalesce({g}c.covered, 0) * 1000000 // q.n_tokens AS BIGINT)"
+            f"CAST(coalesce({g}c.covered, 0) * 1000000 // greatest(q.n_chars, 1) AS BIGINT)"
             f" AS dup{n}_cov_micro"
         )
         joins.append(f"LEFT JOIN {g}c ON {g}c.doc_id = q.doc_id")
@@ -891,7 +908,8 @@ def _sql_gopher_ctes(top_ns=(2, 3, 4), dup_ns=(5, 10)) -> tuple[str, str, str]:
         f"coalesce(t{n}t.cov, 0) * 1000000 // greatest(q.n_chars, 1) <= {TOP_NGRAM_MAX_MICRO[n]}"
         for n in top_ns
     ] + [
-        f"coalesce(d{n}c.covered, 0) * 1000000 // q.n_tokens <= {DUP_NGRAM_MAX_MICRO[n]}"
+        f"coalesce(d{n}c.covered, 0) * 1000000 // greatest(q.n_chars, 1)"
+        f" <= {DUP_NGRAM_MAX_MICRO[n]}"
         for n in dup_ns
     ]
     cols.append("(" + " AND ".join(keep_terms) + ") AS gopher_keep")
@@ -2684,26 +2702,41 @@ def _text_fingerprints_oracle() -> str:
 ORACLES["text_fingerprints"] = _text_fingerprints_oracle()
 
 
-@register(
-    "embed_neardup",
-    oracle=f"""
+def _embed_neardup_oracle(max_block: int | None = 256) -> str:
+    guard = (
+        f"QUALIFY row_number() OVER (PARTITION BY label ORDER BY vec_id) <= {max_block}"
+        if max_block is not None
+        else ""
+    )
+    return f"""
     WITH nv AS (
       SELECT vec_id, label, embedding, {_SQL_NORM.format(v="embedding")} AS nrm
-      FROM embeddings)
+      FROM embeddings {guard})
     SELECT a.vec_id AS a, b.vec_id AS b,
            {_SQL_DOT.format(a="a.embedding", b="b.embedding")} / (a.nrm * b.nrm) AS cosine
     FROM nv a JOIN nv b ON a.label = b.label AND a.vec_id < b.vec_id
     WHERE {_SQL_DOT.format(a="a.embedding", b="b.embedding")} / (a.nrm * b.nrm) >= 0.3
-    """,
-)
+    """
+
+
+@register("embed_neardup", oracle=_embed_neardup_oracle(max_block=256))
 def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs: label-blocked all-pairs + cosine filter
     (Σ block² pairs, not N²; hash-derived blocks when no natural key —
-    functions.similarity.hyperplane_signature)."""
+    functions.similarity.hyperplane_signature). Registered guard-ON
+    (max_block=256, same discipline as the simhash/LSH composites): the
+    cap is non-binding at the gate SFs (max label block = 59 at sf0.01 /
+    218 at sf0.1) but bounds the duplication-density blowup the 100×
+    rotation exposed — at 100× every block is ~21,800 near-identical
+    vectors, so unguarded block² work AND output pairs grow ×10,000.
+    The truncation is re-derived exactly in the oracle (QUALIFY rank)."""
     from etl_edi_data_scrapper_spark.functions.dedup import embedding_near_pairs
 
     return embedding_near_pairs(
-        _t(spark, sf_dir, "embeddings"), block_col="label", threshold=0.3
+        _t(spark, sf_dir, "embeddings"),
+        block_col="label",
+        threshold=0.3,
+        max_block=256,
     )
 
 

@@ -30,16 +30,25 @@ def model_top(text: str, n: int) -> int:
 
 
 def model_dup(text: str, n: int) -> int:
+    # char-space union: an occurrence at token i covers the chars of
+    # tokens i..i+n-1 INCLUDING the spaces between them (the occurrence's
+    # contiguous substring of text); abutting occurrences do not cover
+    # the space separating them
     t = text.split(" ")
     if len(t) < max(n, 2):
         return 0
     grams = [" ".join(t[i : i + n]) for i in range(len(t) - n + 1)]
     dup = {g for g, c in Counter(grams).items() if c >= 2}
+    cs = []
+    off = 0
+    for tok in t:
+        cs.append(off)
+        off += len(tok) + 1
     covered: set[int] = set()
     for i, g in enumerate(grams):
         if g in dup:
-            covered.update(range(i, i + n))
-    return len(covered) * 1_000_000 // len(t)
+            covered.update(range(cs[i], cs[i + n - 1] + len(t[i + n - 1])))
+    return len(covered) * 1_000_000 // max(len(text), 1)
 
 
 def _spark_feats(spark, texts):
@@ -113,9 +122,20 @@ def test_features_compile_to_zero_shuffle_projection(spark):
 
 
 def test_dup_coverage_counts_overlap_once(spark):
-    # 'a a a a a a' : every 5-gram is 'a a a a a' (x2) — all 6 tokens covered
+    # 'a a a a a a' : every 5-gram is 'a a a a a' (x2) — overlapping
+    # occurrences cover the whole text, chars counted once
     rows = _spark_feats(spark, ["a a a a a a"])
     assert rows[0]["dup5_cov_micro"] == 1_000_000
+
+
+def test_dup_coverage_abutting_occurrences_skip_the_separating_space(spark):
+    # 'a b c d e a b c d e': the repeated 5-gram occurs at tokens 0 and 5 —
+    # the two occurrences abut, and the space between token 4 and token 5
+    # belongs to NEITHER occurrence's substring: 18 of 19 chars covered
+    text = "a b c d e a b c d e"
+    rows = _spark_feats(spark, [text])
+    assert rows[0]["dup5_cov_micro"] == 18 * 1_000_000 // 19
+    assert rows[0]["dup5_cov_micro"] == model_dup(text, 5)
 
 
 def test_long_documents_stay_linear(spark):
