@@ -164,6 +164,14 @@ def kmeans_fit(
     assignment sees every row) — stable under reruns and repartitioning,
     unlike ``df.sample``.
     """
+    # small-file inputs (one parquet footer under maxPartitionBytes) read
+    # as a SINGLE partition, which serializes the interpreted k×dim argmin
+    # — the expensive term exactly when k is large. Repartition only when
+    # the scan is narrower than the pool: a no-op at real scale (a 100 TB
+    # corpus has partitions ≫ cores), a 32× rescue on small inputs.
+    sc = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() < sc.defaultParallelism:
+        df = df.repartition(sc.defaultParallelism)
     # the iteration re-reads df n_iters+2 times (init, updates, final
     # assignment) — cache the projected columns once; Spark spills cached
     # partitions at scale, and only (id, vec) is held, not the full row
@@ -175,6 +183,14 @@ def kmeans_fit(
         work = work.filter(
             hex_word(F.md5(F.col(id_col).cast("string")), 1) % 100 < pct
         )
+        # the filtered sample inherits the scan's partitioning and AQE
+        # happily coalesces it to ~1 partition — which serializes every
+        # Lloyd's pass (the interpreted k×dim argmin is the expensive
+        # part precisely when fit_fraction is in play, i.e. k is large).
+        # One tiny shuffle of the sample rows buys full-pool parallelism;
+        # values are unaffected (init is md5-ordered, means are
+        # associative DECIMAL sums — both partitioning-independent).
+        work = work.repartition(work.sparkSession.sparkContext.defaultParallelism)
     work = work.persist()
     init = (
         work.orderBy(F.md5(F.col(id_col).cast("string")))
@@ -265,6 +281,11 @@ def semantic_dedup(
             df, vec_col=vec_col, k=k, n_iters=n_iters, id_col=id_col,
             fit_fraction=fit_fraction,
         )
+        # same small-input guard as kmeans_fit: the routed assignment is
+        # the O(N·√k) term — never run it on fewer partitions than cores
+        sc = df.sparkSession.sparkContext
+        if df.rdd.getNumPartitions() < sc.defaultParallelism:
+            df = df.repartition(sc.defaultParallelism)
         assigned = assign_clusters_ivf(df, vec_col, centroids, n_probe=ivf_probe)
     else:
         _, assigned = kmeans_fit(

@@ -178,6 +178,31 @@ def time_neardup_increment(spark, sf_dir: str, work_dir: str) -> float:
     return round(best, 3)
 
 
+def time_semdedup_scaledk(spark, sf_dir: str, k: int, fit_fraction, ivf_probe) -> float:
+    """SemDeDup is excluded from the per-query smoke BY DESIGN: with k
+    FIXED, within-cluster pair work grows quadratically in cluster size —
+    the paper's contract is k ∝ N so clusters stay constant-size, which
+    the suite query (gate-exact, knobs off) cannot exercise. This leg
+    measures the contract as deployed at scale: base = suite defaults
+    (k=8, exact flat assignment) on sf0.1; scaled = k×factor with the r6
+    web-scale knobs ON (fit_fraction=1/factor → Lloyd's on a
+    ~constant-size md5 sample; ivf_probe=4 → O(√k + probe·k/√k) routed
+    assignment). A sub-linear ratio is the measured proof that the knobs
+    deliver the paper's k-scaling. min-of-2, noop sink, like time_query."""
+    from etl_edi_data_scrapper_spark.functions.clustering import semantic_dedup
+
+    def run() -> float:
+        df = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        t0 = time.perf_counter()
+        semantic_dedup(
+            df, k=k, fit_fraction=fit_fraction, ivf_probe=ivf_probe
+        ).write.format("noop").mode("overwrite").save()
+        return time.perf_counter() - t0
+
+    run()  # warm
+    return round(min(run() for _ in range(2)), 3)
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--factor", type=int, default=10)
@@ -200,14 +225,18 @@ def main() -> None:
 
     if args.only:
         selected = [q for q in args.only.split(",") if q]
-        unknown = [q for q in selected if q not in ALL]
+        unknown = [q for q in selected if q not in ALL and q != "semdedup_scaledk"]
         if unknown:
             ap.error(f"unknown queries: {unknown}")
-        run_queries = [q for q in selected if q != "neardup_increment"]
+        run_queries = [
+            q for q in selected if q not in ("neardup_increment", "semdedup_scaledk")
+        ]
         run_neardup = "neardup_increment" in selected
+        run_semdedup = "semdedup_scaledk" in selected
     else:
         run_queries = QUERIES
         run_neardup = True
+        run_semdedup = False
 
     report: dict[str, dict[str, float]] = {}
     for name in run_queries:
@@ -239,6 +268,22 @@ def main() -> None:
         print(
             f"# neardup_increment: {nd_base}s -> {nd_scaled}s "
             f"(x{report['neardup_increment']['ratio']})",
+            file=sys.stderr,
+        )
+
+    if run_semdedup:
+        sd_base = time_semdedup_scaledk(spark, BASE_SF, 8, None, None)
+        sd_scaled = time_semdedup_scaledk(
+            spark, out_dir, 8 * args.factor, 1.0 / args.factor, 4
+        )
+        report["semdedup_scaledk"] = {
+            "base": sd_base,
+            "scaled": sd_scaled,
+            "ratio": round(sd_scaled / sd_base, 2) if sd_base > 0 else None,
+        }
+        print(
+            f"# semdedup_scaledk: {sd_base}s -> {sd_scaled}s "
+            f"(x{report['semdedup_scaledk']['ratio']})",
             file=sys.stderr,
         )
 
