@@ -3032,8 +3032,14 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interval join via bucket-explode + broadcast equi-join
     (operators/range_join.py): lineitems shipped inside each sampled
     order's 7-day window. The naive theta-join is a nested-loop cross
-    product; here the fact side is never even shuffled."""
-    from etl_edi_data_scrapper_spark.operators.range_join import interval_join
+    product. Because the requested aggregates (count, sum) are
+    decomposable, the fact table is first collapsed to one partial row
+    per ship DAY (bounded by the calendar, constant in corpus size) and
+    only the day table meets the intervals — without this the join
+    intermediate is O(|fact| x intervals-per-bucket), which grows
+    quadratically with corpus on a fixed time axis (measured: killed
+    after 25 CPU-minutes at 100x; sub-second with pre-aggregation)."""
+    from etl_edi_data_scrapper_spark.operators.range_join import interval_join_preagg
 
     day = 86_400_000_000  # µs
     iv = (
@@ -3048,13 +3054,17 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     fact = _t(spark, sf_dir, "lineitem").select(
         "l_quantity", F.expr(f"unix_micros(cast(l_shipdate as timestamp)) div {day}").alias("ship_day")
     )
-    j = interval_join(
+    j = interval_join_preagg(
         fact, iv, "ship_day", "s_day", "e_day", bucket_width=7,
+        partial_aggs=[
+            F.count(F.lit(1)).alias("pn"),
+            F.sum(F.col("l_quantity").cast("decimal(14,2)")).alias("pq"),
+        ],
         broadcast_intervals=True,
     )
     agg = j.groupBy("o_orderkey").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum(F.col("l_quantity").cast("decimal(14,2)")).alias("q"),
+        F.sum("pn").alias("n"),
+        F.sum("pq").alias("q"),
     )
     return (
         iv.select("o_orderkey")

@@ -49,3 +49,45 @@ def test_broadcast_plan_never_shuffles_fact(spark):
     # the only exchange is the broadcast of the (small) interval side
     assert "Exchange hashpartitioning" not in plan
     assert out.count() == 1000 // 100 * (20 + 10)  # 10 ids/t × (20+10 ts)
+
+
+def test_preagg_matches_plain_join_then_aggregate(spark):
+    """interval_join_preagg + combine == interval_join + direct aggregate,
+    including intervals that overlap each other (a tick feeding several
+    intervals) and ticks shared by many facts."""
+    from etl_edi_data_scrapper_spark.operators.range_join import interval_join_preagg
+
+    facts = [(i, i % 25, float(i % 7)) for i in range(200)]
+    f = spark.createDataFrame(facts, "fid long, t long, v double")
+    iv = spark.createDataFrame(
+        [(1, 0, 10), (2, 5, 15), (3, 14, 15), (4, 20, 40), (5, 3, 3)],
+        "iid long, s long, e long",
+    )
+    plain = (
+        interval_join(f, iv, "t", "s", "e", 10)
+        .groupBy("iid")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("sv"))
+    )
+    pre = (
+        interval_join_preagg(
+            f, iv, "t", "s", "e", 10,
+            partial_aggs=[F.count(F.lit(1)).alias("pn"), F.sum("v").alias("pv")],
+        )
+        .groupBy("iid")
+        .agg(F.sum("pn").alias("n"), F.sum("pv").alias("sv"))
+    )
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, pre.collect()))
+
+
+def test_preagg_fact_side_is_tick_count_not_fact_count(spark):
+    """The joined intermediate carries one row per (tick, interval) pair —
+    fact cardinality only enters the first groupBy."""
+    from etl_edi_data_scrapper_spark.operators.range_join import interval_join_preagg
+
+    f = spark.range(10_000).select((F.col("id") % 5).alias("t"))
+    iv = spark.createDataFrame([(1, 0, 5), (2, 0, 5)], "iid long, s long, e long")
+    j = interval_join_preagg(
+        f, iv, "t", "s", "e", 5, partial_aggs=[F.count(F.lit(1)).alias("pn")]
+    )
+    assert j.count() == 5 * 2  # ticks x intervals, not 10k x 2
+    assert j.agg(F.sum("pn")).collect()[0][0] == 10_000 * 2
