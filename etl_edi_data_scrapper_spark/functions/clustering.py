@@ -317,3 +317,101 @@ def semantic_dedup(
             (F.coalesce("_n", F.lit(0)) == 0).alias("keep"),
         )
     )
+
+
+def prototype_prune(
+    assigned: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    cluster_col: str = "cluster",
+    keep_frac: float = 0.5,
+    hardest: bool = True,
+    coarse_width: int = 1 << 20,
+) -> DataFrame:
+    """Prototype-based data pruning (Sorscher et al. 2022, "Beyond neural
+    scaling laws"): score each example by squared distance to its assigned
+    cluster centroid (the self-supervised prototype metric) and keep the
+    ``keep_frac`` HARDEST (farthest — the abundant-data regime) or easiest
+    (nearest — the scarce-data regime, ``hardest=False``) per cluster.
+    Adds ``dist_micro`` (floor(1e6 * squared distance) — arithmetic only,
+    no transcendental, so cross-engine bit-stable) and boolean
+    ``proto_keep``. Selection is exact: the keep set equals rank <=
+    ceil(keep_frac * cluster_n) under the total order
+    (dist desc-or-asc, id asc).
+
+    Scale shape — per-cluster top-fraction WITHOUT a per-cluster sort: a
+    window over ``cluster`` has parallelism k and sorts N/k rows per task,
+    the classic skew cliff when k is small. Instead:
+
+      1. one narrow projection computes the distance (chained CASE on the
+         assigned id — only the matched branch evaluates),
+      2. one groupBy((cluster, dist_micro div coarse_width)) count — the
+         coarse histogram, at most k x (value range / width) rows,
+         collected to the driver (bounded by the VALUE RANGE, not N),
+      3. the per-cluster cumulative walk on the driver yields, per
+         cluster, the boundary bucket and its remaining slots; every row
+         outside its boundary bucket is decided by a literal CASE,
+      4. only boundary-bucket rows (≈ N / (k x buckets)) pay an exact
+         rank window, partitioned by cluster AND restricted to that thin
+         slice.
+
+    The union of (3) and (4) reproduces the full-sort spec exactly because
+    the coarse bucket is a monotone function of the rank key.
+    """
+    import math
+
+    from pyspark.sql import Window
+
+    dist = F.lit(None).cast("double")
+    for i, c in enumerate(centroids):
+        dist = F.when(F.col(cluster_col) == i, _sqdist(F.col(vec_col), c)).otherwise(dist)
+    df = assigned.withColumn(
+        "dist_micro", F.floor(dist * F.lit(1_000_000.0)).cast("long")
+    ).withColumn("__coarse", F.floor(F.col("dist_micro") / F.lit(coarse_width)))
+
+    hist = df.groupBy(cluster_col, "__coarse").count().collect()
+    by_cluster: dict = {}
+    for r in hist:
+        by_cluster.setdefault(r[cluster_col], []).append((r["__coarse"], r["count"]))
+    # boundary[c] = (boundary bucket, slots left inside it); None = keep all
+    boundary: dict = {}
+    for c, buckets in by_cluster.items():
+        n = sum(cnt for _, cnt in buckets)
+        n_keep = int(math.ceil(keep_frac * n))
+        cum = 0
+        boundary[c] = None
+        for b, cnt in sorted(buckets, reverse=hardest):
+            if cum + cnt >= n_keep:
+                boundary[c] = (b, n_keep - cum)
+                break
+            cum += cnt
+        # n_keep >= n leaves boundary None only when the loop exhausted
+        # without reaching n_keep — possible solely for keep_frac >= 1
+
+    b_case = F.lit(None).cast("long")
+    r_case = F.lit(0).cast("long")
+    for c, bnd in boundary.items():
+        if bnd is None:
+            continue
+        b_case = F.when(F.col(cluster_col) == c, F.lit(bnd[0])).otherwise(b_case)
+        r_case = F.when(F.col(cluster_col) == c, F.lit(bnd[1])).otherwise(r_case)
+    df = df.withColumn("__b", b_case).withColumn("__r", r_case)
+
+    outside = (
+        F.col("__b").isNull()  # keep_frac >= 1: whole cluster keeps
+        | (F.col("__coarse") > F.col("__b") if hardest else F.col("__coarse") < F.col("__b"))
+    )
+    on_boundary = F.col("__b").isNotNull() & (F.col("__coarse") == F.col("__b"))
+    rest = df.filter(~on_boundary).withColumn("proto_keep", outside)
+    order = (
+        [F.desc("dist_micro"), F.asc(id_col)]
+        if hardest
+        else [F.asc("dist_micro"), F.asc(id_col)]
+    )
+    w = Window.partitionBy(cluster_col).orderBy(*order)
+    bnd_rows = (
+        df.filter(on_boundary)
+        .withColumn("proto_keep", F.row_number().over(w) <= F.col("__r"))
+    )
+    return rest.unionByName(bnd_rows).drop("__coarse", "__b", "__r")

