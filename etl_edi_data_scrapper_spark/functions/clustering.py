@@ -415,3 +415,135 @@ def prototype_prune(
         .withColumn("proto_keep", F.row_number().over(w) <= F.col("__r"))
     )
     return rest.unionByName(bnd_rows).drop("__coarse", "__b", "__r")
+
+
+def semantic_dedup_sharded(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    rows_per_shard: int = 65536,
+    n_shards: int | None = None,
+    k_per_shard: int = 8,
+    n_iters: int = 3,
+    threshold: float = 0.3,
+) -> DataFrame:
+    """Shard-bounded SemDeDup — the linear-total 1000× deployment shape.
+
+    ``semantic_dedup`` with the paper's k ∝ N contract has an inherent
+    O(N·√k) = N^1.5 assignment term even through the IVF router (measured
+    and documented in SCALE.md). The production answer at extreme scale is
+    to BOUND the problem instead of growing k: hash-shard the corpus into
+    ~``rows_per_shard``-sized shards, run the whole cluster-then-dedup
+    inside each shard, and accept that cross-shard semantic duplicates
+    survive (two passes with different shard seeds shrink that residue;
+    production pipelines make the same trade — this is answer (a) in
+    SCALE.md's SemDeDup asymptote note, now wired instead of documented).
+
+    Physical shape: ONE shuffle (hash on md5(id) → shard), then
+    ``groupBy(shard).applyInPandas`` — each shard is an independent task
+    doing vectorized numpy Lloyd's + blocked within-cluster cosine, so
+    total work is linear in N and parallelism equals the shard count.
+    Per-task memory is bounded by construction: rows_per_shard × dim
+    doubles for the matrix, and the pairwise pass runs in 1024-row blocks
+    (never materializes a cluster² matrix). Deterministic end-to-end:
+    shard routing and init are md5-derived, shard-local math is fixed-order
+    numpy float64.
+
+    ``n_shards`` may be given explicitly (a planner that knows N avoids
+    the count); otherwise one count() job sizes it.
+
+    Returns (id_col, shard, cluster, n_dupped_by, keep) — `cluster` is
+    shard-local; `keep` = no lower-id within-threshold neighbor in the
+    same shard-local cluster (same verdict rule as ``semantic_dedup``).
+    """
+    import pandas as pd
+
+    if n_shards is None:
+        n_shards = max(1, -(-df.count() // rows_per_shard))
+    # route on md5(id), not raw id: sequential/strided id spaces (every
+    # real ingest) would otherwise land correlated rows in one shard
+    from etl_edi_data_scrapper_spark.functions.hashing import hex_word
+
+    src = df.select(
+        F.col(id_col).alias("__id"), F.col(vec_col).alias("__vec")
+    ).withColumn(
+        "shard",
+        (hex_word(F.md5(F.col("__id").cast("string")), 1) % n_shards).cast("int"),
+    )
+
+    k_shard, iters, thr = int(k_per_shard), int(n_iters), float(threshold)
+
+    def _dedup_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        shard = int(pdf["shard"].iloc[0])
+        order = np.argsort(pdf["__id"].to_numpy(), kind="stable")
+        ids = pdf["__id"].to_numpy()[order]
+        x = np.stack(pdf["__vec"].to_numpy()[order]).astype(np.float64)
+        n = len(ids)
+        k = max(1, min(k_shard, n))
+        # deterministic spread init, same spirit as kmeans_fit: k rows
+        # whose md5(id) sorts lowest (id order alone would cluster-collapse)
+        import hashlib
+
+        md5s = np.array(
+            [hashlib.md5(str(int(i)).encode()).hexdigest() for i in ids]
+        )
+        cent = x[np.argsort(md5s, kind="stable")[:k]].copy()
+        for _ in range(iters):
+            # algebraic n×k distances — never an n×k×dim tensor
+            d = (
+                (x * x).sum(1)[:, None]
+                - 2.0 * (x @ cent.T)
+                + (cent * cent).sum(1)[None, :]
+            )
+            a = d.argmin(1)
+            for c in range(k):
+                m = a == c
+                if m.any():
+                    cent[c] = x[m].mean(0)
+        d = (
+            (x * x).sum(1)[:, None]
+            - 2.0 * (x @ cent.T)
+            + (cent * cent).sum(1)[None, :]
+        )
+        a = d.argmin(1).astype(np.int32)
+
+        norms = np.linalg.norm(x, axis=1)
+        norms[norms == 0.0] = 1.0
+        xn = x / norms[:, None]
+        n_dup = np.zeros(n, dtype=np.int64)
+        cos_floor = 1.0 - thr
+        for c in np.unique(a):
+            idx = np.flatnonzero(a == c)  # ascending id within cluster
+            m = len(idx)
+            if m < 2:
+                continue
+            xc = xn[idx]
+            for lo in range(0, m, 1024):  # blocked: never cluster² at once
+                hi = min(lo + 1024, m)
+                sims = xc[lo:hi] @ xc.T  # (block, m)
+                # count strictly-lower-position (== lower-id) neighbors
+                col = np.arange(m)[None, :]
+                row = np.arange(lo, hi)[:, None]
+                n_dup[idx[lo:hi]] = (
+                    (sims >= cos_floor) & (col < row)
+                ).sum(1)
+        return pd.DataFrame(
+            {
+                "__id": ids,
+                "shard": np.full(n, shard, dtype=np.int32),
+                "cluster": a,
+                "n_dupped_by": n_dup,
+                "keep": n_dup == 0,
+            }
+        )
+
+    out_schema = (
+        f"__id long, shard int, cluster int, n_dupped_by long, keep boolean"
+    )
+    return (
+        src.groupBy("shard")
+        .applyInPandas(_dedup_shard, schema=out_schema)
+        .withColumnRenamed("__id", id_col)
+    )

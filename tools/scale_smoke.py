@@ -203,6 +203,31 @@ def time_semdedup_scaledk(spark, sf_dir: str, k: int, fit_fraction, ivf_probe) -
     return round(min(run() for _ in range(2)), 3)
 
 
+def time_semdedup_sharded(spark, sf_dir: str, rows_per_shard: int) -> float:
+    """Shard-bounded SemDeDup (clustering.semantic_dedup_sharded) — the
+    linear-total answer to the k ∝ N asymptote, wired in r7. Per-shard
+    size stays FIXED as data grows (that is the contract), so shard count
+    grows with N and total work is linear. Caveat for reading the base:
+    sf0.1 has only 2000 embeddings → 2 shards on a 32-thread pool, so the
+    base underuses the pool and the raw base→scaled ratio flatters;
+    compare SCALED times across factors (10× vs 100× should differ ~10×)
+    for the honest linearity read. min-of-2, noop sink, like time_query."""
+    from etl_edi_data_scrapper_spark.functions.clustering import (
+        semantic_dedup_sharded,
+    )
+
+    def run() -> float:
+        df = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        t0 = time.perf_counter()
+        semantic_dedup_sharded(df, rows_per_shard=rows_per_shard).write.format(
+            "noop"
+        ).mode("overwrite").save()
+        return time.perf_counter() - t0
+
+    run()  # warm
+    return round(min(run() for _ in range(2)), 3)
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--factor", type=int, default=10)
@@ -225,18 +250,19 @@ def main() -> None:
 
     if args.only:
         selected = [q for q in args.only.split(",") if q]
-        unknown = [q for q in selected if q not in ALL and q != "semdedup_scaledk"]
+        special = {"semdedup_scaledk", "semdedup_sharded", "neardup_increment"}
+        unknown = [q for q in selected if q not in ALL and q not in special]
         if unknown:
             ap.error(f"unknown queries: {unknown}")
-        run_queries = [
-            q for q in selected if q not in ("neardup_increment", "semdedup_scaledk")
-        ]
+        run_queries = [q for q in selected if q not in special]
         run_neardup = "neardup_increment" in selected
         run_semdedup = "semdedup_scaledk" in selected
+        run_sharded = "semdedup_sharded" in selected
     else:
         run_queries = QUERIES
         run_neardup = True
         run_semdedup = False
+        run_sharded = False
 
     report: dict[str, dict[str, float]] = {}
     for name in run_queries:
@@ -284,6 +310,20 @@ def main() -> None:
         print(
             f"# semdedup_scaledk: {sd_base}s -> {sd_scaled}s "
             f"(x{report['semdedup_scaledk']['ratio']})",
+            file=sys.stderr,
+        )
+
+    if run_sharded:
+        sh_base = time_semdedup_sharded(spark, BASE_SF, 1000)
+        sh_scaled = time_semdedup_sharded(spark, out_dir, 1000)
+        report["semdedup_sharded"] = {
+            "base": sh_base,
+            "scaled": sh_scaled,
+            "ratio": round(sh_scaled / sh_base, 2) if sh_base > 0 else None,
+        }
+        print(
+            f"# semdedup_sharded: {sh_base}s -> {sh_scaled}s "
+            f"(x{report['semdedup_sharded']['ratio']})",
             file=sys.stderr,
         )
 
