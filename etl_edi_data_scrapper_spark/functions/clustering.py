@@ -426,6 +426,7 @@ def semantic_dedup_sharded(
     k_per_shard: int = 8,
     n_iters: int = 3,
     threshold: float = 0.3,
+    seed: int = 0,
 ) -> DataFrame:
     """Shard-bounded SemDeDup — the linear-total 1000× deployment shape.
 
@@ -450,7 +451,10 @@ def semantic_dedup_sharded(
     numpy float64.
 
     ``n_shards`` may be given explicitly (a planner that knows N avoids
-    the count); otherwise one count() job sizes it.
+    the count); otherwise one count() job sizes it. ``seed`` perturbs the
+    shard routing (seed=0 keeps the plain md5(id) route): two passes with
+    different seeds give a cross-shard duplicate two independent chances
+    to land in one shard — see ``semantic_dedup_sharded_multipass``.
 
     Returns (id_col, shard, cluster, n_dupped_by, keep) — `cluster` is
     shard-local; `keep` = no lower-id within-threshold neighbor in the
@@ -464,11 +468,16 @@ def semantic_dedup_sharded(
     # real ingest) would otherwise land correlated rows in one shard
     from etl_edi_data_scrapper_spark.functions.hashing import hex_word
 
+    route_key = (
+        F.col("__id").cast("string")
+        if seed == 0
+        else F.concat(F.col("__id").cast("string"), F.lit(f"#{int(seed)}"))
+    )
     src = df.select(
         F.col(id_col).alias("__id"), F.col(vec_col).alias("__vec")
     ).withColumn(
         "shard",
-        (hex_word(F.md5(F.col("__id").cast("string")), 1) % n_shards).cast("int"),
+        (hex_word(F.md5(route_key), 1) % n_shards).cast("int"),
     )
 
     k_shard, iters, thr = int(k_per_shard), int(n_iters), float(threshold)
@@ -547,3 +556,56 @@ def semantic_dedup_sharded(
         .applyInPandas(_dedup_shard, schema=out_schema)
         .withColumnRenamed("__id", id_col)
     )
+
+
+def semantic_dedup_sharded_multipass(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_passes: int = 2,
+    **kwargs,
+) -> DataFrame:
+    """Multi-pass shard-bounded SemDeDup: shrink the cross-shard residue.
+
+    One sharded pass misses duplicate pairs whose members route to
+    different shards (probability ≈ 1 - 1/n_shards per pair). Re-running
+    on the SURVIVORS with a different shard seed gives every surviving
+    pair an independent chance to collide into one shard, so the expected
+    missed fraction decays geometrically with the pass count while total
+    cost stays ≤ n_passes × linear (each pass runs on a shrinking frame).
+    This is the standard production compromise between one-shot sharding
+    and the N^1.5 global k ∝ N contract.
+
+    Each pass drops rows verdicted keep=false; ``pass_dropped`` records
+    which pass removed a row (NULL = survived all passes, keep=true).
+    `cluster`/`n_dupped_by` are per-pass internals and not returned —
+    the verdict is the product. Returns (id_col, pass_dropped, keep).
+    """
+    survivors = df.select(F.col(id_col), F.col(vec_col))
+    dropped = []
+    for p in range(int(n_passes)):
+        verdicts = semantic_dedup_sharded(
+            survivors, vec_col=vec_col, id_col=id_col, seed=p, **kwargs
+        )
+        # each pass is a full shuffle+groupedMap job; cut the lineage so
+        # pass p+1 replans from materialized verdicts, not a growing DAG
+        verdicts = verdicts.localCheckpoint(eager=False)
+        dropped.append(
+            verdicts.filter(~F.col("keep")).select(
+                F.col(id_col), F.lit(p).alias("pass_dropped")
+            )
+        )
+        survivors = survivors.join(
+            verdicts.filter(F.col("keep")).select(id_col), on=id_col, how="inner"
+        )
+    kept = survivors.select(
+        F.col(id_col),
+        F.lit(None).cast("int").alias("pass_dropped"),
+        F.lit(True).alias("keep"),
+    )
+    out = kept
+    for d in dropped:
+        out = out.unionByName(
+            d.select(id_col, "pass_dropped", F.lit(False).alias("keep"))
+        )
+    return out

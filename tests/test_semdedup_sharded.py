@@ -99,6 +99,64 @@ def test_cross_shard_duplicates_survive_by_design(spark):
         assert by_id[1].keep and not by_id[2].keep
 
 
+def test_second_pass_catches_cross_shard_duplicate(spark):
+    from etl_edi_data_scrapper_spark.functions.clustering import (
+        semantic_dedup_sharded,
+        semantic_dedup_sharded_multipass,
+    )
+
+    # build a duplicate pair that pass 1 (seed=0) routes to DIFFERENT
+    # shards, found by probing the deterministic md5 routing
+    def shards(df, n_shards, seed):
+        out = semantic_dedup_sharded(
+            df, n_shards=n_shards, k_per_shard=1, seed=seed
+        ).collect()
+        return {r.vec_id: r.shard for r in out}
+
+    pair = None
+    base = [(i, [1.0, 0.0]) for i in range(1, 40)]
+    df_all = spark.createDataFrame(base, "vec_id long, embedding array<float>")
+    s0 = shards(df_all, 2, 0)
+    s1 = shards(df_all, 2, 1)
+    for i in range(1, 40):
+        for j in range(i + 1, 40):
+            if s0[i] != s0[j] and s1[i] == s1[j]:
+                pair = (i, j)
+                break
+        if pair:
+            break
+    assert pair, "md5 routing never separated-then-joined any pair"
+
+    df = spark.createDataFrame(
+        [(pair[0], [1.0, 0.0]), (pair[1], [1.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    one = {r.vec_id: r.keep for r in semantic_dedup_sharded(
+        df, n_shards=2, k_per_shard=1, seed=0
+    ).collect()}
+    assert one == {pair[0]: True, pair[1]: True}  # pass 1 misses it
+
+    two = {r.vec_id: (r.keep, r.pass_dropped) for r in
+           semantic_dedup_sharded_multipass(
+               df, n_passes=2, n_shards=2, k_per_shard=1
+           ).collect()}
+    assert two[pair[0]] == (True, None)
+    assert two[pair[1]] == (False, 1)  # caught by the seed=1 pass
+
+
+def test_multipass_keeps_every_id_once(spark, tiny):
+    from etl_edi_data_scrapper_spark.functions.clustering import (
+        semantic_dedup_sharded_multipass,
+    )
+
+    out = semantic_dedup_sharded_multipass(
+        tiny, n_passes=3, n_shards=2, k_per_shard=2
+    ).collect()
+    assert sorted(r.vec_id for r in out) == [3, 7, 10, 15, 20, 99]
+    for r in out:
+        assert r.keep == (r.pass_dropped is None)
+
+
 def test_plan_is_one_shuffle_plus_grouped_pandas(spark, tiny):
     from etl_edi_data_scrapper_spark.functions.clustering import (
         semantic_dedup_sharded,
