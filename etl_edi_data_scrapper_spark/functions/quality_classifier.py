@@ -1,0 +1,165 @@
+"""Model-based quality filtering — the fasttext-style linear classifier
+step of LLM data pipelines (GPT-3, LLaMA, RedPajama: score every crawl
+document by "does it look like the reference corpus", keep high scorers).
+
+Spark-first shape, same iterative discipline as `clustering.kmeans_fit`:
+
+  * features are hashed unigram bucket counts (`importance.hashed_bucket`
+    — the DSIR feature hash, so one featurization convention serves both
+    selection families), densified to a fixed-length array per document:
+    one explode shuffle + one per-doc groupBy, computed ONCE and reused
+    by every epoch;
+  * the model (B weights + bias) lives on the DRIVER between epochs; each
+    scoring pass embeds it as a literal array, so scoring is a single
+    NARROW projection (zip_with dot product) — no join, no UDF;
+  * one shuffle per epoch: misclassified docs posexplode their feature
+    array and the per-bucket gradient reduces with map-side combine to at
+    most B rows, collected to the driver (bounded by B, never by N).
+
+Everything is INTEGER arithmetic — counts are longs, the batch-perceptron
+update (w += lr·Σ_mis y·count) never divides and never touches a float —
+so training is bit-exact across engines and partitionings: the epochs
+unroll into plain SQL for the DuckDB oracle with no quantization step and
+no transcendental hazard (contrast `importance.py`'s micro-nat logs).
+Fixed epoch count, no early-stop: an epoch with no misclassifications is
+a zero gradient, i.e. a no-op, identically in both engines.
+
+The perceptron is the classic mistake-driven linear fit (Rosenblatt 1958;
+fasttext's supervised mode is the same hashed-bag linear family). For the
+weak-label setup the registered leg uses (reference-source docs = +1,
+rest = −1), linear separability is not assumed — a fixed epoch budget
+just yields the best-effort linear scorer, like one epoch of fasttext.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from etl_edi_data_scrapper_spark.functions.importance import hashed_bucket
+
+
+def featurize(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 64,
+) -> DataFrame:
+    """(id, features) — dense length-``n_buckets`` array of hashed
+    unigram counts. One explode shuffle + one per-doc groupBy; the dense
+    form makes every later epoch a narrow zip_with, never a join."""
+    counts = (
+        docs.select(
+            F.col(id_col),
+            F.explode(F.split(F.col(text_col), " ")).alias("tok"),
+        )
+        .select(id_col, hashed_bucket(F.col("tok"), n_buckets).alias("bucket"))
+        .groupBy(id_col, "bucket")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    return (
+        counts.groupBy(id_col)
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("bucket", "tf"))
+            ).alias("__m")
+        )
+        .select(
+            id_col,
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_buckets - 1)),
+                lambda i: F.coalesce(
+                    F.element_at(F.col("__m"), i.cast("long")),
+                    F.lit(0).cast("long"),
+                ),
+            ).alias("features"),
+        )
+    )
+
+
+def _score(w: list[int], bias: int):
+    w_lit = F.array(*[F.lit(int(x)).cast("long") for x in w])
+    return (
+        F.aggregate(
+            F.zip_with(F.col("features"), w_lit, lambda c, wv: c * wv),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+        + F.lit(int(bias)).cast("long")
+    )
+
+
+def perceptron_fit(
+    feat: DataFrame,
+    label_col: str = "y",
+    n_buckets: int = 64,
+    n_epochs: int = 3,
+    lr: int = 1,
+) -> tuple[list[int], int]:
+    """Batch perceptron over (features, y ∈ {+1,−1}) rows: per epoch,
+    every misclassified doc (y·score ≤ 0 — zero-init counts as a miss)
+    contributes y·count to its buckets' gradients; w += lr·grad. Returns
+    (weights, bias), all Python ints. The epoch loop re-reads ``feat``
+    n_epochs times — persist it; lineage resets every epoch because the
+    model round-trips through the driver."""
+    feat = feat.persist()
+    w = [0] * n_buckets
+    bias = 0
+    for _ in range(int(n_epochs)):
+        mis = feat.withColumn("__s", _score(w, bias)).filter(
+            F.col(label_col) * F.col("__s") <= 0
+        )
+        grad = (
+            mis.select(
+                F.col(label_col).alias("__y"),
+                F.posexplode("features").alias("pos", "c"),
+            )
+            .groupBy("pos")
+            .agg(F.sum(F.col("__y") * F.col("c")).alias("g"))
+            .collect()
+        )
+        gb = mis.agg(F.sum(label_col).alias("g")).collect()[0]["g"]
+        for r in grad:
+            w[r["pos"]] += lr * int(r["g"])
+        bias += lr * int(gb or 0)
+    feat.unpersist()
+    return w, bias
+
+
+def classify(
+    feat: DataFrame, w: list[int], bias: int, score_col: str = "clf_score"
+) -> DataFrame:
+    """feat + integer margin score + keep verdict (score > 0). Narrow
+    projection — the fitted model is a literal, classification adds zero
+    shuffles to whatever plan carries the features."""
+    return feat.withColumn(score_col, _score(w, bias)).withColumn(
+        "clf_keep", F.col(score_col) > 0
+    )
+
+
+def fit_reference_classifier(
+    docs: DataFrame,
+    reference_pred,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 64,
+    n_epochs: int = 3,
+) -> DataFrame:
+    """The pipeline form: label docs matching ``reference_pred`` (a
+    Column predicate — e.g. source == 'wiki') +1, the rest −1, fit, and
+    return (id, clf_score, clf_keep) for EVERY document. This is the
+    GPT-3/LLaMA-style weak-label setup: the reference corpus is the
+    positive class and the classifier generalizes its surface statistics
+    to unseen crawl docs."""
+    feat = featurize(docs, id_col=id_col, text_col=text_col, n_buckets=n_buckets)
+    labeled = feat.join(
+        docs.select(
+            F.col(id_col),
+            F.when(reference_pred, F.lit(1)).otherwise(F.lit(-1)).alias("__y"),
+        ),
+        on=id_col,
+    )
+    w, bias = perceptron_fit(
+        labeled, label_col="__y", n_buckets=n_buckets, n_epochs=n_epochs
+    )
+    return classify(labeled, w, bias).select(id_col, "clf_score", "clf_keep")

@@ -1704,10 +1704,70 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _clf_ctes(n_buckets: int = 64, n_epochs: int = 3) -> str:
+    """DuckDB replica of functions/quality_classifier.py: the integer
+    batch perceptron, epochs unrolled as CTEs. Epoch e scores every doc
+    with the post-epoch-(e−1) weights (w0 = 0 → every doc starts
+    misclassified since y·0 ≤ 0), sums y·tf over misclassified docs per
+    bucket, and adds the gradient (lr = 1). ALL integer arithmetic — no
+    quantization step, no float hazard; sums CAST to BIGINT (HUGEINT
+    discipline, tests/test_oracle_types.py)."""
+    tword = _sql_hex_word("md5(tok)", 1)
+    parts = [
+        f"""
+    clab AS (
+      SELECT doc_id, CASE WHEN source = 'src0' THEN 1 ELSE -1 END AS y
+      FROM documents),
+    ctok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+    ctf AS (
+      SELECT doc_id, ({tword}) % {n_buckets} AS bucket,
+             CAST(count(*) AS BIGINT) AS tf
+      FROM ctok GROUP BY doc_id, bucket),
+    cw1 AS (
+      SELECT bucket, CAST(sum(y * tf) AS BIGINT) AS w
+      FROM ctf JOIN clab USING (doc_id) GROUP BY bucket),
+    cb1 AS (SELECT CAST(sum(y) AS BIGINT) AS b FROM clab)"""
+    ]
+    for e in range(2, n_epochs + 1):
+        p, q = e - 1, e
+        parts.append(
+            f"""
+    cs{q} AS (
+      SELECT c.doc_id,
+             CAST(coalesce(sum(c.tf * w.w), 0)
+                  + (SELECT b FROM cb{p}) AS BIGINT) AS s
+      FROM ctf c LEFT JOIN cw{p} w USING (bucket) GROUP BY c.doc_id),
+    cm{q} AS (
+      SELECT s.doc_id, l.y FROM cs{q} s JOIN clab l USING (doc_id)
+      WHERE l.y * s.s <= 0),
+    cg{q} AS (
+      SELECT bucket, CAST(sum(c.tf * m.y) AS BIGINT) AS g
+      FROM ctf c JOIN cm{q} m USING (doc_id) GROUP BY bucket),
+    cw{q} AS (
+      SELECT w.bucket, CAST(w.w + coalesce(g.g, 0) AS BIGINT) AS w
+      FROM cw{p} w LEFT JOIN cg{q} g USING (bucket)),
+    cb{q} AS (
+      SELECT CAST((SELECT b FROM cb{p})
+                  + coalesce((SELECT CAST(sum(y) AS BIGINT) FROM cm{q}), 0)
+             AS BIGINT) AS b)"""
+        )
+    parts.append(
+        f"""
+    cscore AS (
+      SELECT c.doc_id,
+             CAST(coalesce(sum(c.tf * w.w), 0)
+                  + (SELECT b FROM cb{n_epochs}) AS BIGINT) AS clf_score
+      FROM ctf c LEFT JOIN cw{n_epochs} w USING (bucket) GROUP BY c.doc_id)"""
+    )
+    return ",".join(parts)
+
+
 def _curation_oracle(bench_max_id: int = 5, threshold: int = 3) -> str:
     """Keep/drop verdict per document, composing the already-oracled
     signal arithmetic (lang argmax, quality score, fingerprint dup window,
-    contamination hit count)."""
+    contamination hit count; r7 adds the integer-perceptron quality
+    classifier margin — `_clf_ctes`)."""
     from etl_edi_data_scrapper_spark.functions.text import LANG_STOPWORDS
 
     scores = ", ".join(
@@ -1743,14 +1803,16 @@ def _curation_oracle(bench_max_id: int = 5, threshold: int = 3) -> str:
       WHERE doc_id >= {bench_max_id}),
     hits AS (
       SELECT corp.doc_id, count(*) AS n_shared
-      FROM corp JOIN bench USING (s) GROUP BY corp.doc_id)
+      FROM corp JOIN bench USING (s) GROUP BY corp.doc_id),
+    {_clf_ctes()}
     SELECT d.doc_id, d.lang_pred, d.quality, d.is_dup,
            (d.doc_id >= {bench_max_id}
             AND coalesce(h.n_shared, 0) >= {threshold}) AS contaminated,
            (d.lang_pred = 'en' AND d.quality >= 0.4 AND NOT d.is_dup
             AND NOT (d.doc_id >= {bench_max_id}
-                     AND coalesce(h.n_shared, 0) >= {threshold})) AS keep
-    FROM dupd d LEFT JOIN hits h USING (doc_id)
+                     AND coalesce(h.n_shared, 0) >= {threshold})) AS keep,
+           c.clf_score, c.clf_score > 0 AS clf_keep
+    FROM dupd d LEFT JOIN hits h USING (doc_id) JOIN cscore c USING (doc_id)
     """
 
 
@@ -1764,14 +1826,25 @@ def _sql_lang_arr() -> str:
 def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The end-to-end corpus-curation verdict — what a pre-training data
     pipeline actually ships: language gate + quality gate + exact-dup drop
-    + benchmark-contamination drop, one keep/drop row per document.
+    + benchmark-contamination drop, one keep/drop row per document; r7
+    adds the model-based filter production pipelines run alongside the
+    heuristics — a fasttext-style linear quality classifier
+    (`functions/quality_classifier.py`, integer batch perceptron over
+    hashed unigram buckets, weak-labeled source='src0' = reference) whose
+    margin and verdict land as `clf_score`/`clf_keep` columns.
 
     Shape: one narrow projection computes lang/quality/fingerprint in the
     scan's codegen stage; the dup flag is a window over the 16-byte
     fingerprint (one shuffle, never the text); contamination is the
     broadcast shingle semi-join; verdicts are pure boolean algebra. Adding
-    a gate = adding a column — the plan depth stays constant."""
+    a gate = adding a column — the plan depth stays constant. The
+    classifier adds the kmeans-style iterative block: model on the
+    driver, one bounded-gradient shuffle per epoch, scoring as a literal
+    zip_with."""
     from etl_edi_data_scrapper_spark.functions.dedup import shingles
+    from etl_edi_data_scrapper_spark.functions.quality_classifier import (
+        fit_reference_classifier,
+    )
     from etl_edi_data_scrapper_spark.functions.text import (
         fingerprint,
         lang_id,
@@ -1813,6 +1886,9 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         & ~F.col("is_dup")
         & ~contaminated
     )
+    clf = fit_reference_classifier(
+        docs, F.col("source") == "src0", n_buckets=64, n_epochs=3
+    )
     return out.select(
         "doc_id",
         "lang_pred",
@@ -1820,7 +1896,7 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "is_dup",
         contaminated.alias("contaminated"),
         keep.alias("keep"),
-    )
+    ).join(clf, "doc_id")
 
 
 def _stratified_oracle() -> str:

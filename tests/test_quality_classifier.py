@@ -1,0 +1,133 @@
+"""Integer batch-perceptron quality classifier
+(`functions/quality_classifier.py`) — model parity against a pure-Python
+reference on a tiny corpus, determinism, and the all-integer contract
+that makes the epochs oracle-unrollable without quantization.
+"""
+
+import hashlib
+
+import pytest
+
+
+def _bucket(tok: str, n_buckets: int) -> int:
+    return int(hashlib.md5(tok.encode()).hexdigest()[:8], 16) % n_buckets
+
+
+def _featurize_py(texts: dict, n_buckets: int) -> dict:
+    out = {}
+    for i, t in texts.items():
+        v = [0] * n_buckets
+        for tok in t.split(" "):
+            v[_bucket(tok, n_buckets)] += 1
+        out[i] = v
+    return out
+
+
+def _fit_py(feats, labels, n_buckets, n_epochs, lr=1):
+    w, bias = [0] * n_buckets, 0
+    for _ in range(n_epochs):
+        grad, gb = [0] * n_buckets, 0
+        for i, f in feats.items():
+            s = bias + sum(c * wv for c, wv in zip(f, w))
+            if labels[i] * s <= 0:
+                for b, c in enumerate(f):
+                    grad[b] += labels[i] * c
+                gb += labels[i]
+        w = [wv + lr * g for wv, g in zip(w, grad)]
+        bias += lr * gb
+    return w, bias
+
+
+TEXTS = {
+    1: "the cat sat on the mat",
+    2: "the dog ran in the park",
+    3: "stock market prices fell sharply today",
+    4: "quarterly earnings beat market expectations",
+    5: "a cat and a dog play in a park",
+    6: "market volatility and earnings pressure prices",
+}
+LABELS = {1: 1, 2: 1, 5: 1, 3: -1, 4: -1, 6: -1}
+B = 16
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(
+        [(i, t) for i, t in TEXTS.items()], "doc_id long, text string"
+    )
+
+
+def test_featurize_matches_python_hash(spark, docs):
+    from etl_edi_data_scrapper_spark.functions.quality_classifier import featurize
+
+    got = {r.doc_id: list(r.features) for r in featurize(docs, n_buckets=B).collect()}
+    assert got == _featurize_py(TEXTS, B)
+
+
+def test_fit_matches_python_reference_exactly(spark, docs):
+    from pyspark.sql import functions as F
+
+    from etl_edi_data_scrapper_spark.functions.quality_classifier import (
+        featurize,
+        perceptron_fit,
+    )
+
+    feat = featurize(docs, n_buckets=B).withColumn(
+        "y",
+        F.when(F.col("doc_id").isin([1, 2, 5]), F.lit(1)).otherwise(F.lit(-1)),
+    )
+    w, bias = perceptron_fit(feat, label_col="y", n_buckets=B, n_epochs=3)
+    w_py, bias_py = _fit_py(_featurize_py(TEXTS, B), LABELS, B, 3)
+    assert (w, bias) == (w_py, bias_py)  # integers: EXACT, no tolerance
+
+
+def test_classifier_separates_the_two_topics(spark, docs):
+    from pyspark.sql import functions as F
+
+    from etl_edi_data_scrapper_spark.functions.quality_classifier import (
+        fit_reference_classifier,
+    )
+
+    out = fit_reference_classifier(
+        docs, F.col("doc_id").isin([1, 2, 5]), n_buckets=B, n_epochs=5
+    ).collect()
+    verdict = {r.doc_id: r.clf_keep for r in out}
+    assert verdict == {1: True, 2: True, 5: True, 3: False, 4: False, 6: False}
+    # margin sign defines the verdict — pin the coupling
+    for r in out:
+        assert r.clf_keep == (r.clf_score > 0)
+
+
+def test_training_is_deterministic_under_repartition(spark, docs):
+    from pyspark.sql import functions as F
+
+    from etl_edi_data_scrapper_spark.functions.quality_classifier import (
+        featurize,
+        perceptron_fit,
+    )
+
+    feat = featurize(docs, n_buckets=B).withColumn(
+        "y",
+        F.when(F.col("doc_id").isin([1, 2, 5]), F.lit(1)).otherwise(F.lit(-1)),
+    )
+    a = perceptron_fit(feat, label_col="y", n_buckets=B, n_epochs=3)
+    b = perceptron_fit(feat.repartition(7), label_col="y", n_buckets=B, n_epochs=3)
+    assert a == b  # integer sums are order-independent
+
+
+def test_converged_epoch_is_a_noop(spark, docs):
+    from pyspark.sql import functions as F
+
+    from etl_edi_data_scrapper_spark.functions.quality_classifier import (
+        featurize,
+        perceptron_fit,
+    )
+
+    feat = featurize(docs, n_buckets=B).withColumn(
+        "y",
+        F.when(F.col("doc_id").isin([1, 2, 5]), F.lit(1)).otherwise(F.lit(-1)),
+    )
+    w5 = perceptron_fit(feat, label_col="y", n_buckets=B, n_epochs=5)
+    w9 = perceptron_fit(feat, label_col="y", n_buckets=B, n_epochs=9)
+    # this corpus separates within 5 epochs; extra epochs must change nothing
+    assert w5 == w9
