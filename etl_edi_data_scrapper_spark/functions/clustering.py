@@ -369,6 +369,10 @@ def prototype_prune(
     df = assigned.withColumn(
         "dist_micro", F.floor(dist * F.lit(1_000_000.0)).cast("long")
     ).withColumn("__coarse", F.floor(F.col("dist_micro") / F.lit(coarse_width)))
+    # the distance projection (k chained CASE folds over the vector) feeds
+    # the histogram AND both output branches — cut the triple recompute and
+    # the lineage in one move (same discipline as semantic_dedup)
+    df = df.localCheckpoint(eager=False)
 
     hist = df.groupBy(cluster_col, "__coarse").count().collect()
     by_cluster: dict = {}
