@@ -162,6 +162,10 @@ def dedup_spans_multi(
     acc = None
     for k, off in enumerate(offsets):
         out = dedup_spans(cur, id_col=id_col, text_col="__t", width=width, offset=off)
+        # each pass consumes its input TWICE (occurrence table + rebuild)
+        # and the next pass consumes this pass twice more — without a
+        # lineage cut pass k re-executes pass k−1's whole pipeline ~3×
+        out = out.localCheckpoint(eager=False)
         cur = out.select(F.col(id_col), F.col("clean_text").alias("__t"))
         if acc is None:
             acc = out.select(
