@@ -109,19 +109,25 @@ def perceptron_fit(
         mis = feat.withColumn("__s", _score(w, bias)).filter(
             F.col(label_col) * F.col("__s") <= 0
         )
+        # bias-as-feature: a constant-1 slot appended at position B makes
+        # the bias gradient (Σ_mis y) fall out of the SAME per-bucket
+        # aggregation — one job per epoch instead of two scoring passes
         grad = (
             mis.select(
                 F.col(label_col).alias("__y"),
-                F.posexplode("features").alias("pos", "c"),
+                F.posexplode(
+                    F.array_append("features", F.lit(1).cast("long"))
+                ).alias("pos", "c"),
             )
             .groupBy("pos")
             .agg(F.sum(F.col("__y") * F.col("c")).alias("g"))
             .collect()
         )
-        gb = mis.agg(F.sum(label_col).alias("g")).collect()[0]["g"]
         for r in grad:
-            w[r["pos"]] += lr * int(r["g"])
-        bias += lr * int(gb or 0)
+            if r["pos"] == n_buckets:
+                bias += lr * int(r["g"])
+            else:
+                w[r["pos"]] += lr * int(r["g"])
     feat.unpersist()
     return w, bias
 
@@ -159,6 +165,9 @@ def fit_reference_classifier(
         ),
         on=id_col,
     )
+    # the epochs AND the final scoring both consume the featurization —
+    # cut the lineage so classify() reuses it instead of re-exploding
+    labeled = labeled.localCheckpoint(eager=False)
     w, bias = perceptron_fit(
         labeled, label_col="__y", n_buckets=n_buckets, n_epochs=n_epochs
     )
