@@ -463,9 +463,13 @@ def semantic_dedup_sharded(
     Returns (id_col, shard, cluster, n_dupped_by, keep) — `cluster` is
     shard-local; `keep` = no lower-id within-threshold neighbor in the
     same shard-local cluster (same verdict rule as ``semantic_dedup``).
+    Rows with a NULL vector are dropped up front (a NULL cannot be a
+    duplicate of anything; crashing a whole shard task on one bad row is
+    the alternative) — route them to a cleanup pass, not a dedup pass.
     """
     import pandas as pd
 
+    df = df.filter(F.col(vec_col).isNotNull())
     if n_shards is None:
         n_shards = max(1, -(-df.count() // rows_per_shard))
     # route on md5(id), not raw id: sequential/strided id spaces (every

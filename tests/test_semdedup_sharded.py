@@ -157,6 +157,21 @@ def test_multipass_keeps_every_id_once(spark, tiny):
         assert r.keep == (r.pass_dropped is None)
 
 
+def test_null_vectors_are_dropped_not_crashed(spark):
+    from etl_edi_data_scrapper_spark.functions.clustering import (
+        semantic_dedup_sharded,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, None), (3, [0.99, 0.01])],
+        "vec_id long, embedding array<float>",
+    )
+    out = semantic_dedup_sharded(df, n_shards=1, k_per_shard=1).collect()
+    assert sorted(r.vec_id for r in out) == [1, 3]  # null row excluded
+    by_id = {r.vec_id: r.keep for r in out}
+    assert by_id == {1: True, 3: False}  # dedup still ran on the rest
+
+
 def test_plan_is_one_shuffle_plus_grouped_pandas(spark, tiny):
     from etl_edi_data_scrapper_spark.functions.clustering import (
         semantic_dedup_sharded,
