@@ -262,7 +262,7 @@ def main() -> None:
         run_queries = QUERIES
         run_neardup = True
         run_semdedup = False
-        run_sharded = False
+        run_sharded = True  # cheap (bounded shards) and guards the r7 op
 
     report: dict[str, dict[str, float]] = {}
     for name in run_queries:
