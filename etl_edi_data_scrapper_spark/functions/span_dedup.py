@@ -416,3 +416,131 @@ def span_dedup_multi_oracle_sql(
            sp{len(offsets) - 1}out.text AS clean_text
     FROM sp0out{joins}
     """
+
+
+def scrub_benchmark_spans(
+    docs: DataFrame,
+    bench: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str | None = None,
+    width: int = 8,
+) -> DataFrame:
+    """SURGICAL benchmark decontamination: cut from every document every
+    token covered by a ``width``-token sliding window that also appears
+    (at ANY offset, stride 1 on both sides) anywhere in the benchmark
+    corpus — the document survives minus the leaked passage. This is the
+    span-level complement of the doc-level `contamination` verdict
+    (which can only drop whole documents): any shared passage of ≥
+    ``width`` tokens vanishes entirely, because all of its sub-windows
+    match and their union covers it.
+
+    Scale shape — STRICTLY cheaper than corpus span dedup: benchmark
+    window hashes are DISTINCT over a small corpus (benchmark suites are
+    MBs) and broadcast, so the per-token document window pass is
+    map-side; the only shuffle is the per-doc drop-position groupBy,
+    carrying matched positions only. Empty windows (empty text) are
+    excluded on both sides — md5('') would cross-match all empty docs.
+
+    Returns one row per document: ``id_col``, n_tokens, n_tokens_cut,
+    decon_text.
+    """
+    bench_text_col = bench_text_col or text_col
+
+    def wins(col: str) -> str:
+        return (
+            f"transform(sequence(0, greatest(size(split({col}, ' ')) - {width}, 0)), "
+            f"i -> array_join(slice(split({col}, ' '), i + 1, {width}), ' '))"
+        )
+
+    bhash = (
+        bench.select(F.explode(F.expr(wins(bench_text_col))).alias("win"))
+        .filter(F.col("win") != "")
+        .select(F.md5(F.col("win")).alias("h"))
+        .distinct()
+    )
+    occ = (
+        docs.select(
+            F.col(id_col),
+            F.posexplode(F.expr(wins(text_col))).alias("pos", "win"),
+        )
+        .filter(F.col("win") != "")
+        .select(id_col, "pos", F.md5(F.col("win")).alias("h"))
+    )
+    hits = (
+        occ.join(F.broadcast(bhash), "h")
+        .groupBy(id_col)
+        .agg(F.collect_set("pos").alias("__dp"))
+    )
+    t = F.split(F.col(text_col), " ")
+    kept = F.filter(
+        t,
+        lambda _tok, i: ~F.exists(
+            F.col("__dp"), lambda p: (p <= i) & (i < p + width)
+        ),
+    )
+    return (
+        docs.join(hits, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.size(t).alias("n_tokens"),
+            F.when(F.col("__dp").isNull(), F.lit(0))
+            .otherwise(F.size(t) - F.size(kept))
+            .alias("n_tokens_cut"),
+            F.when(F.col("__dp").isNull(), F.col(text_col))
+            .otherwise(F.array_join(kept, " "))
+            .alias("decon_text"),
+        )
+    )
+
+
+def benchmark_scrub_ctes(
+    prefix: str,
+    doc_src: str,
+    bench_src: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    width: int = 8,
+) -> str:
+    """DuckDB CTE chain replicating :func:`scrub_benchmark_spans`.
+    ``doc_src``/``bench_src`` are relations exposing (id_col, text_col).
+    The final CTE ``{prefix}out`` has (id_col, n_tokens, n_tokens_cut,
+    decon_text). 1-based list indices: token i is cut iff some matched
+    0-based window start p satisfies p+1 ≤ i ≤ p+width."""
+    p = prefix
+    return f"""
+    {p}bw AS (
+      SELECT DISTINCT md5(win) AS h FROM (
+        SELECT array_to_string(list_slice(t, pos + 1, pos + {width}), ' ') AS win
+        FROM (SELECT string_split({text_col}, ' ') AS t,
+                     unnest(range(0, greatest(len(string_split({text_col}, ' ')) - {width}, 0) + 1)) AS pos
+              FROM {bench_src}))
+      WHERE win <> ''),
+    {p}t AS (
+      SELECT {id_col}, {text_col} AS __text, string_split({text_col}, ' ') AS t
+      FROM {doc_src}),
+    {p}occ AS (
+      SELECT {id_col}, pos,
+             md5(array_to_string(list_slice(t, pos + 1, pos + {width}), ' ')) AS h,
+             array_to_string(list_slice(t, pos + 1, pos + {width}), ' ') AS win
+      FROM (SELECT {id_col}, t,
+                   unnest(range(0, greatest(len(t) - {width}, 0) + 1)) AS pos
+            FROM {p}t)),
+    {p}hits AS (
+      SELECT o.{id_col}, list(o.pos) AS dp
+      FROM {p}occ o JOIN {p}bw b USING (h)
+      WHERE o.win <> '' GROUP BY o.{id_col}),
+    {p}out AS (
+      SELECT s.{id_col},
+             CAST(len(s.t) AS BIGINT) AS n_tokens,
+             CASE WHEN d.dp IS NULL THEN CAST(0 AS BIGINT)
+                  ELSE CAST(len(s.t) - len(list_filter(s.t,
+                         (x, i) -> len(list_filter(d.dp,
+                             p -> p + 1 <= i AND i <= p + {width})) = 0))
+                       AS BIGINT) END AS n_tokens_cut,
+             CASE WHEN d.dp IS NULL THEN s.__text
+                  ELSE coalesce(array_to_string(list_filter(s.t,
+                         (x, i) -> len(list_filter(d.dp,
+                             p -> p + 1 <= i AND i <= p + {width})) = 0), ' '), '')
+                  END AS decon_text
+      FROM {p}t s LEFT JOIN {p}hits d USING ({id_col}))"""

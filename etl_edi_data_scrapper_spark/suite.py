@@ -1646,8 +1646,24 @@ def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DECON_PASSAGE = (
+    "leakmark alpha beta gamma delta epsilon zeta eta theta iota"
+)  # 10 tokens ≥ the scrub width, so the window union covers it entirely
+_DECON_INJECT = (
+    f"CASE WHEN doc_id = 2 THEN concat('{_DECON_PASSAGE} ', text) "
+    "WHEN doc_id >= 5 AND doc_id % 7 = 1 THEN "
+    f"concat('q', CAST(doc_id AS STRING), ' {_DECON_PASSAGE} ', text) "
+    "ELSE text END"
+)
+
+
 def _contamination_oracle(bench_max_id: int = 5, threshold: int = 3) -> str:
+    from etl_edi_data_scrapper_spark.functions.span_dedup import (
+        benchmark_scrub_ctes,
+    )
+
     sh = _SQL_SHINGLES.format(t="string_split(text, ' ')")
+    dinject = _DECON_INJECT.replace("AS STRING", "AS VARCHAR")
     return f"""
     WITH shingled AS (SELECT doc_id, {sh} AS shingles FROM documents),
     bench AS (
@@ -1658,11 +1674,18 @@ def _contamination_oracle(bench_max_id: int = 5, threshold: int = 3) -> str:
       WHERE doc_id >= {bench_max_id}),
     hits AS (
       SELECT corp.doc_id, count(*) AS n_shared
-      FROM corp JOIN bench USING (s) GROUP BY corp.doc_id)
+      FROM corp JOIN bench USING (s) GROUP BY corp.doc_id),
+    dfeed AS (SELECT doc_id, {dinject} AS text FROM documents
+              WHERE doc_id >= {bench_max_id}),
+    bfeed AS (SELECT doc_id, {dinject} AS text FROM documents
+              WHERE doc_id < {bench_max_id}),
+    {benchmark_scrub_ctes("bs", "dfeed", "bfeed", width=8)}
     SELECT d.doc_id, coalesce(h.n_shared, 0) AS n_shared,
-           coalesce(h.n_shared, 0) >= {threshold} AS contaminated
+           coalesce(h.n_shared, 0) >= {threshold} AS contaminated,
+           bs.n_tokens_cut, bs.decon_text
     FROM (SELECT doc_id FROM documents WHERE doc_id >= {bench_max_id}) d
     LEFT JOIN hits h USING (doc_id)
+    JOIN bsout bs USING (doc_id)
     """
 
 
@@ -1672,8 +1695,21 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     3-gram shingles it shares with the (small) benchmark set. Benchmark
     shingles broadcast; the corpus side is explode → semi-style equi-join →
     per-doc count — the corpus text itself is never shuffled, only matched
-    shingle hits. The canonical pre-training hygiene op at 100 TB."""
+    shingle hits. The canonical pre-training hygiene op at 100 TB.
+
+    r7 adds the SURGICAL leg (`span_dedup.scrub_benchmark_spans`): the
+    doc-level verdict can only drop whole documents; the scrub columns
+    (`n_tokens_cut`, `decon_text`) instead cut exactly the leaked ≥8-token
+    passage at any offset — benchmark window hashes broadcast, the
+    per-token document pass is map-side, only matched positions shuffle.
+    A deterministic leak injection (bench doc 2 + corpus docs
+    doc_id%7==1, unique lead-in so the offset shifts) exercises the cut
+    path; the verdict columns keep reading the RAW text, so their values
+    are unchanged."""
     from etl_edi_data_scrapper_spark.functions.dedup import shingles
+    from etl_edi_data_scrapper_spark.functions.span_dedup import (
+        scrub_benchmark_spans,
+    )
 
     bench_max_id, threshold = 5, 3
     docs = _t(spark, sf_dir, "documents")
@@ -1692,6 +1728,12 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_shared")
     )
     base = docs.filter(F.col("doc_id") >= bench_max_id).select("doc_id")
+    injected = docs.select("doc_id", F.expr(_DECON_INJECT).alias("text"))
+    scrub = scrub_benchmark_spans(
+        injected.filter(F.col("doc_id") >= bench_max_id),
+        injected.filter(F.col("doc_id") < bench_max_id),
+        width=8,
+    ).select("doc_id", "n_tokens_cut", "decon_text")
     return (
         base.join(hits, "doc_id", "left")
         .select(
@@ -1701,6 +1743,7 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "contaminated"
             ),
         )
+        .join(scrub, "doc_id")
     )
 
 

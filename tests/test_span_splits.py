@@ -469,3 +469,88 @@ def test_span_family_matches_models_on_random_small_vocab_corpus(spark):
         for r in dedup_spans_multi(df, width=3, offsets=(0, 1, 2)).collect()
     }
     assert got_multi == _model_dedup_multi(corpus, 3, (0, 1, 2))
+
+
+class TestScrubBenchmarkSpans:
+    """Surgical benchmark decontamination (r7: span_dedup.scrub_benchmark_spans)."""
+
+    def _run(self, spark, docs_rows, bench_rows, width=4):
+        from etl_edi_data_scrapper_spark.functions.span_dedup import (
+            scrub_benchmark_spans,
+        )
+
+        docs = spark.createDataFrame(docs_rows, "doc_id long, text string")
+        bench = spark.createDataFrame(bench_rows, "doc_id long, text string")
+        out = scrub_benchmark_spans(docs, bench, width=width).collect()
+        return {r.doc_id: (r.n_tokens, r.n_tokens_cut, r.decon_text) for r in out}
+
+    def test_leaked_passage_cut_at_any_offset(self, spark):
+        # bench holds the passage mid-text; the doc carries it after a
+        # unique 3-token lead-in — a grid pass would miss it, sliding cuts
+        # the full passage and nothing else
+        passage = "p1 p2 p3 p4 p5"
+        got = self._run(
+            spark,
+            [(10, f"lead in words {passage} tail")],
+            [(1, f"bench prefix {passage}")],
+            width=4,
+        )
+        n_tokens, n_cut, text = got[10]
+        assert n_tokens == 9
+        assert n_cut == 5  # exactly the passage
+        assert text == "lead in words tail"
+
+    def test_clean_docs_round_trip(self, spark):
+        got = self._run(
+            spark,
+            [(10, "nothing shared here at all today")],
+            [(1, "completely different benchmark text")],
+        )
+        assert got[10] == (6, 0, "nothing shared here at all today")
+
+    def test_short_shared_overlap_survives(self, spark):
+        # 3 shared tokens < width=4: no window matches, nothing cut
+        got = self._run(
+            spark,
+            [(10, "a b c x y z")],
+            [(1, "a b c q r s")],
+            width=4,
+        )
+        assert got[10][1] == 0
+
+    def test_matches_duckdb_oracle(self, spark):
+        import duckdb
+
+        from etl_edi_data_scrapper_spark.functions.span_dedup import (
+            benchmark_scrub_ctes,
+            scrub_benchmark_spans,
+        )
+
+        docs_rows = [
+            (10, "u1 v1 leak alpha beta gamma delta end"),
+            (11, "leak alpha beta gamma delta front text"),
+            (12, "clean words only in this document"),
+            (13, ""),
+        ]
+        bench_rows = [(1, "intro leak alpha beta gamma delta outro"), (2, "")]
+        docs = spark.createDataFrame(docs_rows, "doc_id long, text string")
+        bench = spark.createDataFrame(bench_rows, "doc_id long, text string")
+        got = {
+            r.doc_id: (r.n_tokens, r.n_tokens_cut, r.decon_text)
+            for r in scrub_benchmark_spans(docs, bench, width=4).collect()
+        }
+
+        con = duckdb.connect()
+        con.execute("CREATE TABLE d (doc_id BIGINT, text VARCHAR)")
+        con.executemany("INSERT INTO d VALUES (?, ?)", docs_rows)
+        con.execute("CREATE TABLE b (doc_id BIGINT, text VARCHAR)")
+        con.executemany("INSERT INTO b VALUES (?, ?)", bench_rows)
+        sql = (
+            "WITH "
+            + benchmark_scrub_ctes("bs", "d", "b", width=4)
+            + " SELECT doc_id, n_tokens, n_tokens_cut, decon_text FROM bsout"
+        )
+        want = {
+            r[0]: (r[1], r[2], r[3]) for r in con.execute(sql).fetchall()
+        }
+        assert got == want
