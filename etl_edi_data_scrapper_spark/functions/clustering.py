@@ -461,11 +461,15 @@ def semantic_dedup_sharded(
     to land in one shard — see ``semantic_dedup_sharded_multipass``.
 
     Returns (id_col, shard, cluster, n_dupped_by, keep) — `cluster` is
-    shard-local; `keep` = no lower-id within-threshold neighbor in the
-    same shard-local cluster (same verdict rule as ``semantic_dedup``).
-    Rows with a NULL vector are dropped up front (a NULL cannot be a
-    duplicate of anything; crashing a whole shard task on one bad row is
-    the alternative) — route them to a cleanup pass, not a dedup pass.
+    shard-local; `keep` = no lower-id neighbor with cosine ≥ ``threshold``
+    in the same shard-local cluster. ``threshold`` is a similarity FLOOR,
+    exactly as in ``semantic_dedup``/``embedding_near_pairs`` (0.95-ish
+    for near-identical vectors; the shared 0.3 default mirrors the gate
+    query). Ids may be any orderable type ("lower id" = the column's
+    natural order; the output preserves the input id type). Rows with a
+    NULL vector are dropped up front (a NULL cannot be a duplicate of
+    anything; crashing a whole shard task on one bad row is the
+    alternative) — route them to a cleanup pass, not a dedup pass.
     """
     import pandas as pd
 
@@ -504,7 +508,7 @@ def semantic_dedup_sharded(
         import hashlib
 
         md5s = np.array(
-            [hashlib.md5(str(int(i)).encode()).hexdigest() for i in ids]
+            [hashlib.md5(str(i).encode()).hexdigest() for i in ids]
         )
         cent = x[np.argsort(md5s, kind="stable")[:k]].copy()
         for _ in range(iters):
@@ -530,7 +534,7 @@ def semantic_dedup_sharded(
         norms[norms == 0.0] = 1.0
         xn = x / norms[:, None]
         n_dup = np.zeros(n, dtype=np.int64)
-        cos_floor = 1.0 - thr
+        cos_floor = thr  # similarity FLOOR, same rule as embedding_near_pairs
         for c in np.unique(a):
             idx = np.flatnonzero(a == c)  # ascending id within cluster
             m = len(idx)
@@ -556,8 +560,9 @@ def semantic_dedup_sharded(
             }
         )
 
+    id_type = df.schema[id_col].dataType.simpleString()
     out_schema = (
-        f"__id long, shard int, cluster int, n_dupped_by long, keep boolean"
+        f"__id {id_type}, shard int, cluster int, n_dupped_by long, keep boolean"
     )
     return (
         src.groupBy("shard")
@@ -589,11 +594,12 @@ def semantic_dedup_sharded_multipass(
     `cluster`/`n_dupped_by` are per-pass internals and not returned —
     the verdict is the product. Returns (id_col, pass_dropped, keep).
     """
+    seed0 = int(kwargs.pop("seed", 0))  # caller's seed offsets the sequence
     survivors = df.select(F.col(id_col), F.col(vec_col))
     dropped = []
     for p in range(int(n_passes)):
         verdicts = semantic_dedup_sharded(
-            survivors, vec_col=vec_col, id_col=id_col, seed=p, **kwargs
+            survivors, vec_col=vec_col, id_col=id_col, seed=seed0 + p, **kwargs
         )
         # each pass is a full shuffle+groupedMap job; cut the lineage so
         # pass p+1 replans from materialized verdicts, not a growing DAG

@@ -51,7 +51,12 @@ def featurize(
     counts = (
         docs.select(
             F.col(id_col),
-            F.explode(F.split(F.col(text_col), " ")).alias("tok"),
+            # NULL text must still yield a feature row (the '' token):
+            # explode(split(NULL)) emits nothing, which would silently
+            # drop the doc through every downstream inner join
+            F.explode(
+                F.split(F.coalesce(F.col(text_col), F.lit("")), " ")
+            ).alias("tok"),
         )
         .select(id_col, hashed_bucket(F.col("tok"), n_buckets).alias("bucket"))
         .groupBy(id_col, "bucket")

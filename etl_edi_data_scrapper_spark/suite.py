@@ -1762,7 +1762,8 @@ def _clf_ctes(n_buckets: int = 64, n_epochs: int = 3) -> str:
       SELECT doc_id, CASE WHEN source = 'src0' THEN 1 ELSE -1 END AS y
       FROM documents),
     ctok AS (
-      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+      SELECT doc_id, unnest(string_split(coalesce(text, ''), ' ')) AS tok
+      FROM documents),
     ctf AS (
       SELECT doc_id, ({tword}) % {n_buckets} AS bucket,
              CAST(count(*) AS BIGINT) AS tf

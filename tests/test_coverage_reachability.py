@@ -7,6 +7,7 @@ a filename mention in COVERAGE.md fails the suite.
 """
 
 import os
+import re
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 PKG = os.path.join(REPO, "etl_edi_data_scrapper_spark")
@@ -20,7 +21,11 @@ def test_every_source_module_is_mapped_in_coverage():
         dirs[:] = [d for d in dirs if d != "__pycache__"]
         for f in files:
             if f.endswith(".py") and f != "__init__.py":
-                if os.path.basename(f) not in cov:
+                # delimited match, not substring: 'ring.py' must not pass
+                # vacuously because 'clustering.py' is mentioned
+                if not re.search(
+                    rf"(?<![A-Za-z0-9_]){re.escape(os.path.basename(f))}", cov
+                ):
                     missing.append(
                         os.path.relpath(os.path.join(root, f), PKG)
                     )

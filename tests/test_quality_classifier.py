@@ -115,6 +115,22 @@ def test_training_is_deterministic_under_repartition(spark, docs):
     assert a == b  # integer sums are order-independent
 
 
+def test_null_text_doc_still_gets_a_verdict(spark):
+    from pyspark.sql import functions as F
+
+    from etl_edi_data_scrapper_spark.functions.quality_classifier import (
+        fit_reference_classifier,
+    )
+
+    rows = [(i, t) for i, t in TEXTS.items()] + [(99, None)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = fit_reference_classifier(
+        docs, F.col("doc_id").isin([1, 2, 5]), n_buckets=B, n_epochs=2
+    ).collect()
+    # the NULL-text doc must not vanish through the feature inner joins
+    assert sorted(r.doc_id for r in out) == [1, 2, 3, 4, 5, 6, 99]
+
+
 def test_converged_epoch_is_a_noop(spark, docs):
     from pyspark.sql import functions as F
 

@@ -39,7 +39,10 @@ def test_single_shard_matches_bruteforce_model(spark, tiny):
         semantic_dedup_sharded,
     )
 
-    thr = 0.3
+    # threshold is a similarity FLOOR (cos >= thr drops), the same rule
+    # as semantic_dedup/embedding_near_pairs — 0.9 separates the tight
+    # groups (intra ~0.999) from cross-group (~0) in this fixture
+    thr = 0.9
     out = semantic_dedup_sharded(
         tiny, n_shards=1, k_per_shard=1, n_iters=2, threshold=thr
     ).collect()
@@ -49,9 +52,33 @@ def test_single_shard_matches_bruteforce_model(spark, tiny):
     data = {r.vec_id: [float(x) for x in r.embedding] for r in tiny.collect()}
     for i, vi in data.items():
         expect = sum(
-            1 for j, vj in data.items() if j < i and _cos(vi, vj) >= 1.0 - thr
+            1 for j, vj in data.items() if j < i and _cos(vi, vj) >= thr
         )
         assert got[i] == (expect, expect == 0), f"id {i}"
+
+
+def test_threshold_floor_matches_flat_semantic_dedup(spark, tiny):
+    """The sharded variant must agree with semantic_dedup on the SAME
+    threshold value (similarity floor) when sharding is degenerate
+    (one shard, one cluster vs flat k=1) — pins the verdict-rule parity
+    the docstring claims."""
+    from etl_edi_data_scrapper_spark.functions.clustering import (
+        semantic_dedup,
+        semantic_dedup_sharded,
+    )
+
+    for thr in (0.5, 0.97):
+        flat = {
+            r.vec_id: r.keep
+            for r in semantic_dedup(tiny, k=1, n_iters=1, threshold=thr).collect()
+        }
+        sharded = {
+            r.vec_id: r.keep
+            for r in semantic_dedup_sharded(
+                tiny, n_shards=1, k_per_shard=1, n_iters=1, threshold=thr
+            ).collect()
+        }
+        assert flat == sharded, f"threshold={thr}"
 
 
 def test_every_id_exactly_once_and_shard_bounded(spark, tiny):
@@ -155,6 +182,32 @@ def test_multipass_keeps_every_id_once(spark, tiny):
     assert sorted(r.vec_id for r in out) == [3, 7, 10, 15, 20, 99]
     for r in out:
         assert r.keep == (r.pass_dropped is None)
+
+
+def test_string_ids_work_end_to_end(spark):
+    from etl_edi_data_scrapper_spark.functions.clustering import (
+        semantic_dedup_sharded,
+    )
+
+    df = spark.createDataFrame(
+        [("docA", [1.0, 0.0]), ("docB", [1.0, 0.0]), ("docZ", [0.0, 1.0])],
+        "vec_id string, embedding array<float>",
+    )
+    out = semantic_dedup_sharded(df, n_shards=1, k_per_shard=1).collect()
+    by_id = {r.vec_id: r.keep for r in out}
+    # "lower id" = lexicographic for strings: docA keeps, docB dups it
+    assert by_id == {"docA": True, "docB": False, "docZ": True}
+
+
+def test_multipass_accepts_caller_seed(spark, tiny):
+    from etl_edi_data_scrapper_spark.functions.clustering import (
+        semantic_dedup_sharded_multipass,
+    )
+
+    out = semantic_dedup_sharded_multipass(
+        tiny, n_passes=2, n_shards=2, k_per_shard=1, seed=7
+    ).collect()
+    assert sorted(r.vec_id for r in out) == [3, 7, 10, 15, 20, 99]
 
 
 def test_null_vectors_are_dropped_not_crashed(spark):
