@@ -147,3 +147,41 @@ def test_converged_epoch_is_a_noop(spark, docs):
     w9 = perceptron_fit(feat, label_col="y", n_buckets=B, n_epochs=9)
     # this corpus separates within 5 epochs; extra epochs must change nothing
     assert w5 == w9
+
+
+from hypothesis import given, settings, strategies as st
+
+_WORD = st.sampled_from(
+    ["cat", "dog", "park", "market", "earnings", "prices", "the", "a", "x1"]
+)
+_DOC = st.lists(_WORD, min_size=1, max_size=8).map(" ".join)
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(_DOC, min_size=2, max_size=10),
+    st.integers(min_value=1, max_value=40),
+)
+def test_fit_parity_property(spark, texts, n_pos):
+    """Property: Spark's integer perceptron equals the pure-python model
+    EXACTLY on arbitrary small corpora and label splits — integer
+    arithmetic leaves no tolerance to hide behind."""
+    from pyspark.sql import functions as F
+
+    from etl_edi_data_scrapper_spark.functions.quality_classifier import (
+        featurize,
+        perceptron_fit,
+    )
+
+    texts_d = {i + 1: t for i, t in enumerate(texts)}
+    labels = {i: (1 if i <= n_pos else -1) for i in texts_d}
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in texts_d.items()], "doc_id long, text string"
+    )
+    feat = featurize(docs, n_buckets=B).withColumn(
+        "y",
+        F.when(F.col("doc_id") <= n_pos, F.lit(1)).otherwise(F.lit(-1)),
+    )
+    got = perceptron_fit(feat, label_col="y", n_buckets=B, n_epochs=2)
+    want = _fit_py(_featurize_py(texts_d, B), labels, B, 2)
+    assert got == want
