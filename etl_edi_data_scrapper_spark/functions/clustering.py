@@ -21,6 +21,46 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+# below this many estimated bytes a single task finishes the argmin pass
+# faster than the repartition shuffle + 32-task scheduling it would buy
+# (measured r8: the unconditional r7 guard doubled `semdedup` at sf0.1 —
+# 2000 rows / 0.8 MB shuffled to 32 partitions cost ~2.7 s warm and saved
+# nothing; at the 100x smoke, 80 MB in one footer, the spread is a 32x
+# rescue. 8 MiB splits those regimes with an order of magnitude to spare
+# on each side).
+_SPREAD_FLOOR_BYTES = 8 << 20
+
+
+def _plan_size_bytes(df: DataFrame) -> int:
+    """Catalyst's size estimate for the frame (for a parquet scan: the file
+    bytes) — a partition-count signal that costs a driver-side plan walk,
+    not the Python-RDD conversion `df.rdd.getNumPartitions()` pays.
+    Unknown stats surface as Long.MaxValue-ish huge values, which the
+    callers treat as 'already wide enough — do not touch'."""
+    return int(str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()))
+
+
+def _spread_small_scan(df: DataFrame, est_bytes: int | None = None) -> DataFrame:
+    """Repartition a NARROW-but-heavy input to the full pool, only when it
+    pays: small-file inputs (one parquet footer under maxPartitionBytes)
+    read as a single partition, which serializes the interpreted k×dim
+    argmin — the expensive term exactly when the corpus or k is large. But
+    the rescue is a full shuffle, so below ``_SPREAD_FLOOR_BYTES`` (where
+    one task wins anyway) and above ~maxPartitionBytes×parallelism (where
+    the scan is already wide) this is the identity. A no-op at real scale
+    — a 100 TB corpus has partitions ≫ cores."""
+    sc = df.sparkSession.sparkContext
+    size = _plan_size_bytes(df) if est_bytes is None else est_bytes
+    if size < _SPREAD_FLOOR_BYTES:
+        return df
+    raw = df.sparkSession.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
+    max_pb = int("".join(ch for ch in str(raw) if ch.isdigit()) or "134217728")
+    est_parts = -(-size // max(1, max_pb))
+    if est_parts >= sc.defaultParallelism:
+        return df
+    return df.repartition(sc.defaultParallelism)
+
+
 def _sqdist(vec: Column, centroid: list[float]) -> Column:
     lit = F.array(*[F.lit(float(x)) for x in centroid])
     return F.aggregate(
@@ -164,14 +204,10 @@ def kmeans_fit(
     assignment sees every row) — stable under reruns and repartitioning,
     unlike ``df.sample``.
     """
-    # small-file inputs (one parquet footer under maxPartitionBytes) read
-    # as a SINGLE partition, which serializes the interpreted k×dim argmin
-    # — the expensive term exactly when k is large. Repartition only when
-    # the scan is narrower than the pool: a no-op at real scale (a 100 TB
-    # corpus has partitions ≫ cores), a 32× rescue on small inputs.
-    sc = df.sparkSession.sparkContext
-    if df.rdd.getNumPartitions() < sc.defaultParallelism:
-        df = df.repartition(sc.defaultParallelism)
+    # size-gated spread (r8 — see _spread_small_scan: the unconditional r7
+    # guard cost more than it saved on small benches)
+    src_bytes = _plan_size_bytes(df)
+    df = _spread_small_scan(df, est_bytes=src_bytes)
     # the iteration re-reads df n_iters+2 times (init, updates, final
     # assignment) — cache the projected columns once; Spark spills cached
     # partitions at scale, and only (id, vec) is held, not the full row
@@ -190,7 +226,10 @@ def kmeans_fit(
         # One tiny shuffle of the sample rows buys full-pool parallelism;
         # values are unaffected (init is md5-ordered, means are
         # associative DECIMAL sums — both partitioning-independent).
-        work = work.repartition(work.sparkSession.sparkContext.defaultParallelism)
+        # Size-gated like the parent: sample bytes ≈ parent × pct/100
+        # (Catalyst's post-filter stats would guess a selectivity; we
+        # know the exact md5-bucket fraction).
+        work = _spread_small_scan(work, est_bytes=src_bytes * pct // 100)
     work = work.persist()
     init = (
         work.orderBy(F.md5(F.col(id_col).cast("string")))
@@ -281,11 +320,10 @@ def semantic_dedup(
             df, vec_col=vec_col, k=k, n_iters=n_iters, id_col=id_col,
             fit_fraction=fit_fraction,
         )
-        # same small-input guard as kmeans_fit: the routed assignment is
-        # the O(N·√k) term — never run it on fewer partitions than cores
-        sc = df.sparkSession.sparkContext
-        if df.rdd.getNumPartitions() < sc.defaultParallelism:
-            df = df.repartition(sc.defaultParallelism)
+        # same size-gated spread as kmeans_fit: the routed assignment is
+        # the O(N·√k) term — spread it only when the input is heavy enough
+        # that a single task would serialize it
+        df = _spread_small_scan(df)
         assigned = assign_clusters_ivf(df, vec_col, centroids, n_probe=ivf_probe)
     else:
         _, assigned = kmeans_fit(
@@ -377,6 +415,15 @@ def prototype_prune(
     hist = df.groupBy(cluster_col, "__coarse").count().collect()
     by_cluster: dict = {}
     for r in hist:
+        if r["__coarse"] is None:
+            # a cluster id outside [0, len(centroids)) leaves the distance
+            # CASE NULL — surface it here (bounded driver rows) instead of
+            # a TypeError deep in the sorted() boundary walk below
+            raise ValueError(
+                f"prototype_prune: rows with {cluster_col}={r[cluster_col]!r} "
+                f"do not index into the {len(centroids)} centroids given — "
+                "re-assign before pruning (IVF -1 sentinels must be filtered)"
+            )
         by_cluster.setdefault(r[cluster_col], []).append((r["__coarse"], r["count"]))
     # boundary[c] = (boundary bucket, slots left inside it); None = keep all
     boundary: dict = {}

@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from etl_edi_data_scrapper_spark.functions.hashing import hex_word
+from etl_edi_data_scrapper_spark.functions.hashing import hex_val, hex_word
 
 MICRO = 1_000_000
 U32 = 2**32
@@ -47,8 +47,6 @@ def hashed_bucket(gram: Column, n_buckets: int) -> Column:
         h = F.md5(gram)
         v: Column = F.lit(0).cast("long")
         for k in range(c):
-            from etl_edi_data_scrapper_spark.functions.hashing import hex_val
-
             v = v * 16 + hex_val(F.substring(h, 8 - c + 1 + k, 1))
         return v % n_buckets
     return hex_word(F.md5(gram), 1) % n_buckets

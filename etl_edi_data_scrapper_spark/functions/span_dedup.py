@@ -223,10 +223,18 @@ def dedup_spans_sliding(
         f"transform(sequence(0, greatest(size(split({text_col}, ' ')) - {width}, 0)), "
         f"i -> array_join(slice(split({text_col}, ' '), i + 1, {width}), ' '))"
     )
-    occ = docs.select(
-        F.col(id_col),
-        F.posexplode(F.expr(wins)).alias("pos", "win"),
-    ).select(id_col, "pos", F.md5(F.col("win")).alias("h"))
+    occ = (
+        docs.select(
+            F.col(id_col),
+            F.posexplode(F.expr(wins)).alias("pos", "win"),
+        )
+        # same empty-span discipline as dedup_spans/scrub_benchmark_spans:
+        # md5('') collides corpus-wide, so empty-text docs would all
+        # cross-match and every empty doc after the first would book a
+        # phantom n_tokens_dropped=1 (r8, advisor finding)
+        .filter(F.col("win") != "")
+        .select(id_col, "pos", F.md5(F.col("win")).alias("h"))
+    )
     owners = occ.groupBy("h").agg(
         F.min(F.struct(F.col(id_col), F.col("pos"))).alias("first_occ"),
         F.count(F.lit(1)).alias("n_occ"),
@@ -290,7 +298,7 @@ def span_dedup_sliding_oracle_sql(
              count(*) OVER (PARTITION BY md5(win)) AS n_occ,
              row_number() OVER (PARTITION BY md5(win)
                                 ORDER BY {id_col}, pos) AS rn
-      FROM slwin),
+      FROM slwin WHERE win <> ''),
     sldrops AS (
       SELECT {id_col}, list(pos) AS dp
       FROM slocc WHERE n_occ > 1 AND rn > 1 GROUP BY {id_col})

@@ -343,6 +343,8 @@ def _model_sliding(docs, width: int):
     first, counts = {}, {}
     for doc_id in sorted(wins):
         for pos, w in enumerate(wins[doc_id]):
+            if w == "":  # empty-span discipline (md5('') collides corpus-wide)
+                continue
             counts[w] = counts.get(w, 0) + 1
             first.setdefault(w, (doc_id, pos))
     out = {}
@@ -351,7 +353,7 @@ def _model_sliding(docs, width: int):
         dropped_pos = [
             pos
             for pos, w in enumerate(wins[doc_id])
-            if counts[w] > 1 and first[w] != (doc_id, pos)
+            if w != "" and counts[w] > 1 and first[w] != (doc_id, pos)
         ]
         covered = set()
         for p in dropped_pos:
@@ -409,6 +411,40 @@ def test_sliding_catches_cross_residue_duplicate(spark):
     assert "nav home login search" in got[20][1]  # first occurrence intact
     assert got[22] == (0, CROSS_RESIDUE[2][1])    # unrelated doc untouched
     assert got[20] == (0, CROSS_RESIDUE[0][1])    # first doc loses nothing
+
+
+def test_sliding_ignores_empty_text_docs(spark):
+    """Two empty-text docs must NOT cross-match on md5('') — neither books
+    a phantom n_tokens_dropped, and oracle parity holds on the same corpus
+    (r8, advisor finding)."""
+    import duckdb
+    import pandas as pd
+
+    from etl_edi_data_scrapper_spark.functions.span_dedup import (
+        dedup_spans_sliding,
+        span_dedup_sliding_oracle_sql,
+    )
+
+    corpus = [(0, ""), (1, ""), (2, "real words here"), (3, "")]
+    df = spark.createDataFrame(corpus, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_tokens, r.n_tokens_dropped, r.clean_text)
+        for r in dedup_spans_sliding(df, width=4).collect()
+    }
+    assert got == _model_sliding(corpus, 4)
+    for d in (0, 1, 3):
+        assert got[d] == (1, 0, "")  # split('') == [''] → one empty token
+    assert got[2] == (3, 0, "real words here")
+
+    con = duckdb.connect()
+    con.register("docs", pd.DataFrame(corpus, columns=["doc_id", "text"]))
+    want = {
+        r[0]: tuple(r[1:])
+        for r in con.sql(
+            span_dedup_sliding_oracle_sql(table="docs", width=4)
+        ).fetchall()
+    }
+    assert got == want
 
 
 def test_sliding_duckdb_oracle_parity(spark):
