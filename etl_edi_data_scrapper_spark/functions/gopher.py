@@ -44,10 +44,19 @@ advances the pointer, extends the running covered-end, and accumulates
 `length(token)` plus the preceding space when covered. O(L) per row,
 still zero shuffle.
 
-One deliberate, documented departure from the paper's letter: the
-line/paragraph duplicate rules are omitted — this corpus has no newlines
-(and the rules are the same machinery as `functions/span_dedup.py` at
-line granularity).
+The line/paragraph duplicate rules (the remaining quarter of table A1)
+live in :func:`add_gopher_line_features` (r8): duplicate LINE fraction /
+duplicate PARAGRAPH fraction (> 30% → drop) and their character-mass
+variants (> 20% → drop). "Duplicate" follows the public DataTrove
+reading: within ONE document, every occurrence of a segment AFTER its
+first is a duplicate (set semantics — order-independent, so the per-row
+sorted-run fold here and a relational group-count oracle agree exactly).
+Lines are the nonempty segments of a split on single newlines,
+paragraphs the nonempty segments of a split on runs of 2+ newlines;
+char fractions are duplicate chars over total document chars. The base
+corpus has no newlines, so the gate query synthesizes a deterministic
+newline-bearing leg (suite.py) — the rules themselves are corpus-
+agnostic per-row folds, zero shuffle like the rest of the module.
 
 All fractions are pre-quantized to integer micro-units (`* 1_000_000
 DIV total`) so the DuckDB oracle compares exact integers, never
@@ -76,6 +85,20 @@ GOPHER_FEATURE_COLS = (
     "dup5_cov_micro",
     "dup10_cov_micro",
     "gopher_keep",
+)
+
+# published line/paragraph duplicate thresholds (Rae 2021 table A1), micro
+DUP_LINE_FRAC_MAX_MICRO = 300_000
+DUP_PARA_FRAC_MAX_MICRO = 300_000
+DUP_LINE_CHAR_MAX_MICRO = 200_000
+DUP_PARA_CHAR_MAX_MICRO = 200_000
+
+GOPHER_LINE_FEATURE_COLS = (
+    "dup_line_frac_micro",
+    "dup_para_frac_micro",
+    "dup_line_char_micro",
+    "dup_para_char_micro",
+    "gopher_line_keep",
 )
 
 
@@ -150,6 +173,84 @@ def _char_covered_fold(dp: str, toks: str, n: int) -> str:
         f"    + IF({e_new} >= CAST(j AS BIGINT), "
         f"         CAST(length(element_at({toks}, j + 1)) AS BIGINT), 0L))"
         f").chars"
+    )
+
+
+def _dup_run_folds(srt: str) -> tuple[str, str]:
+    """SQL: (duplicate count, duplicate chars) read off the SORTED nonempty
+    segment array COLUMN ``srt``: equal segments are adjacent after the
+    sort, so every position j >= 2 matching its predecessor is an
+    occurrence AFTER the first (set semantics). element_at probes on a
+    column attribute are O(1) — the module-header HOF discipline."""
+    dup = f"element_at({srt}, j) = element_at({srt}, j - 1)"
+    cnt = (
+        f"IF(size({srt}) < 2, 0L, aggregate(sequence(2, size({srt})), 0L, "
+        f"(acc, j) -> acc + IF({dup}, 1L, 0L)))"
+    )
+    chars = (
+        f"IF(size({srt}) < 2, 0L, aggregate(sequence(2, size({srt})), 0L, "
+        f"(acc, j) -> acc + IF({dup}, "
+        f"CAST(length(element_at({srt}, j)) AS BIGINT), 0L)))"
+    )
+    return cnt, chars
+
+
+def add_gopher_line_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Add the Gopher line/paragraph duplicate block (Rae 2021 table A1,
+    the rules :func:`add_gopher_features` does not cover):
+    ``dup_line_frac_micro`` / ``dup_para_frac_micro`` (duplicate segments
+    over total segments) and ``dup_line_char_micro`` /
+    ``dup_para_char_micro`` (duplicate segment chars over total document
+    chars), plus the published-threshold verdict ``gopher_line_keep``
+    (frac <= 30%, char frac <= 20%, all four). Lines split on single
+    newlines, paragraphs on runs of 2+ newlines; empty segments excluded
+    on both granularities. Two narrow projections, zero shuffle."""
+    segs = {
+        "line": (f"__gopher_lnsrt_{text_col}", r"\n"),
+        "para": (f"__gopher_pgsrt_{text_col}", r"\n{2,}"),
+    }
+    out = df
+    for col, pat in segs.values():
+        out = out.withColumn(
+            col,
+            F.array_sort(
+                F.filter(F.split(F.col(text_col), pat), lambda x: x != F.lit(""))
+            ),
+        )
+    feats: dict[str, F.Column] = {}
+    keep = F.lit(True)
+    thresholds = {
+        ("line", "frac"): DUP_LINE_FRAC_MAX_MICRO,
+        ("para", "frac"): DUP_PARA_FRAC_MAX_MICRO,
+        ("line", "char"): DUP_LINE_CHAR_MAX_MICRO,
+        ("para", "char"): DUP_PARA_CHAR_MAX_MICRO,
+    }
+    for kind, (col, _pat) in segs.items():
+        cnt, chars = _dup_run_folds(col)
+        frac = F.expr(f"{cnt} * 1000000L DIV greatest(size({col}), 1)")
+        char = F.expr(
+            f"{chars} * 1000000L DIV greatest(CAST(length({text_col}) AS BIGINT), 1L)"
+        )
+        feats[f"dup_{kind}_frac_micro"] = frac
+        feats[f"dup_{kind}_char_micro"] = char
+        keep = (
+            keep
+            & (frac <= F.lit(thresholds[(kind, "frac")]))
+            & (char <= F.lit(thresholds[(kind, "char")]))
+        )
+    feats["gopher_line_keep"] = keep
+    return out.select(
+        *[F.col(c) for c in df.columns],
+        *[
+            feats[k].alias(k)
+            for k in (
+                "dup_line_frac_micro",
+                "dup_para_frac_micro",
+                "dup_line_char_micro",
+                "dup_para_char_micro",
+                "gopher_line_keep",
+            )
+        ],
     )
 
 

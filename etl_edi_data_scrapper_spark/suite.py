@@ -774,11 +774,23 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     sorted-array folds inside the same zero-shuffle projection as the
     quality features (the oracle re-states them relationally:
     explode → per-(doc,gram) counts → rank / gaps-and-islands union).
+
+    r8 completes table A1 with the line/paragraph duplicate rules
+    (`gopher.py::add_gopher_line_features`). The corpus has no newlines,
+    so the leg SYNTHESIZES a deterministic newline-bearing text per doc
+    (5-token lines, 3-line paragraphs; doc_id%7==3 docs get their first
+    line re-appended, doc_id%11==5 their first paragraph — exercising
+    both drop paths) and hash-checks the four micro-fractions plus the
+    `gopher_line_keep` verdict against a relational DuckDB replica.
     [r3 consolidation: absorbs the former `lang_id` query; r5: absorbs
     `unigram_xent` and `dedup_exact` to fit the driver's 50-query
     correctness cap — every leg's values stay hash-checked.]"""
     from etl_edi_data_scrapper_spark.functions.dedup import exact_dedup
-    from etl_edi_data_scrapper_spark.functions.gopher import add_gopher_features
+    from etl_edi_data_scrapper_spark.functions.gopher import (
+        GOPHER_LINE_FEATURE_COLS,
+        add_gopher_features,
+        add_gopher_line_features,
+    )
     from etl_edi_data_scrapper_spark.functions.text import (
         fingerprint,
         lang_id,
@@ -813,14 +825,52 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "xent_sum_micro", "xent_milli", F.col("keep").alias("xent_keep")
     )
     groups = exact_dedup(docs)  # (fingerprint, canonical_id, n_dups)
+    # r8 leg: deterministic newline synthesis (5-token lines joined by \n,
+    # 3-line paragraphs joined by \n\n) + injected duplicate line/paragraph
+    # for fixed doc_id residues, then the table-A1 line/para rules. Helper
+    # arrays are materialized columns (gopher.py module-header HOF rule).
+    nl = (
+        docs.select("doc_id", "text")
+        .withColumn("__t", F.split("text", " "))
+        .withColumn(
+            "__lines",
+            F.expr(
+                "transform(sequence(0, (size(__t) + 4) DIV 5 - 1), "
+                "i -> array_join(slice(__t, i * 5 + 1, 5), ' '))"
+            ),
+        )
+        .withColumn(
+            "__paras",
+            F.expr(
+                "transform(sequence(0, (size(__lines) + 2) DIV 3 - 1), "
+                "j -> array_join(slice(__lines, j * 3 + 1, 3), '\\n'))"
+            ),
+        )
+        .withColumn(
+            "nl_text",
+            F.expr(
+                "array_join(__paras, '\\n\\n') || "
+                "CASE WHEN doc_id % 7 = 3 "
+                "THEN '\\n' || element_at(__lines, 1) ELSE '' END || "
+                "CASE WHEN doc_id % 11 = 5 "
+                "THEN '\\n\\n' || element_at(__paras, 1) ELSE '' END"
+            ),
+        )
+    )
+    nl_feats = add_gopher_line_features(nl, text_col="nl_text").select(
+        "doc_id", *GOPHER_LINE_FEATURE_COLS
+    )
     return (
         quality.join(xent, "doc_id")
         .join(groups, "fingerprint")
+        .join(nl_feats, "doc_id")
         .select(
             "doc_id", "lang", "lang_pred", "fingerprint", "n_chars", "n_tokens",
             "avg_token_len", "stopword_ratio", "uniq_ratio", "quality",
             "top2_frac_micro", "top3_frac_micro", "top4_frac_micro",
             "dup5_cov_micro", "dup10_cov_micro", "gopher_keep",
+            "dup_line_frac_micro", "dup_para_frac_micro",
+            "dup_line_char_micro", "dup_para_char_micro", "gopher_line_keep",
             "xent_sum_micro", "xent_milli", "xent_keep", "canonical_id", "n_dups",
         )
     )
@@ -916,10 +966,82 @@ def _sql_gopher_ctes(top_ns=(2, 3, 4), dup_ns=(5, 10)) -> tuple[str, str, str]:
     return ",\n    ".join(ctes), ", ".join(cols), " ".join(joins)
 
 
+def _sql_gopher_line_ctes() -> tuple[str, str, str]:
+    """DuckDB replica of the r8 line/paragraph duplicate leg: rebuild the
+    same synthesized newline text (5-token lines, 3-line paragraphs,
+    residue-keyed duplicate injections), then duplicates counted
+    RELATIONALLY (group-count per segment; engine side is a sorted-run
+    fold — independent formulations, same integers)."""
+    from etl_edi_data_scrapper_spark.functions.gopher import (
+        DUP_LINE_CHAR_MAX_MICRO,
+        DUP_LINE_FRAC_MAX_MICRO,
+        DUP_PARA_CHAR_MAX_MICRO,
+        DUP_PARA_FRAC_MAX_MICRO,
+    )
+
+    ctes = f"""nlb AS (
+      SELECT doc_id,
+             list_transform(generate_series(0, (len(t) + 4) // 5 - 1),
+               i -> array_to_string(t[i * 5 + 1 : i * 5 + 5], ' ')) AS lns
+      FROM tok),
+    nlp AS (
+      SELECT doc_id, lns,
+             list_transform(generate_series(0, (len(lns) + 2) // 3 - 1),
+               j -> array_to_string(lns[j * 3 + 1 : j * 3 + 3], chr(10))) AS prs
+      FROM nlb),
+    nlt AS (
+      SELECT doc_id,
+             array_to_string(prs, chr(10) || chr(10))
+             || CASE WHEN doc_id % 7 = 3 THEN chr(10) || lns[1] ELSE '' END
+             || CASE WHEN doc_id % 11 = 5
+                THEN chr(10) || chr(10) || prs[1] ELSE '' END AS nl_text
+      FROM nlp),
+    nlsg AS (
+      SELECT doc_id, unnest(list_filter(string_split(nl_text, chr(10)),
+               x -> x <> '')) AS seg FROM nlt),
+    nlld AS (
+      SELECT doc_id, sum(cnt - 1) AS de,
+             sum((cnt - 1) * length(seg)) AS dc, sum(cnt) AS ne
+      FROM (SELECT doc_id, seg, count(*) AS cnt FROM nlsg GROUP BY 1, 2)
+      GROUP BY 1),
+    npsg AS (
+      SELECT doc_id, unnest(list_filter(string_split_regex(nl_text, '\\n{{2,}}'),
+               x -> x <> '')) AS seg FROM nlt),
+    nlpd AS (
+      SELECT doc_id, sum(cnt - 1) AS de,
+             sum((cnt - 1) * length(seg)) AS dc, sum(cnt) AS ne
+      FROM (SELECT doc_id, seg, count(*) AS cnt FROM npsg GROUP BY 1, 2)
+      GROUP BY 1)"""
+    exprs = {
+        "dup_line_frac_micro": "coalesce(ld.de, 0) * 1000000 // greatest(coalesce(ld.ne, 0), 1)",
+        "dup_para_frac_micro": "coalesce(pd.de, 0) * 1000000 // greatest(coalesce(pd.ne, 0), 1)",
+        "dup_line_char_micro": "coalesce(ld.dc, 0) * 1000000 // greatest(length(nlt.nl_text), 1)",
+        "dup_para_char_micro": "coalesce(pd.dc, 0) * 1000000 // greatest(length(nlt.nl_text), 1)",
+    }
+    limits = {
+        "dup_line_frac_micro": DUP_LINE_FRAC_MAX_MICRO,
+        "dup_para_frac_micro": DUP_PARA_FRAC_MAX_MICRO,
+        "dup_line_char_micro": DUP_LINE_CHAR_MAX_MICRO,
+        "dup_para_char_micro": DUP_PARA_CHAR_MAX_MICRO,
+    }
+    cols = ", ".join(
+        [f"CAST({e} AS BIGINT) AS {k}" for k, e in exprs.items()]
+        + ["(" + " AND ".join(f"{e} <= {limits[k]}" for k, e in exprs.items())
+           + ") AS gopher_line_keep"]
+    )
+    joins = (
+        "JOIN nlt ON nlt.doc_id = q.doc_id "
+        "LEFT JOIN nlld ld ON ld.doc_id = q.doc_id "
+        "LEFT JOIN nlpd pd ON pd.doc_id = q.doc_id"
+    )
+    return ctes, cols, joins
+
+
 def _text_quality_oracle() -> str:
     from etl_edi_data_scrapper_spark.functions.text import LANG_STOPWORDS
 
     gopher_ctes, gopher_cols, gopher_joins = _sql_gopher_ctes()
+    line_ctes, line_cols, line_joins = _sql_gopher_line_ctes()
     scores = ", ".join(
         f"{_sql_lang_score(w)} AS s_{lang}" for lang, w in sorted(LANG_STOPWORDS.items())
     )
@@ -950,16 +1072,19 @@ def _text_quality_oracle() -> str:
              min(doc_id) AS canonical_id,
              count(*) AS n_dups
       FROM documents GROUP BY 1),
-    {gopher_ctes}
+    {gopher_ctes},
+    {line_ctes}
     SELECT q.doc_id, q.lang, q.lang_pred, q.fingerprint, q.n_chars, q.n_tokens,
            q.avg_token_len, q.stopword_ratio, q.uniq_ratio, q.quality,
            {gopher_cols},
+           {line_cols},
            xm.xent_sum_micro, xm.xent_milli,
            xm.xent_milli BETWEEN 2000 AND 6000 AS xent_keep,
            grp.canonical_id, grp.n_dups
     FROM q JOIN xm ON xm.doc_id = q.doc_id
       JOIN grp ON grp.fingerprint = q.fingerprint
       {gopher_joins}
+      {line_joins}
     """
 
 

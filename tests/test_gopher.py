@@ -152,3 +152,92 @@ def test_long_documents_stay_linear(spark):
     n = add_gopher_features(df).count()
     assert n == 200
     assert time.time() - start < 60, "gopher features went super-linear per row"
+
+
+# --- line/paragraph duplicate rules (r8) ------------------------------------
+
+
+def model_line_para(text: str):
+    """Pure-Python DataTrove-style model of add_gopher_line_features."""
+    import re
+
+    def find_dups(segs):
+        seen, de, dc = set(), 0, 0
+        for s in segs:
+            if s in seen:
+                de += 1
+                dc += len(s)
+            else:
+                seen.add(s)
+        return de, dc
+
+    out = {}
+    for kind, pat in (("line", r"\n"), ("para", r"\n{2,}")):
+        segs = [s for s in re.split(pat, text) if s != ""]
+        de, dc = find_dups(segs)
+        out[f"dup_{kind}_frac_micro"] = de * 1_000_000 // max(len(segs), 1)
+        out[f"dup_{kind}_char_micro"] = dc * 1_000_000 // max(len(text), 1)
+    out["gopher_line_keep"] = (
+        out["dup_line_frac_micro"] <= 300_000
+        and out["dup_para_frac_micro"] <= 300_000
+        and out["dup_line_char_micro"] <= 200_000
+        and out["dup_para_char_micro"] <= 200_000
+    )
+    return out
+
+
+def _spark_line_feats(spark, texts):
+    from etl_edi_data_scrapper_spark.functions.gopher import (
+        GOPHER_LINE_FEATURE_COLS,
+        add_gopher_line_features,
+    )
+
+    df = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+    return {
+        r["doc_id"]: {c: r[c] for c in GOPHER_LINE_FEATURE_COLS}
+        for r in add_gopher_line_features(df).collect()
+    }
+
+
+def test_line_para_model_parity_handcrafted(spark):
+    texts = [
+        "one line only",
+        "dup\ndup\nunique",                        # 2/3 lines are 'dup' -> 1 dup
+        "para a\n\npara a\n\npara b",              # duplicate paragraph
+        "a\nb\n\n\na\nb",                          # 3+ newlines = one para break
+        "",                                        # empty doc: all zeros
+        "\n\n\n",                                  # only separators: no segments
+        "x\ny\nx\ny\nx",                           # heavy line dup -> keep False
+        "tail\n",                                  # trailing newline: empty seg dropped
+    ]
+    got = _spark_line_feats(spark, texts)
+    for i, t in enumerate(texts):
+        assert got[i] == model_line_para(t), f"doc {i}: {t!r}"
+    assert got[6]["gopher_line_keep"] is False
+    assert got[0]["gopher_line_keep"] is True
+
+
+def test_line_para_model_parity_randomized(spark):
+    rng = random.Random(13)
+    vocab = ["aa", "bb", "cc"]
+    texts = []
+    for _ in range(150):
+        n = rng.randint(0, 12)
+        segs = [rng.choice(vocab) for _ in range(n)]
+        seps = [rng.choice(["\n", "\n\n", "\n\n\n", " "]) for _ in range(max(n - 1, 0))]
+        t = "".join(
+            s + (seps[i] if i < len(seps) else "") for i, s in enumerate(segs)
+        )
+        texts.append(t)
+    got = _spark_line_feats(spark, texts)
+    for i, t in enumerate(texts):
+        assert got[i] == model_line_para(t), f"doc {i}: {t!r}"
+
+
+def test_line_para_zero_shuffle(spark):
+    from etl_edi_data_scrapper_spark.functions.gopher import add_gopher_line_features
+
+    df = spark.createDataFrame([(1, "a\nb\n\nc")], ["doc_id", "text"])
+    plan = add_gopher_line_features(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan
