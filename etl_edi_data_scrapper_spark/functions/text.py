@@ -188,6 +188,135 @@ def fingerprint(c: Column | str) -> Column:
     return F.md5(normalize_text(c))
 
 
+def bigram_cross_entropy(
+    df,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    fit_pct: int = 50,
+    alpha_milli: int = 400,
+    lo_milli: int = 2000,
+    hi_milli: int = 9000,
+):
+    """Bigram stupid-backoff cross-entropy (the CCNet-family upgrade of
+    :func:`unigram_cross_entropy` — Brants et al. 2007 "Large Language
+    Models in Machine Translation" for the backoff rule): a unigram proxy
+    is blind to WORD ORDER (a token-shuffled document scores identically),
+    so garbage that preserves term frequencies sails through. The bigram
+    score catches it:
+
+      score(w_i | w_{i-1}) = bcnt(w_{i-1}, w_i) / ctx(w_{i-1})     if seen
+                           = (alpha_milli/1000) * p1(w_i)           else
+      p1(w) = (ucnt(w) + 1) / (total + V)          (add-1, OOV-safe)
+
+    and the first token of every document is scored by p1 alone. The
+    model is fit on a deterministic md5-bucket HALF of the corpus
+    (``fit_pct``) and scores ALL documents — fitting on the full corpus
+    would make every document bigram "seen" (count >= its own
+    occurrences) and the backoff leg dead code; the held-out split is
+    also the honest CCNet shape (score under a model fit on reference
+    text, not on the document itself).
+
+    Engine parity: per-position -ln p quantized to integer micro-nats
+    before exact long sums (same discipline and same last-ulp ``log``
+    caveat as the unigram filter); the md5 split, add-1 smoothing and
+    integer thresholds make both halves replicable in any SQL engine.
+
+    Scale: the unigram model broadcasts like TF-IDF's vocabulary, but the
+    BIGRAM model grows with corpus diversity and is NOT broadcast — the
+    doc-bigram/model join is a key shuffle on (prev, cur), which AQE
+    plans as broadcast only while the model is small. Everything else is
+    the standard explode → count shape; no Python anywhere.
+
+    Returns (id, n_tokens, bxent_sum_micro, bxent_milli, keep).
+    """
+    from etl_edi_data_scrapper_spark.functions.hashing import hex_word
+
+    alpha = F.lit(alpha_milli).cast("double") / F.lit(1000.0)
+    fit = df.filter(
+        hex_word(F.md5(F.col(id_col).cast("string")), 1) % 100 < fit_pct
+    )
+    uni = (
+        fit.select(F.explode(tokens(text_col)).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("ucnt"))
+    )
+    totals = uni.agg(
+        F.sum("ucnt").alias("total_fit"), F.count(F.lit(1)).alias("v_fit")
+    )
+
+    def pairs_of(frame):
+        t = tokens(text_col)
+        bg = F.when(
+            F.size(t) >= 2,
+            F.transform(
+                F.sequence(F.lit(0), F.size(t) - 2),
+                lambda i: F.struct(t[i].alias("prev"), t[i + 1].alias("cur")),
+            ),
+        ).otherwise(F.array().cast("array<struct<prev string, cur string>>"))
+        return frame.select(F.col(id_col), F.explode(bg).alias("bg")).select(
+            id_col, F.col("bg.prev").alias("prev"), F.col("bg.cur").alias("cur")
+        )
+
+    big = pairs_of(fit).groupBy("prev", "cur").agg(F.count(F.lit(1)).alias("bcnt"))
+    ctx = big.groupBy("prev").agg(F.sum("bcnt").alias("ccnt"))
+
+    p1_cur = (F.coalesce(F.col("ucnt"), F.lit(0)) + 1).cast("double") / (
+        F.col("total_fit") + F.col("v_fit")
+    ).cast("double")
+    pair_micro = F.floor(
+        -F.log(
+            F.when(
+                F.col("bcnt").isNotNull(),
+                F.col("bcnt").cast("double") / F.col("ccnt").cast("double"),
+            ).otherwise(alpha * p1_cur)
+        )
+        * F.lit(1000000)
+    ).cast("long")
+    pair_scores = (
+        pairs_of(df)
+        .groupBy(id_col, "prev", "cur")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .join(big, ["prev", "cur"], "left")
+        .join(ctx, "prev", "left")
+        .join(F.broadcast(uni.withColumnRenamed("term", "cur")), "cur", "left")
+        .crossJoin(F.broadcast(totals))
+        .groupBy(id_col)
+        .agg(F.sum(F.col("tf") * pair_micro).cast("long").alias("pair_micro"))
+    )
+    first_scores = (
+        df.select(F.col(id_col), F.element_at(tokens(text_col), 1).alias("term"))
+        .join(F.broadcast(uni), "term", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            F.col(id_col),
+            F.floor(
+                -F.log(
+                    (F.coalesce(F.col("ucnt"), F.lit(0)) + 1).cast("double")
+                    / (F.col("total_fit") + F.col("v_fit")).cast("double")
+                )
+                * F.lit(1000000)
+            )
+            .cast("long")
+            .alias("first_micro"),
+        )
+    )
+    return (
+        df.select(F.col(id_col), F.size(tokens(text_col)).cast("long").alias("n_tokens"))
+        .join(first_scores, id_col)
+        .join(pair_scores, id_col, "left")
+        .withColumn(
+            "bxent_sum_micro",
+            (F.coalesce(F.col("pair_micro"), F.lit(0)) + F.col("first_micro")).cast("long"),
+        )
+        .withColumn("bxent_milli", F.expr("(bxent_sum_micro DIV n_tokens) DIV 1000"))
+        .withColumn(
+            "keep",
+            (F.col("bxent_milli") >= lo_milli) & (F.col("bxent_milli") <= hi_milli),
+        )
+        .select(id_col, "n_tokens", "bxent_sum_micro", "bxent_milli", "keep")
+    )
+
+
 def unigram_cross_entropy(
     df,
     id_col: str = "doc_id",

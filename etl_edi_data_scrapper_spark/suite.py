@@ -775,7 +775,16 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     quality features (the oracle re-states them relationally:
     explode → per-(doc,gram) counts → rank / gaps-and-islands union).
 
-    r8 completes table A1 with the line/paragraph duplicate rules
+    r8 upgrades the perplexity family with the bigram stupid-backoff
+    cross-entropy (`text.py::bigram_cross_entropy`, Brants 2007 / the
+    CCNet shape): model fit on a deterministic md5-bucket HALF of the
+    corpus, all docs scored, unseen bigrams backing off to
+    alpha*add-1-unigram — the word-order signal the unigram filter is
+    blind to. Three new hash-checked cols (`bxent_sum_micro`,
+    `bxent_milli`, `bxent_keep`); the suite band [2000, 3500] drops the
+    high tail so the verdict path is exercised.
+
+    r8 also completes table A1 with the line/paragraph duplicate rules
     (`gopher.py::add_gopher_line_features`). The corpus has no newlines,
     so the leg SYNTHESIZES a deterministic newline-bearing text per doc
     (5-token lines, 3-line paragraphs; doc_id%7==3 docs get their first
@@ -792,6 +801,7 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         add_gopher_line_features,
     )
     from etl_edi_data_scrapper_spark.functions.text import (
+        bigram_cross_entropy,
         fingerprint,
         lang_id,
         quality_features,
@@ -823,6 +833,9 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).drop("text")
     xent = unigram_cross_entropy(docs).select(
         "doc_id", "xent_sum_micro", "xent_milli", F.col("keep").alias("xent_keep")
+    )
+    bxent = bigram_cross_entropy(docs, lo_milli=2000, hi_milli=3500).select(
+        "doc_id", "bxent_sum_micro", "bxent_milli", F.col("keep").alias("bxent_keep")
     )
     groups = exact_dedup(docs)  # (fingerprint, canonical_id, n_dups)
     # r8 leg: deterministic newline synthesis (5-token lines joined by \n,
@@ -862,6 +875,7 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         quality.join(xent, "doc_id")
+        .join(bxent, "doc_id")
         .join(groups, "fingerprint")
         .join(nl_feats, "doc_id")
         .select(
@@ -871,7 +885,9 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dup5_cov_micro", "dup10_cov_micro", "gopher_keep",
             "dup_line_frac_micro", "dup_para_frac_micro",
             "dup_line_char_micro", "dup_para_char_micro", "gopher_line_keep",
-            "xent_sum_micro", "xent_milli", "xent_keep", "canonical_id", "n_dups",
+            "xent_sum_micro", "xent_milli", "xent_keep",
+            "bxent_sum_micro", "bxent_milli", "bxent_keep",
+            "canonical_id", "n_dups",
         )
     )
 
@@ -1037,11 +1053,79 @@ def _sql_gopher_line_ctes() -> tuple[str, str, str]:
     return ctes, cols, joins
 
 
+def _sql_hex_word(h: str, start: int) -> str:
+    """SQL for _hex_word (functions/dedup.py): 8 hex chars → bigint via
+    instr arithmetic — identical formula on both engines."""
+    v = "CAST(0 AS BIGINT)"
+    for k in range(8):
+        v = f"({v} * 16 + (instr('0123456789abcdef', substring({h}, {start + k}, 1)) - 1))"
+    return v
+
+
+def _sql_bigram_xent_ctes(
+    fit_pct: int = 50, alpha_milli: int = 400
+) -> str:
+    """DuckDB replica of text.py::bigram_cross_entropy: same md5-bucket
+    fit half, stupid-backoff rule, add-1 unigram, micro-nat floors —
+    composes with the text_quality oracle's `tok` CTE."""
+    dword = _sql_hex_word("md5(CAST(doc_id AS VARCHAR))", 1)
+    alpha = f"({alpha_milli}.0 / 1000.0)"
+    return f"""bxfit AS (
+      SELECT doc_id, text FROM documents WHERE ({dword}) % 100 < {fit_pct}),
+    bxuni AS (
+      SELECT term, count(*) AS ucnt FROM (
+        SELECT unnest(string_split(text, ' ')) AS term FROM bxfit)
+      GROUP BY term),
+    bxtot AS (SELECT sum(ucnt) AS total_fit, count(*) AS v_fit FROM bxuni),
+    bxbig AS (
+      SELECT prev, cur, count(*) AS bcnt FROM (
+        SELECT t[i] AS prev, t[i + 1] AS cur FROM (
+          SELECT t, unnest(generate_series(1, len(t) - 1)) AS i
+          FROM (SELECT string_split(text, ' ') AS t FROM bxfit)
+          WHERE len(t) >= 2))
+      GROUP BY prev, cur),
+    bxctx AS (SELECT prev, sum(bcnt) AS ccnt FROM bxbig GROUP BY prev),
+    bxdp AS (
+      SELECT doc_id, prev, cur, count(*) AS tf FROM (
+        SELECT doc_id, t[i] AS prev, t[i + 1] AS cur FROM (
+          SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i
+          FROM tok WHERE len(t) >= 2))
+      GROUP BY doc_id, prev, cur),
+    bxps AS (
+      SELECT d.doc_id,
+             CAST(sum(d.tf * CAST(floor(-ln(
+               CASE WHEN b.bcnt IS NOT NULL
+                    THEN b.bcnt::DOUBLE / c.ccnt::DOUBLE
+                    ELSE {alpha} * ((coalesce(u.ucnt, 0) + 1)::DOUBLE
+                         / (t.total_fit + t.v_fit)::DOUBLE) END
+             ) * 1000000) AS BIGINT)) AS BIGINT) AS pair_micro
+      FROM bxdp d
+      LEFT JOIN bxbig b ON b.prev = d.prev AND b.cur = d.cur
+      LEFT JOIN bxctx c ON c.prev = d.prev
+      LEFT JOIN bxuni u ON u.term = d.cur
+      CROSS JOIN bxtot t
+      GROUP BY d.doc_id),
+    bxfs AS (
+      SELECT tok.doc_id,
+             CAST(floor(-ln((coalesce(u.ucnt, 0) + 1)::DOUBLE
+               / (t.total_fit + t.v_fit)::DOUBLE) * 1000000) AS BIGINT)
+               AS first_micro,
+             CAST(len(tok.t) AS BIGINT) AS n_tokens
+      FROM tok LEFT JOIN bxuni u ON u.term = tok.t[1] CROSS JOIN bxtot t),
+    bxm AS (
+      SELECT f.doc_id,
+             coalesce(p.pair_micro, 0) + f.first_micro AS bxent_sum_micro,
+             ((coalesce(p.pair_micro, 0) + f.first_micro) // f.n_tokens) // 1000
+               AS bxent_milli
+      FROM bxfs f LEFT JOIN bxps p USING (doc_id))"""
+
+
 def _text_quality_oracle() -> str:
     from etl_edi_data_scrapper_spark.functions.text import LANG_STOPWORDS
 
     gopher_ctes, gopher_cols, gopher_joins = _sql_gopher_ctes()
     line_ctes, line_cols, line_joins = _sql_gopher_line_ctes()
+    bx_ctes = _sql_bigram_xent_ctes()
     scores = ", ".join(
         f"{_sql_lang_score(w)} AS s_{lang}" for lang, w in sorted(LANG_STOPWORDS.items())
     )
@@ -1073,15 +1157,19 @@ def _text_quality_oracle() -> str:
              count(*) AS n_dups
       FROM documents GROUP BY 1),
     {gopher_ctes},
-    {line_ctes}
+    {line_ctes},
+    {bx_ctes}
     SELECT q.doc_id, q.lang, q.lang_pred, q.fingerprint, q.n_chars, q.n_tokens,
            q.avg_token_len, q.stopword_ratio, q.uniq_ratio, q.quality,
            {gopher_cols},
            {line_cols},
            xm.xent_sum_micro, xm.xent_milli,
            xm.xent_milli BETWEEN 2000 AND 6000 AS xent_keep,
+           bxm.bxent_sum_micro, bxm.bxent_milli,
+           bxm.bxent_milli BETWEEN 2000 AND 3500 AS bxent_keep,
            grp.canonical_id, grp.n_dups
     FROM q JOIN xm ON xm.doc_id = q.doc_id
+      JOIN bxm ON bxm.doc_id = q.doc_id
       JOIN grp ON grp.fingerprint = q.fingerprint
       {gopher_joins}
       {line_joins}
@@ -1089,15 +1177,6 @@ def _text_quality_oracle() -> str:
 
 
 ORACLES["text_quality"] = _text_quality_oracle()
-
-
-def _sql_hex_word(h: str, start: int) -> str:
-    """SQL for _hex_word (functions/dedup.py): 8 hex chars → bigint via
-    instr arithmetic — identical formula on both engines."""
-    v = "CAST(0 AS BIGINT)"
-    for k in range(8):
-        v = f"({v} * 16 + (instr('0123456789abcdef', substring({h}, {start + k}, 1)) - 1))"
-    return v
 
 
 _LSH_MAX_BUCKET = 256  # caps per-band-bucket pair work at 256²/2

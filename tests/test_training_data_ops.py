@@ -869,3 +869,100 @@ def test_kmeans_fit_sample_smaller_than_k_clamps(spark):
     rows = assigned.collect()
     assert len(rows) == len(ids)  # final assignment covers the FULL frame
     assert all(0 <= r["cluster"] < len(centroids) for r in rows)
+
+
+def _model_bigram_xent(corpus, fit_pct=50, alpha_milli=400):
+    """Pure-Python bigram_cross_entropy (stupid backoff, md5 fit half)."""
+    import hashlib
+    import math
+
+    def bucket(doc_id):
+        return int(hashlib.md5(str(doc_id).encode()).hexdigest()[:8], 16) % 100
+
+    fit = [(d, t) for d, t in corpus if bucket(d) < fit_pct]
+    uni, big, ctx = {}, {}, {}
+    for _, text in fit:
+        toks = text.split(" ")
+        for w in toks:
+            uni[w] = uni.get(w, 0) + 1
+        for a, b in zip(toks, toks[1:]):
+            big[(a, b)] = big.get((a, b), 0) + 1
+            ctx[a] = ctx.get(a, 0) + 1
+    total, v = sum(uni.values()), len(uni)
+    alpha = alpha_milli / 1000.0
+
+    def p1(w):
+        return (uni.get(w, 0) + 1) / (total + v)
+
+    out = {}
+    for d, text in corpus:
+        toks = text.split(" ")
+        s = math.floor(-math.log(p1(toks[0])) * 1_000_000)
+        for a, b in zip(toks, toks[1:]):
+            if (a, b) in big:
+                p = big[(a, b)] / ctx[a]
+            else:
+                p = alpha * p1(b)
+            s += math.floor(-math.log(p) * 1_000_000)
+        out[d] = (len(toks), s, (s // len(toks)) // 1000)
+    return out
+
+
+def test_bigram_cross_entropy_matches_python_model(spark):
+    import random
+
+    from etl_edi_data_scrapper_spark.functions.text import bigram_cross_entropy
+
+    rng = random.Random(23)
+    vocab = ["the", "cat", "sat", "on", "mat", "dog", "ran", "far"]
+    corpus = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 30))))
+        for i in range(80)
+    ]
+    df = spark.createDataFrame(corpus, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_tokens, r.bxent_sum_micro, r.bxent_milli)
+        for r in bigram_cross_entropy(df).collect()
+    }
+    assert got == _model_bigram_xent(corpus)
+
+
+def test_bigram_catches_token_shuffle_the_unigram_misses(spark):
+    """The whole point of the upgrade: a token-shuffled document has
+    IDENTICAL term frequencies (unigram xent exactly equal) but its word
+    order is garbage (bigram xent strictly higher — and outside a band the
+    natural document passes)."""
+    import random
+
+    from etl_edi_data_scrapper_spark.functions.text import (
+        bigram_cross_entropy,
+        unigram_cross_entropy,
+    )
+
+    rng = random.Random(5)
+    # natural-ish corpus: heavily reused word ORDER (sentence templates)
+    templates = [
+        "the cat sat on the mat",
+        "the dog ran to the cat",
+        "a dog sat on a mat",
+    ]
+    corpus = [(i, templates[i % 3] + " " + templates[(i + 1) % 3]) for i in range(40)]
+    # doc 100: natural; doc 101: same tokens, shuffled order
+    natural = templates[0] + " " + templates[1] + " " + templates[2]
+    toks = natural.split(" ")
+    rng.shuffle(toks)
+    corpus += [(100, natural), (101, " ".join(toks))]
+    df = spark.createDataFrame(corpus, "doc_id long, text string")
+
+    uni = {r.doc_id: r.xent_sum_micro for r in unigram_cross_entropy(df).collect()}
+    assert uni[100] == uni[101], "unigram must be order-blind"
+
+    bx = {r.doc_id: r.bxent_milli for r in bigram_cross_entropy(df).collect()}
+    assert bx[101] > bx[100], "bigram must penalize the shuffled order"
+    # a band bracketing the natural doc drops the shuffled one
+    mid = (bx[100] + bx[101]) // 2
+    keep = {
+        r.doc_id: r.keep
+        for r in bigram_cross_entropy(df, lo_milli=0, hi_milli=mid).collect()
+    }
+    assert keep[100] is True and keep[101] is False
