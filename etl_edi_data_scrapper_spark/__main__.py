@@ -33,6 +33,14 @@
     python -m etl_edi_data_scrapper_spark rollup-compact --rollup DIR
         fold a per-batch-partial rollup's history into one partial per
         day. Offline only; compact past the replay horizon.
+
+    python -m etl_edi_data_scrapper_spark curate --docs PATH \
+        --output DIR [--stages quality,gopher,xent,bxent,exact,minhash] \
+        [--clf-reference-col COL --clf-reference-value VAL]
+        run a document corpus through the training-data curation gates
+        (plans/curate.py) and write one verdict row per document —
+        the LLM-pipeline counterpart of run-job. Prints per-stage drop
+        counts and the final keep fraction.
 """
 
 from __future__ import annotations
@@ -96,6 +104,38 @@ def main(argv: list[str] | None = None, engine=None) -> int:
     )
     pq.add_argument("--rollup", required=True, help="rollup table directory")
     pq.add_argument("--keys", default="event_type")
+
+    pu = sub.add_parser(
+        "curate",
+        help="run a document corpus through the training-data curation "
+        "gates; one verdict row per document",
+    )
+    pu.add_argument("--docs", required=True, help="corpus parquet path/dir")
+    pu.add_argument("--output", required=True, help="verdict parquet output dir")
+    pu.add_argument("--id-col", default="doc_id")
+    pu.add_argument("--text-col", default="text")
+    pu.add_argument(
+        "--stages",
+        default="quality,gopher,xent,bxent,exact,minhash",
+        help="comma list: quality,gopher,xent,bxent,exact,minhash",
+    )
+    pu.add_argument("--quality-min", type=float, default=0.4)
+    pu.add_argument("--langs", default="en", help="comma list of kept lang codes")
+    pu.add_argument("--xent-lo", type=int, default=2000)
+    pu.add_argument("--xent-hi", type=int, default=6000)
+    pu.add_argument("--bxent-lo", type=int, default=2000)
+    pu.add_argument("--bxent-hi", type=int, default=9000)
+    pu.add_argument("--minhash-threshold", type=float, default=0.7)
+    pu.add_argument(
+        "--clf-reference-col",
+        default=None,
+        help="enable the classifier stage: column marking reference docs",
+    )
+    pu.add_argument(
+        "--clf-reference-value",
+        default=None,
+        help="value of --clf-reference-col that labels the positive class",
+    )
 
     args = p.parse_args(argv)
 
@@ -175,6 +215,50 @@ def main(argv: list[str] | None = None, engine=None) -> int:
             engine.spark, args.rollup, keys=tuple(k for k in args.keys.split(",") if k)
         )
         print(f"SUCCESS: Rollup compacted | Rows: {before} -> {after}")
+        return 0
+
+    if args.cmd == "curate":
+        from pyspark.sql import functions as F
+
+        from etl_edi_data_scrapper_spark import sinks as sinkmod
+        from etl_edi_data_scrapper_spark.plans.curate import curate_corpus
+
+        docs = engine.spark.read.parquet(args.docs)
+        clf_ref = None
+        if args.clf_reference_col is not None:
+            if args.clf_reference_value is None:
+                p.error("--clf-reference-value required with --clf-reference-col")
+            clf_ref = F.col(args.clf_reference_col) == args.clf_reference_value
+        verdicts = curate_corpus(
+            engine.spark,
+            docs,
+            id_col=args.id_col,
+            text_col=args.text_col,
+            stages=tuple(s for s in args.stages.split(",") if s),
+            quality_min=args.quality_min,
+            langs=tuple(s for s in args.langs.split(",") if s),
+            xent_band=(args.xent_lo, args.xent_hi),
+            bxent_band=(args.bxent_lo, args.bxent_hi),
+            minhash_threshold=args.minhash_threshold,
+            clf_reference=clf_ref,
+        )
+        sinkmod.write_parquet(verdicts, args.output, mode="overwrite")
+        written = engine.spark.read.parquet(args.output)
+        keep_cols = [c for c in written.columns if c.endswith("_keep")] + [
+            c for c in written.columns if c.startswith("is_")
+        ]
+        aggs = [F.count(F.lit(1)).alias("__n")] + [
+            F.sum(F.when(~F.col(c) if c.endswith("_keep") else F.col(c), 1).otherwise(0))
+            .alias(c)
+            for c in keep_cols
+        ]
+        stats = written.agg(*aggs).collect()[0].asDict()
+        n = stats.pop("__n")
+        dropped = stats.pop("curate_keep")
+        for c, v in stats.items():
+            label = c if c.startswith("is_") else f"{c.removesuffix('_keep')} drops"
+            print(f"STAGE: {label}: {v}")
+        print(f"SUCCESS: Corpus curated | Docs: {n} | Kept: {n - dropped} | Dropped: {dropped}")
         return 0
 
     if args.cmd == "serve":

@@ -1,0 +1,165 @@
+"""Corpus-curation plan: the operable form of the training-data side.
+
+`run-job` makes the reference's EDI pipelines (map/merge/enrich —
+`src/Command/ConsumerCommand.php` parity) operable from the CLI; this
+module does the same for the LLM-pipeline operators, which were
+previously reachable only through the benchmark suite. One call (or
+``python -m etl_edi_data_scrapper_spark curate``) runs a document
+corpus through the selected quality/dedup gates and emits one verdict
+row per document — the artifact a pre-training data pipeline actually
+ships.
+
+Stage menu (each stage = columns + a boolean ``<stage>_keep``; the
+final ``curate_keep`` is the AND of every selected stage's verdict):
+
+  quality   heuristic language ID + composite quality score
+            (functions/text.py) — narrow projection in the scan stage
+  gopher    Rae 2021 table A1 repetition rules, n-gram AND line/para
+            families (functions/gopher.py) — zero-shuffle per-row folds
+  xent      unigram cross-entropy band (corpus-fit LM)
+  bxent     bigram stupid-backoff cross-entropy band (md5-half fit) —
+            the word-order signal xent cannot see
+  exact     exact-duplicate drop (16-byte fingerprint shuffle, lowest
+            doc id is canonical)
+  minhash   MinHash-LSH candidate generation + exact-Jaccard verify;
+            a doc is dropped when a LOWER-id doc verifies >= threshold
+  classifier (opt-in: needs --clf-reference-col) integer-perceptron
+            model filter, reference docs as the positive class
+
+Every stage is the same Spark-first machinery the hash-checked gate
+queries run — this module only composes and labels it. Scale shape is
+therefore inherited: the only shuffles are the ones the stages already
+own (fingerprint, token counts, LSH bands); verdict assembly is a
+chain of left joins on the id, which AQE plans as broadcasts while
+verdict frames are small and as co-partitioned joins at scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+ALL_STAGES = ("quality", "gopher", "xent", "bxent", "exact", "minhash")
+
+
+def curate_corpus(
+    spark: SparkSession,
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    stages: tuple[str, ...] = ALL_STAGES,
+    quality_min: float = 0.4,
+    langs: tuple[str, ...] = ("en",),
+    xent_band: tuple[int, int] = (2000, 6000),
+    bxent_band: tuple[int, int] = (2000, 9000),
+    minhash_threshold: float = 0.7,
+    max_bucket: int | None = 256,
+    clf_reference=None,
+) -> DataFrame:
+    """Run ``docs`` through the selected curation stages; returns one row
+    per document: the id, each stage's verdict columns, and the combined
+    ``curate_keep``. ``clf_reference`` (a Column predicate marking the
+    positive/reference class) enables the classifier stage."""
+    unknown = set(stages) - set(ALL_STAGES)
+    if unknown:
+        raise ValueError(
+            f"curate_corpus: unknown stages {sorted(unknown)}; "
+            f"choose from {ALL_STAGES} (+ classifier via clf_reference)"
+        )
+    out = docs.select(F.col(id_col))
+    keeps: list[F.Column] = []
+
+    if "quality" in stages:
+        from etl_edi_data_scrapper_spark.functions.text import lang_id, quality_score
+
+        q = docs.select(
+            F.col(id_col),
+            lang_id(F.col(text_col)).alias("lang_pred"),
+            quality_score(F.col(text_col)).alias("quality"),
+        ).withColumn(
+            "quality_keep",
+            F.col("lang_pred").isin(*langs) & (F.col("quality") >= quality_min),
+        )
+        out = out.join(q, id_col)
+        keeps.append(F.col("quality_keep"))
+
+    if "gopher" in stages:
+        from etl_edi_data_scrapper_spark.functions.gopher import (
+            add_gopher_features,
+            add_gopher_line_features,
+        )
+
+        g = add_gopher_line_features(
+            add_gopher_features(docs.select(id_col, text_col), text_col=text_col),
+            text_col=text_col,
+        ).select(id_col, "gopher_keep", "gopher_line_keep")
+        out = out.join(g, id_col)
+        keeps += [F.col("gopher_keep"), F.col("gopher_line_keep")]
+
+    if "xent" in stages:
+        from etl_edi_data_scrapper_spark.functions.text import unigram_cross_entropy
+
+        x = unigram_cross_entropy(
+            docs, id_col=id_col, text_col=text_col,
+            lo_milli=xent_band[0], hi_milli=xent_band[1],
+        ).select(id_col, "xent_milli", F.col("keep").alias("xent_keep"))
+        out = out.join(x, id_col)
+        keeps.append(F.col("xent_keep"))
+
+    if "bxent" in stages:
+        from etl_edi_data_scrapper_spark.functions.text import bigram_cross_entropy
+
+        b = bigram_cross_entropy(
+            docs, id_col=id_col, text_col=text_col,
+            lo_milli=bxent_band[0], hi_milli=bxent_band[1],
+        ).select(id_col, "bxent_milli", F.col("keep").alias("bxent_keep"))
+        out = out.join(b, id_col)
+        keeps.append(F.col("bxent_keep"))
+
+    if "exact" in stages:
+        from etl_edi_data_scrapper_spark.functions.text import fingerprint
+
+        fp = docs.select(F.col(id_col), fingerprint(F.col(text_col)).alias("__fp"))
+        dup = fp.withColumn(
+            "is_exact_dup",
+            F.col(id_col) > F.min(id_col).over(W.partitionBy("__fp")),
+        ).select(id_col, "is_exact_dup")
+        out = out.join(dup, id_col)
+        keeps.append(~F.col("is_exact_dup"))
+
+    if "minhash" in stages:
+        from etl_edi_data_scrapper_spark.functions.dedup import (
+            jaccard_pairs,
+            minhash_candidate_pairs,
+        )
+
+        pairs = minhash_candidate_pairs(
+            docs, id_col=id_col, text_col=text_col, max_bucket=max_bucket
+        )
+        verified = jaccard_pairs(
+            docs, pairs, id_col=id_col, text_col=text_col,
+            threshold=minhash_threshold,
+        )
+        # pair convention is a < b: b always has a lower-id near-dup
+        dup_ids = verified.select(F.col("b").alias(id_col)).distinct()
+        out = out.join(
+            dup_ids.withColumn("is_near_dup", F.lit(True)), id_col, "left"
+        ).withColumn("is_near_dup", F.coalesce("is_near_dup", F.lit(False)))
+        keeps.append(~F.col("is_near_dup"))
+
+    if clf_reference is not None:
+        from etl_edi_data_scrapper_spark.functions.quality_classifier import (
+            fit_reference_classifier,
+        )
+
+        clf = fit_reference_classifier(
+            docs, clf_reference, id_col=id_col, text_col=text_col
+        )
+        out = out.join(clf, id_col)
+        keeps.append(F.col("clf_keep"))
+
+    keep = F.lit(True)
+    for k in keeps:
+        keep = keep & k
+    return out.withColumn("curate_keep", keep)

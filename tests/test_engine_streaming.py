@@ -302,3 +302,61 @@ def test_cli_rollup_merge_two_increments_equal_full_recompute(spark, tmp_path):
         for r in full_rollup(all_events).collect()
     }
     assert got == want and len(got) == 3  # (d1,view) (d2,click) (d3,view)
+
+
+def test_cli_curate_writes_verdicts(spark, sf_dir, tmp_path, capsys):
+    from etl_edi_data_scrapper_spark.__main__ import main
+    from etl_edi_data_scrapper_spark.engine import Engine
+
+    out_dir = str(tmp_path / "verdicts")
+    rc = main(
+        [
+            "curate",
+            "--docs", f"{sf_dir}/documents.parquet",
+            "--output", out_dir,
+            "--stages", "quality,gopher,exact,minhash",
+            "--clf-reference-col", "source",
+            "--clf-reference-value", "src0",
+        ],
+        engine=Engine(spark=spark),
+    )
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "SUCCESS: Corpus curated | Docs: 500" in out
+    assert "STAGE: quality drops:" in out
+    assert "STAGE: is_exact_dup:" in out
+    got = spark.read.parquet(out_dir)
+    assert got.count() == 500
+    cols = set(got.columns)
+    assert {
+        "doc_id", "lang_pred", "quality", "quality_keep", "gopher_keep",
+        "gopher_line_keep", "is_exact_dup", "is_near_dup", "clf_score",
+        "clf_keep", "curate_keep",
+    } <= cols
+    # curate_keep must equal the AND of the stage verdicts, row by row
+    from pyspark.sql import functions as F
+
+    bad = got.filter(
+        F.col("curate_keep")
+        != (
+            F.col("quality_keep") & F.col("gopher_keep") & F.col("gopher_line_keep")
+            & ~F.col("is_exact_dup") & ~F.col("is_near_dup") & F.col("clf_keep")
+        )
+    ).count()
+    assert bad == 0
+    # at least one stage must have bitten on the real corpus
+    assert got.filter(~F.col("curate_keep")).count() > 0
+
+
+def test_cli_curate_rejects_unknown_stage(spark, sf_dir, tmp_path):
+    import pytest
+
+    from etl_edi_data_scrapper_spark.engine import Engine
+    from etl_edi_data_scrapper_spark.plans.curate import curate_corpus
+
+    with pytest.raises(ValueError, match="unknown stages"):
+        curate_corpus(
+            spark,
+            spark.read.parquet(f"{sf_dir}/documents.parquet"),
+            stages=("quality", "nope"),
+        )
