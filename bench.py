@@ -37,6 +37,14 @@ def _cpu_calibration() -> float:
 
 
 def main() -> None:
+    # external-load probe BEFORE Spark spins up its 32 threads (the
+    # end-of-run load_avg_1m mostly measures the bench itself): r7's bench
+    # started at load 8+, produced three >1.5x non-scope ratios on a host
+    # the calibration said was fast, and only breach candidates were
+    # re-timed — so the numbers shipped inflated (semdedup read 13.0 s vs
+    # 4.3 s idle). Now ANY query over 1.5x gets a confirmation re-time,
+    # and a hot start is flagged on the compact line.
+    load_start = round(os.getloadavg()[0], 2)
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
@@ -72,7 +80,10 @@ def main() -> None:
         "sf": sf,
         "calib_md5_64mb_sec": calib,
         "load_avg_1m": round(os.getloadavg()[0], 2),
+        "load_avg_start_1m": load_start,
     }
+    if load_start > 4.0:
+        out["load_hot_start"] = True  # treat every ratio with suspicion
 
     # self-detecting regression gate: host-normalized per-query ratio vs the
     # committed absolute anchor (BASELINE_LOCAL.md); >2.0 breaches the
@@ -99,8 +110,10 @@ def main() -> None:
         # shared-host noise produces transient 2-8x swings on single
         # queries (measured the same untouched projection at 0.8x and 8x
         # an hour apart); a genuine plan regression reproduces, noise does
-        # not — so re-time breach candidates once and keep the min
-        candidates = [q for q in ratios if breach(q)]
+        # not — so re-time every >1.5x candidate once and keep the min
+        # (r8: was breach-only, which let r7's load-inflated semdedup 2.3x
+        # ship without a confirmation pass)
+        candidates = [q for q in ratios if breach(q) or ratios[q] > 1.5]
         if candidates:
             from etl_edi_data_scrapper_spark.suite import QUERIES as _Q
 
@@ -114,7 +127,7 @@ def main() -> None:
                     )
                 except Exception:
                     pass
-            out["breach_retimed"] = sorted(candidates)
+            out["retimed"] = sorted(candidates)
             out["value"] = round(sum(timings.values()), 3)  # totals track the min policy
 
         out["vs_baseline"] = ratios
