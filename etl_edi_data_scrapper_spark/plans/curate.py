@@ -16,6 +16,10 @@ final ``curate_keep`` is the AND of every selected stage's verdict):
             (functions/text.py) — narrow projection in the scan stage
   gopher    Rae 2021 table A1 repetition rules, n-gram AND line/para
             families (functions/gopher.py) — zero-shuffle per-row folds
+  c4        C4 line-level cleaning rules (functions/c4.py, Raffel 2020
+            §2.2) — page verdict only here; run add_c4_features
+            directly for the cleaned text (needs newline-bearing text;
+            on a newline-free corpus every page fails min-sentences)
   xent      unigram cross-entropy band (corpus-fit LM)
   bxent     bigram stupid-backoff cross-entropy band (md5-half fit) —
             the word-order signal xent cannot see
@@ -40,7 +44,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
-ALL_STAGES = ("quality", "gopher", "xent", "bxent", "exact", "minhash")
+ALL_STAGES = ("quality", "gopher", "c4", "xent", "bxent", "exact", "minhash")
 
 
 def curate_corpus(
@@ -96,6 +100,15 @@ def curate_corpus(
         ).select(id_col, "gopher_keep", "gopher_line_keep")
         out = out.join(g, id_col)
         keeps += [F.col("gopher_keep"), F.col("gopher_line_keep")]
+
+    if "c4" in stages:
+        from etl_edi_data_scrapper_spark.functions.c4 import add_c4_features
+
+        c = add_c4_features(docs.select(id_col, text_col), text_col=text_col).select(
+            id_col, "c4_n_kept", "c4_keep"
+        )
+        out = out.join(c, id_col)
+        keeps.append(F.col("c4_keep"))
 
     if "xent" in stages:
         from etl_edi_data_scrapper_spark.functions.text import unigram_cross_entropy

@@ -1694,6 +1694,81 @@ _SPAN_INJECT = (
 )
 
 
+# C4 leg synthesis (r8): the corpus has neither newlines nor punctuation,
+# so the C4 line rules (functions/c4.py) get a DETERMINISTIC punctuated
+# variant: 4-token lines; (doc_id+i)%3=2 lines get NO terminal period
+# (punct-rule drop), (doc_id+i)%7=6 lines a 'javascript ' prefix (js-rule
+# drop); short tail lines exercise min-words organically. Page injections:
+# doc_id%23=13 appends a policy line (line-rule drop), doc_id%17=9 a
+# curly-brace line and doc_id%19=11 a lorem-ipsum lead (page drops).
+_C4_LINES_SPARK = (
+    "transform(sequence(0, (size(__t) + 3) DIV 4 - 1), "
+    "i -> array_join(slice(__t, i * 4 + 1, 4), ' '))"
+)
+_C4_MARK_SPARK = (
+    "transform(__ln, (x, i) -> "
+    "CASE WHEN (doc_id + i) % 7 = 6 THEN 'javascript ' || x ELSE x END || "
+    "CASE WHEN (doc_id + i) % 3 = 2 THEN '' ELSE '.' END)"
+)
+_C4_TEXT_SPARK = (
+    "CASE WHEN doc_id % 19 = 11 THEN 'lorem ipsum dolor sit.' || '\\n' "
+    "ELSE '' END || array_join(__ln2, '\\n') || "
+    "CASE WHEN doc_id % 23 = 13 THEN '\\n' || 'see our privacy policy.' "
+    "ELSE '' END || "
+    "CASE WHEN doc_id % 17 = 9 THEN '\\n' || '{ config }.' ELSE '' END"
+)
+
+
+def _sql_c4_ctes(min_words: int = 3, min_sentences: int = 5) -> str:
+    """DuckDB replica of the C4 leg: same synthesized punctuated text
+    (1-based lambda index → doc_id + i - 1), same line/page rules."""
+    from etl_edi_data_scrapper_spark.functions.c4 import POLICY_PHRASES
+
+    policy = " ".join(
+        f"AND NOT contains(lower(x), '{p}')" for p in POLICY_PHRASES
+    )
+    return f"""c4b AS (
+      SELECT doc_id,
+             list_transform(generate_series(0, (len(t) + 3) // 4 - 1),
+               i -> array_to_string(t[i * 4 + 1 : i * 4 + 4], ' ')) AS ln
+      FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)),
+    c4i AS (
+      SELECT doc_id,
+             list_transform(ln, (x, i) ->
+               (CASE WHEN (doc_id + i - 1) % 7 = 6
+                     THEN 'javascript ' || x ELSE x END)
+               || (CASE WHEN (doc_id + i - 1) % 3 = 2 THEN '' ELSE '.' END))
+               AS ln2
+      FROM c4b),
+    c4t AS (
+      SELECT doc_id,
+             (CASE WHEN doc_id % 19 = 11
+                   THEN 'lorem ipsum dolor sit.' || chr(10) ELSE '' END)
+             || array_to_string(ln2, chr(10))
+             || (CASE WHEN doc_id % 23 = 13
+                      THEN chr(10) || 'see our privacy policy.' ELSE '' END)
+             || (CASE WHEN doc_id % 17 = 9
+                      THEN chr(10) || '{{ config }}.' ELSE '' END) AS c4_text
+      FROM c4i),
+    c4k AS (
+      SELECT doc_id, c4_text, string_split(c4_text, chr(10)) AS ls,
+             list_filter(string_split(c4_text, chr(10)), x ->
+               regexp_matches(x, '[.!?"]$')
+               AND len(string_split(x, ' ')) >= {min_words}
+               AND NOT contains(lower(x), 'javascript')
+               {policy}) AS ks
+      FROM c4t),
+    c4m AS (
+      SELECT doc_id,
+             len(ls)::BIGINT AS c4_n_lines,
+             len(ks)::BIGINT AS c4_n_kept,
+             (NOT contains(lower(c4_text), 'lorem ipsum')
+              AND NOT contains(c4_text, '{{')
+              AND len(ks) >= {min_sentences}) AS c4_keep,
+             md5(array_to_string(ks, chr(10))) AS c4_clean_fp
+      FROM c4k)"""
+
+
 def _pii_oracle() -> str:
     from etl_edi_data_scrapper_spark.functions.span_dedup import (
         span_dedup_multi_oracle_sql,
@@ -1718,15 +1793,17 @@ def _pii_oracle() -> str:
       SELECT doc_id, {scrubbed} AS clean_text,
         {counts}
       FROM feed),
-    tok AS (SELECT *, string_split(clean_text, ' ') AS t FROM scrub)
+    tok AS (SELECT *, string_split(clean_text, ' ') AS t FROM scrub),
+    {_sql_c4_ctes()}
     SELECT doc_id, tok.clean_text, n_email, n_ipv4, n_phone,
            len(t)::BIGINT AS n_before,
            len(list_filter(t, (x, i) -> i = 1 OR x != t[i - 1]))::BIGINT AS n_after,
            array_to_string(list_filter(t, (x, i) -> i = 1 OR x != t[i - 1]), ' ')
              AS collapsed_text,
            sp.n_spans, sp.n_spans_dropped,
-           sp.clean_text AS span_clean_text
-    FROM tok JOIN sp USING (doc_id)
+           sp.clean_text AS span_clean_text,
+           c4m.c4_n_lines, c4m.c4_n_kept, c4m.c4_keep, c4m.c4_clean_fp
+    FROM tok JOIN sp USING (doc_id) JOIN c4m USING (doc_id)
     """
 
 
@@ -1752,8 +1829,18 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     a second pass over the first pass's cleaned text catches boilerplate
     at a shared shifted offset — exercised by the doc_id%5=1 injection,
     whose unique 4-token lead-ins hide the same banner from the aligned
-    grid. [r3 consolidation: absorbs the former `repetition_collapse`
+    grid.
+
+    r8 adds the C4 line-level cleaning rules (`functions/c4.py`, Raffel
+    2020 §2.2: terminal-punctuation lines, min-words, javascript/policy
+    lines, lorem-ipsum / curly-bracket / min-sentences page drops) on a
+    deterministic punctuated-newline synthesis of the corpus — four
+    hash-checked cols (`c4_n_lines`/`c4_n_kept`/`c4_keep`/
+    `c4_clean_fp`), every rule's drop path residue-keyed so both
+    engines exercise it. Zero-shuffle like the other cleaning legs.
+    [r3 consolidation: absorbs the former `repetition_collapse`
     query; r6: absorbs `span_dedup`.]"""
+    from etl_edi_data_scrapper_spark.functions.c4 import add_c4_features
     from etl_edi_data_scrapper_spark.functions.span_dedup import dedup_spans_multi
     from etl_edi_data_scrapper_spark.functions.text import pii_counts, scrub_pii
 
@@ -1777,16 +1864,34 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tok = scrub.withColumn("t", F.split("clean_text", " "))
     kept = F.expr("filter(t, (x, i) -> i = 0 OR x != t[i - 1])")
-    return tok.select(
+    c4 = add_c4_features(
+        docs.select("doc_id", "text")
+        .withColumn("__t", F.split("text", " "))
+        .withColumn("__ln", F.expr(_C4_LINES_SPARK))
+        .withColumn("__ln2", F.expr(_C4_MARK_SPARK))
+        .select("doc_id", F.expr(_C4_TEXT_SPARK).alias("c4_text")),
+        text_col="c4_text",
+    ).select(
         "doc_id",
-        "clean_text",
-        "n_email",
-        "n_ipv4",
-        "n_phone",
-        F.size("t").cast("long").alias("n_before"),
-        F.size(kept).cast("long").alias("n_after"),
-        F.array_join(kept, " ").alias("collapsed_text"),
-    ).join(spanned, "doc_id")
+        "c4_n_lines",
+        "c4_n_kept",
+        "c4_keep",
+        F.md5("c4_clean_text").alias("c4_clean_fp"),
+    )
+    return (
+        tok.select(
+            "doc_id",
+            "clean_text",
+            "n_email",
+            "n_ipv4",
+            "n_phone",
+            F.size("t").cast("long").alias("n_before"),
+            F.size(kept).cast("long").alias("n_after"),
+            F.array_join(kept, " ").alias("collapsed_text"),
+        )
+        .join(spanned, "doc_id")
+        .join(c4, "doc_id")
+    )
 
 
 @register(

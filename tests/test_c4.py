@@ -1,0 +1,85 @@
+"""C4 line-level cleaning rules (functions/c4.py) vs a pure-Python model."""
+
+import random
+import re
+
+
+def model_c4(text: str, min_words: int = 3, min_sentences: int = 5):
+    from etl_edi_data_scrapper_spark.functions.c4 import POLICY_PHRASES
+
+    lines = text.split("\n")
+
+    def kept(x: str) -> bool:
+        low = x.lower()
+        return (
+            re.search(r'[.!?"]$', x) is not None
+            and len(x.split(" ")) >= min_words
+            and "javascript" not in low
+            and not any(p in low for p in POLICY_PHRASES)
+        )
+
+    k = [x for x in lines if kept(x)]
+    keep = (
+        "lorem ipsum" not in text.lower()
+        and "{" not in text
+        and len(k) >= min_sentences
+    )
+    return (len(lines), len(k), keep, "\n".join(k))
+
+
+def _spark_c4(spark, texts, **kw):
+    from etl_edi_data_scrapper_spark.functions.c4 import add_c4_features
+
+    df = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+    return {
+        r.doc_id: (r.c4_n_lines, r.c4_n_kept, r.c4_keep, r.c4_clean_text)
+        for r in add_c4_features(df, **kw).collect()
+    }
+
+
+def test_c4_handcrafted_rules(spark):
+    texts = [
+        # every rule on display
+        'Good sentence one.\nGood sentence two!\nIs this kept?\nShort.\n'
+        'no terminal punct\nHas javascript inline.\nSee our privacy policy.\n'
+        'A final "quoted line."\nAnother keeper here.',
+        "Lorem Ipsum dolor sit amet.\nFine line one.\nFine line two.\n"
+        "Fine line three.\nFine line four.\nFine line five.",   # page: lorem
+        "var x = { a: 1 }.\nGood one here.\nGood two here.\n"
+        "Good three here.\nGood four here.\nGood five here.",   # page: curly
+        "Only two keepers here.\nAnd the second one.",           # < 5 sentences
+        "",                                                      # empty page
+    ]
+    got = _spark_c4(spark, texts)
+    for i, t in enumerate(texts):
+        assert got[i] == model_c4(t), f"doc {i}"
+    # doc 0: 9 lines; dropped: 'Short.' (2 words), 'no terminal punct',
+    # javascript line, policy line -> 5 kept -> page keep True
+    assert got[0][1] == 5 and got[0][2] is True
+    assert got[1][2] is False and got[2][2] is False and got[3][2] is False
+
+
+def test_c4_randomized_model_parity(spark):
+    rng = random.Random(31)
+    frags = [
+        "alpha beta gamma.", "delta epsilon", "ok.", "x { y }.",
+        "javascript rules here.", "read our Terms of Use.",
+        'she said "stop."', "lorem ipsum inside.", "one two three four!",
+        "why not?", "tail",
+    ]
+    texts = [
+        "\n".join(rng.choice(frags) for _ in range(rng.randint(0, 10)))
+        for _ in range(150)
+    ]
+    got = _spark_c4(spark, texts)
+    for i, t in enumerate(texts):
+        assert got[i] == model_c4(t), f"doc {i}: {t!r}"
+
+
+def test_c4_zero_shuffle(spark):
+    from etl_edi_data_scrapper_spark.functions.c4 import add_c4_features
+
+    df = spark.createDataFrame([(1, "A line here.\nAnother.")], ["doc_id", "text"])
+    plan = add_c4_features(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan
