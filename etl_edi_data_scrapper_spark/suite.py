@@ -1966,6 +1966,43 @@ _DECON_INJECT = (
 )
 
 
+def _sql_bloom_ctes(
+    docs_cte: str, bench_cte: str, width: int = 8, m: int = 1 << 16, k: int = 3
+) -> str:
+    """DuckDB replica of functions/bloom.py's span-level maybe-seen flag:
+    the bloom IS the distinct-position relation, membership is k equality
+    joins — the identical relational formulation, hash-exact."""
+    w1 = _sql_hex_word("md5(win)", 1)
+    w2 = _sql_hex_word("md5(win)", 9)
+    pcols = ", ".join(
+        f"((w1 + {j} * w2) % 4294967296) % {m} AS p{j}" for j in range(1, k + 1)
+    )
+    stack = ", ".join(f"p{j}" for j in range(1, k + 1))
+    joins = " ".join(
+        f"LEFT JOIN blp b{j} ON b{j}.pos = d.p{j}" for j in range(1, k + 1)
+    )
+    allhit = " AND ".join(f"b{j}.pos IS NOT NULL" for j in range(1, k + 1))
+    win_sql = (
+        f"SELECT {{idc}} array_to_string(list_slice(t, pos + 1, pos + {width}), ' ') AS win "
+        f"FROM (SELECT {{idc}} t, unnest(range(0, greatest(len(t) - {width}, 0) + 1)) AS pos "
+        f"FROM (SELECT {{idc}} string_split(text, ' ') AS t FROM {{src}}))"
+    )
+    return f"""blbw AS ({win_sql.format(idc="", src=bench_cte)}),
+    blbp AS (
+      SELECT {w1} AS w1, {w2} AS w2 FROM blbw WHERE win <> ''),
+    blp AS (
+      SELECT DISTINCT pos FROM (
+        SELECT unnest([{stack}]) AS pos FROM (SELECT {pcols} FROM blbp))),
+    bldw AS ({win_sql.format(idc="doc_id,", src=docs_cte)}),
+    bldp AS (
+      SELECT doc_id, {w1} AS w1, {w2} AS w2 FROM bldw WHERE win <> ''),
+    bldk AS (SELECT doc_id, {pcols} FROM bldp),
+    blhit AS (
+      SELECT d.doc_id,
+             CAST(sum(CASE WHEN {allhit} THEN 1 ELSE 0 END) AS BIGINT) AS n_seen
+      FROM bldk d {joins} GROUP BY d.doc_id)"""
+
+
 def _contamination_oracle(bench_max_id: int = 5, threshold: int = 3) -> str:
     from etl_edi_data_scrapper_spark.functions.span_dedup import (
         benchmark_scrub_ctes,
@@ -1988,13 +2025,17 @@ def _contamination_oracle(bench_max_id: int = 5, threshold: int = 3) -> str:
               WHERE doc_id >= {bench_max_id}),
     bfeed AS (SELECT doc_id, {dinject} AS text FROM documents
               WHERE doc_id < {bench_max_id}),
-    {benchmark_scrub_ctes("bs", "dfeed", "bfeed", width=8)}
+    {benchmark_scrub_ctes("bs", "dfeed", "bfeed", width=8)},
+    {_sql_bloom_ctes("dfeed", "bfeed", width=8)}
     SELECT d.doc_id, coalesce(h.n_shared, 0) AS n_shared,
            coalesce(h.n_shared, 0) >= {threshold} AS contaminated,
-           bs.n_tokens_cut, bs.decon_text
+           bs.n_tokens_cut, bs.decon_text,
+           coalesce(bl.n_seen, 0) AS n_bloom_spans_seen,
+           coalesce(bl.n_seen, 0) > 0 AS bloom_contaminated
     FROM (SELECT doc_id FROM documents WHERE doc_id >= {bench_max_id}) d
     LEFT JOIN hits h USING (doc_id)
     JOIN bsout bs USING (doc_id)
+    LEFT JOIN blhit bl USING (doc_id)
     """
 
 
@@ -2014,7 +2055,18 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     A deterministic leak injection (bench doc 2 + corpus docs
     doc_id%7==1, unique lead-in so the offset shifts) exercises the cut
     path; the verdict columns keep reading the RAW text, so their values
-    are unchanged."""
+    are unchanged.
+
+    r8 adds the memory-BOUNDED tier (`functions/bloom.py`): the
+    benchmark's stride-1 span set as a bloom filter expressed as a
+    ≤m-row distinct-position relation, membership = k broadcast joins
+    (no UDF, no bit array — hash-oracle-able); `n_bloom_spans_seen` /
+    `bloom_contaminated` are the screen a two-tier deploy runs before
+    the exact scrub when the benchmark suite outgrows a broadcast of
+    its raw hashes."""
+    from etl_edi_data_scrapper_spark.functions.bloom import (
+        bloom_span_contamination,
+    )
     from etl_edi_data_scrapper_spark.functions.dedup import shingles
     from etl_edi_data_scrapper_spark.functions.span_dedup import (
         scrub_benchmark_spans,
@@ -2043,6 +2095,15 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         injected.filter(F.col("doc_id") < bench_max_id),
         width=8,
     ).select("doc_id", "n_tokens_cut", "decon_text")
+    bl = bloom_span_contamination(
+        injected.filter(F.col("doc_id") >= bench_max_id),
+        injected.filter(F.col("doc_id") < bench_max_id),
+        width=8,
+    ).select(
+        "doc_id",
+        F.col("n_spans_maybe_seen").alias("n_bloom_spans_seen"),
+        "bloom_contaminated",
+    )
     return (
         base.join(hits, "doc_id", "left")
         .select(
@@ -2053,6 +2114,7 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .join(scrub, "doc_id")
+        .join(bl, "doc_id")
     )
 
 
