@@ -40,18 +40,31 @@ def _plan_size_bytes(df: DataFrame) -> int:
     return int(str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()))
 
 
-def _spread_small_scan(df: DataFrame, est_bytes: int | None = None) -> DataFrame:
+def _spread_small_scan(
+    df: DataFrame,
+    est_bytes: int | None = None,
+    work_multiplier: float = 1.0,
+) -> DataFrame:
     """Repartition a NARROW-but-heavy input to the full pool, only when it
     pays: small-file inputs (one parquet footer under maxPartitionBytes)
     read as a single partition, which serializes the interpreted k×dim
     argmin — the expensive term exactly when the corpus or k is large. But
-    the rescue is a full shuffle, so below ``_SPREAD_FLOOR_BYTES`` (where
-    one task wins anyway) and above ~maxPartitionBytes×parallelism (where
-    the scan is already wide) this is the identity. A no-op at real scale
-    — a 100 TB corpus has partitions ≫ cores."""
+    the rescue is a full shuffle, so below ``_SPREAD_FLOOR_BYTES`` of
+    estimated WORK (where one task wins anyway) and above
+    ~maxPartitionBytes×parallelism of raw bytes (where the scan is
+    already wide) this is the identity. A no-op at real scale — a 100 TB
+    corpus has partitions ≫ cores.
+
+    ``work_multiplier`` scales the floor comparison for callers whose
+    per-row cost exceeds the k=8 argmin baseline the floor was measured
+    against: the r8 30× re-measure caught the bytes-only gate leaving a
+    0.8 MB fit SAMPLE carrying k=240 on one task (81× — the exact
+    serialization the guard exists to prevent; with the multiplier the
+    sample spreads again). The already-wide check stays on RAW bytes —
+    partition count is byte-driven regardless of per-row cost."""
     sc = df.sparkSession.sparkContext
     size = _plan_size_bytes(df) if est_bytes is None else est_bytes
-    if size < _SPREAD_FLOOR_BYTES:
+    if size * max(1.0, work_multiplier) < _SPREAD_FLOOR_BYTES:
         return df
     raw = df.sparkSession.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
     max_pb = int("".join(ch for ch in str(raw) if ch.isdigit()) or "134217728")
@@ -205,9 +218,10 @@ def kmeans_fit(
     unlike ``df.sample``.
     """
     # size-gated spread (r8 — see _spread_small_scan: the unconditional r7
-    # guard cost more than it saved on small benches)
+    # guard cost more than it saved on small benches); the work multiplier
+    # is k relative to the k=8 baseline the floor was measured at
     src_bytes = _plan_size_bytes(df)
-    df = _spread_small_scan(df, est_bytes=src_bytes)
+    df = _spread_small_scan(df, est_bytes=src_bytes, work_multiplier=k / 8.0)
     # the iteration re-reads df n_iters+2 times (init, updates, final
     # assignment) — cache the projected columns once; Spark spills cached
     # partitions at scale, and only (id, vec) is held, not the full row
@@ -228,8 +242,12 @@ def kmeans_fit(
         # associative DECIMAL sums — both partitioning-independent).
         # Size-gated like the parent: sample bytes ≈ parent × pct/100
         # (Catalyst's post-filter stats would guess a selectivity; we
-        # know the exact md5-bucket fraction).
-        work = _spread_small_scan(work, est_bytes=src_bytes * pct // 100)
+        # know the exact md5-bucket fraction). The k multiplier is what
+        # keeps the fit_fraction regime spread: the sample is small in
+        # BYTES precisely when k is large (k ∝ N, sample ∝ 1/factor).
+        work = _spread_small_scan(
+            work, est_bytes=src_bytes * pct // 100, work_multiplier=k / 8.0
+        )
     work = work.persist()
     init = (
         work.orderBy(F.md5(F.col(id_col).cast("string")))
@@ -321,9 +339,11 @@ def semantic_dedup(
             fit_fraction=fit_fraction,
         )
         # same size-gated spread as kmeans_fit: the routed assignment is
-        # the O(N·√k) term — spread it only when the input is heavy enough
-        # that a single task would serialize it
-        df = _spread_small_scan(df)
+        # the O(N·√k) term — its per-row cost vs the k=8 flat baseline is
+        # √k·(1 + probe)/8, which the multiplier carries so a
+        # small-in-bytes frame with a large k still spreads
+        routed_ops = (len(centroids) ** 0.5) * (1 + ivf_probe)
+        df = _spread_small_scan(df, work_multiplier=routed_ops / 8.0)
         assigned = assign_clusters_ivf(df, vec_col, centroids, n_probe=ivf_probe)
     else:
         _, assigned = kmeans_fit(

@@ -176,6 +176,59 @@ def pii_counts(c: Column | str) -> dict[str, Column]:
     }
 
 
+# Credit-card candidates: 13-19 digits with optional single space/dash
+# separators, word-bounded. RE2/Java-parity syntax (no lookaround) like
+# PII_PATTERNS. Detection alone false-positives on any long digit run —
+# the Luhn checksum cut below is what makes the redaction surgical.
+CC_CANDIDATE_RE = r"\b\d(?:[ -]?\d){12,18}\b"
+CC_TAG = "[CARD]"
+
+
+def _luhn_sum(digits: Column) -> Column:
+    """Luhn checksum over a digit-only string: from the RIGHT, double
+    every second digit (subtracting 9 when it exceeds 9) and sum. Valid
+    numbers sum to 0 mod 10. A per-position fold — candidates are ≤ 19
+    chars, so the HOF re-evaluation cost is irrelevant here."""
+    rev = F.reverse(digits)
+    return F.aggregate(
+        F.sequence(F.lit(1), F.length(rev)),
+        F.lit(0),
+        lambda acc, i: acc
+        + F.when(
+            i % 2 == 0,
+            F.when(
+                rev.substr(i, F.lit(1)).cast("int") * 2 > 9,
+                rev.substr(i, F.lit(1)).cast("int") * 2 - 9,
+            ).otherwise(rev.substr(i, F.lit(1)).cast("int") * 2),
+        ).otherwise(rev.substr(i, F.lit(1)).cast("int")),
+    )
+
+
+def credit_card_matches(c: Column | str) -> Column:
+    """Array of the Luhn-VALID card-number candidates in the text (the
+    validation is what separates a card redactor from a digit-run
+    redactor — '4111 1111 1111 1112' is a candidate but not a card).
+    Pure Column expr: regexp_extract_all → per-candidate checksum fold."""
+    c = F.col(c) if isinstance(c, str) else c
+    cands = F.regexp_extract_all(c, F.lit(CC_CANDIDATE_RE), 0)
+    return F.filter(
+        cands,
+        lambda x: _luhn_sum(F.translate(x, " -", "")) % 10 == 0,
+    )
+
+
+def scrub_credit_cards(c: Column | str) -> Column:
+    """Replace every Luhn-valid card occurrence with ``[CARD]`` —
+    literal replace folded over the validated matches, so an invalid
+    candidate (failing the checksum) is left untouched."""
+    c = F.col(c) if isinstance(c, str) else c
+    return F.aggregate(
+        credit_card_matches(c),
+        c,
+        lambda acc, x: F.replace(acc, x, F.lit(CC_TAG)),
+    )
+
+
 def normalize_text(c: Column | str) -> Column:
     """Lowercase, strip non-alphanumerics to single spaces, trim — the
     canonical form for fingerprinting/exact dedup."""
