@@ -17,10 +17,19 @@ line/page rules, as published:
     terminal-punctuated sentence, and the proxy keeps both engines
     integer-exact).
 
-One documented omission: the paper's bad-words page rule (the "List of
-Dirty, Naughty ..." blocklist) — the list itself is the rule, and
-embedding it here adds nothing to the operator shape; plug a broadcast
-blocklist join next to the lorem-ipsum flag for production.
+Each line is whitespace-STRIPPED (``[ \\t\\r]`` both ends) before the
+rules run and in the cleaned output — the published C4 implementation
+strips lines first, and without it real-world ``\\r\\n`` endings or
+trailing spaces fail the terminal-punctuation regex on every line
+(silently rejecting whole pages); Java ``rlike '$'`` also matches
+before a trailing ``\\r`` while RE2 does not, so unstripped input can
+even make engines disagree. The stripping is part of the recipe and is
+mirrored in the DuckDB oracle and the test model.
+
+The paper's bad-words page rule (the "List of Dirty, Naughty ..."
+blocklist) ships as :func:`add_c4_badwords` with a small PLACEHOLDER
+list — the list itself is the rule; swap in the published blocklist
+(or any per-deployment list) via ``words=``.
 
 Shape: everything is a per-row array filter over a materialized lines
 column — zero shuffle, zero Python, pipelines with the scan exactly
@@ -44,6 +53,14 @@ POLICY_PHRASES = (
 
 C4_FEATURE_COLS = ("c4_n_lines", "c4_n_kept", "c4_keep", "c4_clean_text")
 
+# strip [ \t\r] at either end of each line (NOT \n — lines are already
+# newline-split); RE2-safe so the DuckDB oracle runs the identical pattern
+LINE_STRIP_RE = r"^[ \t\r]+|[ \t\r]+$"
+
+
+def _strip_line(x: Column) -> Column:
+    return F.regexp_replace(x, LINE_STRIP_RE, "")
+
 
 def _line_kept(x: Column, min_words: int) -> Column:
     low = F.lower(x)
@@ -65,13 +82,18 @@ def add_c4_features(
 ) -> DataFrame:
     """Add the C4 cleaning block to ``df``: ``c4_n_lines`` (total lines),
     ``c4_n_kept`` (lines surviving the line rules), ``c4_clean_text``
-    (kept lines re-joined with newlines), and the page verdict
-    ``c4_keep`` (no lorem ipsum, no curly bracket, ≥ ``min_sentences``
-    kept lines). Two narrow projections, zero shuffle."""
+    (kept lines — stripped, per the recipe — re-joined with newlines),
+    and the page verdict ``c4_keep`` (no lorem ipsum, no curly bracket,
+    ≥ ``min_sentences`` kept lines). Lines are ``[ \\t\\r]``-stripped
+    before the rules (see module docs). Two narrow projections, zero
+    shuffle."""
     lines_col = f"__c4_lines_{text_col}"
     kept_col = f"__c4_kept_{text_col}"
     out = (
-        df.withColumn(lines_col, F.split(F.col(text_col), r"\n"))
+        df.withColumn(
+            lines_col,
+            F.transform(F.split(F.col(text_col), r"\n"), _strip_line),
+        )
         .withColumn(
             kept_col,
             F.filter(F.col(lines_col), lambda x: _line_kept(x, min_words)),

@@ -31,13 +31,40 @@ from pyspark.sql import functions as F
 _SPREAD_FLOOR_BYTES = 8 << 20
 
 
+_UNKNOWN_SIZE = 1 << 62  # "stats unavailable" sentinel: callers no-op
+
+
 def _plan_size_bytes(df: DataFrame) -> int:
     """Catalyst's size estimate for the frame (for a parquet scan: the file
     bytes) — a partition-count signal that costs a driver-side plan walk,
     not the Python-RDD conversion `df.rdd.getNumPartitions()` pays.
     Unknown stats surface as Long.MaxValue-ish huge values, which the
-    callers treat as 'already wide enough — do not touch'."""
-    return int(str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()))
+    callers treat as 'already wide enough — do not touch'. The ``_jdf``
+    queryExecution walk is a private API: if it is absent or raises
+    (Spark Connect, API drift), degrade to the same 'unknown → do not
+    touch' sentinel instead of failing mid-plan."""
+    try:
+        return int(str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()))
+    except Exception:
+        return _UNKNOWN_SIZE
+
+
+_SIZE_SUFFIX = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}
+
+
+def _parse_bytes(raw, default: int = 134217728) -> int:
+    """Parse a Spark byte-size conf value ('134217728', '128m', '1g',
+    '128mb'). Digit-stripping (the r8 form) read '128m' as 128 BYTES,
+    inflating est_parts and silently disabling the small-scan rescue."""
+    s = str(raw).strip().lower().removesuffix("b")
+    if s and s[-1] in _SIZE_SUFFIX:
+        mult, s = _SIZE_SUFFIX[s[-1]], s[:-1]
+    else:
+        mult = 1
+    try:
+        return int(float(s)) * mult
+    except ValueError:
+        return default
 
 
 def _spread_small_scan(
@@ -67,7 +94,7 @@ def _spread_small_scan(
     if size * max(1.0, work_multiplier) < _SPREAD_FLOOR_BYTES:
         return df
     raw = df.sparkSession.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
-    max_pb = int("".join(ch for ch in str(raw) if ch.isdigit()) or "134217728")
+    max_pb = _parse_bytes(raw)
     est_parts = -(-size // max(1, max_pb))
     if est_parts >= sc.defaultParallelism:
         return df

@@ -218,14 +218,30 @@ def credit_card_matches(c: Column | str) -> Column:
 
 
 def scrub_credit_cards(c: Column | str) -> Column:
-    """Replace every Luhn-valid card occurrence with ``[CARD]`` —
-    literal replace folded over the validated matches, so an invalid
-    candidate (failing the checksum) is left untouched."""
+    """Replace every Luhn-valid card occurrence with ``[CARD]``,
+    POSITION-AWARE: the text is split on the candidate pattern and
+    rebuilt segment-by-segment, substituting the tag only at the match
+    position when that candidate passes the checksum. (A literal
+    global replace of each validated match — the previous form — would
+    also rewrite the same digits where they appear as a substring of a
+    longer, unmatched digit run elsewhere in the document.) ``split``
+    and ``regexp_extract_all`` run the identical regex, so segment i
+    is exactly the text between candidate i−1 and candidate i."""
     c = F.col(c) if isinstance(c, str) else c
-    return F.aggregate(
-        credit_card_matches(c),
-        c,
-        lambda acc, x: F.replace(acc, x, F.lit(CC_TAG)),
+    segs = F.split(c, CC_CANDIDATE_RE)  # n+1 segments around n candidates
+    cands = F.regexp_extract_all(c, F.lit(CC_CANDIDATE_RE), 0)
+    sub = lambda x: F.when(  # noqa: E731 - local expr builder
+        _luhn_sum(F.translate(x, " -", "")) % 10 == 0, F.lit(CC_TAG)
+    ).otherwise(x)
+    # guard the empty case explicitly: sequence(1, 0) DESCENDS in Spark
+    return F.when(F.size(cands) == 0, c).otherwise(
+        F.aggregate(
+            F.sequence(F.lit(1), F.size(cands)),
+            F.element_at(segs, 1),
+            lambda acc, i: F.concat(
+                acc, sub(F.element_at(cands, i)), F.element_at(segs, i + 1)
+            ),
+        )
     )
 
 
@@ -313,8 +329,23 @@ def bigram_cross_entropy(
     big = pairs_of(fit).groupBy("prev", "cur").agg(F.count(F.lit(1)).alias("bcnt"))
     ctx = big.groupBy("prev").agg(F.sum("bcnt").alias("ccnt"))
 
+    # FAIL FAST when the md5-bucket fit half is empty (tiny or id-skewed
+    # corpora): total_fit comes back NULL and every downstream score —
+    # and the CLI's curate_keep — would be silently NULL (advisor, r8).
+    # The guard rides the existing expressions: zero extra jobs.
+    total_fit_g = F.when(
+        F.col("total_fit").isNull(),
+        F.raise_error(
+            F.lit(
+                "bigram_cross_entropy: the md5-bucket fit split is empty "
+                f"(fit_pct={int(fit_pct)}) — raise fit_pct or fit on a "
+                "larger corpus"
+            )
+        ),
+    ).otherwise(F.col("total_fit"))
+
     p1_cur = (F.coalesce(F.col("ucnt"), F.lit(0)) + 1).cast("double") / (
-        F.col("total_fit") + F.col("v_fit")
+        total_fit_g + F.col("v_fit")
     ).cast("double")
     pair_micro = F.floor(
         -F.log(
@@ -345,7 +376,7 @@ def bigram_cross_entropy(
             F.floor(
                 -F.log(
                     (F.coalesce(F.col("ucnt"), F.lit(0)) + 1).cast("double")
-                    / (F.col("total_fit") + F.col("v_fit")).cast("double")
+                    / (total_fit_g + F.col("v_fit")).cast("double")
                 )
                 * F.lit(1000000)
             )

@@ -1752,7 +1752,8 @@ def _sql_c4_ctes(min_words: int = 3, min_sentences: int = 5) -> str:
       FROM c4i),
     c4k AS (
       SELECT doc_id, c4_text, string_split(c4_text, chr(10)) AS ls,
-             list_filter(string_split(c4_text, chr(10)), x ->
+             list_filter(list_transform(string_split(c4_text, chr(10)),
+                 x -> regexp_replace(x, '^[ \t\r]+|[ \t\r]+$', '', 'g')), x ->
                regexp_matches(x, '[.!?"]$')
                AND len(string_split(x, ' ')) >= {min_words}
                AND NOT contains(lower(x), 'javascript')

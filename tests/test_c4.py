@@ -7,7 +7,10 @@ import re
 def model_c4(text: str, min_words: int = 3, min_sentences: int = 5):
     from etl_edi_data_scrapper_spark.functions.c4 import POLICY_PHRASES
 
-    lines = text.split("\n")
+    # lines are [ \t\r]-stripped before the rules run (the published C4
+    # recipe strips first; \r\n / trailing-space input fails the terminal
+    # punctuation regex otherwise) — and the clean text keeps the strip
+    lines = [re.sub(r"^[ \t\r]+|[ \t\r]+$", "", x) for x in text.split("\n")]
 
     def kept(x: str) -> bool:
         low = x.lower()
@@ -59,6 +62,26 @@ def test_c4_handcrafted_rules(spark):
     assert got[1][2] is False and got[2][2] is False and got[3][2] is False
 
 
+def test_c4_strips_crlf_and_trailing_space(spark):
+    """\\r\\n endings / trailing spaces must not fail the terminal-punct
+    rule (the pre-strip C4 bug: every such line silently dropped)."""
+    texts = [
+        # CRLF-terminated page: split('\n') leaves a trailing \r per line
+        "Alpha one keeps fine.\r\nBeta two keeps fine.\r\n"
+        "Gamma three keeps fine.\r\nDelta four keeps fine.\r\n"
+        "Epsilon five keeps fine.\r\n",
+        # trailing spaces / tabs after the period
+        "Kept despite spaces one.   \nKept despite tab two.\t\n"
+        "  Indented but kept three.\nKept plain four.\nKept plain five.",
+    ]
+    got = _spark_c4(spark, texts)
+    for i, t in enumerate(texts):
+        assert got[i] == model_c4(t), f"doc {i}: {t!r}"
+    assert got[0][1] == 5 and got[0][2] is True  # all five CRLF lines kept
+    assert got[1][1] == 5 and got[1][2] is True
+    assert "\r" not in got[0][3] and not got[1][3].endswith(" ")
+
+
 def test_c4_randomized_model_parity(spark):
     rng = random.Random(31)
     frags = [
@@ -66,6 +89,8 @@ def test_c4_randomized_model_parity(spark):
         "javascript rules here.", "read our Terms of Use.",
         'she said "stop."', "lorem ipsum inside.", "one two three four!",
         "why not?", "tail",
+        "trailing spaces keep fine.  ", "carriage return line.\r",
+        "\ttab led line stays.", "   ",
     ]
     texts = [
         "\n".join(rng.choice(frags) for _ in range(rng.randint(0, 10)))

@@ -968,6 +968,21 @@ def test_bigram_catches_token_shuffle_the_unigram_misses(spark):
     assert keep[100] is True and keep[101] is False
 
 
+def test_bigram_empty_fit_split_fails_fast(spark):
+    """fit_pct=0 (or a corpus whose ids all hash into the held-out half)
+    leaves the model fitless; scores must RAISE, not go silently NULL
+    (NULL keep verdicts vanish from curate CLI stats — advisor, r8)."""
+    import pytest
+
+    from etl_edi_data_scrapper_spark.functions.text import bigram_cross_entropy
+
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "b c d")], "doc_id long, text string"
+    )
+    with pytest.raises(Exception, match="fit split is empty"):
+        bigram_cross_entropy(df, fit_pct=0).collect()
+
+
 def _luhn_ok(digits: str) -> bool:
     s = 0
     for i, ch in enumerate(reversed(digits)):
@@ -1011,6 +1026,33 @@ def test_credit_card_scrub_luhn_validated(spark):
     assert got[4] == (1, "card [CARD] dashed")
     assert got[5] == (0, "no digits at all here")
     assert got[6] == (2, "double [CARD] and [CARD] both")
+
+
+def test_credit_card_scrub_position_aware(spark):
+    """A valid card's exact digits appearing INSIDE a longer, unmatched
+    digit run elsewhere must not be rewritten (the r8 global-literal
+    replace corrupted such runs to e.g. '9[CARD]90')."""
+    from etl_edi_data_scrapper_spark.functions.text import scrub_credit_cards
+
+    rows = [
+        # 20-digit run (matches nothing: \b fails mid-run) containing the
+        # valid card's digits as a substring
+        (0, "pay 4111111111111111 ref 94111111111111111190 end"),
+        # substring case with the long run FIRST
+        (1, "ref 94111111111111111190 then pay 4111111111111111 end"),
+        # the valid card twice plus the long run
+        (2, "4111111111111111 mid 94111111111111111190 mid 4111111111111111"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: r.clean
+        for r in df.select(
+            "doc_id", scrub_credit_cards("text").alias("clean")
+        ).collect()
+    }
+    assert got[0] == "pay [CARD] ref 94111111111111111190 end"
+    assert got[1] == "ref 94111111111111111190 then pay [CARD] end"
+    assert got[2] == "[CARD] mid 94111111111111111190 mid [CARD]"
 
 
 def test_credit_card_matches_python_model_randomized(spark):
