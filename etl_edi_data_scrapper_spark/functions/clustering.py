@@ -665,11 +665,187 @@ def semantic_dedup_sharded(
     )
 
 
+def expected_missed_frac(n_shards: int, n_passes: int, family_size: int) -> float:
+    """The validated collision model for shard-bounded multi-pass SemDeDup
+    (SEMDEDUP_QUALITY_r08.json matched it to three decimals): a duplicate
+    family of ``family_size`` near-identical members has, for its rank-j
+    member (j lower-id siblings), per-pass miss probability ≈
+    (1 − 1/S)^j — no lower-id sibling routed to its shard — and passes
+    use independent seeds, so over p passes the member survives detection
+    with probability (1 − 1/S)^(j·p). The expected missed fraction of
+    TRUE duplicates (ranks 1..f−1) is the average over j.
+
+    Slightly conservative in practice: real passes re-shard only the
+    SURVIVORS, so effective S shrinks as rows drop (measured r8: model
+    0.5008 vs observed 0.4817 at S=20, f=10, p=3)."""
+    S, p, f = int(n_shards), int(n_passes), int(family_size)
+    if S <= 1:
+        return 0.0
+    if f < 2:
+        return 0.0  # no true duplicates to miss
+    q = 1.0 - 1.0 / S
+    return sum(q ** (j * p) for j in range(1, f)) / (f - 1)
+
+
+def plan_shard_geometry(
+    n_rows: int,
+    family_size: int,
+    target_missed_frac: float,
+    max_rows_per_shard: int = 262144,
+    max_passes: int = 6,
+) -> tuple[int, int]:
+    """Solve the collision model for the cheapest sharded-SemDeDup
+    geometry hitting ``target_missed_frac``: for each pass count (fewer
+    passes = fewer full jobs), find the LARGEST shard count S (smallest
+    shards = least within-shard work and memory) with
+    ``expected_missed_frac(S, p, family_size) <= target``, and take the
+    first whose rows_per_shard fits the ``max_rows_per_shard`` memory
+    bound. Returns (rows_per_shard, n_passes).
+
+    Raises when no geometry within the bounds reaches the target — the
+    actionable fix is the LSH bridge (``bridge_tables=`` in
+    :func:`semantic_dedup_sharded_multipass`), which converts the
+    geometric residue into LSH-recall residue at linear cost."""
+    if not 0.0 < target_missed_frac < 1.0:
+        raise ValueError("target_missed_frac must be in (0, 1)")
+    n_rows = max(1, int(n_rows))
+    for p in range(1, int(max_passes) + 1):
+        if expected_missed_frac(2, p, family_size) > target_missed_frac:
+            # even 2 shards miss too much at this pass count; S=1 (a single
+            # shard) is exact but only admissible if the whole corpus fits
+            if n_rows <= max_rows_per_shard:
+                return n_rows, p
+            continue
+        lo, hi = 2, n_rows  # invariant: missed(lo) <= target
+        while lo < hi:  # largest S meeting the target (missed grows with S)
+            mid = (lo + hi + 1) // 2
+            if expected_missed_frac(mid, p, family_size) <= target_missed_frac:
+                lo = mid
+            else:
+                hi = mid - 1
+        rows_per_shard = -(-n_rows // lo)
+        if rows_per_shard <= max_rows_per_shard:
+            return rows_per_shard, p
+    raise ValueError(
+        f"plan_shard_geometry: no geometry with rows_per_shard <= "
+        f"{max_rows_per_shard} and n_passes <= {max_passes} reaches "
+        f"missed_frac <= {target_missed_frac} for family_size="
+        f"{family_size} over {n_rows} rows — raise the bounds, or use "
+        "the LSH bridge (bridge_tables=2) which catches cross-shard "
+        "duplicates at linear cost"
+    )
+
+
+def estimate_family_size(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    n_planes: int = 16,
+    dim: int | None = None,
+) -> float:
+    """Duplication-profile probe for the geometry planner: bucket the
+    corpus on one hyperplane-LSH signature and return the expected bucket
+    size of a RANDOM ROW, Σ size² / Σ size — for near-identical replica
+    families (the SemDeDup regime) a bucket ≈ a family, so this estimates
+    the family size a random member belongs to. Boundary-plane splits
+    bias it slightly LOW, which is the conservative direction for
+    :func:`plan_shard_geometry` (smaller family ⇒ higher predicted miss
+    ⇒ more aggressive geometry). One (signature) shuffle, one scalar out."""
+    from etl_edi_data_scrapper_spark.functions.similarity import (
+        hyperplane_signature,
+    )
+
+    if dim is None:
+        dim = int(df.select(F.size(F.col(vec_col))).first()[0])
+    sizes = (
+        df.select(hyperplane_signature(F.col(vec_col), n_planes, dim).alias("sig"))
+        .groupBy("sig")
+        .agg(F.count(F.lit(1)).alias("sz"))
+    )
+    row = sizes.agg(
+        (F.sum(F.col("sz") * F.col("sz")) / F.sum("sz")).alias("fam")
+    ).first()
+    return float(row["fam"])
+
+
+def cross_shard_bridge_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    n_planes: int = 16,
+    n_tables: int = 2,
+    max_block: int | None = 256,
+    dim: int | None = None,
+) -> DataFrame:
+    """Cross-shard candidate generator for sharded SemDeDup: bucket the
+    WHOLE corpus on ``n_tables`` independent random-hyperplane signatures
+    (disjoint md5-derived plane sets via ``plane_offset``) and verify
+    exact cosine ≥ ``threshold`` within each bucket — shard routing never
+    enters, so a duplicate pair split across shards still collides here
+    whenever any table's signature agrees. Near-identical vectors (the
+    SemDeDup regime, cos ≥ 0.9 ⇒ per-plane agreement ≥ 1 − θ/π ≈ 0.86,
+    ≈ 0.995 at cos 0.999) collide with probability
+    1 − (1 − agree^n_planes)^n_tables — the recall dial.
+
+    Precision is structurally 1.0 (every emitted pair is exact-verified),
+    so unioning these pairs into the sharded verdict preserves its
+    subset-of-truth property. Cost: n_tables blocked self-joins whose
+    shuffle carries (id, vec, signature); ``max_block`` is the standard
+    saturation guard (deterministic lowest-id truncation per bucket).
+
+    Returns (a, b, cosine) with a < b, distinct across tables.
+    """
+    from etl_edi_data_scrapper_spark.functions.dedup import embedding_near_pairs
+
+    if dim is None:
+        dim = int(df.select(F.size(F.col(vec_col))).first()[0])
+    out = None
+    for t in range(int(n_tables)):
+        sig = hyperplane_signature_table(
+            F.col(vec_col), n_planes, dim, table=t
+        )
+        blocked = df.select(F.col(id_col), F.col(vec_col)).withColumn("__sig", sig)
+        pairs = embedding_near_pairs(
+            blocked,
+            id_col=id_col,
+            vec_col=vec_col,
+            block_col="__sig",
+            threshold=threshold,
+            max_block=max_block,
+        )
+        out = pairs if out is None else out.unionByName(pairs)
+    # the same pair can collide in several tables; cosine is deterministic
+    # per pair, so max() just picks the one value
+    return out.groupBy("a", "b").agg(F.max("cosine").alias("cosine"))
+
+
+def hyperplane_signature(vec, n_planes: int, dim: int, plane_offset: int = 0):
+    """Re-export of `similarity.hyperplane_signature` (the probe and the
+    bridge share the exact plane derivation with the ANN operators)."""
+    from etl_edi_data_scrapper_spark.functions.similarity import (
+        hyperplane_signature as _sig,
+    )
+
+    return _sig(vec, n_planes, dim, plane_offset)
+
+
+def hyperplane_signature_table(vec, n_planes: int, dim: int, table: int):
+    """Table t draws planes [t·n_planes, (t+1)·n_planes) — disjoint from
+    every other table's set, so table misses are independent."""
+    return hyperplane_signature(vec, n_planes, dim, plane_offset=table * n_planes)
+
+
 def semantic_dedup_sharded_multipass(
     df: DataFrame,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     n_passes: int = 2,
+    bridge_tables: int = 0,
+    bridge_planes: int = 16,
+    bridge_max_block: int | None = 256,
+    target_missed_frac: float | None = None,
+    family_size_hint: int | None = None,
+    max_rows_per_shard: int = 262144,
     **kwargs,
 ) -> DataFrame:
     """Multi-pass shard-bounded SemDeDup: shrink the cross-shard residue.
@@ -683,14 +859,67 @@ def semantic_dedup_sharded_multipass(
     This is the standard production compromise between one-shot sharding
     and the N^1.5 global k ∝ N contract.
 
+    Recall is a KNOB, not a footnote (r9 — at the r8 measured geometry,
+    3 passes still missed 48% of true duplicates). Two levers, composable:
+
+    * ``target_missed_frac`` — auto-size the geometry: probe the
+      duplication profile (:func:`estimate_family_size`, unless
+      ``family_size_hint`` is given) and solve the exactly-validated
+      (1−1/S)^(j·p) collision model (:func:`plan_shard_geometry`) for
+      the cheapest (rows_per_shard, n_passes) meeting the target under
+      the ``max_rows_per_shard`` memory bound. Overrides any explicit
+      ``rows_per_shard``/``n_passes``.
+    * ``bridge_tables`` > 0 — the LSH bridge: run
+      :func:`cross_shard_bridge_pairs` over the FULL corpus once, up
+      front; every row with an exact-verified lower-id neighbor is
+      dropped with ``pass_dropped = -1`` before pass 0, converting the
+      geometric residue into LSH-recall residue (for near-identical
+      replicas, sub-1% at 2 tables × 16 planes) at linear cost.
+      Precision stays structurally 1.0: bridge drops are exact-cosine
+      verified, so the verdict remains a subset of the global truth.
+
     Each pass drops rows verdicted keep=false; ``pass_dropped`` records
-    which pass removed a row (NULL = survived all passes, keep=true).
-    `cluster`/`n_dupped_by` are per-pass internals and not returned —
-    the verdict is the product. Returns (id_col, pass_dropped, keep).
+    which pass removed a row (−1 = the bridge, NULL = survived all
+    passes, keep=true). `cluster`/`n_dupped_by` are per-pass internals
+    and not returned — the verdict is the product.
+    Returns (id_col, pass_dropped, keep).
     """
     seed0 = int(kwargs.pop("seed", 0))  # caller's seed offsets the sequence
+    threshold = float(kwargs.get("threshold", 0.3))
     survivors = df.select(F.col(id_col), F.col(vec_col))
+
+    if target_missed_frac is not None:
+        fam = family_size_hint
+        if fam is None:
+            fam = max(2, int(estimate_family_size(survivors, vec_col=vec_col)))
+        n_rows = survivors.count()
+        rows_per_shard, n_passes = plan_shard_geometry(
+            n_rows,
+            fam,
+            target_missed_frac,
+            max_rows_per_shard=max_rows_per_shard,
+        )
+        kwargs["rows_per_shard"] = rows_per_shard
+        kwargs.pop("n_shards", None)
+
     dropped = []
+    if bridge_tables > 0:
+        pairs = cross_shard_bridge_pairs(
+            survivors,
+            id_col=id_col,
+            vec_col=vec_col,
+            threshold=threshold,
+            n_planes=bridge_planes,
+            n_tables=bridge_tables,
+            max_block=bridge_max_block,
+        )
+        # pair convention a < b: b has a lower-id exact near-duplicate
+        bridge_drops = pairs.select(F.col("b").alias(id_col)).distinct()
+        bridge_drops = bridge_drops.localCheckpoint(eager=False)
+        dropped.append(
+            bridge_drops.select(F.col(id_col), F.lit(-1).alias("pass_dropped"))
+        )
+        survivors = survivors.join(bridge_drops, on=id_col, how="left_anti")
     for p in range(int(n_passes)):
         verdicts = semantic_dedup_sharded(
             survivors, vec_col=vec_col, id_col=id_col, seed=seed0 + p, **kwargs

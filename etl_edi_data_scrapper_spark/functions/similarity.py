@@ -49,17 +49,24 @@ def cosine_topk(
     )
 
 
-def hyperplane_signature(vec: Column, n_planes: int, dim: int) -> Column:
+def hyperplane_signature(
+    vec: Column, n_planes: int, dim: int, plane_offset: int = 0
+) -> Column:
     """Sign signature under `n_planes` deterministic pseudo-random
     hyperplanes. Plane weights are md5-derived: w[p][d] = hexval(md5('p:d'))
     - 7.5 — fixed, engine-reproducible, no RNG.
+
+    ``plane_offset`` shifts the plane index range (planes
+    [offset, offset + n_planes)) so independent TABLES of the same width
+    draw disjoint plane sets — the multi-table LSH recall lever used by
+    `clustering.cross_shard_bridge_pairs`.
 
     Returns a string key '0|1|...' usable directly as an LSH bucket id.
     """
     import hashlib
 
     bits = []
-    for p in range(n_planes):
+    for p in range(plane_offset, plane_offset + n_planes):
         weights = [
             float(int(hashlib.md5(f"{p}:{d}".encode()).hexdigest()[0], 16)) - 7.5
             for d in range(dim)

@@ -239,3 +239,188 @@ def test_plan_is_one_shuffle_plus_grouped_pandas(spark, tiny):
     assert "FlatMapGroupsInPandas" in plan
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan  # no row-at-a-time python
+
+
+# ---- r9: recall as a knob (collision model, geometry planner, LSH bridge) --
+
+
+def test_expected_missed_frac_matches_r8_measurements():
+    """The model the planner solves must reproduce the MEASURED quality
+    rows (SEMDEDUP_QUALITY_r08.json: n=20000, rows_per_shard=1000 ⇒ S=20,
+    10-member replica families). Model is documented slightly
+    conservative at higher pass counts (survivor re-sharding shrinks
+    effective S)."""
+    from etl_edi_data_scrapper_spark.functions.clustering import (
+        expected_missed_frac,
+    )
+
+    measured = {1: 0.7818, 2: 0.6159, 3: 0.4817}
+    for p, obs in measured.items():
+        model = expected_missed_frac(20, p, 10)
+        assert abs(model - obs) < 0.03, (p, model, obs)
+    # edges
+    assert expected_missed_frac(1, 1, 10) == 0.0  # one shard = exact
+    assert expected_missed_frac(50, 1, 1) == 0.0  # no true duplicates
+    assert expected_missed_frac(50, 1, 2) == pytest.approx(0.98)  # q^1
+
+
+def test_expected_missed_frac_monotonicity():
+    from etl_edi_data_scrapper_spark.functions.clustering import (
+        expected_missed_frac,
+    )
+
+    # more shards miss more; more passes miss less; bigger families easier
+    assert expected_missed_frac(40, 2, 10) > expected_missed_frac(10, 2, 10)
+    assert expected_missed_frac(20, 3, 10) < expected_missed_frac(20, 1, 10)
+    assert expected_missed_frac(20, 2, 20) < expected_missed_frac(20, 2, 3)
+
+
+def test_plan_shard_geometry_meets_target_and_bounds():
+    from etl_edi_data_scrapper_spark.functions.clustering import (
+        expected_missed_frac,
+        plan_shard_geometry,
+    )
+
+    n, fam, target = 200_000, 10, 0.10
+    rows_per_shard, n_passes = plan_shard_geometry(
+        n, fam, target, max_rows_per_shard=50_000
+    )
+    assert rows_per_shard <= 50_000
+    S = -(-n // rows_per_shard)
+    assert expected_missed_frac(S, n_passes, fam) <= target
+    # maximality: one more shard (smaller shards) would overshoot the
+    # target at this pass count UNLESS the memory bound was what bound us
+    if rows_per_shard < 50_000:
+        assert expected_missed_frac(S + 1, n_passes, fam) > target
+
+
+def test_plan_shard_geometry_unreachable_raises():
+    from etl_edi_data_scrapper_spark.functions.clustering import (
+        plan_shard_geometry,
+    )
+
+    with pytest.raises(ValueError, match="bridge"):
+        # pairs (f=2) at 1 pass with tiny shards can't reach 1% missed
+        plan_shard_geometry(
+            10_000_000, 2, 0.01, max_rows_per_shard=1_000, max_passes=1
+        )
+
+
+def test_plan_shard_geometry_single_shard_when_it_fits():
+    from etl_edi_data_scrapper_spark.functions.clustering import (
+        plan_shard_geometry,
+    )
+
+    # f=2 at p=1: any S>=2 misses >= 50% — but the corpus fits one shard
+    rows_per_shard, n_passes = plan_shard_geometry(
+        5_000, 2, 0.10, max_rows_per_shard=10_000, max_passes=1
+    )
+    assert (rows_per_shard, n_passes) == (5_000, 1)
+
+
+def test_estimate_family_size_replica_families(spark):
+    from etl_edi_data_scrapper_spark.functions.clustering import (
+        estimate_family_size,
+    )
+
+    # 20 families x 8 near-identical replicas in 16 dims
+    rows = []
+    for fam in range(20):
+        base = [1.0 if d == fam % 16 else 0.1 * ((fam * 7 + d) % 5) for d in range(16)]
+        for r in range(8):
+            rows.append(
+                (fam * 8 + r, [x + 0.0005 * ((r + d) % 3) for d, x in enumerate(base)])
+            )
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    est = estimate_family_size(df)
+    assert 5.0 <= est <= 8.5  # boundary-plane splits bias low, never high
+
+
+def test_bridge_catches_cross_shard_duplicate(spark):
+    """The geometry knob's partner: a duplicate pair routed to DIFFERENT
+    shards in every pass must still be dropped by the LSH bridge
+    (pass_dropped = -1), with the subset property intact."""
+    from etl_edi_data_scrapper_spark.functions.clustering import (
+        semantic_dedup_sharded,
+        semantic_dedup_sharded_multipass,
+    )
+
+    # find a pair the seed=0 single pass separates (probing md5 routing)
+    base = [(i, [1.0, 0.0]) for i in range(1, 40)]
+    df_all = spark.createDataFrame(base, "vec_id long, embedding array<float>")
+    s0 = {
+        r.vec_id: r.shard
+        for r in semantic_dedup_sharded(
+            df_all, n_shards=2, k_per_shard=1, seed=0
+        ).collect()
+    }
+    pair = next(
+        (i, j)
+        for i in range(1, 40)
+        for j in range(i + 1, 40)
+        if s0[i] != s0[j]
+    )
+    df = spark.createDataFrame(
+        [(pair[0], [1.0, 0.0]), (pair[1], [1.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    no_bridge = {
+        r.vec_id: r.keep
+        for r in semantic_dedup_sharded_multipass(
+            df, n_passes=1, n_shards=2, k_per_shard=1
+        ).collect()
+    }
+    assert no_bridge == {pair[0]: True, pair[1]: True}  # the geometric miss
+
+    bridged = {
+        r.vec_id: (r.keep, r.pass_dropped)
+        for r in semantic_dedup_sharded_multipass(
+            df, n_passes=1, n_shards=2, k_per_shard=1, bridge_tables=2
+        ).collect()
+    }
+    assert bridged[pair[0]] == (True, None)
+    assert bridged[pair[1]] == (False, -1)  # caught by the bridge
+
+
+def test_bridge_no_false_drops(spark):
+    """Bridge drops are exact-cosine verified: a corpus with NO near
+    duplicates must survive untouched even if LSH buckets collide."""
+    from etl_edi_data_scrapper_spark.functions.clustering import (
+        semantic_dedup_sharded_multipass,
+    )
+
+    rows = [
+        (i, [1.0 if d == i else 0.0 for d in range(8)]) for i in range(8)
+    ]  # pairwise orthogonal
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = semantic_dedup_sharded_multipass(
+        df, n_passes=1, n_shards=4, k_per_shard=1, threshold=0.9,
+        bridge_tables=2,
+    ).collect()
+    assert sorted(r.vec_id for r in out) == list(range(8))
+    assert all(r.keep for r in out)
+
+
+def test_auto_target_sizes_geometry(spark, tiny):
+    """target_missed_frac wires the planner end-to-end: the call must run,
+    emit every id exactly once, and (checked via the planner directly)
+    choose a geometry whose model missed_frac meets the target."""
+    from etl_edi_data_scrapper_spark.functions.clustering import (
+        expected_missed_frac,
+        plan_shard_geometry,
+        semantic_dedup_sharded_multipass,
+    )
+
+    out = semantic_dedup_sharded_multipass(
+        tiny, target_missed_frac=0.05, family_size_hint=3, threshold=0.9,
+        k_per_shard=1,
+    ).collect()
+    assert sorted(r.vec_id for r in out) == [3, 7, 10, 15, 20, 99]
+    # the tiny frame fits one shard, so the verdict is exact: both
+    # higher-id members of the two tight families drop
+    keeps = {r.vec_id: r.keep for r in out}
+    assert keeps == {3: True, 7: False, 10: False, 15: True, 20: False, 99: True}
+
+    rows_per_shard, p = plan_shard_geometry(1_000_000, 8, 0.05)
+    S = -(-1_000_000 // rows_per_shard)
+    assert expected_missed_frac(S, p, 8) <= 0.05

@@ -59,6 +59,20 @@ def main() -> None:
     ap.add_argument("--threshold", type=float, default=0.9)
     ap.add_argument("--max-passes", type=int, default=3)
     ap.add_argument("--rows-per-shard", type=int, default=1000)
+    ap.add_argument(
+        "--bridge-tables", type=int, default=0,
+        help="enable the cross-shard LSH bridge with this many tables",
+    )
+    ap.add_argument("--bridge-planes", type=int, default=16)
+    ap.add_argument(
+        "--auto-target", type=float, default=None,
+        help="auto-size geometry for this target missed_frac "
+        "(plan_shard_geometry over the estimate_family_size probe)",
+    )
+    ap.add_argument(
+        "--max-rows-per-shard", type=int, default=262144,
+        help="memory bound handed to the geometry planner (auto mode)",
+    )
     args = ap.parse_args()
     sf_dir = args.dir or f"/tmp/scale_sf{args.factor}x"
 
@@ -66,6 +80,8 @@ def main() -> None:
 
     from etl_edi_data_scrapper_spark import get_spark
     from etl_edi_data_scrapper_spark.functions.clustering import (
+        estimate_family_size,
+        plan_shard_geometry,
         semantic_dedup_sharded_multipass,
     )
 
@@ -78,12 +94,39 @@ def main() -> None:
 
     per_pass = []
     violations = 0
-    for p in range(1, args.max_passes + 1):
+    extra = {}
+    planned = None
+    if args.bridge_tables:
+        extra["bridge_tables"] = args.bridge_tables
+        extra["bridge_planes"] = args.bridge_planes
+    if args.auto_target is not None:
+        # record the probe + solved geometry the operator would choose
+        # (the multipass call re-derives the same thing internally)
+        fam = estimate_family_size(emb)
+        rps, np_ = plan_shard_geometry(
+            len(ids),
+            max(2, int(fam)),
+            args.auto_target,
+            max_rows_per_shard=args.max_rows_per_shard,
+        )
+        planned = {
+            "family_size_probe": round(fam, 3),
+            "planned_rows_per_shard": rps,
+            "planned_n_passes": np_,
+        }
+        print(f"# auto geometry: {planned}", file=sys.stderr)
+        extra["target_missed_frac"] = args.auto_target
+        extra["max_rows_per_shard"] = args.max_rows_per_shard
+    pass_counts = [1] if args.auto_target is not None else list(
+        range(1, args.max_passes + 1)
+    )
+    for p in pass_counts:
         verdicts = semantic_dedup_sharded_multipass(
             emb,
             n_passes=p,
             rows_per_shard=args.rows_per_shard,
             threshold=args.threshold,
+            **extra,
         )
         dropped = {
             r[0] for r in verdicts.filter("NOT keep").select("vec_id").collect()
@@ -91,7 +134,7 @@ def main() -> None:
         violations += len(dropped - truth)  # must stay 0: subset property
         per_pass.append(
             {
-                "passes": p,
+                "passes": planned["planned_n_passes"] if planned else p,
                 "dropped": len(dropped),
                 "missed_frac": round(1 - len(dropped) / len(truth), 4)
                 if truth
@@ -106,6 +149,10 @@ def main() -> None:
                 "factor": args.factor,
                 "threshold": args.threshold,
                 "rows_per_shard": args.rows_per_shard,
+                "bridge_tables": args.bridge_tables,
+                "bridge_planes": args.bridge_planes if args.bridge_tables else None,
+                "auto_target": args.auto_target,
+                "auto_geometry": planned,
                 "n": int(len(ids)),
                 "true_dups": len(truth),
                 "per_pass": per_pass,
