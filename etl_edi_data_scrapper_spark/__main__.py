@@ -117,8 +117,19 @@ def main(argv: list[str] | None = None, engine=None) -> int:
     pu.add_argument(
         "--stages",
         default="quality,gopher,xent,bxent,exact,minhash",
-        help="comma list: quality,gopher,xent,bxent,exact,minhash",
+        help="comma list: quality,gopher,c4,xent,bxent,exact,minhash,"
+        "bloom,decon (bloom/decon need --benchmark)",
     )
+    pu.add_argument(
+        "--benchmark",
+        default=None,
+        help="benchmark/eval-corpus parquet path: enables the bloom "
+        "(screen) and decon (surgical span cut) stages; two-tier when "
+        "both are selected — the exact scrub runs only on bloom-flagged "
+        "docs",
+    )
+    pu.add_argument("--benchmark-text-col", default=None)
+    pu.add_argument("--decon-width", type=int, default=8)
     pu.add_argument("--quality-min", type=float, default=0.4)
     pu.add_argument("--langs", default="en", help="comma list of kept lang codes")
     pu.add_argument("--xent-lo", type=int, default=2000)
@@ -229,6 +240,11 @@ def main(argv: list[str] | None = None, engine=None) -> int:
             if args.clf_reference_value is None:
                 p.error("--clf-reference-value required with --clf-reference-col")
             clf_ref = F.col(args.clf_reference_col) == args.clf_reference_value
+        bench = (
+            engine.spark.read.parquet(args.benchmark)
+            if args.benchmark is not None
+            else None
+        )
         verdicts = curate_corpus(
             engine.spark,
             docs,
@@ -241,11 +257,16 @@ def main(argv: list[str] | None = None, engine=None) -> int:
             bxent_band=(args.bxent_lo, args.bxent_hi),
             minhash_threshold=args.minhash_threshold,
             clf_reference=clf_ref,
+            benchmark=bench,
+            benchmark_text_col=args.benchmark_text_col,
+            decon_width=args.decon_width,
         )
         sinkmod.write_parquet(verdicts, args.output, mode="overwrite")
         written = engine.spark.read.parquet(args.output)
         keep_cols = [c for c in written.columns if c.endswith("_keep")] + [
-            c for c in written.columns if c.startswith("is_")
+            c
+            for c in written.columns
+            if c.startswith("is_") or c.endswith("_contaminated")
         ]
         aggs = [F.count(F.lit(1)).alias("__n")] + [
             F.sum(F.when(~F.col(c) if c.endswith("_keep") else F.col(c), 1).otherwise(0))
@@ -256,7 +277,11 @@ def main(argv: list[str] | None = None, engine=None) -> int:
         n = stats.pop("__n")
         dropped = stats.pop("curate_keep")
         for c, v in stats.items():
-            label = c if c.startswith("is_") else f"{c.removesuffix('_keep')} drops"
+            label = (
+                c
+                if c.startswith("is_") or c.endswith("_contaminated")
+                else f"{c.removesuffix('_keep')} drops"
+            )
             print(f"STAGE: {label}: {v}")
         print(f"SUCCESS: Corpus curated | Docs: {n} | Kept: {n - dropped} | Dropped: {dropped}")
         return 0

@@ -27,6 +27,21 @@ final ``curate_keep`` is the AND of every selected stage's verdict):
             doc id is canonical)
   minhash   MinHash-LSH candidate generation + exact-Jaccard verify;
             a doc is dropped when a LOWER-id doc verifies >= threshold
+  bloom     (needs ``benchmark=`` / ``--benchmark``) memory-bounded
+            contamination SCREEN: every benchmark span in a bloom
+            filter stored as a bounded position relation
+            (functions/bloom.py); flags ``bloom_contaminated`` docs.
+            A screen, not a verdict — it feeds the decon tier and
+            costs one ≤ m-row broadcast however large the benchmark.
+  decon     (needs ``benchmark=``) SURGICAL decontamination: cut every
+            token covered by a width-token sliding window that also
+            appears in the benchmark (span_dedup.scrub_benchmark_spans)
+            and emit ``decon_text``. Two-tier by default: when the
+            bloom stage is also selected, the exact scrub runs ONLY on
+            bloom-flagged docs (the deploy shape bloom.py documents) —
+            unflagged docs pass through untouched, no false negatives
+            (the bloom has none by construction). ``decon_keep`` drops
+            docs whose text is entirely benchmark leak.
   classifier (opt-in: needs --clf-reference-col) integer-perceptron
             model filter, reference docs as the positive class
 
@@ -45,6 +60,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
 ALL_STAGES = ("quality", "gopher", "c4", "xent", "bxent", "exact", "minhash")
+DECON_STAGES = ("bloom", "decon")  # require a benchmark frame
 
 
 def curate_corpus(
@@ -60,16 +76,29 @@ def curate_corpus(
     minhash_threshold: float = 0.7,
     max_bucket: int | None = 256,
     clf_reference=None,
+    benchmark: DataFrame | None = None,
+    benchmark_text_col: str | None = None,
+    decon_width: int = 8,
+    bloom_m: int = 1 << 16,
+    bloom_k: int = 3,
 ) -> DataFrame:
     """Run ``docs`` through the selected curation stages; returns one row
     per document: the id, each stage's verdict columns, and the combined
     ``curate_keep``. ``clf_reference`` (a Column predicate marking the
-    positive/reference class) enables the classifier stage."""
-    unknown = set(stages) - set(ALL_STAGES)
+    positive/reference class) enables the classifier stage;
+    ``benchmark`` (a frame of held-out eval text) enables the
+    bloom/decon decontamination tier."""
+    unknown = set(stages) - set(ALL_STAGES) - set(DECON_STAGES)
     if unknown:
         raise ValueError(
             f"curate_corpus: unknown stages {sorted(unknown)}; "
-            f"choose from {ALL_STAGES} (+ classifier via clf_reference)"
+            f"choose from {ALL_STAGES + DECON_STAGES} "
+            "(+ classifier via clf_reference)"
+        )
+    if set(stages) & set(DECON_STAGES) and benchmark is None:
+        raise ValueError(
+            "curate_corpus: the bloom/decon stages need a benchmark frame "
+            "(--benchmark PATH on the CLI)"
         )
     out = docs.select(F.col(id_col))
     keeps: list[F.Column] = []
@@ -160,6 +189,74 @@ def curate_corpus(
             dup_ids.withColumn("is_near_dup", F.lit(True)), id_col, "left"
         ).withColumn("is_near_dup", F.coalesce("is_near_dup", F.lit(False)))
         keeps.append(~F.col("is_near_dup"))
+
+    if "bloom" in stages:
+        from etl_edi_data_scrapper_spark.functions.bloom import (
+            bloom_span_contamination,
+        )
+
+        scr = bloom_span_contamination(
+            docs,
+            benchmark.select(
+                F.col(benchmark_text_col or text_col).alias(text_col)
+            ),
+            id_col=id_col,
+            text_col=text_col,
+            width=decon_width,
+            m=bloom_m,
+            k=bloom_k,
+        ).select(id_col, "n_spans_maybe_seen", "bloom_contaminated")
+        # the screen feeds the decon tier below AND the verdict frame; cut
+        # the recompute (the probe side explodes every doc span twice
+        # otherwise)
+        scr = scr.localCheckpoint(eager=False)
+        out = out.join(scr, id_col)
+        # a screen, not a verdict: bloom_contaminated does NOT gate
+        # curate_keep on its own — the exact tier decides
+
+    if "decon" in stages:
+        from etl_edi_data_scrapper_spark.functions.span_dedup import (
+            scrub_benchmark_spans,
+        )
+
+        base = docs.select(F.col(id_col), F.col(text_col))
+        if "bloom" in stages:
+            # two-tier: the exact scrub touches ONLY bloom-flagged docs
+            # (no false negatives possible — the bloom has none); the
+            # clean majority passes through as a projection
+            flagged_ids = scr.filter(F.col("bloom_contaminated")).select(id_col)
+            flagged = base.join(flagged_ids, id_col)
+            cut = scrub_benchmark_spans(
+                flagged, benchmark, id_col=id_col, text_col=text_col,
+                bench_text_col=benchmark_text_col, width=decon_width,
+            )
+            clean = base.join(flagged_ids, id_col, "left_anti").select(
+                F.col(id_col),
+                F.size(F.split(F.col(text_col), " ")).cast("int").alias("n_tokens"),
+                F.lit(0).alias("n_tokens_cut"),
+                F.col(text_col).alias("decon_text"),
+            )
+            d = cut.select(
+                id_col,
+                F.col("n_tokens").cast("int").alias("n_tokens"),
+                F.col("n_tokens_cut").cast("int").alias("n_tokens_cut"),
+                "decon_text",
+            ).unionByName(clean)
+        else:
+            d = scrub_benchmark_spans(
+                base, benchmark, id_col=id_col, text_col=text_col,
+                bench_text_col=benchmark_text_col, width=decon_width,
+            ).select(
+                id_col,
+                F.col("n_tokens").cast("int").alias("n_tokens"),
+                F.col("n_tokens_cut").cast("int").alias("n_tokens_cut"),
+                "decon_text",
+            )
+        d = d.withColumn(
+            "decon_keep", F.col("n_tokens_cut") < F.col("n_tokens")
+        ).drop("n_tokens")
+        out = out.join(d, id_col)
+        keeps.append(F.col("decon_keep"))
 
     if clf_reference is not None:
         from etl_edi_data_scrapper_spark.functions.quality_classifier import (

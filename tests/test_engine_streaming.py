@@ -348,6 +348,73 @@ def test_cli_curate_writes_verdicts(spark, sf_dir, tmp_path, capsys):
     assert got.filter(~F.col("curate_keep")).count() > 0
 
 
+def test_cli_curate_decontamination_two_tier(spark, sf_dir, tmp_path, capsys):
+    """--benchmark wires the bloom screen + exact decon cut end to end:
+    an injected benchmark leak is flagged by the screen, surgically cut
+    by the exact tier, and a fully-leaked doc drops via decon_keep."""
+    from etl_edi_data_scrapper_spark.__main__ import main
+    from etl_edi_data_scrapper_spark.engine import Engine
+
+    bench_text = " ".join(f"benchtok{i}" for i in range(12))  # 12-token item
+    bench_dir = str(tmp_path / "bench")
+    spark.createDataFrame([(0, bench_text)], "bid long, text string").write.parquet(
+        bench_dir
+    )
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    # doc 3: leak embedded mid-document; doc 7: the doc IS the leak
+    docs = docs.withColumn(
+        "text",
+        F.when(F.col("doc_id") == 3, F.concat(F.col("text"), F.lit(" " + bench_text)))
+        .when(F.col("doc_id") == 7, F.lit(bench_text))
+        .otherwise(F.col("text")),
+    )
+    docs_dir = str(tmp_path / "docs")
+    docs.write.parquet(docs_dir)
+
+    out_dir = str(tmp_path / "verdicts")
+    rc = main(
+        [
+            "curate",
+            "--docs", docs_dir,
+            "--output", out_dir,
+            "--stages", "quality,bloom,decon",
+            "--benchmark", bench_dir,
+        ],
+        engine=Engine(spark=spark),
+    )
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "STAGE: bloom_contaminated:" in out
+    assert "STAGE: decon drops:" in out
+    got = spark.read.parquet(out_dir)
+    by_id = {
+        r.doc_id: r
+        for r in got.filter(F.col("doc_id").isin(3, 7, 11)).collect()
+    }
+    assert by_id[3].bloom_contaminated and by_id[3].n_tokens_cut >= 12
+    assert "benchtok0" not in by_id[3].decon_text  # leak surgically gone
+    assert by_id[3].decon_keep  # doc survives minus the passage
+    assert by_id[7].bloom_contaminated and not by_id[7].decon_keep
+    assert not by_id[7].curate_keep  # fully-leaked doc drops
+    assert not by_id[11].bloom_contaminated and by_id[11].n_tokens_cut == 0
+    assert by_id[11].decon_text is not None and by_id[11].decon_keep
+    # every doc verdicts exactly once (two-tier union covers the corpus)
+    assert got.count() == 500
+
+
+def test_curate_decon_stage_requires_benchmark(spark, sf_dir):
+    import pytest
+
+    from etl_edi_data_scrapper_spark.plans.curate import curate_corpus
+
+    with pytest.raises(ValueError, match="benchmark"):
+        curate_corpus(
+            spark,
+            spark.read.parquet(f"{sf_dir}/documents.parquet"),
+            stages=("quality", "decon"),
+        )
+
+
 def test_cli_curate_rejects_unknown_stage(spark, sf_dir, tmp_path):
     import pytest
 
