@@ -45,6 +45,17 @@ def main() -> None:
     # 4.3 s idle). Now ANY query over 1.5x gets a confirmation re-time,
     # and a hot start is flagged on the compact line.
     load_start = round(os.getloadavg()[0], 2)
+    # r9 (verdict finding 1): a hot start is no longer certified. First
+    # try to OUTWAIT the load (bounded — external load on a shared host is
+    # usually another process's burst); if the host never goes quiet, run
+    # anyway for the timings but withhold baseline_pass (null = "not
+    # certified") instead of letting a gate that detected its own
+    # invalidating condition certify the run (r8 shipped start-load 7.82).
+    hot_waited = 0
+    while load_start > 4.0 and hot_waited < 300:
+        time.sleep(30)
+        hot_waited += 30
+        load_start = round(os.getloadavg()[0], 2)
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
@@ -82,8 +93,10 @@ def main() -> None:
         "load_avg_1m": round(os.getloadavg()[0], 2),
         "load_avg_start_1m": load_start,
     }
+    if hot_waited:
+        out["hot_start_waited_sec"] = hot_waited
     if load_start > 4.0:
-        out["load_hot_start"] = True  # treat every ratio with suspicion
+        out["load_hot_start"] = True  # timings run, certification withheld
 
     # self-detecting regression gate: host-normalized per-query ratio vs the
     # committed absolute anchor (BASELINE_LOCAL.md); >2.0 breaches the
@@ -154,7 +167,16 @@ def main() -> None:
         out["baseline_missing"] = sorted(
             q for q in base["queries"] if q not in timings
         )
-        out["baseline_pass"] = not out["baseline_breaches"] and not out["baseline_missing"]
+        if out.get("load_hot_start"):
+            # breaches still FAIL on a hot host (a regression that shows
+            # under load is still a regression candidate), but a clean run
+            # is NOT certified — null means "re-run idle to certify"
+            failed = out["baseline_breaches"] or out["baseline_missing"]
+            out["baseline_pass"] = False if failed else None
+        else:
+            out["baseline_pass"] = (
+                not out["baseline_breaches"] and not out["baseline_missing"]
+            )
     if errors:
         out["errors"] = errors
 
