@@ -36,9 +36,16 @@ a duplicate whose copies start at DIFFERENT residues escapes every grid
 union. :func:`dedup_spans_sliding` (r7) closes that last gap for a fixed
 minimum length: stride-1 windows catch shared passages at ANY offset
 pair, at width× the shuffle rows — the ladder is grid (cheapest) →
-multi-offset grid → sliding (positional invariance); what remains beyond
-all three is only variable-minimum-length matching, the full
-suffix-array ExactSubstr construction (Lee et al. 2022).
+multi-offset grid → sliding (positional invariance) →
+:func:`exact_substr_dedup` (r9, the top of the ladder): variable
+MINIMUM length (``min_len`` is the parameter, so matches shorter than
+any fixed production width — e.g. a 5-token quote the width-8 sliding
+pass provably leaves — are in reach), plus suffix-grouped MAXIMAL-run
+output: consecutive duplicated window positions merge into one
+(start, length) span per shared substring, which is what Lee et al.
+2022's suffix-array ExactSubstr reports, obtained here from the same
+sorted (hash, doc, pos) relation with a gaps-and-islands walk — no
+suffix array object, no Python.
 """
 
 from __future__ import annotations
@@ -270,6 +277,200 @@ def dedup_spans_sliding(
             .alias("clean_text"),
         )
     )
+
+
+def _dropped_window_runs(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_len: int,
+) -> DataFrame:
+    """(id_col, span_start, n_windows) — maximal runs of CONSECUTIVE
+    duplicated-window positions whose occurrence is not the corpus-wide
+    first (min (doc_id, pos)). The shared machinery of the ExactSubstr
+    pair: every stride-1 ``min_len``-token window is hashed (the wide
+    shuffle carries only (16-byte md5, doc_id, pos)); non-first
+    occurrences of repeated hashes become drop positions; a
+    gaps-and-islands walk (pos − row_number over (doc, pos-order) is
+    constant within a run) merges them into maximal runs. A maximal
+    shared substring of L ≥ min_len tokens appears as exactly the run of
+    its L − min_len + 1 sub-windows, so ``n_windows + min_len − 1`` is
+    the substring length. The islands window partitions by DOCUMENT over
+    only the DROPPED positions (the minority) — not a corpus-wide sort."""
+    wins = (
+        f"transform(sequence(0, greatest(size(split({text_col}, ' ')) - {min_len}, 0)), "
+        f"i -> array_join(slice(split({text_col}, ' '), i + 1, {min_len}), ' '))"
+    )
+    occ = (
+        docs.select(
+            F.col(id_col),
+            F.posexplode(F.expr(wins)).alias("pos", "win"),
+        )
+        .filter(F.col("win") != "")  # md5('') collides corpus-wide
+        .select(id_col, "pos", F.md5(F.col("win")).alias("h"))
+    )
+    owners = occ.groupBy("h").agg(
+        F.min(F.struct(F.col(id_col), F.col("pos"))).alias("first_occ"),
+        F.count(F.lit(1)).alias("n_occ"),
+    )
+    drops = occ.join(owners, "h").filter(
+        (F.col("n_occ") > 1)
+        & (
+            (F.col(id_col) != F.col(f"first_occ.{id_col}"))
+            | (F.col("pos") != F.col("first_occ.pos"))
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy("pos")
+    return (
+        drops.select(id_col, "pos")
+        .withColumn("__isl", F.col("pos") - F.row_number().over(w))
+        .groupBy(id_col, "__isl")
+        .agg(
+            F.min("pos").alias("span_start"),
+            F.count(F.lit(1)).alias("n_windows"),
+        )
+        .drop("__isl")
+    )
+
+
+def exact_substr_spans(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_len: int = 8,
+) -> DataFrame:
+    """MAXIMAL duplicated substrings, reported per non-first occurrence —
+    the ExactSubstr artifact (Lee et al. 2022 §4.1 at fixed token
+    granularity): every maximal run of ≥ ``min_len`` tokens that also
+    appears earlier in the corpus (any document, any offset) yields one
+    (doc, start, length) row. ``min_len`` is the VARIABLE knob the fixed-
+    width sliding pass lacks: set it to the shortest match worth cutting.
+
+    Returns (id_col, span_start, span_len) with span_len ≥ min_len;
+    span_start is a 0-based token index."""
+    runs = _dropped_window_runs(docs, id_col, text_col, min_len)
+    return runs.select(
+        F.col(id_col),
+        F.col("span_start").cast("long").alias("span_start"),
+        (F.col("n_windows") + F.lit(min_len - 1)).cast("long").alias("span_len"),
+    )
+
+
+def exact_substr_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_len: int = 8,
+) -> DataFrame:
+    """Variable-minimum-length any-offset substring dedup — the top of
+    the span-dedup ladder (Lee et al. 2022's ExactSubstr policy at token
+    granularity): every maximal substring of ≥ ``min_len`` tokens whose
+    occurrence is not the corpus-wide first is CUT AS A UNIT. The cut
+    set equals the sliding pass at width = min_len (a run's coverage is
+    exactly the union of its windows' coverage — pinned by test), but
+    the per-document cut list is one (start, end) struct per maximal
+    run instead of one entry per window position: for boilerplate-heavy
+    documents at 100 TB that is the difference between an O(dropped
+    tokens) and an O(shared passages) array riding the text join — and
+    the spans themselves are the reportable artifact
+    (:func:`exact_substr_spans`).
+
+    Returns (id_col, n_tokens, n_spans_cut, n_tokens_cut, clean_text).
+    """
+    runs = _dropped_window_runs(docs, id_col, text_col, min_len)
+    cuts = runs.groupBy(id_col).agg(
+        F.collect_list(
+            F.struct(
+                F.col("span_start").alias("s"),
+                (F.col("span_start") + F.col("n_windows") + F.lit(min_len - 1)).alias("e"),
+            )
+        ).alias("__runs"),
+        F.count(F.lit(1)).alias("n_spans_cut"),
+    )
+    t = F.split(F.col(text_col), " ")
+    kept = F.filter(
+        t,
+        lambda _tok, i: ~F.exists(
+            F.col("__runs"), lambda r: (r["s"] <= i) & (i < r["e"])
+        ),
+    )
+    return (
+        docs.join(cuts, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.size(t).cast("long").alias("n_tokens"),
+            F.coalesce("n_spans_cut", F.lit(0)).cast("long").alias("n_spans_cut"),
+            F.when(F.col("__runs").isNull(), F.lit(0))
+            .otherwise(F.size(t) - F.size(kept))
+            .cast("long")
+            .alias("n_tokens_cut"),
+            F.when(F.col("__runs").isNull(), F.col(text_col))
+            .otherwise(F.array_join(kept, " "))
+            .alias("clean_text"),
+        )
+    )
+
+
+def exact_substr_oracle_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_len: int = 8,
+    extra_ctes: str = "",
+) -> str:
+    """DuckDB replica of :func:`exact_substr_dedup`: stride-1 windows,
+    first-occurrence ownership, gaps-and-islands run merge, range-covered
+    token rebuild (1-based list indices: token i is cut iff some run
+    [s, e) satisfies s + 1 ≤ i ≤ e). ``extra_ctes`` (trailing comma
+    included by the caller) lets a caller synthesize ``table``."""
+    return f"""
+    WITH {extra_ctes}est AS (
+      SELECT {id_col}, {text_col} AS __text,
+             string_split({text_col}, ' ') AS t
+      FROM {table}),
+    eswin AS (
+      SELECT {id_col}, pos,
+             array_to_string(list_slice(t, pos + 1, pos + {min_len}), ' ') AS win
+      FROM (SELECT {id_col}, t,
+                   unnest(range(0, greatest(len(t) - {min_len}, 0) + 1)) AS pos
+            FROM est)),
+    esocc AS (
+      SELECT {id_col}, pos,
+             count(*) OVER (PARTITION BY md5(win)) AS n_occ,
+             row_number() OVER (PARTITION BY md5(win)
+                                ORDER BY {id_col}, pos) AS rn
+      FROM eswin WHERE win <> ''),
+    esdrop AS (
+      SELECT {id_col}, pos,
+             pos - row_number() OVER (PARTITION BY {id_col} ORDER BY pos) AS isl
+      FROM esocc WHERE n_occ > 1 AND rn > 1),
+    esruns AS (
+      SELECT {id_col},
+             min(pos) AS s,
+             min(pos) + count(*) + {min_len} - 1 AS e
+      FROM esdrop GROUP BY {id_col}, isl),
+    escut AS (
+      SELECT {id_col},
+             list(struct_pack(s := s, e := e)) AS runs,
+             count(*) AS n_spans_cut
+      FROM esruns GROUP BY {id_col})
+    SELECT d.{id_col},
+           CAST(len(d.t) AS BIGINT) AS n_tokens,
+           CAST(coalesce(c.n_spans_cut, 0) AS BIGINT) AS n_spans_cut,
+           CASE WHEN c.runs IS NULL THEN CAST(0 AS BIGINT)
+                ELSE CAST(len(d.t) - len(list_filter(d.t,
+                       (x, i) -> len(list_filter(c.runs,
+                           r -> r.s + 1 <= i AND i <= r.e)) = 0))
+                     AS BIGINT) END AS n_tokens_cut,
+           CASE WHEN c.runs IS NULL THEN d.__text
+                ELSE coalesce(array_to_string(list_filter(d.t,
+                       (x, i) -> len(list_filter(c.runs,
+                           r -> r.s + 1 <= i AND i <= r.e)) = 0), ' '), '')
+                END AS clean_text
+    FROM est d LEFT JOIN escut c USING ({id_col})
+    """
 
 
 def span_dedup_sliding_oracle_sql(

@@ -1895,6 +1895,66 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ExactSubstr leg synthesis (r9): a 19-token boilerplate banner on
+# doc_id%5=0 (long maximal runs) and a fixed 5-token quote appended on
+# doc_id%7=2 (the below-any-production-width passage the fixed-width
+# sliding pass provably misses — min_len=5 is the variable knob). The
+# small-vocabulary corpus itself collides heavily at 5 tokens, so the
+# natural-text path is exercised hard, not just the injections.
+_XS_QUOTE = "quoted maxim tokens five exactly"
+_XS_INJECT = (
+    f"CASE WHEN doc_id % 5 = 0 THEN concat('{_SPAN_BOILERPLATE} ', text) "
+    f"WHEN doc_id % 7 = 2 THEN concat(text, ' {_XS_QUOTE}') "
+    "ELSE text END"
+)
+
+
+def _exact_substr_oracle() -> str:
+    from etl_edi_data_scrapper_spark.functions.span_dedup import (
+        exact_substr_oracle_sql,
+    )
+
+    return exact_substr_oracle_sql(
+        table="xsrc",
+        min_len=5,
+        extra_ctes=f"xsrc AS (SELECT doc_id, {_XS_INJECT} AS text FROM documents),\n    ",
+    )
+
+
+@register("exact_substr", oracle=_exact_substr_oracle())
+def q_exact_substr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr — the top of the span-dedup ladder (Lee et al. 2022
+    §4.1 at token granularity; `functions/span_dedup.py` module docs):
+    variable-MINIMUM-length, any-offset duplicate substring removal with
+    maximal-run bookkeeping. Every maximal substring of ≥ 5 tokens whose
+    occurrence is not the corpus-wide first is cut as a unit; the per-doc
+    cut list is one (start, end) range per shared passage (O(passages),
+    not O(tokens) — the 100 TB difference for boilerplate-heavy docs),
+    derived from the sorted (md5, doc_id, pos) window relation by a
+    gaps-and-islands walk — no suffix array object, no Python. The wide
+    shuffle carries only (16-byte md5, doc_id, pos); the islands window
+    partitions by document over DROPPED positions only (the minority);
+    text moves once, on the per-doc range-list join.
+
+    Injections exercise both ladder rungs: a 19-token banner (long
+    maximal runs, reported as ONE span each) and a 5-token quote — below
+    width 8, so `dedup_spans_sliding` provably leaves it (pinned in
+    tests/test_span_splits.py); min_len as a KNOB is what catches it."""
+    from etl_edi_data_scrapper_spark.functions.span_dedup import exact_substr_dedup
+
+    docs = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    injected = docs.select("doc_id", F.expr(_XS_INJECT).alias("text"))
+    return exact_substr_dedup(injected, min_len=5).select(
+        "doc_id",
+        "n_tokens",
+        "n_spans_cut",
+        "n_tokens_cut",
+        "clean_text",
+    )
+
+
 @register(
     "tfidf_topk",
     oracle="""

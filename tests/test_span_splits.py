@@ -590,3 +590,179 @@ class TestScrubBenchmarkSpans:
             r[0]: (r[1], r[2], r[3]) for r in con.execute(sql).fetchall()
         }
         assert got == want
+
+
+# --- exact_substr (r9): variable min length + maximal runs ------------------
+
+
+def _model_exact_substr(docs, min_len: int):
+    """Pure-Python exact_substr_dedup: sliding windows of min_len,
+    first-occurrence ownership, consecutive-drop islands, range cuts."""
+    wins = {}
+    for doc_id, text in docs:
+        t = text.split(" ")
+        n = max(len(t) - min_len, 0) + 1
+        wins[doc_id] = [" ".join(t[p : p + min_len]) for p in range(n)]
+    first, counts = {}, {}
+    for doc_id in sorted(wins):
+        for pos, w in enumerate(wins[doc_id]):
+            if w == "":
+                continue
+            counts[w] = counts.get(w, 0) + 1
+            first.setdefault(w, (doc_id, pos))
+    out, spans = {}, {}
+    for doc_id, text in docs:
+        t = text.split(" ")
+        dropped = sorted(
+            pos
+            for pos, w in enumerate(wins[doc_id])
+            if w != "" and counts[w] > 1 and first[w] != (doc_id, pos)
+        )
+        runs = []
+        for p in dropped:  # islands of consecutive positions
+            if runs and p == runs[-1][0] + runs[-1][1]:
+                runs[-1] = (runs[-1][0], runs[-1][1] + 1)
+            else:
+                runs.append((p, 1))
+        spans[doc_id] = [(s, n + min_len - 1) for s, n in runs]
+        covered = set()
+        for s, ln in spans[doc_id]:
+            covered.update(range(s, s + ln))
+        kept = [tok for i, tok in enumerate(t) if i not in covered]
+        clean = text if not runs else " ".join(kept)
+        out[doc_id] = (
+            len(t), len(runs), len(t) - len(kept) if runs else 0, clean
+        )
+    return out, spans
+
+
+def test_exact_substr_matches_python_model(spark):
+    from etl_edi_data_scrapper_spark.functions.span_dedup import (
+        exact_substr_dedup,
+        exact_substr_spans,
+    )
+
+    corpus = CROSS_RESIDUE + CORPUS + SHIFTED
+    df = spark.createDataFrame(corpus, "doc_id long, text string")
+    want, want_spans = _model_exact_substr(corpus, 4)
+    got = {
+        r.doc_id: (r.n_tokens, r.n_spans_cut, r.n_tokens_cut, r.clean_text)
+        for r in exact_substr_dedup(df, min_len=4).collect()
+    }
+    assert got == want
+    got_spans = {}
+    for r in exact_substr_spans(df, min_len=4).collect():
+        got_spans.setdefault(r.doc_id, []).append((r.span_start, r.span_len))
+    for d in got_spans:
+        got_spans[d].sort()
+    assert got_spans == {d: s for d, s in want_spans.items() if s}
+
+
+def test_exact_substr_cut_equals_sliding_at_same_width(spark):
+    """The cut SET is provably the sliding pass's (a run's coverage is the
+    union of its windows'); only the bookkeeping differs."""
+    import random
+
+    from etl_edi_data_scrapper_spark.functions.span_dedup import (
+        dedup_spans_sliding,
+        exact_substr_dedup,
+    )
+
+    rng = random.Random(17)
+    vocab = ["aa", "bb", "cc", "dd"]
+    corpus = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 14))))
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(corpus, "doc_id long, text string")
+    slide = {
+        r.doc_id: (r.n_tokens, r.n_tokens_dropped, r.clean_text)
+        for r in dedup_spans_sliding(df, width=4).collect()
+    }
+    exact = {
+        r.doc_id: (r.n_tokens, r.n_tokens_cut, r.clean_text)
+        for r in exact_substr_dedup(df, min_len=4).collect()
+    }
+    assert slide == exact
+
+
+def test_exact_substr_catches_short_end_passage_sliding_misses(spark):
+    """The variable-min-length case: a 5-token quote at the END of a doc
+    is invisible to the width-8 sliding pass (no 8-token window fits
+    inside it) but is exactly what min_len=5 exists for."""
+    from etl_edi_data_scrapper_spark.functions.span_dedup import (
+        dedup_spans_sliding,
+        exact_substr_dedup,
+        exact_substr_spans,
+    )
+
+    quote = "to be or not be"  # 5 tokens
+    corpus = [
+        (1, f"original source text carries the line {quote}"),
+        (2, f"a later document ends quoting {quote}"),
+        (3, "an unrelated document with its own words only here"),
+    ]
+    df = spark.createDataFrame(corpus, "doc_id long, text string")
+    slide = {
+        r.doc_id: r.n_tokens_dropped
+        for r in dedup_spans_sliding(df, width=8).collect()
+    }
+    assert slide == {1: 0, 2: 0, 3: 0}  # the documented fixed-width miss
+
+    got = {
+        r.doc_id: (r.n_tokens_cut, r.clean_text)
+        for r in exact_substr_dedup(df, min_len=5).collect()
+    }
+    assert got[1] == (0, corpus[0][1])  # first occurrence intact
+    assert got[2][0] == 5
+    assert got[2][1] == "a later document ends quoting"
+    assert got[3] == (0, corpus[2][1])
+    spans = exact_substr_spans(df, min_len=5).collect()
+    assert [(r.doc_id, r.span_start, r.span_len) for r in spans] == [(2, 5, 5)]
+
+
+def test_exact_substr_reports_maximal_run_not_windows(spark):
+    """A 12-token shared passage at min_len=8 is 5 overlapping duplicated
+    windows but must report as ONE (start, 12) span."""
+    from etl_edi_data_scrapper_spark.functions.span_dedup import (
+        exact_substr_spans,
+    )
+
+    passage = " ".join(f"p{i}" for i in range(12))
+    corpus = [
+        (1, f"{passage} trailing words of the first doc"),
+        (2, f"lead in tokens here then {passage}"),
+    ]
+    df = spark.createDataFrame(corpus, "doc_id long, text string")
+    spans = [
+        (r.doc_id, r.span_start, r.span_len)
+        for r in exact_substr_spans(df, min_len=8).collect()
+    ]
+    assert spans == [(2, 5, 12)]
+
+
+def test_exact_substr_duckdb_oracle_parity(spark):
+    import duckdb
+    import pandas as pd
+
+    from etl_edi_data_scrapper_spark.functions.span_dedup import (
+        exact_substr_dedup,
+        exact_substr_oracle_sql,
+    )
+
+    corpus = CROSS_RESIDUE + CORPUS + [(30, ""), (31, "")]
+    got = sorted(
+        (r.doc_id, r.n_tokens, r.n_spans_cut, r.n_tokens_cut, r.clean_text)
+        for r in exact_substr_dedup(
+            spark.createDataFrame(corpus, "doc_id long, text string"), min_len=4
+        ).collect()
+    )
+    con = duckdb.connect()
+    con.register("docs", pd.DataFrame(corpus, columns=["doc_id", "text"]))
+    want = sorted(
+        map(
+            tuple,
+            con.sql(exact_substr_oracle_sql(table="docs", min_len=4)).fetchall(),
+        )
+    )
+    assert got == want
