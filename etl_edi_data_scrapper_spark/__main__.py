@@ -130,6 +130,13 @@ def main(argv: list[str] | None = None, engine=None) -> int:
     )
     pu.add_argument("--benchmark-text-col", default=None)
     pu.add_argument("--decon-width", type=int, default=8)
+    pu.add_argument(
+        "--blocklist",
+        default=None,
+        help="bad-words list for the c4 stage: text file, one word per "
+        "line ('#' comments allowed); default is the placeholder list in "
+        "functions/c4.py — swap in the published C4 blocklist here",
+    )
     pu.add_argument("--quality-min", type=float, default=0.4)
     pu.add_argument("--langs", default="en", help="comma list of kept lang codes")
     pu.add_argument("--xent-lo", type=int, default=2000)
@@ -245,6 +252,14 @@ def main(argv: list[str] | None = None, engine=None) -> int:
             if args.benchmark is not None
             else None
         )
+        badwords = None
+        if args.blocklist is not None:
+            with open(args.blocklist) as fh:
+                badwords = tuple(
+                    w
+                    for w in (line.strip().lower() for line in fh)
+                    if w and not w.startswith("#")
+                )
         verdicts = curate_corpus(
             engine.spark,
             docs,
@@ -257,6 +272,7 @@ def main(argv: list[str] | None = None, engine=None) -> int:
             bxent_band=(args.bxent_lo, args.bxent_hi),
             minhash_threshold=args.minhash_threshold,
             clf_reference=clf_ref,
+            badwords=badwords,
             benchmark=bench,
             benchmark_text_col=args.benchmark_text_col,
             decon_width=args.decon_width,

@@ -53,6 +53,45 @@ POLICY_PHRASES = (
 
 C4_FEATURE_COLS = ("c4_n_lines", "c4_n_kept", "c4_keep", "c4_clean_text")
 
+# PLACEHOLDER blocklist for the paper's bad-words page rule (Raffel 2020
+# §2.2 drops any page containing a word from the published "List of
+# Dirty, Naughty, Obscene or Otherwise Bad Words"). The list itself IS
+# the rule: these neutral stand-ins keep the repo clean while the
+# operator shape — and the CLI's --blocklist PATH hook — is real; swap
+# in the published list (or any per-deployment one) via ``words=``.
+C4_BADWORDS_PLACEHOLDER = ("badword", "obscenity", "profanity", "slurword")
+
+# strip punctuation hugging a token before blocklist comparison, so
+# 'badword.' and '(badword' match — the published filter matches on word
+# boundaries, not raw whitespace tokens. RE2-safe for the DuckDB oracle.
+_TOKEN_TRIM_RE = "^[^a-z0-9]+|[^a-z0-9]+$"
+
+
+def add_c4_badwords(
+    df: DataFrame,
+    text_col: str = "text",
+    words: tuple[str, ...] = C4_BADWORDS_PLACEHOLDER,
+) -> DataFrame:
+    """The bad-words page rule: ``c4_badword_hits`` (# tokens on the
+    blocklist, case-insensitive, punctuation-trimmed) and the page
+    verdict ``c4_badwords_keep`` (no hits). One narrow projection — the
+    blocklist rides the plan as an array literal (the published list is
+    a few KB; for an unbounded per-deployment list, explode tokens and
+    broadcast-semi-join instead — same verdict, one extra shuffle)."""
+    toks = F.split(F.lower(F.col(text_col)), "[ \\n]+")
+    arr = F.array(*[F.lit(w.lower()) for w in words])
+    hits = F.size(
+        F.filter(
+            toks,
+            lambda t: F.array_contains(arr, F.regexp_replace(t, _TOKEN_TRIM_RE, "")),
+        )
+    )
+    return df.select(
+        "*",
+        hits.cast("long").alias("c4_badword_hits"),
+        (hits == 0).alias("c4_badwords_keep"),
+    )
+
 # strip [ \t\r] at either end of each line (NOT \n — lines are already
 # newline-split); RE2-safe so the DuckDB oracle runs the identical pattern
 LINE_STRIP_RE = r"^[ \t\r]+|[ \t\r]+$"

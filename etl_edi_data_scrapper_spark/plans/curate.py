@@ -19,7 +19,10 @@ final ``curate_keep`` is the AND of every selected stage's verdict):
   c4        C4 line-level cleaning rules (functions/c4.py, Raffel 2020
             §2.2) — page verdict only here; run add_c4_features
             directly for the cleaned text (needs newline-bearing text;
-            on a newline-free corpus every page fails min-sentences)
+            on a newline-free corpus every page fails min-sentences).
+            Includes the bad-words page rule (``c4_badwords_keep``) —
+            placeholder list by default, swap the real one in via
+            ``badwords=`` / ``--blocklist PATH``
   xent      unigram cross-entropy band (corpus-fit LM)
   bxent     bigram stupid-backoff cross-entropy band (md5-half fit) —
             the word-order signal xent cannot see
@@ -76,6 +79,7 @@ def curate_corpus(
     minhash_threshold: float = 0.7,
     max_bucket: int | None = 256,
     clf_reference=None,
+    badwords: tuple[str, ...] | None = None,
     benchmark: DataFrame | None = None,
     benchmark_text_col: str | None = None,
     decon_width: int = 8,
@@ -131,13 +135,21 @@ def curate_corpus(
         keeps += [F.col("gopher_keep"), F.col("gopher_line_keep")]
 
     if "c4" in stages:
-        from etl_edi_data_scrapper_spark.functions.c4 import add_c4_features
+        from etl_edi_data_scrapper_spark.functions.c4 import (
+            C4_BADWORDS_PLACEHOLDER,
+            add_c4_badwords,
+            add_c4_features,
+        )
 
-        c = add_c4_features(docs.select(id_col, text_col), text_col=text_col).select(
-            id_col, "c4_n_kept", "c4_keep"
+        c = add_c4_badwords(
+            add_c4_features(docs.select(id_col, text_col), text_col=text_col),
+            text_col=text_col,
+            words=badwords or C4_BADWORDS_PLACEHOLDER,
+        ).select(
+            id_col, "c4_n_kept", "c4_keep", "c4_badword_hits", "c4_badwords_keep"
         )
         out = out.join(c, id_col)
-        keeps.append(F.col("c4_keep"))
+        keeps += [F.col("c4_keep"), F.col("c4_badwords_keep")]
 
     if "xent" in stages:
         from etl_edi_data_scrapper_spark.functions.text import unigram_cross_entropy

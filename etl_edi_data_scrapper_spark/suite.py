@@ -1715,18 +1715,25 @@ _C4_TEXT_SPARK = (
     "ELSE '' END || array_join(__ln2, '\\n') || "
     "CASE WHEN doc_id % 23 = 13 THEN '\\n' || 'see our privacy policy.' "
     "ELSE '' END || "
-    "CASE WHEN doc_id % 17 = 9 THEN '\\n' || '{ config }.' ELSE '' END"
+    "CASE WHEN doc_id % 17 = 9 THEN '\\n' || '{ config }.' ELSE '' END || "
+    # r9 badwords leg: punctuation-hugging form exercises the token trim
+    "CASE WHEN doc_id % 29 = 3 THEN '\\n' || 'and (Badword.) appears here.' "
+    "ELSE '' END"
 )
 
 
 def _sql_c4_ctes(min_words: int = 3, min_sentences: int = 5) -> str:
     """DuckDB replica of the C4 leg: same synthesized punctuated text
     (1-based lambda index → doc_id + i - 1), same line/page rules."""
-    from etl_edi_data_scrapper_spark.functions.c4 import POLICY_PHRASES
+    from etl_edi_data_scrapper_spark.functions.c4 import (
+        C4_BADWORDS_PLACEHOLDER,
+        POLICY_PHRASES,
+    )
 
     policy = " ".join(
         f"AND NOT contains(lower(x), '{p}')" for p in POLICY_PHRASES
     )
+    badwords = "[" + ", ".join(f"'{w}'" for w in C4_BADWORDS_PLACEHOLDER) + "]"
     return f"""c4b AS (
       SELECT doc_id,
              list_transform(generate_series(0, (len(t) + 3) // 4 - 1),
@@ -1748,7 +1755,10 @@ def _sql_c4_ctes(min_words: int = 3, min_sentences: int = 5) -> str:
              || (CASE WHEN doc_id % 23 = 13
                       THEN chr(10) || 'see our privacy policy.' ELSE '' END)
              || (CASE WHEN doc_id % 17 = 9
-                      THEN chr(10) || '{{ config }}.' ELSE '' END) AS c4_text
+                      THEN chr(10) || '{{ config }}.' ELSE '' END)
+             || (CASE WHEN doc_id % 29 = 3
+                      THEN chr(10) || 'and (Badword.) appears here.'
+                      ELSE '' END) AS c4_text
       FROM c4i),
     c4k AS (
       SELECT doc_id, c4_text, string_split(c4_text, chr(10)) AS ls,
@@ -1766,7 +1776,11 @@ def _sql_c4_ctes(min_words: int = 3, min_sentences: int = 5) -> str:
              (NOT contains(lower(c4_text), 'lorem ipsum')
               AND NOT contains(c4_text, '{{')
               AND len(ks) >= {min_sentences}) AS c4_keep,
-             md5(array_to_string(ks, chr(10))) AS c4_clean_fp
+             md5(array_to_string(ks, chr(10))) AS c4_clean_fp,
+             len(list_filter(string_split_regex(lower(c4_text), '[ \n]+'),
+                 x -> list_contains({badwords},
+                        regexp_replace(x, '^[^a-z0-9]+|[^a-z0-9]+$', '', 'g'))
+                 ))::BIGINT AS c4_badword_hits
       FROM c4k)"""
 
 
@@ -1803,7 +1817,8 @@ def _pii_oracle() -> str:
              AS collapsed_text,
            sp.n_spans, sp.n_spans_dropped,
            sp.clean_text AS span_clean_text,
-           c4m.c4_n_lines, c4m.c4_n_kept, c4m.c4_keep, c4m.c4_clean_fp
+           c4m.c4_n_lines, c4m.c4_n_kept, c4m.c4_keep, c4m.c4_clean_fp,
+           c4m.c4_badword_hits, c4m.c4_badword_hits = 0 AS c4_badwords_keep
     FROM tok JOIN sp USING (doc_id) JOIN c4m USING (doc_id)
     """
 
@@ -1841,7 +1856,10 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines exercise it. Zero-shuffle like the other cleaning legs.
     [r3 consolidation: absorbs the former `repetition_collapse`
     query; r6: absorbs `span_dedup`.]"""
-    from etl_edi_data_scrapper_spark.functions.c4 import add_c4_features
+    from etl_edi_data_scrapper_spark.functions.c4 import (
+        add_c4_badwords,
+        add_c4_features,
+    )
     from etl_edi_data_scrapper_spark.functions.span_dedup import dedup_spans_multi
     from etl_edi_data_scrapper_spark.functions.text import pii_counts, scrub_pii
 
@@ -1865,12 +1883,15 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tok = scrub.withColumn("t", F.split("clean_text", " "))
     kept = F.expr("filter(t, (x, i) -> i = 0 OR x != t[i - 1])")
-    c4 = add_c4_features(
-        docs.select("doc_id", "text")
-        .withColumn("__t", F.split("text", " "))
-        .withColumn("__ln", F.expr(_C4_LINES_SPARK))
-        .withColumn("__ln2", F.expr(_C4_MARK_SPARK))
-        .select("doc_id", F.expr(_C4_TEXT_SPARK).alias("c4_text")),
+    c4 = add_c4_badwords(
+        add_c4_features(
+            docs.select("doc_id", "text")
+            .withColumn("__t", F.split("text", " "))
+            .withColumn("__ln", F.expr(_C4_LINES_SPARK))
+            .withColumn("__ln2", F.expr(_C4_MARK_SPARK))
+            .select("doc_id", F.expr(_C4_TEXT_SPARK).alias("c4_text")),
+            text_col="c4_text",
+        ),
         text_col="c4_text",
     ).select(
         "doc_id",
@@ -1878,6 +1899,8 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c4_n_kept",
         "c4_keep",
         F.md5("c4_clean_text").alias("c4_clean_fp"),
+        "c4_badword_hits",
+        "c4_badwords_keep",
     )
     return (
         tok.select(

@@ -108,3 +108,60 @@ def test_c4_zero_shuffle(spark):
     plan = add_c4_features(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_c4_badwords_page_rule(spark):
+    """The Raffel 2020 bad-words page rule: any blocklisted token
+    (case-insensitive, punctuation-trimmed) drops the page."""
+    from etl_edi_data_scrapper_spark.functions.c4 import add_c4_badwords
+
+    texts = [
+        "a perfectly clean page here.",                  # 0: keep
+        "contains badword plainly.",                     # 1: drop
+        "hugged by punctuation (Badword.) here.",        # 2: drop (trim+case)
+        "substring notabadwordhere stays fine.",         # 3: keep (token-exact)
+        "two hits: badword and OBSCENITY together.",     # 4: drop, hits=2
+        "line one fine.\nbadword on line two.",          # 5: drop across lines
+        "",                                              # 6: keep
+    ]
+    df = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+    got = {
+        r.doc_id: (r.c4_badword_hits, r.c4_badwords_keep)
+        for r in add_c4_badwords(df).collect()
+    }
+    assert got[0] == (0, True)
+    assert got[1] == (1, False)
+    assert got[2] == (1, False)
+    assert got[3] == (0, True)
+    assert got[4] == (2, False)
+    assert got[5] == (1, False)
+    assert got[6] == (0, True)
+
+
+def test_c4_badwords_custom_list(spark):
+    from etl_edi_data_scrapper_spark.functions.c4 import add_c4_badwords
+
+    df = spark.createDataFrame(
+        [(0, "the word zorblax offends this deployment.")], ["doc_id", "text"]
+    )
+    default = add_c4_badwords(df).collect()[0]
+    assert default.c4_badwords_keep  # not on the placeholder list
+    custom = add_c4_badwords(df, words=("zorblax",)).collect()[0]
+    assert custom.c4_badword_hits == 1 and not custom.c4_badwords_keep
+
+
+def test_c4_badwords_zero_shuffle(spark):
+    from etl_edi_data_scrapper_spark.functions.c4 import (
+        add_c4_badwords,
+        add_c4_features,
+    )
+
+    df = spark.createDataFrame([(1, "A line here.\nAnother.")], ["doc_id", "text"])
+    plan = (
+        add_c4_badwords(add_c4_features(df))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan

@@ -402,6 +402,42 @@ def test_cli_curate_decontamination_two_tier(spark, sf_dir, tmp_path, capsys):
     assert got.count() == 500
 
 
+def test_cli_curate_blocklist_hook(spark, tmp_path, capsys):
+    """--blocklist swaps the placeholder bad-words list for a deployment
+    one; the c4 stage verdict follows it."""
+    from etl_edi_data_scrapper_spark.__main__ import main
+    from etl_edi_data_scrapper_spark.engine import Engine
+
+    page = "\n".join(f"Sentence number {i} keeps fine." for i in range(6))
+    docs = [
+        (0, page),
+        (1, page + "\nAnd zorblax closes the page."),
+    ]
+    docs_dir = str(tmp_path / "docs")
+    spark.createDataFrame(docs, "doc_id long, text string").write.parquet(docs_dir)
+    bl = tmp_path / "blocklist.txt"
+    bl.write_text("# deployment list\nzorblax\n")
+
+    out_dir = str(tmp_path / "verdicts")
+    rc = main(
+        [
+            "curate",
+            "--docs", docs_dir,
+            "--output", out_dir,
+            "--stages", "c4",
+            "--blocklist", str(bl),
+        ],
+        engine=Engine(spark=spark),
+    )
+    assert rc == 0
+    got = {
+        r.doc_id: (r.c4_badword_hits, r.c4_badwords_keep, r.curate_keep)
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    assert got[0] == (0, True, True)
+    assert got[1] == (1, False, False)
+
+
 def test_curate_decon_stage_requires_benchmark(spark, sf_dir):
     import pytest
 
