@@ -1,0 +1,154 @@
+"""Exact byte-pair-encoding token counts from a public GPT-2-format
+merges file — the precision upgrade behind `text.bpe_token_count`'s
+JVM-side approximation.
+
+The approximation (pre-tokenizer segment count) upper-bounds and tracks
+real BPE counts, but `pack_sequences`/`chunk_documents` budgets are
+denominated in tokens a trainer actually SEES: a 2048-token window
+packed by segment counts under-fills by however much the merge stage
+splits multi-token segments. This module runs the actual merge loop:
+
+  * ``load_merges`` reads the standard merges.txt (one "a b" pair per
+    rank line, optional ``#version`` header) — the format every GPT-2 /
+    RoBERTa / CLIP vocabulary ships publicly;
+  * byte-level alphabet via the public bytes→unicode trick (every byte
+    mapped to a printable codepoint, so merges files round-trip as
+    text) — identical tables to the GPT-2 reference implementation;
+  * ``bpe_token_count_exact`` applies it corpus-wide as an Arrow-batched
+    ``mapInPandas`` — the rank table is a plain broadcast variable
+    (serialized once per executor, not per batch), the loop is
+    per-SEGMENT (segments are words — tens of characters), and the
+    output schema is the input plus one long column. This is the
+    documented Pandas-UDF slow path, OPTIONAL by design: the default
+    everywhere stays the zero-Python JVM approximation.
+
+Pre-tokenization mirrors ``text.BPE_SPLIT_PATTERN`` (the RE2-safe GPT-2
+pattern: contraction suffixes | space-prefixed letter runs | digit runs
+| punct runs | whitespace runs), expressed in stdlib-``re`` syntax
+(Python re has no \\p{L}; ``[^\\W\\d_]`` is the letter class).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+# stdlib-re rendering of text.BPE_SPLIT_PATTERN (\p{L} -> [^\W\d_],
+# \p{N} -> \d, "neither letter nor digit nor ws" -> [^\w\s] plus _)
+_PRETOKEN_RE = (
+    r"'(?:s|t|re|ve|m|ll|d)| ?[^\W\d_]+| ?\d+| ?(?:[^\w\s]|_)+|\s+"
+)
+
+
+def bytes_to_unicode() -> dict[int, str]:
+    """The public GPT-2 byte→printable-codepoint table: printable ASCII
+    and Latin-1 blocks map to themselves, the remaining 68 bytes map to
+    256+i — a bijection, so merges files are plain text."""
+    bs = (
+        list(range(ord("!"), ord("~") + 1))
+        + list(range(ord("¡"), ord("¬") + 1))
+        + list(range(ord("®"), ord("ÿ") + 1))
+    )
+    cs = bs[:]
+    n = 0
+    for b in range(256):
+        if b not in bs:
+            bs.append(b)
+            cs.append(256 + n)
+            n += 1
+    return dict(zip(bs, (chr(c) for c in cs)))
+
+
+def load_merges(path: str) -> dict[tuple[str, str], int]:
+    """Rank map from a GPT-2-format merges.txt: line order IS the rank;
+    a leading ``#...`` header line is skipped."""
+    ranks: dict[tuple[str, str], int] = {}
+    with open(path, encoding="utf-8") as fh:
+        for line in fh:
+            line = line.rstrip("\n")
+            if not line or line.startswith("#"):
+                continue
+            a, b = line.split(" ")
+            ranks[(a, b)] = len(ranks)
+    return ranks
+
+
+def bpe_segment_tokens(
+    segment: str,
+    ranks: dict[tuple[str, str], int],
+    byte_enc: dict[int, str],
+) -> list[str]:
+    """The merge loop over one pre-tokenizer segment: start from the
+    byte-encoded characters, repeatedly merge the lowest-rank adjacent
+    pair until none is in the table. Segments are words (tens of
+    symbols), so the quadratic inner scan is irrelevant."""
+    word = [byte_enc[b] for b in segment.encode("utf-8")]
+    while len(word) > 1:
+        best, best_i = None, -1
+        for i in range(len(word) - 1):
+            r = ranks.get((word[i], word[i + 1]))
+            if r is not None and (best is None or r < best):
+                best, best_i = r, i
+        if best is None:
+            break
+        word[best_i : best_i + 2] = [word[best_i] + word[best_i + 1]]
+    return word
+
+
+def bpe_count_text(
+    text: str,
+    ranks: dict[tuple[str, str], int],
+    byte_enc: dict[int, str] | None = None,
+) -> int:
+    """Exact BPE token count of one document (driver-side / test use)."""
+    import re
+
+    byte_enc = byte_enc or bytes_to_unicode()
+    return sum(
+        len(bpe_segment_tokens(seg, ranks, byte_enc))
+        for seg in re.findall(_PRETOKEN_RE, text or "")
+    )
+
+
+def bpe_token_count_exact(
+    df: DataFrame,
+    text_col: str = "text",
+    merges: str | dict[tuple[str, str], int] = None,
+    out_col: str = "n_bpe_tokens",
+) -> DataFrame:
+    """df + ``out_col`` (long): exact BPE token count of ``text_col``
+    under the given merges (a path to a GPT-2-format merges.txt, or a
+    preloaded rank map). Arrow-batched ``mapInPandas``; the rank table
+    rides a Spark broadcast variable so it serializes once per executor.
+    The default pipeline counter remains the JVM approximation
+    (`text.bpe_token_count`) — reach for this when budgets must be
+    denominated in trainer-visible tokens."""
+    import re
+
+    if merges is None:
+        raise ValueError(
+            "bpe_token_count_exact needs merges= (a GPT-2-format "
+            "merges.txt path or a preloaded rank dict)"
+        )
+    ranks = load_merges(merges) if isinstance(merges, str) else dict(merges)
+    b_ranks = df.sparkSession.sparkContext.broadcast(ranks)
+    pat = re.compile(_PRETOKEN_RE)
+    byte_enc = bytes_to_unicode()
+
+    fields = df.schema.fieldNames()
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+    ) + f", {out_col} bigint"
+
+    def count_batches(batches):
+        r = b_ranks.value
+        for pdf in batches:
+            pdf[out_col] = [
+                sum(
+                    len(bpe_segment_tokens(seg, r, byte_enc))
+                    for seg in pat.findall(t or "")
+                )
+                for t in pdf[text_col]
+            ]
+            yield pdf[fields + [out_col]]
+
+    return df.mapInPandas(count_batches, schema=out_schema)

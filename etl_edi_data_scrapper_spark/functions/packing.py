@@ -30,25 +30,46 @@ def pack_by_token_budget(
     shards: int = 32,
     id_col: str = "doc_id",
     text_col: str = "text",
+    tokenizer=None,
 ) -> DataFrame:
     """(id, n_tokens, pack_shard, shard_offset, pack_bin) per document.
 
-    ``n_tokens`` is the whitespace token count (the same tokenizer the
-    quality/vocab queries use — swap in a BPE count upstream by providing
-    a precomputed column instead of ``text_col``); ``shard_offset`` is the
-    document's first-token offset within its shard's concatenation stream;
-    ``pack_bin = shard_offset DIV budget`` (integer division on longs — no
-    float boundary jitter).
+    ``n_tokens`` is the whitespace token count by default (the same
+    tokenizer the quality/vocab queries use). Training windows are
+    denominated in tokens the trainer actually sees, so ``tokenizer=``
+    accepts a GPT-2-format merges.txt path (or preloaded rank dict) and
+    switches the count to the EXACT BPE token count via
+    `functions/bpe.bpe_token_count_exact` — an optional Arrow-batched
+    Pandas stage; everything downstream (offsets, bins) is unchanged.
+    ``shard_offset`` is the document's first-token offset within its
+    shard's concatenation stream; ``pack_bin = shard_offset DIV budget``
+    (integer division on longs — no float boundary jitter).
     """
     if budget <= 0:
         raise ValueError(f"budget must be positive, got {budget}")
-    w = Window.partitionBy("pack_shard").orderBy(id_col)
-    return (
-        df.select(
+    if tokenizer is not None:
+        from etl_edi_data_scrapper_spark.functions.bpe import bpe_token_count_exact
+
+        counted = bpe_token_count_exact(
+            df.select(F.col(id_col), F.col(text_col)),
+            text_col=text_col,
+            merges=tokenizer,
+            out_col="__bpe_n",
+        )
+        base = counted.select(
+            F.col(id_col),
+            F.col("__bpe_n").cast("long").alias("n_tokens"),
+            F.pmod(F.col(id_col), F.lit(shards)).cast("long").alias("pack_shard"),
+        )
+    else:
+        base = df.select(
             F.col(id_col),
             F.size(F.split(F.col(text_col), " ")).cast("long").alias("n_tokens"),
             F.pmod(F.col(id_col), F.lit(shards)).cast("long").alias("pack_shard"),
         )
+    w = Window.partitionBy("pack_shard").orderBy(id_col)
+    return (
+        base
         .withColumn("shard_offset", F.sum("n_tokens").over(w) - F.col("n_tokens"))
         .withColumn("pack_bin", F.expr(f"shard_offset DIV {int(budget)}"))
     )

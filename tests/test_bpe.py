@@ -1,0 +1,174 @@
+"""Exact BPE token counting (functions/bpe.py) vs an independent
+pure-Python reference on a fixture vocabulary, plus the packing hook."""
+
+import random
+
+import pytest
+
+
+@pytest.fixture()
+def merges_file(tmp_path):
+    p = tmp_path / "merges.txt"
+    p.write_text(
+        "#version: fixture\n"
+        "l o\n"
+        "lo w\n"
+        "e r\n"
+        "Ġ l\n"
+        "low er\n"
+    )
+    return str(p)
+
+
+def test_bytes_to_unicode_is_a_printable_bijection():
+    from etl_edi_data_scrapper_spark.functions.bpe import bytes_to_unicode
+
+    enc = bytes_to_unicode()
+    assert len(enc) == 256
+    assert len(set(enc.values())) == 256  # bijection
+    assert enc[ord("a")] == "a" and enc[ord("!")] == "!"  # printable: identity
+    assert enc[32] == chr(256 + 32)  # space -> the Ġ-style remap
+
+
+def test_merge_loop_on_the_classic_example(merges_file):
+    from etl_edi_data_scrapper_spark.functions.bpe import (
+        bpe_count_text,
+        bpe_segment_tokens,
+        bytes_to_unicode,
+        load_merges,
+    )
+
+    ranks = load_merges(merges_file)
+    assert ranks[("l", "o")] == 0 and ranks[("low", "er")] == 4
+    enc = bytes_to_unicode()
+    # "lower": l o w e r -> lo -> low -> er -> lower (rank-4 merge fires)
+    assert bpe_segment_tokens("lower", ranks, enc) == ["lower"]
+    assert bpe_segment_tokens("low", ranks, enc) == ["low"]
+    assert bpe_segment_tokens("wel", ranks, enc) == ["w", "e", "l"]
+    # " lower" (pre-tokenizer keeps the leading space): Ġ l o w e r ->
+    # (l,o) wins over (Ġ,l) by rank -> Ġ low er -> Ġ lower (rank 4);
+    # no (Ġ,lower) merge exists -> 2 tokens
+    assert bpe_count_text("lower lower", ranks) == 1 + 2
+    assert bpe_count_text("", ranks) == 0
+
+
+def _naive_bpe(segment: str, ranks, enc) -> int:
+    """Independent reference: recursively split at the LAST-applied merge
+    — equivalent formulation of the merge loop (greedy lowest-rank-first
+    merging is order-independent in outcome for a fixed rank table when
+    applied exhaustively via best-pair selection)."""
+    word = [enc[b] for b in segment.encode("utf-8")]
+    changed = True
+    while changed and len(word) > 1:
+        best_rank, best_pos = None, None
+        for i, pair in enumerate(zip(word, word[1:])):
+            r = ranks.get(pair)
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank, best_pos = r, i
+        changed = best_pos is not None
+        if changed:
+            word = (
+                word[:best_pos]
+                + [word[best_pos] + word[best_pos + 1]]
+                + word[best_pos + 2 :]
+            )
+    return len(word)
+
+
+def test_randomized_parity_with_independent_reference(merges_file):
+    import re
+
+    from etl_edi_data_scrapper_spark.functions.bpe import (
+        _PRETOKEN_RE,
+        bpe_count_text,
+        bytes_to_unicode,
+        load_merges,
+    )
+
+    rng = random.Random(23)
+    enc = bytes_to_unicode()
+    # random rank table over a small alphabet (incl. multi-char results)
+    syms = ["l", "o", "w", "e", "r", "s", "t", "Ġ"]
+    ranks = {}
+    for a in syms:
+        for b in syms:
+            if rng.random() < 0.3:
+                ranks[(a, b)] = len(ranks)
+    ranks[("lo", "w")] = len(ranks)
+    ranks[("er", "s")] = len(ranks)
+
+    for _ in range(200):
+        text = " ".join(
+            "".join(rng.choice("lowerst") for _ in range(rng.randint(1, 8)))
+            for _ in range(rng.randint(1, 6))
+        )
+        want = sum(
+            _naive_bpe(seg, ranks, enc) for seg in re.findall(_PRETOKEN_RE, text)
+        )
+        assert bpe_count_text(text, ranks) == want, text
+
+
+def test_distributed_counts_match_driver_side(spark, merges_file):
+    from etl_edi_data_scrapper_spark.functions.bpe import (
+        bpe_count_text,
+        bpe_token_count_exact,
+        load_merges,
+    )
+
+    rows = [
+        (0, "lower lower low"),
+        (1, "wel wel lower"),
+        (2, ""),
+        (3, "numbers 123 and punct!?"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: r.n_bpe_tokens
+        for r in bpe_token_count_exact(df, merges=merges_file).collect()
+    }
+    ranks = load_merges(merges_file)
+    for i, t in rows:
+        assert got[i] == bpe_count_text(t, ranks), (i, t)
+
+
+def test_exact_count_bounds_the_jvm_approximation(spark, merges_file):
+    """The JVM fast path counts pre-tokenizer segments; the merge stage
+    only splits WITHIN segments, so exact >= approximate, always."""
+    from pyspark.sql import functions as F
+
+    from etl_edi_data_scrapper_spark.functions.bpe import bpe_token_count_exact
+    from etl_edi_data_scrapper_spark.functions.text import bpe_token_count
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    both = bpe_token_count_exact(docs, merges=merges_file).withColumn(
+        "approx", bpe_token_count("text")
+    )
+    assert both.filter(F.col("n_bpe_tokens") < F.col("approx")).count() == 0
+
+
+def test_packing_accepts_tokenizer(spark, merges_file):
+    from etl_edi_data_scrapper_spark.functions.bpe import (
+        bpe_count_text,
+        load_merges,
+    )
+    from etl_edi_data_scrapper_spark.functions.packing import pack_by_token_budget
+
+    rows = [(i, "lower low wel" * (i + 1)) for i in range(6)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    packed = {
+        r.doc_id: r.n_tokens
+        for r in pack_by_token_budget(
+            df, budget=8, shards=2, tokenizer=merges_file
+        ).collect()
+    }
+    ranks = load_merges(merges_file)
+    for i, t in rows:
+        assert packed[i] == bpe_count_text(t, ranks)
+    # default path unchanged: whitespace counts
+    ws = {
+        r.doc_id: r.n_tokens
+        for r in pack_by_token_budget(df, budget=8, shards=2).collect()
+    }
+    assert ws[0] == len(rows[0][1].split(" "))
