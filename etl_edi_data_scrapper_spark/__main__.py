@@ -117,7 +117,7 @@ def main(argv: list[str] | None = None, engine=None) -> int:
     pu.add_argument(
         "--stages",
         default="quality,gopher,xent,bxent,exact,minhash",
-        help="comma list: quality,gopher,c4,xent,bxent,exact,minhash,"
+        help="comma list: quality,gopher,c4,xent,bxent,exact,minhash,spans,"
         "bloom,decon (bloom/decon need --benchmark)",
     )
     pu.add_argument(
@@ -130,6 +130,12 @@ def main(argv: list[str] | None = None, engine=None) -> int:
     )
     pu.add_argument("--benchmark-text-col", default=None)
     pu.add_argument("--decon-width", type=int, default=8)
+    pu.add_argument(
+        "--spans-min-len",
+        type=int,
+        default=8,
+        help="minimum duplicate-substring length for the spans stage",
+    )
     pu.add_argument(
         "--blocklist",
         default=None,
@@ -271,6 +277,7 @@ def main(argv: list[str] | None = None, engine=None) -> int:
             xent_band=(args.xent_lo, args.xent_hi),
             bxent_band=(args.bxent_lo, args.bxent_hi),
             minhash_threshold=args.minhash_threshold,
+            spans_min_len=args.spans_min_len,
             clf_reference=clf_ref,
             badwords=badwords,
             benchmark=bench,

@@ -30,6 +30,11 @@ final ``curate_keep`` is the AND of every selected stage's verdict):
             doc id is canonical)
   minhash   MinHash-LSH candidate generation + exact-Jaccard verify;
             a doc is dropped when a LOWER-id doc verifies >= threshold
+  spans     corpus-wide duplicate-substring CUT (span_dedup.
+            exact_substr_dedup, ``spans_min_len`` tokens): boilerplate
+            passages vanish from all but their first occurrence and the
+            cleaned text ships as ``spans_clean_text``; ``spans_keep``
+            drops docs left empty (pure-boilerplate pages)
   bloom     (needs ``benchmark=`` / ``--benchmark``) memory-bounded
             contamination SCREEN: every benchmark span in a bloom
             filter stored as a bounded position relation
@@ -62,7 +67,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
-ALL_STAGES = ("quality", "gopher", "c4", "xent", "bxent", "exact", "minhash")
+ALL_STAGES = (
+    "quality", "gopher", "c4", "xent", "bxent", "exact", "minhash", "spans",
+)
 DECON_STAGES = ("bloom", "decon")  # require a benchmark frame
 
 
@@ -78,6 +85,7 @@ def curate_corpus(
     bxent_band: tuple[int, int] = (2000, 9000),
     minhash_threshold: float = 0.7,
     max_bucket: int | None = 256,
+    spans_min_len: int = 8,
     clf_reference=None,
     badwords: tuple[str, ...] | None = None,
     benchmark: DataFrame | None = None,
@@ -201,6 +209,27 @@ def curate_corpus(
             dup_ids.withColumn("is_near_dup", F.lit(True)), id_col, "left"
         ).withColumn("is_near_dup", F.coalesce("is_near_dup", F.lit(False)))
         keeps.append(~F.col("is_near_dup"))
+
+    if "spans" in stages:
+        from etl_edi_data_scrapper_spark.functions.span_dedup import (
+            exact_substr_dedup,
+        )
+
+        sp = exact_substr_dedup(
+            docs.select(F.col(id_col), F.col(text_col)),
+            id_col=id_col,
+            text_col=text_col,
+            min_len=spans_min_len,
+        ).select(
+            id_col,
+            F.col("n_spans_cut").alias("spans_cut"),
+            F.col("n_tokens_cut").alias("spans_tokens_cut"),
+            F.col("clean_text").alias("spans_clean_text"),
+            # a doc reduced to nothing was pure boilerplate — drop it
+            (F.col("n_tokens_cut") < F.col("n_tokens")).alias("spans_keep"),
+        )
+        out = out.join(sp, id_col)
+        keeps.append(F.col("spans_keep"))
 
     if "bloom" in stages:
         from etl_edi_data_scrapper_spark.functions.bloom import (

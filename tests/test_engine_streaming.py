@@ -438,6 +438,37 @@ def test_cli_curate_blocklist_hook(spark, tmp_path, capsys):
     assert got[1] == (1, False, False)
 
 
+def test_cli_curate_spans_stage(spark, tmp_path):
+    """The spans stage cuts corpus-wide duplicate substrings into
+    spans_clean_text and drops pure-boilerplate docs via spans_keep."""
+    from etl_edi_data_scrapper_spark.__main__ import main
+    from etl_edi_data_scrapper_spark.engine import Engine
+
+    banner = " ".join(f"nav{i}" for i in range(8))
+    docs = [
+        (0, f"{banner} body of the first document here"),
+        (1, f"{banner} a different later body follows now"),
+        (2, banner),  # pure boilerplate: everything cut
+        (3, "entirely original words that repeat nothing at all"),
+    ]
+    docs_dir = str(tmp_path / "docs")
+    spark.createDataFrame(docs, "doc_id long, text string").write.parquet(docs_dir)
+    out_dir = str(tmp_path / "verdicts")
+    rc = main(
+        ["curate", "--docs", docs_dir, "--output", out_dir, "--stages", "spans"],
+        engine=Engine(spark=spark),
+    )
+    assert rc == 0
+    got = {
+        r.doc_id: (r.spans_tokens_cut, r.spans_keep, r.spans_clean_text, r.curate_keep)
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    assert got[0][0] == 0 and got[0][1]  # first occurrence intact
+    assert got[1][0] == 8 and got[1][1] and "nav0" not in got[1][2]
+    assert got[2] == (8, False, "", False)  # pure boilerplate drops
+    assert got[3][0] == 0 and got[3][3]
+
+
 def test_curate_decon_stage_requires_benchmark(spark, sf_dir):
     import pytest
 

@@ -228,6 +228,33 @@ def time_semdedup_sharded(spark, sf_dir: str, rows_per_shard: int) -> float:
     return round(min(run() for _ in range(2)), 3)
 
 
+def time_semdedup_bridge(spark, sf_dir: str, rows_per_shard: int = 1000) -> float:
+    """Bridged multipass SemDeDup (r9 recall knob): one sharded pass PLUS
+    the cross-shard LSH bridge (2 tables × 16 hyperplanes, exact-verify
+    within buckets, max_block guard). The bridge is 2 blocked self-joins
+    over the full corpus — linear by construction; this row is the
+    measured evidence (compare SCALED times across factors, as with
+    time_semdedup_sharded — the tiny base underuses the pool)."""
+    from etl_edi_data_scrapper_spark.functions.clustering import (
+        semantic_dedup_sharded_multipass,
+    )
+
+    def run() -> float:
+        df = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        t0 = time.perf_counter()
+        semantic_dedup_sharded_multipass(
+            df,
+            n_passes=1,
+            rows_per_shard=rows_per_shard,
+            threshold=0.9,
+            bridge_tables=2,
+        ).write.format("noop").mode("overwrite").save()
+        return time.perf_counter() - t0
+
+    run()  # warm
+    return round(min(run() for _ in range(2)), 3)
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--factor", type=int, default=10)
@@ -250,7 +277,12 @@ def main() -> None:
 
     if args.only:
         selected = [q for q in args.only.split(",") if q]
-        special = {"semdedup_scaledk", "semdedup_sharded", "neardup_increment"}
+        special = {
+            "semdedup_scaledk",
+            "semdedup_sharded",
+            "semdedup_bridge",
+            "neardup_increment",
+        }
         unknown = [q for q in selected if q not in ALL and q not in special]
         if unknown:
             ap.error(f"unknown queries: {unknown}")
@@ -258,11 +290,13 @@ def main() -> None:
         run_neardup = "neardup_increment" in selected
         run_semdedup = "semdedup_scaledk" in selected
         run_sharded = "semdedup_sharded" in selected
+        run_bridge = "semdedup_bridge" in selected
     else:
         run_queries = QUERIES
         run_neardup = True
         run_semdedup = False
         run_sharded = True  # cheap (bounded shards) and guards the r7 op
+        run_bridge = False
 
     report: dict[str, dict[str, float]] = {}
     for name in run_queries:
@@ -324,6 +358,20 @@ def main() -> None:
         print(
             f"# semdedup_sharded: {sh_base}s -> {sh_scaled}s "
             f"(x{report['semdedup_sharded']['ratio']})",
+            file=sys.stderr,
+        )
+
+    if run_bridge:
+        br_base = time_semdedup_bridge(spark, BASE_SF, 1000)
+        br_scaled = time_semdedup_bridge(spark, out_dir, 1000)
+        report["semdedup_bridge"] = {
+            "base": br_base,
+            "scaled": br_scaled,
+            "ratio": round(br_scaled / br_base, 2) if br_base > 0 else None,
+        }
+        print(
+            f"# semdedup_bridge: {br_base}s -> {br_scaled}s "
+            f"(x{report['semdedup_bridge']['ratio']})",
             file=sys.stderr,
         )
 
