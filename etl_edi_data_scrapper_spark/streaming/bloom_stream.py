@@ -1,0 +1,167 @@
+"""Incremental bloom contamination screen: flag each incoming micro-batch
+of documents against every span EVER ingested — with state bounded by the
+filter size, not the corpus. The streaming face of `functions/bloom.py`
+(the Dolma-style memory-bounded seen-set): the accumulated state is the
+bloom filter's DISTINCT SET BIT POSITIONS as a parquet table, ≤ m rows no
+matter how many batches (years of dumps) have been inserted — versus the
+near-dup store (`neardup_stream.py`), which grows O(accepted docs) because
+its verdicts must name a representative. Use this screen when the question
+is only "have we seen this span before?" (dedup gating, rolling
+decontamination) and the near-dup store when you need WHO.
+
+Composition per micro-batch (pure batch operators, testable sans stream):
+
+  batch docs → stride-1 width-token spans → `bloom.flag_maybe_seen`
+            against the store's positions (k broadcast joins — the batch
+            never shuffles) → per-doc counts → verdict frame;
+  then the batch's own span positions are inserted: positions NOT already
+  present are appended with this epoch id.
+
+Replay safety (foreachBatch is at-least-once): verdicts for epoch e are
+computed against positions from epochs **strictly before e**, so a
+replayed batch never matches its own insertions; and the insert
+anti-joins against ALL existing positions, so replay appends nothing new.
+Verdicts are therefore deterministic per epoch and the store stays ≤ m
+rows of (pos, epoch). False-positive semantics are the filter's textbook
+contract (FPR ≈ (1 − e^(−k·n/m))^k, no false negatives) — size ``m`` to
+the corpus the deployment expects, and route flagged docs to the exact
+tier (`span_dedup.scrub_benchmark_spans` against the matching corpus)
+when the application needs surgical confirmation.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.errors import AnalysisException
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_edi_data_scrapper_spark.functions.bloom import (
+    _span_expr,
+    bloom_positions,
+    flag_maybe_seen,
+)
+
+
+def _read_store(spark: SparkSession, store_dir: str) -> DataFrame | None:
+    """The accumulated (pos, epoch) table, or None when no store exists
+    yet. Mirrors the neardup store discipline: only PATH_NOT_FOUND /
+    empty-dir mean 'no store'; anything else (corruption, permissions)
+    raises instead of silently forgetting ingestion history."""
+    try:
+        store = spark.read.parquet(store_dir)
+        store.schema  # force analysis inside the try
+        return store
+    except AnalysisException as e:
+        if "PATH_NOT_FOUND" not in str(e) and "UNABLE_TO_INFER_SCHEMA" not in str(e):
+            raise
+        return None
+
+
+def screen_batch_against_bloom_store(
+    spark: SparkSession,
+    batch: DataFrame,
+    store_dir: str,
+    epoch_id: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    width: int = 8,
+    m: int = 1 << 16,
+    k: int = 3,
+) -> DataFrame:
+    """One increment: returns (id_col, n_spans, n_spans_maybe_seen,
+    bloom_contaminated) for the batch — verdicts against epochs < epoch_id
+    only — and inserts the batch's span positions (new ones, stamped with
+    epoch_id). The verdict frame is eagerly checkpointed before the store
+    append, so the caller may evaluate it any number of times."""
+    spans = batch.select(
+        F.col(id_col),
+        F.explode(F.expr(_span_expr(text_col, width))).alias("win"),
+    ).filter(F.col("win") != "")  # md5('') collides corpus-wide
+    spans = spans.localCheckpoint(eager=True)  # verdict + insert share it
+
+    store = _read_store(spark, store_dir)
+    prior = (
+        store.filter(F.col("epoch") < int(epoch_id)).select("pos").distinct()
+        if store is not None
+        else spark.createDataFrame([], "pos long")
+    )
+    # one bounded table serves the k joins AND the insert anti-join
+    prior = prior.localCheckpoint(eager=False)
+
+    flagged = flag_maybe_seen(spans, prior, "win", m, k)
+    counts = flagged.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum(F.when(F.col("maybe_seen"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_spans_maybe_seen"),
+    )
+    verdict = (
+        batch.select(id_col)
+        .join(counts, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_spans", F.lit(0)).cast("long").alias("n_spans"),
+            F.coalesce("n_spans_maybe_seen", F.lit(0))
+            .cast("long")
+            .alias("n_spans_maybe_seen"),
+            (F.coalesce("n_spans_maybe_seen", F.lit(0)) > 0).alias(
+                "bloom_contaminated"
+            ),
+        )
+        .localCheckpoint(eager=True)  # materialize BEFORE the store grows
+    )
+
+    batch_pos = spans.select(
+        F.explode(
+            F.array(*[p.cast("long") for p in bloom_positions(F.col("win"), m, k)])
+        ).alias("pos")
+    ).distinct()
+    existing = (
+        store.select("pos").distinct()
+        if store is not None
+        else spark.createDataFrame([], "pos long")
+    )
+    new_pos = batch_pos.join(existing, "pos", "left_anti").withColumn(
+        "epoch", F.lit(int(epoch_id)).cast("long")
+    )
+    new_pos.write.mode("append").parquet(store_dir)
+    return verdict
+
+
+def run_incremental_bloom_screen(
+    spark: SparkSession,
+    doc_stream: DataFrame,
+    store_dir: str,
+    checkpoint_dir: str,
+    on_batch: Callable[[DataFrame, int], None],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    width: int = 8,
+    m: int = 1 << 16,
+    k: int = 3,
+):
+    """Streaming entry point: each micro-batch is screened against the
+    accumulated filter and handed to ``on_batch(verdict_df, epoch_id)``.
+    Returns the StreamingQuery."""
+
+    def handle(batch_df: DataFrame, epoch_id: int) -> None:
+        verdict = screen_batch_against_bloom_store(
+            spark,
+            batch_df,
+            store_dir,
+            epoch_id,
+            id_col=id_col,
+            text_col=text_col,
+            width=width,
+            m=m,
+            k=k,
+        )
+        on_batch(verdict, epoch_id)
+
+    return (
+        doc_stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )

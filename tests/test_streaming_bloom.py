@@ -1,0 +1,138 @@
+"""Incremental bloom contamination screen (streaming/bloom_stream.py):
+bounded-state span screening across micro-batches, replay idempotence,
+and the ≤ m store bound."""
+
+import json
+
+from pyspark.sql import functions as F
+
+
+BANNER = " ".join(f"nav{i}" for i in range(10))  # >= width-token passage
+FRESH_A = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+FRESH_B = "one two three four five six seven eight nine ten"
+
+
+def _write_batch(src, name, rows):
+    (src / name).write_text("\n".join(json.dumps(r) for r in rows))
+
+
+def test_batch_screen_and_insert(spark, tmp_path):
+    from etl_edi_data_scrapper_spark.streaming.bloom_stream import (
+        screen_batch_against_bloom_store,
+    )
+
+    store = str(tmp_path / "store")
+    b1 = spark.createDataFrame(
+        [(1, f"{BANNER} {FRESH_A}"), (2, FRESH_B)], "doc_id long, text string"
+    )
+    v1 = {
+        r.doc_id: (r.n_spans_maybe_seen, r.bloom_contaminated)
+        for r in screen_batch_against_bloom_store(spark, b1, store, 0).collect()
+    }
+    # empty store: nothing can be seen (no false negatives AND no phantom
+    # positives from an absent filter)
+    assert v1 == {1: (0, False), 2: (0, False)}
+
+    # batch 2 reuses the banner — every banner window is now maybe-seen
+    b2 = spark.createDataFrame(
+        [(10, f"lead in {BANNER} tail"), (11, FRESH_A + " extended words")],
+        "doc_id long, text string",
+    )
+    v2 = {
+        r.doc_id: r.bloom_contaminated
+        for r in screen_batch_against_bloom_store(spark, b2, store, 1).collect()
+    }
+    assert v2[10] is True
+    # doc 11 shares an 8+-token run with FRESH_A (10 tokens, inserted in
+    # epoch 0) — also flagged; the screen is span-level, not doc-level
+    assert v2[11] is True
+
+
+def test_replay_is_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: re-running an epoch must return the
+    SAME verdicts (its own insertions are excluded by epoch < e) and
+    append nothing to the store."""
+    from etl_edi_data_scrapper_spark.streaming.bloom_stream import (
+        screen_batch_against_bloom_store,
+    )
+
+    store = str(tmp_path / "store")
+    b = spark.createDataFrame([(1, f"{BANNER} {FRESH_A}")], "doc_id long, text string")
+    first = screen_batch_against_bloom_store(spark, b, store, 0).collect()
+    n_rows = spark.read.parquet(store).count()
+    replay = screen_batch_against_bloom_store(spark, b, store, 0).collect()
+    assert [tuple(r) for r in first] == [tuple(r) for r in replay]
+    assert not replay[0].bloom_contaminated  # never matches itself
+    assert spark.read.parquet(store).count() == n_rows  # nothing re-appended
+
+
+def test_store_stays_bounded_by_m(spark, tmp_path):
+    from etl_edi_data_scrapper_spark.streaming.bloom_stream import (
+        screen_batch_against_bloom_store,
+    )
+
+    store = str(tmp_path / "store")
+    m = 64  # tiny filter: positions MUST saturate below m
+    for e in range(4):
+        b = spark.createDataFrame(
+            [(e * 10 + i, f"batch {e} doc {i} " + FRESH_A) for i in range(5)],
+            "doc_id long, text string",
+        )
+        screen_batch_against_bloom_store(spark, b, store, e, m=m, k=3)
+    st = spark.read.parquet(store)
+    assert st.count() <= m  # THE bound: ≤ m rows however many batches
+    assert st.select("pos").distinct().count() == st.count()  # no dup pos
+
+
+def test_streaming_end_to_end(spark, tmp_path):
+    from etl_edi_data_scrapper_spark.streaming.bloom_stream import (
+        run_incremental_bloom_screen,
+    )
+
+    src = tmp_path / "docs"
+    src.mkdir()
+    _write_batch(src, "b1.jsonl", [{"doc_id": 1, "text": f"{BANNER} {FRESH_A}"}])
+    results = {}
+
+    def sink(df, epoch):
+        for r in df.collect():
+            results[r.doc_id] = r.bloom_contaminated
+
+    stream = spark.readStream.schema("doc_id long, text string").json(str(src))
+    q = run_incremental_bloom_screen(
+        spark,
+        stream,
+        store_dir=str(tmp_path / "store"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        on_batch=sink,
+    )
+    try:
+        q.processAllAvailable()
+        assert results == {1: False}
+        _write_batch(
+            src,
+            "b2.jsonl",
+            [
+                {"doc_id": 10, "text": f"prefix words {BANNER}"},
+                {"doc_id": 11, "text": FRESH_B},
+            ],
+        )
+        q.processAllAvailable()
+        assert results[10] is True and results[11] is False
+    finally:
+        q.stop()
+
+
+def test_corrupt_store_fails_loudly(spark, tmp_path):
+    import pytest
+
+    from etl_edi_data_scrapper_spark.streaming.bloom_stream import (
+        screen_batch_against_bloom_store,
+    )
+
+    store = tmp_path / "store"
+    store.mkdir()
+    (store / "junk.parquet").write_text("not parquet at all")
+    b = spark.createDataFrame([(1, FRESH_A)], "doc_id long, text string")
+    with pytest.raises(Exception):
+        screen_batch_against_bloom_store(spark, b, str(store), 0).collect()
