@@ -161,6 +161,37 @@ def main(argv: list[str] | None = None, engine=None) -> int:
         help="value of --clf-reference-col that labels the positive class",
     )
 
+    pe = sub.add_parser(
+        "dedup-embeddings",
+        help="shard-bounded multi-pass SemDeDup over an embedding corpus; "
+        "one verdict row per vector (keep / pass_dropped)",
+    )
+    pe.add_argument("--embeddings", required=True, help="embeddings parquet path/dir")
+    pe.add_argument("--output", required=True, help="verdict parquet output dir")
+    pe.add_argument("--id-col", default="vec_id")
+    pe.add_argument("--vec-col", default="embedding")
+    pe.add_argument("--threshold", type=float, default=0.9,
+                    help="cosine similarity FLOOR: >= drops the higher id")
+    pe.add_argument("--rows-per-shard", type=int, default=65536)
+    pe.add_argument("--n-passes", type=int, default=2)
+    pe.add_argument("--k-per-shard", type=int, default=8)
+    pe.add_argument(
+        "--bridge-tables", type=int, default=0,
+        help="enable the cross-shard LSH bridge (2 is the measured "
+        "sub-1%%-missed setting); drops record pass_dropped=-1",
+    )
+    pe.add_argument("--bridge-planes", type=int, default=16)
+    pe.add_argument(
+        "--target-missed-frac", type=float, default=None,
+        help="auto-size rows_per_shard/n_passes from the duplication "
+        "profile via the validated collision model (overrides "
+        "--rows-per-shard/--n-passes)",
+    )
+    pe.add_argument("--max-rows-per-shard", type=int, default=262144,
+                    help="memory bound for the auto-geometry planner")
+    pe.add_argument("--family-size", type=int, default=None,
+                    help="skip the duplication-profile probe and use this")
+
     args = p.parse_args(argv)
 
     if engine is None:  # pragma: no cover - exercised via injected engine in tests
@@ -239,6 +270,49 @@ def main(argv: list[str] | None = None, engine=None) -> int:
             engine.spark, args.rollup, keys=tuple(k for k in args.keys.split(",") if k)
         )
         print(f"SUCCESS: Rollup compacted | Rows: {before} -> {after}")
+        return 0
+
+    if args.cmd == "dedup-embeddings":
+        from pyspark.sql import functions as F
+
+        from etl_edi_data_scrapper_spark import sinks as sinkmod
+        from etl_edi_data_scrapper_spark.functions.clustering import (
+            semantic_dedup_sharded_multipass,
+        )
+
+        emb = engine.spark.read.parquet(args.embeddings)
+        verdicts = semantic_dedup_sharded_multipass(
+            emb,
+            vec_col=args.vec_col,
+            id_col=args.id_col,
+            n_passes=args.n_passes,
+            rows_per_shard=args.rows_per_shard,
+            k_per_shard=args.k_per_shard,
+            threshold=args.threshold,
+            bridge_tables=args.bridge_tables,
+            bridge_planes=args.bridge_planes,
+            target_missed_frac=args.target_missed_frac,
+            family_size_hint=args.family_size,
+            max_rows_per_shard=args.max_rows_per_shard,
+        )
+        sinkmod.write_parquet(verdicts, args.output, mode="overwrite")
+        written = engine.spark.read.parquet(args.output)
+        by_pass = {
+            r["pass_dropped"]: r["n"]
+            for r in written.groupBy("pass_dropped")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        n = sum(by_pass.values())
+        kept = by_pass.pop(None, 0)
+        if -1 in by_pass:
+            print(f"STAGE: bridge drops: {by_pass.pop(-1)}")
+        for p_id in sorted(by_pass):
+            print(f"STAGE: pass {p_id} drops: {by_pass[p_id]}")
+        print(
+            f"SUCCESS: Embeddings deduplicated | Vectors: {n} | "
+            f"Kept: {kept} | Dropped: {n - kept}"
+        )
         return 0
 
     if args.cmd == "curate":

@@ -469,6 +469,50 @@ def test_cli_curate_spans_stage(spark, tmp_path):
     assert got[3][0] == 0 and got[3][3]
 
 
+def test_cli_dedup_embeddings_with_bridge(spark, tmp_path, capsys):
+    """The semdedup recall knob is CLI-operable: replica families split
+    across shards are caught by --bridge-tables and the stats line
+    reports bridge vs per-pass drops."""
+    from etl_edi_data_scrapper_spark.__main__ import main
+    from etl_edi_data_scrapper_spark.engine import Engine
+
+    rows = []
+    for fam in range(8):
+        base = [1.0 if d == fam else 0.0 for d in range(8)]
+        for r in range(4):  # 4 near-identical replicas per family
+            rows.append(
+                (fam * 4 + r, [x + 0.001 * ((r + d) % 2) for d, x in enumerate(base)])
+            )
+    emb_dir = str(tmp_path / "emb")
+    spark.createDataFrame(rows, "vec_id long, embedding array<float>").write.parquet(
+        emb_dir
+    )
+    out_dir = str(tmp_path / "verdicts")
+    rc = main(
+        [
+            "dedup-embeddings",
+            "--embeddings", emb_dir,
+            "--output", out_dir,
+            "--threshold", "0.9",
+            "--rows-per-shard", "4",  # 8 shards: families WILL straddle
+            "--n-passes", "1",
+            "--k-per-shard", "1",
+            "--bridge-tables", "2",
+        ],
+        engine=Engine(spark=spark),
+    )
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "STAGE: bridge drops:" in out
+    assert "SUCCESS: Embeddings deduplicated | Vectors: 32 | Kept: 8" in out
+    got = spark.read.parquet(out_dir)
+    assert got.count() == 32
+    # exactly the 8 family minima survive (bridge catches what sharding
+    # split; precision structural: orthogonal families never cross-drop)
+    kept = sorted(r.vec_id for r in got.filter("keep").collect())
+    assert kept == [fam * 4 for fam in range(8)]
+
+
 def test_curate_decon_stage_requires_benchmark(spark, sf_dir):
     import pytest
 
