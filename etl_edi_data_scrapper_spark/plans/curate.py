@@ -59,6 +59,15 @@ therefore inherited: the only shuffles are the ones the stages already
 own (fingerprint, token counts, LSH bands); verdict assembly is a
 chain of left joins on the id, which AQE plans as broadcasts while
 verdict frames are small and as co-partitioned joins at scale.
+
+Stage INDEPENDENCE: every stage reads the RAW input text — verdicts
+compose by AND, and cleaned-text outputs (``spans_clean_text``,
+``decon_text``, the c4 stage's page verdict) are parallel views, not a
+chained rewrite. A pipeline that wants "spans-cleaned THEN
+decontaminated" text chains two curate_corpus calls (or the underlying
+functions) explicitly; implicit chaining would make every stage's
+verdict depend on stage ORDER, which this composition deliberately
+avoids.
 """
 
 from __future__ import annotations

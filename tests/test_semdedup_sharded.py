@@ -424,3 +424,55 @@ def test_auto_target_sizes_geometry(spark, tiny):
     rows_per_shard, p = plan_shard_geometry(1_000_000, 8, 0.05)
     S = -(-1_000_000 // rows_per_shard)
     assert expected_missed_frac(S, p, 8) <= 0.05
+
+
+def test_bridge_pair_recall_matches_lsh_model(spark):
+    """The bridge's recall claim is a formula — 1 − (1 − a^planes)^tables
+    with a = 1 − θ/π per plane — and must be MEASURED, not asserted:
+    near-identical replicas (a ≈ 0.996) collide almost surely, but
+    borderline pairs (cos just over the threshold) are where LSH recall
+    genuinely bites. Build 300 pairs at cos ≈ 0.92 in random directions
+    and check the measured collision fraction against the model."""
+    import math
+    import random
+
+    from etl_edi_data_scrapper_spark.functions.clustering import (
+        cross_shard_bridge_pairs,
+    )
+
+    rng = random.Random(11)
+    dim, target_cos = 16, 0.92
+    rows = []
+    n_pairs = 300
+    for i in range(n_pairs):
+        a = [rng.gauss(0, 1) for _ in range(dim)]
+        na = math.sqrt(sum(x * x for x in a))
+        a = [x / na for x in a]
+        # b = cosθ·a + sinθ·o for a unit o ⟂ a → exact target cosine
+        o = [rng.gauss(0, 1) for _ in range(dim)]
+        dot = sum(x * y for x, y in zip(a, o))
+        o = [y - dot * x for x, y in zip(a, o)]
+        no = math.sqrt(sum(x * x for x in o))
+        o = [x / no for x in o]
+        s = math.sqrt(1 - target_cos**2)
+        b = [target_cos * x + s * y for x, y in zip(a, o)]
+        rows.append((2 * i, a))
+        rows.append((2 * i + 1, b))
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows],
+        "vec_id long, embedding array<float>",
+    )
+    n_planes, n_tables = 12, 2
+    pairs = cross_shard_bridge_pairs(
+        df, threshold=0.9, n_planes=n_planes, n_tables=n_tables, max_block=None
+    ).collect()
+    # count only the planted pairs (random cross-pairs at dim 16 can
+    # occasionally clear 0.9 — they are true positives, not noise)
+    planted = sum(1 for r in pairs if r.b == r.a + 1 and r.a % 2 == 0)
+    a_plane = 1 - math.acos(target_cos) / math.pi
+    model = 1 - (1 - a_plane**n_planes) ** n_tables
+    got = planted / n_pairs
+    # binomial σ ≈ sqrt(p(1−p)/300) ≈ 0.029 at p≈0.5 — allow 4σ
+    assert abs(got - model) < 0.12, (got, model)
+    # and every emitted pair is exact-verified: precision structural
+    assert all(r.cosine >= 0.9 for r in pairs)
