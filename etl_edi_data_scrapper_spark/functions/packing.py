@@ -73,3 +73,58 @@ def pack_by_token_budget(
         .withColumn("shard_offset", F.sum("n_tokens").over(w) - F.col("n_tokens"))
         .withColumn("pack_bin", F.expr(f"shard_offset DIV {int(budget)}"))
     )
+
+
+def materialize_packed_bins(
+    df: DataFrame,
+    budget: int = 2048,
+    shards: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    tokenizer=None,
+) -> DataFrame:
+    """The assembly step after :func:`pack_by_token_budget`: one row per
+    (pack_shard, pack_bin) — the fixed-length training window a trainer
+    actually loads. Each row carries the ORDERED documents whose first
+    token lands in the bin, as an array of (offset_in_bin, doc_id,
+    n_tokens) structs, plus:
+
+      * ``carry_in`` — the bin opens mid-document (the previous bin's
+        last doc straddles the boundary; concatenation packing keeps it
+        in its first-token bin, so this bin's token 0..first-offset
+        belongs to that straddler);
+      * ``n_docs`` and ``bin_start_tokens`` — bookkeeping for the
+        sequence writer.
+
+    One groupBy on (shard, bin) — the assignment's own keys, so the
+    aggregation rides the packing window's partitioning. Struct order is
+    (offset, id, tokens) so ``sort_array`` gives in-bin document order
+    without a second window.
+    """
+    packed = pack_by_token_budget(
+        df, budget=budget, shards=shards, id_col=id_col, text_col=text_col,
+        tokenizer=tokenizer,
+    )
+    off_in_bin = F.col("shard_offset") - F.col("pack_bin") * F.lit(int(budget))
+    return (
+        packed.withColumn("offset_in_bin", off_in_bin.cast("long"))
+        .groupBy("pack_shard", "pack_bin")
+        .agg(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        F.col("offset_in_bin"),
+                        F.col(id_col),
+                        F.col("n_tokens"),
+                    )
+                )
+            ).alias("docs"),
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.min("offset_in_bin").cast("long").alias("bin_start_tokens"),
+        )
+        # bin 0 of a shard starts at token 0 by construction; any later
+        # bin whose first doc does not start at offset 0 opened mid-doc
+        .withColumn(
+            "carry_in", (F.col("pack_bin") > 0) & (F.col("bin_start_tokens") > 0)
+        )
+    )

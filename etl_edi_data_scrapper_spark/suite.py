@@ -2550,6 +2550,72 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _packed_bins_oracle(budget: int = 2048, shards: int = 32) -> str:
+    return f"""
+    WITH tok AS (
+      SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             CAST(doc_id % {shards} AS BIGINT) AS pack_shard
+      FROM documents),
+    c AS (
+      SELECT *,
+             CAST(sum(n_tokens) OVER (PARTITION BY pack_shard ORDER BY doc_id)
+                  - n_tokens AS BIGINT) AS shard_offset
+      FROM tok),
+    p AS (
+      SELECT *,
+             CAST(shard_offset // {budget} AS BIGINT) AS pack_bin,
+             CAST(shard_offset % {budget} AS BIGINT) AS offset_in_bin
+      FROM c)
+    SELECT pack_shard, pack_bin,
+           list(offset_in_bin || ':' || doc_id || ':' || n_tokens
+                ORDER BY offset_in_bin) AS docs,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(min(offset_in_bin) AS BIGINT) AS bin_start_tokens,
+           (pack_bin > 0 AND min(offset_in_bin) > 0) AS carry_in
+    FROM p GROUP BY pack_shard, pack_bin
+    """
+
+
+@register("packed_bins", oracle=_packed_bins_oracle())
+def q_packed_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-window assembly (r9 — the step after `pack_sequences`):
+    one row per (pack_shard, pack_bin) = one fixed-length training window,
+    carrying its ORDERED documents as offset:id:tokens strings plus the
+    carry-in flag (the bin opens mid-document when the previous bin's
+    last doc straddles the boundary — concatenation packing keeps a doc
+    in its first-token bin). `functions/packing.py::
+    materialize_packed_bins`; one groupBy on the assignment's own
+    (shard, bin) keys, so the aggregation rides the packing window's
+    partitioning — no extra wide stage beyond the per-shard running sum.
+    The string projection exists for the cross-engine hash (struct
+    canonicalization differs between engines); the operator itself
+    returns typed structs."""
+    from etl_edi_data_scrapper_spark.functions.packing import (
+        materialize_packed_bins,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    bins = materialize_packed_bins(docs)
+    doc_strs = F.transform(
+        F.col("docs"),
+        lambda d: F.concat_ws(
+            ":",
+            d["offset_in_bin"].cast("string"),
+            d["doc_id"].cast("string"),
+            d["n_tokens"].cast("string"),
+        ),
+    )
+    return bins.select(
+        "pack_shard",
+        "pack_bin",
+        doc_strs.alias("docs"),
+        "n_docs",
+        "bin_start_tokens",
+        "carry_in",
+    )
+
+
 def _dsir_by_lang_ctes(
     target_lang: str = "fr", n_keep: int = 200, n_buckets: int = 256
 ) -> str:

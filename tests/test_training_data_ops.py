@@ -434,6 +434,48 @@ def test_pack_by_token_budget_invariants(spark):
         pack_by_token_budget(docs, budget=0)
 
 
+def test_materialize_packed_bins(spark):
+    """One row per (shard, bin): ordered docs with in-bin offsets, and the
+    carry-in flag exactly where the previous bin's last doc straddles."""
+    from etl_edi_data_scrapper_spark.functions.packing import (
+        materialize_packed_bins,
+        pack_by_token_budget,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(["tok"] * (5 + i % 7))) for i in range(40)],
+        "doc_id long, text string",
+    )
+    budget, shards = 16, 4
+    assign = {
+        r.doc_id: (r.pack_shard, r.pack_bin, r.shard_offset, r.n_tokens)
+        for r in pack_by_token_budget(docs, budget=budget, shards=shards).collect()
+    }
+    bins = materialize_packed_bins(docs, budget=budget, shards=shards).collect()
+    # every doc appears exactly once, in its assigned bin, ordered by offset
+    seen = {}
+    for b in bins:
+        offs = [d.offset_in_bin for d in b.docs]
+        assert offs == sorted(offs)
+        assert b.n_docs == len(b.docs)
+        assert b.bin_start_tokens == offs[0]
+        for d in b.docs:
+            assert d.doc_id not in seen
+            seen[d.doc_id] = (b.pack_shard, b.pack_bin, d.offset_in_bin, d.n_tokens)
+    assert len(seen) == 40
+    for i, (sh, bn, off, nt) in seen.items():
+        a_sh, a_bn, a_off, a_nt = assign[i]
+        assert (sh, bn, nt) == (a_sh, a_bn, a_nt)
+        assert off == a_off - a_bn * budget
+    # carry_in: true exactly when a bin>0 opens mid-document, i.e. the
+    # doc preceding this bin's first doc spills past the boundary
+    for b in bins:
+        if b.pack_bin == 0:
+            assert not b.carry_in
+        else:
+            assert b.carry_in == (b.bin_start_tokens > 0)
+
+
 def test_winnowing_guarantee_and_edges(spark):
     from etl_edi_data_scrapper_spark.functions.dedup import (
         winnowing_fingerprints,
