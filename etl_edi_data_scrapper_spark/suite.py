@@ -1626,9 +1626,24 @@ def q_text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     `exsub_clean_fp` = md5 of the cleaned text (fingerprint, not the
     text, through the driver compare). Shuffle rows are one (md5,
     doc_id, pos) per TOKEN — width× the grid pass, the price of
-    positional invariance; 4.7 % of corpus tokens drop at sf0.1."""
+    positional invariance; 4.7 % of corpus tokens drop at sf0.1.
+
+    r9 completes the span-dedup ladder in the same query: the
+    variable-minimum-length ExactSubstr leg
+    (`span_dedup.exact_substr_dedup`, min_len=5, maximal-run cut lists —
+    one (start, end) range per shared passage instead of one entry per
+    window) over a deterministic injection: a 19-token banner
+    (doc_id%5=0, long maximal runs) and a 5-token quote (doc_id%7=2) —
+    BELOW width 8, so the sliding leg above provably cannot see it
+    (pinned in tests/test_span_splits.py); min_len as a knob is what
+    catches it. Cols `xs_spans_cut`/`xs_tokens_cut`/`xs_clean_fp`.
+    [r9 consolidation: the standalone `exact_substr` query folded in to
+    hold the driver's 50-query correctness cap.]"""
     from etl_edi_data_scrapper_spark.functions.dedup import simhash
-    from etl_edi_data_scrapper_spark.functions.span_dedup import dedup_spans_sliding
+    from etl_edi_data_scrapper_spark.functions.span_dedup import (
+        dedup_spans_sliding,
+        exact_substr_dedup,
+    )
     from etl_edi_data_scrapper_spark.functions.text import (
         bpe_token_count,
         rolling_fingerprint,
@@ -1650,7 +1665,15 @@ def q_text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_tokens_dropped").cast("long").alias("exsub_dropped"),
         F.md5("clean_text").alias("exsub_clean_fp"),
     )
-    return fp.join(sig, "doc_id").join(exsub, "doc_id")
+    xs = exact_substr_dedup(
+        docs.select("doc_id", F.expr(_XS_INJECT).alias("text")), min_len=5
+    ).select(
+        "doc_id",
+        F.col("n_spans_cut").alias("xs_spans_cut"),
+        F.col("n_tokens_cut").alias("xs_tokens_cut"),
+        F.md5("clean_text").alias("xs_clean_fp"),
+    )
+    return fp.join(sig, "doc_id").join(exsub, "doc_id").join(xs, "doc_id")
 
 
 # ---------------------------------------------------------------------------
@@ -1941,40 +1964,6 @@ def _exact_substr_oracle() -> str:
         table="xsrc",
         min_len=5,
         extra_ctes=f"xsrc AS (SELECT doc_id, {_XS_INJECT} AS text FROM documents),\n    ",
-    )
-
-
-@register("exact_substr", oracle=_exact_substr_oracle())
-def q_exact_substr(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ExactSubstr — the top of the span-dedup ladder (Lee et al. 2022
-    §4.1 at token granularity; `functions/span_dedup.py` module docs):
-    variable-MINIMUM-length, any-offset duplicate substring removal with
-    maximal-run bookkeeping. Every maximal substring of ≥ 5 tokens whose
-    occurrence is not the corpus-wide first is cut as a unit; the per-doc
-    cut list is one (start, end) range per shared passage (O(passages),
-    not O(tokens) — the 100 TB difference for boilerplate-heavy docs),
-    derived from the sorted (md5, doc_id, pos) window relation by a
-    gaps-and-islands walk — no suffix array object, no Python. The wide
-    shuffle carries only (16-byte md5, doc_id, pos); the islands window
-    partitions by document over DROPPED positions only (the minority);
-    text moves once, on the per-doc range-list join.
-
-    Injections exercise both ladder rungs: a 19-token banner (long
-    maximal runs, reported as ONE span each) and a 5-token quote — below
-    width 8, so `dedup_spans_sliding` provably leaves it (pinned in
-    tests/test_span_splits.py); min_len as a KNOB is what catches it."""
-    from etl_edi_data_scrapper_spark.functions.span_dedup import exact_substr_dedup
-
-    docs = _t(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )
-    injected = docs.select("doc_id", F.expr(_XS_INJECT).alias("text"))
-    return exact_substr_dedup(injected, min_len=5).select(
-        "doc_id",
-        "n_tokens",
-        "n_spans_cut",
-        "n_tokens_cut",
-        "clean_text",
     )
 
 
@@ -2516,11 +2505,25 @@ def _pack_sequences_oracle(
              CAST(row_number() OVER (PARTITION BY shard
                                      ORDER BY shuffle_key, doc_id)
                   AS BIGINT) AS shard_pos
-      FROM k)
-    SELECT c.doc_id, c.n_tokens, c.pack_shard, c.shard_offset,
-           CAST(c.shard_offset // {budget} AS BIGINT) AS pack_bin,
-           s.shuffle_key, s.shard, s.shard_pos
-    FROM c JOIN s USING (doc_id)
+      FROM k),
+    pb AS (
+      SELECT *,
+             CAST(shard_offset // {budget} AS BIGINT) AS pack_bin,
+             CAST(shard_offset % {budget} AS BIGINT) AS offset_in_bin
+      FROM c),
+    bins AS (
+      SELECT pack_shard, pack_bin,
+             list(offset_in_bin || ':' || doc_id || ':' || n_tokens
+                  ORDER BY offset_in_bin) AS bin_docs,
+             CAST(count(*) AS BIGINT) AS bin_n_docs,
+             CAST(min(offset_in_bin) AS BIGINT) AS bin_start_tokens,
+             (pack_bin > 0 AND min(offset_in_bin) > 0) AS bin_carry_in
+      FROM pb GROUP BY pack_shard, pack_bin)
+    SELECT p.doc_id, p.n_tokens, p.pack_shard, p.shard_offset, p.pack_bin,
+           s.shuffle_key, s.shard, s.shard_pos,
+           b.bin_docs, b.bin_n_docs, b.bin_start_tokens, b.bin_carry_in
+    FROM pb p JOIN s USING (doc_id)
+         JOIN bins b ON p.pack_shard = b.pack_shard AND p.pack_bin = b.pack_bin
     """
 
 
@@ -2537,66 +2540,26 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     Both halves deterministic and repartition-stable; bin ids and shard
     positions are integer arithmetic, zero float boundary jitter.
     [r5 consolidation: absorbs `shuffle_shards` to fit the driver's
-    50-query correctness cap — both legs' values stay hash-checked.]"""
-    from etl_edi_data_scrapper_spark.functions.packing import pack_by_token_budget
+    50-query correctness cap — both legs' values stay hash-checked.]
+
+    r9 completes the third half: training-WINDOW assembly
+    (`packing.materialize_packed_bins` — one row per (shard, bin) = one
+    fixed-length window with its ORDERED docs and a carry-in flag for
+    bins opening mid-straddling-document; one groupBy on the
+    assignment's own keys), joined back per-doc on (pack_shard,
+    pack_bin) so the grain stays per-document and the 50-query cap
+    holds. Bin docs ride as offset:id:tokens strings (cross-engine
+    struct canonicalization); the operator itself returns typed
+    structs."""
+    from etl_edi_data_scrapper_spark.functions.packing import (
+        materialize_packed_bins,
+        pack_by_token_budget,
+    )
     from etl_edi_data_scrapper_spark.functions.shuffle import shuffle_to_shards
 
     docs = _t(spark, sf_dir, "documents")
     pack = pack_by_token_budget(docs)
     shuf = shuffle_to_shards(docs, shards=64, seed=0)
-    return pack.join(shuf, "doc_id").select(
-        "doc_id", "n_tokens", "pack_shard", "shard_offset", "pack_bin",
-        "shuffle_key", "shard", "shard_pos",
-    )
-
-
-def _packed_bins_oracle(budget: int = 2048, shards: int = 32) -> str:
-    return f"""
-    WITH tok AS (
-      SELECT doc_id,
-             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
-             CAST(doc_id % {shards} AS BIGINT) AS pack_shard
-      FROM documents),
-    c AS (
-      SELECT *,
-             CAST(sum(n_tokens) OVER (PARTITION BY pack_shard ORDER BY doc_id)
-                  - n_tokens AS BIGINT) AS shard_offset
-      FROM tok),
-    p AS (
-      SELECT *,
-             CAST(shard_offset // {budget} AS BIGINT) AS pack_bin,
-             CAST(shard_offset % {budget} AS BIGINT) AS offset_in_bin
-      FROM c)
-    SELECT pack_shard, pack_bin,
-           list(offset_in_bin || ':' || doc_id || ':' || n_tokens
-                ORDER BY offset_in_bin) AS docs,
-           CAST(count(*) AS BIGINT) AS n_docs,
-           CAST(min(offset_in_bin) AS BIGINT) AS bin_start_tokens,
-           (pack_bin > 0 AND min(offset_in_bin) > 0) AS carry_in
-    FROM p GROUP BY pack_shard, pack_bin
-    """
-
-
-@register("packed_bins", oracle=_packed_bins_oracle())
-def q_packed_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Training-window assembly (r9 — the step after `pack_sequences`):
-    one row per (pack_shard, pack_bin) = one fixed-length training window,
-    carrying its ORDERED documents as offset:id:tokens strings plus the
-    carry-in flag (the bin opens mid-document when the previous bin's
-    last doc straddles the boundary — concatenation packing keeps a doc
-    in its first-token bin). `functions/packing.py::
-    materialize_packed_bins`; one groupBy on the assignment's own
-    (shard, bin) keys, so the aggregation rides the packing window's
-    partitioning — no extra wide stage beyond the per-shard running sum.
-    The string projection exists for the cross-engine hash (struct
-    canonicalization differs between engines); the operator itself
-    returns typed structs."""
-    from etl_edi_data_scrapper_spark.functions.packing import (
-        materialize_packed_bins,
-    )
-
-    docs = _t(spark, sf_dir, "documents")
-    bins = materialize_packed_bins(docs)
     doc_strs = F.transform(
         F.col("docs"),
         lambda d: F.concat_ws(
@@ -2606,14 +2569,25 @@ def q_packed_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
             d["n_tokens"].cast("string"),
         ),
     )
-    return bins.select(
+    bins = materialize_packed_bins(docs).select(
         "pack_shard",
         "pack_bin",
-        doc_strs.alias("docs"),
-        "n_docs",
-        "bin_start_tokens",
-        "carry_in",
+        doc_strs.alias("bin_docs"),
+        F.col("n_docs").alias("bin_n_docs"),
+        F.col("bin_start_tokens"),
+        F.col("carry_in").alias("bin_carry_in"),
     )
+    return (
+        pack.join(shuf, "doc_id")
+        .join(bins, ["pack_shard", "pack_bin"])
+        .select(
+            "doc_id", "n_tokens", "pack_shard", "shard_offset", "pack_bin",
+            "shuffle_key", "shard", "shard_pos",
+            "bin_docs", "bin_n_docs", "bin_start_tokens", "bin_carry_in",
+        )
+    )
+
+
 
 
 def _dsir_by_lang_ctes(
@@ -3332,11 +3306,16 @@ def _text_fingerprints_oracle() -> str:
     return f"""
     WITH {_simhash_sig_ctes(32)},
     fp AS ({_text_fingerprints_select()}),
-    exsub AS (SELECT * FROM ({span_dedup_sliding_oracle_sql(width=8)}) t)
+    exsub AS (SELECT * FROM ({span_dedup_sliding_oracle_sql(width=8)}) t),
+    xs AS (SELECT * FROM ({_exact_substr_oracle()}) t)
     SELECT fp.doc_id, fp.bpe_tokens, fp.rolling_fp, sig.simhash,
            exsub.n_tokens_dropped AS exsub_dropped,
-           md5(exsub.clean_text) AS exsub_clean_fp
+           md5(exsub.clean_text) AS exsub_clean_fp,
+           xs.n_spans_cut AS xs_spans_cut,
+           xs.n_tokens_cut AS xs_tokens_cut,
+           md5(xs.clean_text) AS xs_clean_fp
     FROM fp JOIN sig USING (doc_id) JOIN exsub USING (doc_id)
+         JOIN xs USING (doc_id)
     """
 
 
