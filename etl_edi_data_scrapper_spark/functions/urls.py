@@ -1,0 +1,149 @@
+"""URL operations for web-corpus curation — the stage every web-scale
+pipeline runs before text ever matters (C4 and CCNet dedupe by URL;
+RefinedWeb's first filters are URL-based): canonicalize messy crawl
+URLs, dedup on the canonical form, extract the registered domain, and
+flag blocklisted domains.
+
+All pure ``pyspark.sql.functions`` Column expressions (JVM-side, no
+UDF, no shuffle beyond the dedup verdict's own groupBy key), with every
+regex in the RE2/Java-common subset so the DuckDB oracles replicate the
+exact canonicalization.
+
+Canonical form (documented choice — the rules C4's and CCNet's
+published dedup keys agree on, applied in this order):
+
+  1. trim; strip the ``#fragment``;
+  2. lowercase the scheme and authority (host [+port]) — path and
+     query keep their case (paths are case-sensitive on most servers);
+  3. strip a leading ``www.`` host label;
+  4. strip the scheme's default port (``:80`` http, ``:443`` https);
+  5. drop tracking parameters: any ``utm_*`` plus the usual click-id
+     family (``TRACKING_PARAMS``); SORT the surviving query params
+     byte-wise (order never matters server-side); drop the ``?`` when
+     none survive;
+  6. strip trailing ``/`` runs from the path (roots and directories
+     unify: ``https://x.com`` == ``https://x.com/``).
+
+``registered_domain`` is last-two-labels with a small multi-label-TLD
+stub (``MULTI_LABEL_TLDS``) promoting to three — a deliberately tiny
+stand-in for the public-suffix list; production swaps in the real PSL
+the same way the C4 bad-words placeholder swaps in the published list.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# exact-name click-id family; utm_* is matched by prefix
+TRACKING_PARAMS = (
+    "fbclid", "gclid", "msclkid", "mc_cid", "mc_eid", "igshid", "ref",
+)
+
+# stub public-suffix entries where the registered domain is 3 labels
+MULTI_LABEL_TLDS = ("co.uk", "org.uk", "com.au", "net.au", "co.jp", "co.in")
+
+_HEAD_RE = r"^([a-zA-Z][a-zA-Z0-9+.\-]*://[^/?#]*)"
+
+
+def _head(c: Column) -> Column:
+    """scheme://authority — the case-insensitive part."""
+    return F.regexp_extract(c, _HEAD_RE, 1)
+
+
+def _is_tracking(p: Column) -> Column:
+    name = F.split(p, "=")[0]
+    cond = name.startswith("utm_")
+    for t in TRACKING_PARAMS:
+        cond = cond | (name == t)
+    return cond
+
+
+def canonicalize_url(c: Column | str) -> Column:
+    """The canonical dedup key of a crawl URL (rules in module docs)."""
+    c = F.col(c) if isinstance(c, str) else c
+    u = F.regexp_replace(F.trim(c), "#.*$", "")  # 1. fragment off
+    head = F.lower(_head(u))  # 2. lowercase scheme://authority
+    rest = F.regexp_replace(u, _HEAD_RE, "")  # path[?query]
+    head = F.regexp_replace(head, r"://www\.", "://")  # 3. www. off
+    head = F.when(  # 4. default ports
+        head.startswith("https://") & head.endswith(":443"),
+        F.regexp_replace(head, ":443$", ""),
+    ).otherwise(
+        F.when(
+            head.startswith("http://") & head.endswith(":80"),
+            F.regexp_replace(head, ":80$", ""),
+        ).otherwise(head)
+    )
+    path = F.regexp_extract(rest, r"^([^?]*)", 1)
+    query = F.when(rest.contains("?"), F.regexp_replace(rest, r"^[^?]*\?", "")).otherwise(
+        F.lit("")
+    )
+    kept = F.array_sort(  # 5. drop tracking params, sort the rest
+        F.filter(
+            F.split(query, "&"),
+            lambda p: (p != "") & ~_is_tracking(p),
+        )
+    )
+    path = F.regexp_replace(path, "/+$", "")  # 6. trailing slashes
+    q = F.when(F.size(kept) > 0, F.concat(F.lit("?"), F.array_join(kept, "&"))).otherwise(
+        F.lit("")
+    )
+    return F.concat(head, path, q)
+
+
+def url_host(c: Column | str) -> Column:
+    """Lowercased host of the URL, www. and port stripped (the
+    canonicalizer's authority rules applied to the host alone)."""
+    c = F.col(c) if isinstance(c, str) else c
+    auth = F.lower(F.regexp_extract(F.trim(c), r"^[a-zA-Z][a-zA-Z0-9+.\-]*://([^/?#]*)", 1))
+    auth = F.regexp_replace(auth, r"^www\.", "")
+    return F.regexp_replace(auth, ":[0-9]+$", "")
+
+
+def registered_domain(host: Column) -> Column:
+    """Last two host labels, or three when the last two are a known
+    multi-label TLD (``MULTI_LABEL_TLDS`` — the PSL stub)."""
+    labels = F.split(host, r"\.")
+    n = F.size(labels)
+    last2 = F.concat_ws(".", F.element_at(labels, -2), F.element_at(labels, -1))
+    tlds = F.array(*[F.lit(t) for t in MULTI_LABEL_TLDS])
+    need3 = F.array_contains(tlds, last2) & (n >= 3)
+    last3 = F.concat_ws(
+        ".", F.element_at(labels, -3), F.element_at(labels, -2), F.element_at(labels, -1)
+    )
+    return F.when(n <= 2, host).otherwise(F.when(need3, last3).otherwise(last2))
+
+
+def flag_blocked_domains(
+    df: DataFrame,
+    url_col: str = "url",
+    domains: tuple[str, ...] = (),
+    out_col: str = "domain_blocked",
+) -> DataFrame:
+    """``out_col`` true when the URL's registered domain is on the
+    blocklist (array-literal membership — blocklists are KBs; an
+    unbounded list would broadcast-semi-join the same verdict)."""
+    dom = registered_domain(url_host(F.col(url_col)))
+    arr = F.array(*[F.lit(d.lower()) for d in domains])
+    return df.withColumn(
+        out_col, F.array_contains(arr, dom) if domains else F.lit(False)
+    )
+
+
+def url_dedup_verdicts(
+    df: DataFrame,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Adds ``canonical_url`` and ``is_url_dup`` (a LOWER-id row shares
+    the canonical form — the C4/CCNet URL-dedup rule). One window on the
+    canonical key; at scale this is the cheap first dedup pass that runs
+    before any text op."""
+    from pyspark.sql import Window as W
+
+    canon = canonicalize_url(F.col(url_col))
+    return df.withColumn("canonical_url", canon).withColumn(
+        "is_url_dup",
+        F.col(id_col) > F.min(id_col).over(W.partitionBy("canonical_url")),
+    )

@@ -2251,6 +2251,81 @@ def _clf_ctes(n_buckets: int = 64, n_epochs: int = 3) -> str:
     return ",".join(parts)
 
 
+# URL leg synthesis (r9): the corpus has no URLs, so inject messy crawl
+# variants deterministically (same literals both engines). Group g =
+# doc_id DIV 5; variants 0-3 all canonicalize to the SAME key
+# (https://example{g}.com/page/{g}) via www/case/fragment/tracking/
+# port/trailing-slash rules, so per group the three higher-id variants
+# are URL dups; variant 4 is a distinct co.uk host exercising the PSL
+# stub and param sorting. Blocklist hits groups 3 and 7's domains.
+def _url_inject(cast: str = "STRING", div: str = "DIV") -> str:
+    g = f"CAST(doc_id {div} 5 AS {cast})"
+    return (
+        f"CASE doc_id % 5 "
+        f"WHEN 0 THEN 'https://example' || {g} || '.com/page/' || {g} "
+        f"WHEN 1 THEN 'https://WWW.EXAMPLE' || {g} || '.COM/page/' || {g} || '#frag' "
+        f"WHEN 2 THEN 'https://example' || {g} || '.com/page/' || {g} "
+        f"|| '?utm_source=x&utm_campaign=y' "
+        f"WHEN 3 THEN 'https://example' || {g} || '.com:443/page/' || {g} || '/' "
+        f"ELSE 'https://shop.example' || {g} || '.co.uk/item/' || {g} "
+        f"|| '?b=2&utm_medium=z&a=1' END"
+    )
+
+
+_URL_BLOCKLIST = ("example3.com", "example7.co.uk")
+
+
+def _sql_canonical_url(u: str) -> str:
+    """DuckDB replica of functions/urls.canonicalize_url — identical
+    rule order and regexes (module docs there are the spec)."""
+    from etl_edi_data_scrapper_spark.functions.urls import TRACKING_PARAMS
+
+    head_re = r"^([a-zA-Z][a-zA-Z0-9+.\-]*://[^/?#]*)"
+    nofrag = f"regexp_replace(trim({u}), '#.*$', '')"
+    head0 = f"lower(regexp_extract({nofrag}, '{head_re}', 1))"
+    head1 = f"regexp_replace({head0}, '://www\\.', '://')"
+    head = (
+        f"CASE WHEN starts_with({head1}, 'https://') AND ends_with({head1}, ':443') "
+        f"THEN regexp_replace({head1}, ':443$', '') "
+        f"WHEN starts_with({head1}, 'http://') AND ends_with({head1}, ':80') "
+        f"THEN regexp_replace({head1}, ':80$', '') ELSE {head1} END"
+    )
+    rest = f"regexp_replace({nofrag}, '{head_re}', '')"
+    path = f"regexp_replace(regexp_extract({rest}, '^([^?]*)', 1), '/+$', '')"
+    query = (
+        f"CASE WHEN contains({rest}, '?') "
+        f"THEN regexp_replace({rest}, '^[^?]*\\?', '') ELSE '' END"
+    )
+    tracking = "[" + ", ".join(f"'{t}'" for t in TRACKING_PARAMS) + "]"
+    kept = (
+        f"list_sort(list_filter(string_split({query}, '&'), p -> p <> '' "
+        f"AND NOT (starts_with(string_split(p, '=')[1], 'utm_') "
+        f"OR list_contains({tracking}, string_split(p, '=')[1]))))"
+    )
+    return (
+        f"({head} || {path} || CASE WHEN len({kept}) > 0 "
+        f"THEN '?' || array_to_string({kept}, '&') ELSE '' END)"
+    )
+
+
+def _sql_registered_domain(u: str) -> str:
+    from etl_edi_data_scrapper_spark.functions.urls import MULTI_LABEL_TLDS
+
+    host = (
+        f"regexp_replace(regexp_replace(lower(regexp_extract(trim({u}), "
+        f"'^[a-zA-Z][a-zA-Z0-9+.\\-]*://([^/?#]*)', 1)), '^www\\.', ''), "
+        f"':[0-9]+$', '')"
+    )
+    tlds = "[" + ", ".join(f"'{t}'" for t in MULTI_LABEL_TLDS) + "]"
+    return f"""(
+      SELECT CASE WHEN len(ls) <= 2 THEN h
+                  WHEN list_contains({tlds}, ls[-2] || '.' || ls[-1]) AND len(ls) >= 3
+                  THEN ls[-3] || '.' || ls[-2] || '.' || ls[-1]
+                  ELSE ls[-2] || '.' || ls[-1] END
+      FROM (SELECT {host} AS h, string_split({host}, '.') AS ls)
+    )"""
+
+
 def _curation_oracle(bench_max_id: int = 5, threshold: int = 3) -> str:
     """Keep/drop verdict per document, composing the already-oracled
     signal arithmetic (lang argmax, quality score, fingerprint dup window,
@@ -2292,6 +2367,16 @@ def _curation_oracle(bench_max_id: int = 5, threshold: int = 3) -> str:
     hits AS (
       SELECT corp.doc_id, count(*) AS n_shared
       FROM corp JOIN bench USING (s) GROUP BY corp.doc_id),
+    urls AS (
+      SELECT doc_id, {_url_inject(cast="VARCHAR", div="//")} AS url
+      FROM documents),
+    udup AS (
+      SELECT doc_id,
+             {_sql_canonical_url("url")} AS canonical_url,
+             doc_id > min(doc_id) OVER (
+               PARTITION BY {_sql_canonical_url("url")}) AS is_url_dup,
+             {_sql_registered_domain("url")} AS url_domain
+      FROM urls),
     {_clf_ctes()}
     SELECT d.doc_id, d.lang_pred, d.quality, d.is_dup,
            (d.doc_id >= {bench_max_id}
@@ -2299,9 +2384,16 @@ def _curation_oracle(bench_max_id: int = 5, threshold: int = 3) -> str:
            (d.lang_pred = 'en' AND d.quality >= 0.4 AND NOT d.is_dup
             AND NOT (d.doc_id >= {bench_max_id}
                      AND coalesce(h.n_shared, 0) >= {threshold})) AS keep,
-           c.clf_score, c.clf_score > 0 AS clf_keep
+           c.clf_score, c.clf_score > 0 AS clf_keep,
+           u.canonical_url, u.is_url_dup, u.url_domain,
+           list_contains({_sql_blocklist()}, u.url_domain) AS domain_blocked
     FROM dupd d LEFT JOIN hits h USING (doc_id) JOIN cscore c USING (doc_id)
+         JOIN udup u USING (doc_id)
     """
+
+
+def _sql_blocklist() -> str:
+    return "[" + ", ".join(f"'{d}'" for d in _URL_BLOCKLIST) + "]"
 
 
 def _sql_lang_arr() -> str:
@@ -2328,7 +2420,18 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     a gate = adding a column — the plan depth stays constant. The
     classifier adds the kmeans-style iterative block: model on the
     driver, one bounded-gradient shuffle per epoch, scoring as a literal
-    zip_with."""
+    zip_with.
+
+    r9 adds the stage real web pipelines run FIRST — URL curation
+    (`functions/urls.py`): canonicalize messy crawl URLs (fragment /
+    case / www / default-port / tracking-param / param-order /
+    trailing-slash rules, all pure Column regex+array exprs), dedup on
+    the canonical key (`is_url_dup`, one window on a short string —
+    the cheap pass that runs before any text op at 100 TB), extract the
+    registered domain (PSL-stub), and flag blocklisted domains. URLs
+    are synthesized deterministically (groups of 5 docs share one
+    canonical form through 4 messy variants; a 5th co.uk variant
+    exercises the multi-label-TLD stub and param sorting)."""
     from etl_edi_data_scrapper_spark.functions.dedup import shingles
     from etl_edi_data_scrapper_spark.functions.quality_classifier import (
         fit_reference_classifier,
@@ -2337,6 +2440,12 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         fingerprint,
         lang_id,
         quality_score,
+    )
+    from etl_edi_data_scrapper_spark.functions.urls import (
+        flag_blocked_domains,
+        registered_domain,
+        url_dedup_verdicts,
+        url_host,
     )
 
     bench_max_id, threshold = 5, 3
@@ -2377,14 +2486,30 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     clf = fit_reference_classifier(
         docs, F.col("source") == "src0", n_buckets=64, n_epochs=3
     )
-    return out.select(
+    urls = flag_blocked_domains(
+        url_dedup_verdicts(
+            docs.select("doc_id", F.expr(_url_inject()).alias("url"))
+        ),
+        domains=_URL_BLOCKLIST,
+    ).select(
         "doc_id",
-        "lang_pred",
-        "quality",
-        "is_dup",
-        contaminated.alias("contaminated"),
-        keep.alias("keep"),
-    ).join(clf, "doc_id")
+        "canonical_url",
+        "is_url_dup",
+        registered_domain(url_host(F.col("url"))).alias("url_domain"),
+        "domain_blocked",
+    )
+    return (
+        out.select(
+            "doc_id",
+            "lang_pred",
+            "quality",
+            "is_dup",
+            contaminated.alias("contaminated"),
+            keep.alias("keep"),
+        )
+        .join(clf, "doc_id")
+        .join(urls, "doc_id")
+    )
 
 
 def _stratified_oracle() -> str:

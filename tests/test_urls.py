@@ -1,0 +1,165 @@
+"""URL curation ops (functions/urls.py) vs an independent
+urllib-based Python model."""
+
+import random
+from urllib.parse import urlsplit
+
+
+def model_canonical(url: str) -> str:
+    from etl_edi_data_scrapper_spark.functions.urls import TRACKING_PARAMS
+
+    u = url.strip()
+    u = u.split("#", 1)[0]
+    parts = urlsplit(u)
+    scheme = parts.scheme.lower()
+    netloc = parts.netloc.lower()
+    if netloc.startswith("www."):
+        netloc = netloc[4:]
+    if scheme == "https" and netloc.endswith(":443"):
+        netloc = netloc[:-4]
+    if scheme == "http" and netloc.endswith(":80"):
+        netloc = netloc[:-3]
+    path = parts.path.rstrip("/")
+    params = [
+        p
+        for p in parts.query.split("&")
+        if p
+        and not p.split("=")[0].startswith("utm_")
+        and p.split("=")[0] not in TRACKING_PARAMS
+    ]
+    q = "?" + "&".join(sorted(params)) if params else ""
+    return f"{scheme}://{netloc}{path}{q}"
+
+
+def model_registered_domain(host: str) -> str:
+    from etl_edi_data_scrapper_spark.functions.urls import MULTI_LABEL_TLDS
+
+    labels = host.split(".")
+    if len(labels) <= 2:
+        return host
+    if ".".join(labels[-2:]) in MULTI_LABEL_TLDS and len(labels) >= 3:
+        return ".".join(labels[-3:])
+    return ".".join(labels[-2:])
+
+
+HANDMADE = [
+    # every rule on display; all five below share ONE canonical form
+    "https://example.com/page/1",
+    "https://WWW.EXAMPLE.COM/page/1#section-2",
+    "https://example.com/page/1?utm_source=x&utm_campaign=y",
+    "https://example.com:443/page/1/",
+    "https://www.example.com/page/1?fbclid=abc123",
+    # and these do NOT collapse into it
+    "https://example.com/page/1?a=1",          # real param survives
+    "http://example.com/page/1",               # scheme differs
+    "https://example.com/Page/1",              # path case preserved
+    "https://sub.example.com/page/1",          # host differs
+    # param sorting: b=2&a=1 == a=1&b=2
+    "https://shop.example.co.uk/item?b=2&utm_medium=z&a=1",
+    "https://shop.example.co.uk/item?a=1&b=2",
+    # root with and without slash unify
+    "http://news.example.org",
+    "http://news.example.org/",
+    "http://news.example.org:80/",
+]
+
+
+def test_canonicalize_matches_urllib_model(spark):
+    from pyspark.sql import functions as F
+
+    from etl_edi_data_scrapper_spark.functions.urls import canonicalize_url
+
+    df = spark.createDataFrame(list(enumerate(HANDMADE)), ["i", "url"])
+    got = {
+        r.i: r.c for r in df.select("i", canonicalize_url("url").alias("c")).collect()
+    }
+    for i, u in enumerate(HANDMADE):
+        assert got[i] == model_canonical(u), u
+    # the five messy variants collapse to one key
+    assert len({got[i] for i in range(5)}) == 1
+    # and the non-equivalent forms all stay distinct from it
+    assert all(got[i] != got[0] for i in range(5, 9))
+    assert got[9] == got[10]
+    assert got[11] == got[12] == got[13]
+
+
+def test_canonicalize_randomized(spark):
+    from pyspark.sql import functions as F
+
+    from etl_edi_data_scrapper_spark.functions.urls import canonicalize_url
+
+    rng = random.Random(7)
+    hosts = ["Example.com", "www.Shop.example.CO.UK", "a.b.c.org:8080"]
+    paths = ["", "/", "/x/y", "/x/y/", "/UP/low"]
+    qparts = ["a=1", "b=2", "utm_source=t", "gclid=xyz", "z="]
+    frags = ["", "#top", "#a/b?c"]
+    urls = []
+    for _ in range(150):
+        q = "&".join(rng.sample(qparts, rng.randint(0, len(qparts))))
+        urls.append(
+            rng.choice(["http", "https"])
+            + "://" + rng.choice(hosts) + rng.choice(paths)
+            + (("?" + q) if q else "") + rng.choice(frags)
+        )
+    df = spark.createDataFrame(list(enumerate(urls)), ["i", "url"])
+    got = {
+        r.i: r.c for r in df.select("i", canonicalize_url("url").alias("c")).collect()
+    }
+    for i, u in enumerate(urls):
+        assert got[i] == model_canonical(u), u
+
+
+def test_host_and_registered_domain(spark):
+    from pyspark.sql import functions as F
+
+    from etl_edi_data_scrapper_spark.functions.urls import (
+        registered_domain,
+        url_host,
+    )
+
+    rows = [
+        ("https://www.Sub.Example.COM:443/x", "sub.example.com", "example.com"),
+        ("http://shop.example.co.uk/item", "shop.example.co.uk", "example.co.uk"),
+        ("https://example.org/", "example.org", "example.org"),
+        ("http://localhost:8080/x", "localhost", "localhost"),
+        ("https://a.b.c.co.jp/", "a.b.c.co.jp", "c.co.jp"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _, _ in rows], ["url"])
+    got = df.select(
+        url_host("url").alias("h"),
+        registered_domain(url_host("url")).alias("d"),
+    ).collect()
+    for (u, h, d), r in zip(rows, got):
+        assert (r.h, r.d) == (h, d), u
+
+
+def test_url_dedup_and_blocklist(spark):
+    from pyspark.sql import functions as F
+
+    from etl_edi_data_scrapper_spark.functions.urls import (
+        flag_blocked_domains,
+        url_dedup_verdicts,
+    )
+
+    rows = [
+        (0, "https://example.com/page/1"),
+        (1, "https://WWW.example.com/page/1/#frag"),   # dup of 0
+        (2, "https://example.com/page/1?utm_source=x"),  # dup of 0
+        (3, "https://example.com/page/2"),
+        (4, "https://spam.example.net/x"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    v = url_dedup_verdicts(df)
+    got = {r.doc_id: r.is_url_dup for r in v.collect()}
+    assert got == {0: False, 1: True, 2: True, 3: False, 4: False}
+    b = flag_blocked_domains(df, domains=("example.net",))
+    blocked = {r.doc_id: r.domain_blocked for r in b.collect()}
+    assert blocked == {0: False, 1: False, 2: False, 3: False, 4: True}
+
+
+def test_urls_zero_python_in_plan(spark):
+    from etl_edi_data_scrapper_spark.functions.urls import url_dedup_verdicts
+
+    df = spark.createDataFrame([(1, "https://x.com/a")], "doc_id long, url string")
+    plan = url_dedup_verdicts(df)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
