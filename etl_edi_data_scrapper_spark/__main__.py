@@ -118,7 +118,7 @@ def main(argv: list[str] | None = None, engine=None) -> int:
         "--stages",
         default="quality,gopher,xent,bxent,exact,minhash",
         help="comma list: quality,gopher,c4,xent,bxent,exact,minhash,spans,"
-        "bloom,decon (bloom/decon need --benchmark)",
+        "urls,bloom,decon (urls needs --url-col; bloom/decon need --benchmark)",
     )
     pu.add_argument(
         "--benchmark",
@@ -130,6 +130,18 @@ def main(argv: list[str] | None = None, engine=None) -> int:
     )
     pu.add_argument("--benchmark-text-col", default=None)
     pu.add_argument("--decon-width", type=int, default=8)
+    pu.add_argument(
+        "--url-col",
+        default=None,
+        help="URL column: enables the urls stage (canonical-key dedup + "
+        "domain blocklist)",
+    )
+    pu.add_argument(
+        "--domain-blocklist",
+        default=None,
+        help="registered-domain blocklist for the urls stage: text file, "
+        "one domain per line",
+    )
     pu.add_argument(
         "--spans-min-len",
         type=int,
@@ -332,6 +344,14 @@ def main(argv: list[str] | None = None, engine=None) -> int:
             if args.benchmark is not None
             else None
         )
+        url_blocklist = ()
+        if args.domain_blocklist is not None:
+            with open(args.domain_blocklist) as fh:
+                url_blocklist = tuple(
+                    d
+                    for d in (line.strip().lower() for line in fh)
+                    if d and not d.startswith("#")
+                )
         badwords = None
         if args.blocklist is not None:
             with open(args.blocklist) as fh:
@@ -352,6 +372,8 @@ def main(argv: list[str] | None = None, engine=None) -> int:
             bxent_band=(args.bxent_lo, args.bxent_hi),
             minhash_threshold=args.minhash_threshold,
             spans_min_len=args.spans_min_len,
+            url_col=args.url_col,
+            url_blocklist=url_blocklist,
             clf_reference=clf_ref,
             badwords=badwords,
             benchmark=bench,

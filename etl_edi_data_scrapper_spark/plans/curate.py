@@ -35,6 +35,12 @@ final ``curate_keep`` is the AND of every selected stage's verdict):
             passages vanish from all but their first occurrence and the
             cleaned text ships as ``spans_clean_text``; ``spans_keep``
             drops docs left empty (pure-boilerplate pages)
+  urls      (needs ``url_col=`` / ``--url-col``) URL curation
+            (functions/urls.py): canonical-key dedup (``is_url_dup`` —
+            lower id wins) and registered-domain blocklisting
+            (``domain_blocked``, list via ``url_blocklist=`` /
+            ``--domain-blocklist``); ``urls_keep`` = neither. The
+            cheapest gate — run it first in a staged deploy
   bloom     (needs ``benchmark=`` / ``--benchmark``) memory-bounded
             contamination SCREEN: every benchmark span in a bloom
             filter stored as a bounded position relation
@@ -80,6 +86,7 @@ ALL_STAGES = (
     "quality", "gopher", "c4", "xent", "bxent", "exact", "minhash", "spans",
 )
 DECON_STAGES = ("bloom", "decon")  # require a benchmark frame
+URL_STAGES = ("urls",)  # require a url_col
 
 
 def curate_corpus(
@@ -97,6 +104,8 @@ def curate_corpus(
     spans_min_len: int = 8,
     clf_reference=None,
     badwords: tuple[str, ...] | None = None,
+    url_col: str | None = None,
+    url_blocklist: tuple[str, ...] = (),
     benchmark: DataFrame | None = None,
     benchmark_text_col: str | None = None,
     decon_width: int = 8,
@@ -109,17 +118,22 @@ def curate_corpus(
     positive/reference class) enables the classifier stage;
     ``benchmark`` (a frame of held-out eval text) enables the
     bloom/decon decontamination tier."""
-    unknown = set(stages) - set(ALL_STAGES) - set(DECON_STAGES)
+    unknown = set(stages) - set(ALL_STAGES) - set(DECON_STAGES) - set(URL_STAGES)
     if unknown:
         raise ValueError(
             f"curate_corpus: unknown stages {sorted(unknown)}; "
-            f"choose from {ALL_STAGES + DECON_STAGES} "
+            f"choose from {ALL_STAGES + DECON_STAGES + URL_STAGES} "
             "(+ classifier via clf_reference)"
         )
     if set(stages) & set(DECON_STAGES) and benchmark is None:
         raise ValueError(
             "curate_corpus: the bloom/decon stages need a benchmark frame "
             "(--benchmark PATH on the CLI)"
+        )
+    if "urls" in stages and url_col is None:
+        raise ValueError(
+            "curate_corpus: the urls stage needs url_col= "
+            "(--url-col on the CLI)"
         )
     out = docs.select(F.col(id_col))
     keeps: list[F.Column] = []
@@ -218,6 +232,30 @@ def curate_corpus(
             dup_ids.withColumn("is_near_dup", F.lit(True)), id_col, "left"
         ).withColumn("is_near_dup", F.coalesce("is_near_dup", F.lit(False)))
         keeps.append(~F.col("is_near_dup"))
+
+    if "urls" in stages:
+        from etl_edi_data_scrapper_spark.functions.urls import (
+            flag_blocked_domains,
+            url_dedup_verdicts,
+        )
+
+        u = flag_blocked_domains(
+            url_dedup_verdicts(
+                docs.select(F.col(id_col), F.col(url_col)),
+                url_col=url_col,
+                id_col=id_col,
+            ),
+            url_col=url_col,
+            domains=url_blocklist,
+        ).select(
+            id_col,
+            "canonical_url",
+            "is_url_dup",
+            "domain_blocked",
+            (~F.col("is_url_dup") & ~F.col("domain_blocked")).alias("urls_keep"),
+        )
+        out = out.join(u, id_col)
+        keeps.append(F.col("urls_keep"))
 
     if "spans" in stages:
         from etl_edi_data_scrapper_spark.functions.span_dedup import (

@@ -513,6 +513,61 @@ def test_cli_dedup_embeddings_with_bridge(spark, tmp_path, capsys):
     assert kept == [fam * 4 for fam in range(8)]
 
 
+def test_cli_curate_urls_stage(spark, tmp_path):
+    """--url-col enables canonical-key URL dedup + domain blocklisting."""
+    from etl_edi_data_scrapper_spark.__main__ import main
+    from etl_edi_data_scrapper_spark.engine import Engine
+
+    docs = [
+        (0, "first doc text here", "https://example.com/a"),
+        (1, "second doc text here", "https://WWW.example.com/a/#frag"),  # dup of 0
+        (2, "third doc text here", "https://example.com/a?utm_source=x"),  # dup of 0
+        (3, "fourth doc text here", "https://spam.example.net/x"),  # blocked
+        (4, "fifth doc text here", "https://example.org/b"),
+    ]
+    docs_dir = str(tmp_path / "docs")
+    spark.createDataFrame(
+        docs, "doc_id long, text string, url string"
+    ).write.parquet(docs_dir)
+    bl = tmp_path / "domains.txt"
+    bl.write_text("# blocked\nexample.net\n")
+    out_dir = str(tmp_path / "verdicts")
+    rc = main(
+        [
+            "curate",
+            "--docs", docs_dir,
+            "--output", out_dir,
+            "--stages", "urls",
+            "--url-col", "url",
+            "--domain-blocklist", str(bl),
+        ],
+        engine=Engine(spark=spark),
+    )
+    assert rc == 0
+    got = {
+        r.doc_id: (r.is_url_dup, r.domain_blocked, r.urls_keep, r.curate_keep)
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    assert got[0] == (False, False, True, True)
+    assert got[1] == (True, False, False, False)
+    assert got[2] == (True, False, False, False)
+    assert got[3] == (False, True, False, False)
+    assert got[4] == (False, False, True, True)
+
+
+def test_curate_urls_stage_requires_url_col(spark, sf_dir):
+    import pytest
+
+    from etl_edi_data_scrapper_spark.plans.curate import curate_corpus
+
+    with pytest.raises(ValueError, match="url_col"):
+        curate_corpus(
+            spark,
+            spark.read.parquet(f"{sf_dir}/documents.parquet"),
+            stages=("urls",),
+        )
+
+
 def test_curate_decon_stage_requires_benchmark(spark, sf_dir):
     import pytest
 
