@@ -95,12 +95,15 @@ def flag_maybe_seen(
 
 
 def _span_expr(text_col: str, width: int) -> str:
-    """Stride-1 width-token windows (the span_dedup sliding convention:
-    docs shorter than width form one whole-doc window)."""
-    return (
-        f"transform(sequence(0, greatest(size(split({text_col}, ' ')) - {width}, 0)), "
-        f"i -> array_join(slice(split({text_col}, ' '), i + 1, {width}), ' '))"
+    """Stride-1 width-token windows — the ONE shared convention
+    (`span_dedup.sliding_window_expr`): docs shorter than width form one
+    whole-doc window. Aliased here so the contamination screen and the
+    exact scrub can never silently diverge on windowing."""
+    from etl_edi_data_scrapper_spark.functions.span_dedup import (
+        sliding_window_expr,
     )
+
+    return sliding_window_expr(text_col, width)
 
 
 def bloom_span_contamination(

@@ -59,13 +59,18 @@ def bytes_to_unicode() -> dict[int, str]:
 
 
 def load_merges(path: str) -> dict[tuple[str, str], int]:
-    """Rank map from a GPT-2-format merges.txt: line order IS the rank;
-    a leading ``#...`` header line is skipped."""
+    """Rank map from a GPT-2-format merges.txt: line order IS the rank.
+    Only the FIRST line is treated as an optional ``#version`` header —
+    later '#'-starting lines are REAL merge rules (GPT-2's table merges
+    '#' symbols; dropping them would over-count every document with
+    markdown headers or shebangs). Line endings are stripped as
+    ``\\r\\n``-safe (a CRLF checkout would otherwise leave ``\\r`` on
+    every second symbol and no merge would ever fire)."""
     ranks: dict[tuple[str, str], int] = {}
     with open(path, encoding="utf-8") as fh:
-        for line in fh:
-            line = line.rstrip("\n")
-            if not line or line.startswith("#"):
+        for i, line in enumerate(fh):
+            line = line.rstrip("\r\n")
+            if not line or (i == 0 and line.startswith("#")):
                 continue
             a, b = line.split(" ")
             ranks[(a, b)] = len(ranks)

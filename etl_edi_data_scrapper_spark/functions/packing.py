@@ -82,31 +82,43 @@ def materialize_packed_bins(
     id_col: str = "doc_id",
     text_col: str = "text",
     tokenizer=None,
+    assignments: DataFrame | None = None,
 ) -> DataFrame:
     """The assembly step after :func:`pack_by_token_budget`: one row per
-    (pack_shard, pack_bin) — the fixed-length training window a trainer
-    actually loads. Each row carries the ORDERED documents whose first
-    token lands in the bin, as an array of (offset_in_bin, doc_id,
-    n_tokens) structs, plus:
+    (pack_shard, pack_bin) — EVERY fixed-length training window a trainer
+    loads, including windows that fall entirely inside a document longer
+    than the budget (no doc STARTS in them; they emit an empty-docs row
+    with ``carry_in`` true, so a sequence writer iterating the rows never
+    silently skips a window and bin numbering has no gaps). Each row
+    carries the ORDERED documents whose first token lands in the bin, as
+    an array of (offset_in_bin, doc_id, n_tokens) structs, plus:
 
       * ``carry_in`` — the bin opens mid-document (the previous bin's
         last doc straddles the boundary; concatenation packing keeps it
-        in its first-token bin, so this bin's token 0..first-offset
-        belongs to that straddler);
+        in its first-token bin, so this bin's tokens up to the first
+        start — all of them, for an interior bin — belong to that
+        straddler);
       * ``n_docs`` and ``bin_start_tokens`` — bookkeeping for the
-        sequence writer.
+        sequence writer (``bin_start_tokens`` is NULL for interior bins:
+        nothing starts there).
 
     One groupBy on (shard, bin) — the assignment's own keys, so the
-    aggregation rides the packing window's partitioning. Struct order is
-    (offset, id, tokens) so ``sort_array`` gives in-bin document order
-    without a second window.
+    aggregation rides the packing window's partitioning — plus one tiny
+    per-shard totals aggregate (`shards` rows) that generates the full
+    bin range. ``assignments`` accepts a precomputed
+    :func:`pack_by_token_budget` frame so a caller already holding the
+    assignment reuses its window instead of paying it twice.
     """
-    packed = pack_by_token_budget(
-        df, budget=budget, shards=shards, id_col=id_col, text_col=text_col,
-        tokenizer=tokenizer,
+    packed = (
+        assignments
+        if assignments is not None
+        else pack_by_token_budget(
+            df, budget=budget, shards=shards, id_col=id_col, text_col=text_col,
+            tokenizer=tokenizer,
+        )
     )
     off_in_bin = F.col("shard_offset") - F.col("pack_bin") * F.lit(int(budget))
-    return (
+    starts = (
         packed.withColumn("offset_in_bin", off_in_bin.cast("long"))
         .groupBy("pack_shard", "pack_bin")
         .agg(
@@ -122,9 +134,44 @@ def materialize_packed_bins(
             F.count(F.lit(1)).cast("long").alias("n_docs"),
             F.min("offset_in_bin").cast("long").alias("bin_start_tokens"),
         )
-        # bin 0 of a shard starts at token 0 by construction; any later
-        # bin whose first doc does not start at offset 0 opened mid-doc
-        .withColumn(
-            "carry_in", (F.col("pack_bin") > 0) & (F.col("bin_start_tokens") > 0)
+    )
+    # the full bin range per shard: ceil(total tokens / budget) bins —
+    # interior bins of straddling docs exist even with no starts inside
+    all_bins = (
+        packed.groupBy("pack_shard")
+        .agg(F.sum("n_tokens").alias("__tot"))
+        .select(
+            "pack_shard",
+            F.explode(
+                F.sequence(
+                    F.lit(0).cast("long"),
+                    # integer DIV: exact at any corpus size (float division
+                    # loses ULPs past 2^52 tokens)
+                    F.expr(f"(__tot - 1) DIV {int(budget)}"),
+                )
+            ).alias("pack_bin"),
+        )
+    )
+    empty_docs = F.expr(
+        f"CAST(array() AS {starts.schema['docs'].dataType.simpleString()})"
+    )
+    return (
+        all_bins.join(starts, ["pack_shard", "pack_bin"], "left")
+        .select(
+            "pack_shard",
+            "pack_bin",
+            F.coalesce("docs", empty_docs).alias("docs"),
+            F.coalesce("n_docs", F.lit(0)).cast("long").alias("n_docs"),
+            F.col("bin_start_tokens"),
+            # bin 0 starts at token 0 by construction; a later bin opened
+            # mid-doc when its first start is past 0 — or nothing starts
+            # in it at all (interior bin of a straddler)
+            (
+                (F.col("pack_bin") > 0)
+                & (
+                    F.col("bin_start_tokens").isNull()
+                    | (F.col("bin_start_tokens") > 0)
+                )
+            ).alias("carry_in"),
         )
     )

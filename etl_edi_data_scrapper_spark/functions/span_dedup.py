@@ -66,6 +66,18 @@ def _span_expr(text_col: str, width: int, offset: int = 0) -> str:
     )
 
 
+def sliding_window_expr(text_col: str, width: int) -> str:
+    """THE stride-1 window convention, defined once: every ``width``-token
+    window at every offset; a document shorter than ``width`` forms one
+    (short) whole-doc window. Shared by the sliding/ExactSubstr family
+    here and the bloom contamination screen (`functions/bloom.py` aliases
+    it) so the windowing rule cannot silently diverge between operators."""
+    return (
+        f"transform(sequence(0, greatest(size(split({text_col}, ' ')) - {width}, 0)), "
+        f"i -> array_join(slice(split({text_col}, ' '), i + 1, {width}), ' '))"
+    )
+
+
 def dedup_spans(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -226,10 +238,7 @@ def dedup_spans_sliding(
     whole-doc window (consistent with the grid variants' short-span rule).
     """
     t = F.split(F.col(text_col), " ")
-    wins = (
-        f"transform(sequence(0, greatest(size(split({text_col}, ' ')) - {width}, 0)), "
-        f"i -> array_join(slice(split({text_col}, ' '), i + 1, {width}), ' '))"
-    )
+    wins = sliding_window_expr(text_col, width)
     occ = (
         docs.select(
             F.col(id_col),
@@ -296,17 +305,23 @@ def _dropped_window_runs(
     shared substring of L ≥ min_len tokens appears as exactly the run of
     its L − min_len + 1 sub-windows, so ``n_windows + min_len − 1`` is
     the substring length. The islands window partitions by DOCUMENT over
-    only the DROPPED positions (the minority) — not a corpus-wide sort."""
-    wins = (
-        f"transform(sequence(0, greatest(size(split({text_col}, ' ')) - {min_len}, 0)), "
-        f"i -> array_join(slice(split({text_col}, ' '), i + 1, {min_len}), ' '))"
-    )
+    only the DROPPED positions (the minority) — not a corpus-wide sort.
+
+    Unlike the sliding pass (which keeps its whole-doc-window convention
+    for short docs), windows SHORTER than ``min_len`` are excluded here:
+    the ExactSubstr contract is "matches of ≥ min_len tokens", so a
+    3-token doc must never be cut (or reported as an impossible
+    min_len-token span) just because another 3-token doc matches it."""
+    wins = sliding_window_expr(text_col, min_len)
     occ = (
         docs.select(
             F.col(id_col),
             F.posexplode(F.expr(wins)).alias("pos", "win"),
         )
         .filter(F.col("win") != "")  # md5('') collides corpus-wide
+        # short-doc whole-doc windows carry < min_len tokens: below the
+        # contract's minimum match length, so not candidates at all
+        .filter(F.size(F.split(F.col("win"), " ")) >= min_len)
         .select(id_col, "pos", F.md5(F.col("win")).alias("h"))
     )
     owners = occ.groupBy("h").agg(
@@ -441,7 +456,8 @@ def exact_substr_oracle_sql(
              count(*) OVER (PARTITION BY md5(win)) AS n_occ,
              row_number() OVER (PARTITION BY md5(win)
                                 ORDER BY {id_col}, pos) AS rn
-      FROM eswin WHERE win <> ''),
+      FROM eswin
+      WHERE win <> '' AND len(string_split(win, ' ')) >= {min_len}),
     esdrop AS (
       SELECT {id_col}, pos,
              pos - row_number() OVER (PARTITION BY {id_col} ORDER BY pos) AS isl
@@ -657,10 +673,7 @@ def scrub_benchmark_spans(
     bench_text_col = bench_text_col or text_col
 
     def wins(col: str) -> str:
-        return (
-            f"transform(sequence(0, greatest(size(split({col}, ' ')) - {width}, 0)), "
-            f"i -> array_join(slice(split({col}, ' '), i + 1, {width}), ' '))"
-        )
+        return sliding_window_expr(col, width)
 
     bhash = (
         bench.select(F.explode(F.expr(wins(bench_text_col))).alias("win"))

@@ -139,11 +139,22 @@ def url_dedup_verdicts(
     """Adds ``canonical_url`` and ``is_url_dup`` (a LOWER-id row shares
     the canonical form — the C4/CCNet URL-dedup rule). One window on the
     canonical key; at scale this is the cheap first dedup pass that runs
-    before any text op."""
+    before any text op.
+
+    Rows with a NULL url — and rows whose canonical form comes out empty
+    (no ``scheme://`` authority, i.e. not a URL at all) — are NEVER
+    flagged as duplicates: a missing key is not a shared key. (Without
+    the guard, every no-URL doc in a real ingest would land in one
+    window partition and all but one be dropped as a 'duplicate'.)
+    Their ``canonical_url`` is NULL so downstream grouping can't collide
+    them either."""
     from pyspark.sql import Window as W
 
     canon = canonicalize_url(F.col(url_col))
+    canon = F.when(canon == "", F.lit(None)).otherwise(canon)
     return df.withColumn("canonical_url", canon).withColumn(
         "is_url_dup",
-        F.col(id_col) > F.min(id_col).over(W.partitionBy("canonical_url")),
+        F.when(F.col("canonical_url").isNull(), F.lit(False)).otherwise(
+            F.col(id_col) > F.min(id_col).over(W.partitionBy("canonical_url"))
+        ),
     )

@@ -2694,7 +2694,9 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
             d["n_tokens"].cast("string"),
         ),
     )
-    bins = materialize_packed_bins(docs).select(
+    # reuse the query's own assignment frame: the per-shard running-sum
+    # window computes once (ReusedExchange), not once per consumer
+    bins = materialize_packed_bins(docs, assignments=pack).select(
         "pack_shard",
         "pack_bin",
         doc_strs.alias("bin_docs"),

@@ -20,6 +20,26 @@ def merges_file(tmp_path):
     return str(p)
 
 
+def test_load_merges_keeps_hash_rules_and_survives_crlf(tmp_path):
+    """Only the FIRST '#' line is a header: real GPT-2 tables contain
+    '#'-starting MERGE rules (the '##' token), and CRLF checkouts must
+    not leave \\r glued to second symbols (which silently kills every
+    merge)."""
+    from etl_edi_data_scrapper_spark.functions.bpe import (
+        bpe_count_text,
+        load_merges,
+    )
+
+    p = tmp_path / "merges_crlf.txt"
+    p.write_bytes(b"#version: 0.2\r\n# #\r\nl o\r\nlo w\r\n")
+    ranks = load_merges(str(p))
+    assert ranks == {("#", "#"): 0, ("l", "o"): 1, ("lo", "w"): 2}
+    # the '#'-rule fires: '###' -> ['##', '#'] = 2 tokens, not 3
+    assert bpe_count_text("###", ranks) == 2
+    # and the CRLF-read rules fire at all (the \r bug left counts raw)
+    assert bpe_count_text("low", ranks) == 1
+
+
 def test_bytes_to_unicode_is_a_printable_bijection():
     from etl_edi_data_scrapper_spark.functions.bpe import bytes_to_unicode
 

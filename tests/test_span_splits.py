@@ -603,10 +603,15 @@ def _model_exact_substr(docs, min_len: int):
         t = text.split(" ")
         n = max(len(t) - min_len, 0) + 1
         wins[doc_id] = [" ".join(t[p : p + min_len]) for p in range(n)]
+    def eligible(w: str) -> bool:
+        # ExactSubstr contract: windows shorter than min_len (short-doc
+        # whole-doc windows) are below the minimum match length
+        return w != "" and len(w.split(" ")) >= min_len
+
     first, counts = {}, {}
     for doc_id in sorted(wins):
         for pos, w in enumerate(wins[doc_id]):
-            if w == "":
+            if not eligible(w):
                 continue
             counts[w] = counts.get(w, 0) + 1
             first.setdefault(w, (doc_id, pos))
@@ -616,7 +621,7 @@ def _model_exact_substr(docs, min_len: int):
         dropped = sorted(
             pos
             for pos, w in enumerate(wins[doc_id])
-            if w != "" and counts[w] > 1 and first[w] != (doc_id, pos)
+            if eligible(w) and counts[w] > 1 and first[w] != (doc_id, pos)
         )
         runs = []
         for p in dropped:  # islands of consecutive positions
@@ -659,8 +664,11 @@ def test_exact_substr_matches_python_model(spark):
 
 
 def test_exact_substr_cut_equals_sliding_at_same_width(spark):
-    """The cut SET is provably the sliding pass's (a run's coverage is the
-    union of its windows'); only the bookkeeping differs."""
+    """For docs of >= width tokens the cut SET is provably the sliding
+    pass's (a run's coverage is the union of its windows'); only the
+    bookkeeping differs. Docs SHORTER than width diverge by contract:
+    sliding keeps its whole-doc-window convention, ExactSubstr excludes
+    sub-min_len windows (no >= min_len match can exist in them)."""
     import random
 
     from etl_edi_data_scrapper_spark.functions.span_dedup import (
@@ -683,7 +691,34 @@ def test_exact_substr_cut_equals_sliding_at_same_width(spark):
         r.doc_id: (r.n_tokens, r.n_tokens_cut, r.clean_text)
         for r in exact_substr_dedup(df, min_len=4).collect()
     }
-    assert slide == exact
+    long_ids = {i for i, t in corpus if len(t.split(" ")) >= 4}
+    assert long_ids  # the seed produces plenty of both
+    for i in long_ids:
+        assert slide[i] == exact[i], i
+    for i, t in corpus:
+        if i not in long_ids:  # short docs NEVER cut by ExactSubstr
+            assert exact[i] == (len(t.split(" ")), 0, t), i
+
+
+def test_exact_substr_never_cuts_sub_min_len_docs(spark):
+    """Two identical 3-token docs at min_len=8: no >= 8-token match
+    exists, so neither is cut and no impossible 8-token span is
+    reported (the pre-fix behavior cut the later doc entirely and
+    reported span_len=8 on a 3-token document)."""
+    from etl_edi_data_scrapper_spark.functions.span_dedup import (
+        exact_substr_dedup,
+        exact_substr_spans,
+    )
+
+    corpus = [(1, "tiny dup doc"), (2, "tiny dup doc"), (3, "other words")]
+    df = spark.createDataFrame(corpus, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_tokens_cut, r.clean_text)
+        for r in exact_substr_dedup(df, min_len=8).collect()
+    }
+    assert got == {1: (0, "tiny dup doc"), 2: (0, "tiny dup doc"),
+                   3: (0, "other words")}
+    assert exact_substr_spans(df, min_len=8).count() == 0
 
 
 def test_exact_substr_catches_short_end_passage_sliding_misses(spark):

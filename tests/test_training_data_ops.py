@@ -458,7 +458,10 @@ def test_materialize_packed_bins(spark):
         offs = [d.offset_in_bin for d in b.docs]
         assert offs == sorted(offs)
         assert b.n_docs == len(b.docs)
-        assert b.bin_start_tokens == offs[0]
+        if b.docs:
+            assert b.bin_start_tokens == offs[0]
+        else:  # carry window: no doc starts inside, straddler covers it
+            assert b.bin_start_tokens is None and b.carry_in
         for d in b.docs:
             assert d.doc_id not in seen
             seen[d.doc_id] = (b.pack_shard, b.pack_bin, d.offset_in_bin, d.n_tokens)
@@ -473,7 +476,63 @@ def test_materialize_packed_bins(spark):
         if b.pack_bin == 0:
             assert not b.carry_in
         else:
-            assert b.carry_in == (b.bin_start_tokens > 0)
+            assert b.carry_in == (
+                b.bin_start_tokens is None or b.bin_start_tokens > 0
+            )
+
+
+def test_materialize_packed_bins_interior_bins_of_long_docs(spark):
+    """A doc longer than the budget spans bins with no doc START inside:
+    those windows must still get rows (empty docs, carry_in) — a
+    sequence writer iterating the output must never skip a window, and
+    per-shard bin numbering must be gap-free."""
+    from etl_edi_data_scrapper_spark.functions.packing import (
+        materialize_packed_bins,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, " ".join(["tok"] * 40)),  # bins 0,1,2 of shard 0 (budget 16)
+            (2, " ".join(["tok"] * 5)),   # starts in bin 2 at offset 40-32=8
+            (1, " ".join(["tok"] * 3)),   # shard 1, its own bin 0
+        ],
+        "doc_id long, text string",
+    )
+    bins = {
+        (r.pack_shard, r.pack_bin): r
+        for r in materialize_packed_bins(docs, budget=16, shards=2).collect()
+    }
+    assert set(bins) == {(0, 0), (0, 1), (0, 2), (1, 0)}  # gap-free
+    assert [d.doc_id for d in bins[(0, 0)].docs] == [0]
+    assert bins[(0, 1)].docs == [] and bins[(0, 1)].n_docs == 0
+    assert bins[(0, 1)].carry_in and bins[(0, 1)].bin_start_tokens is None
+    assert [d.doc_id for d in bins[(0, 2)].docs] == [2]
+    assert bins[(0, 2)].carry_in  # doc 0 spills into bin 2 (tokens 32..39)
+    assert bins[(0, 2)].docs[0].offset_in_bin == 8
+    assert not bins[(1, 0)].carry_in
+
+
+def test_materialize_packed_bins_accepts_precomputed_assignments(spark):
+    from etl_edi_data_scrapper_spark.functions.packing import (
+        materialize_packed_bins,
+        pack_by_token_budget,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(["tok"] * (5 + i % 7))) for i in range(20)],
+        "doc_id long, text string",
+    )
+    direct = sorted(
+        map(tuple, materialize_packed_bins(docs, budget=16, shards=4).collect())
+    )
+    pre = pack_by_token_budget(docs, budget=16, shards=4)
+    reused = sorted(
+        map(
+            tuple,
+            materialize_packed_bins(docs, budget=16, assignments=pre).collect(),
+        )
+    )
+    assert direct == reused
 
 
 def test_winnowing_guarantee_and_edges(spark):

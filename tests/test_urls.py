@@ -157,6 +157,31 @@ def test_url_dedup_and_blocklist(spark):
     assert blocked == {0: False, 1: False, 2: False, 3: False, 4: True}
 
 
+def test_null_and_empty_urls_never_flag_as_dups(spark):
+    """A missing key is not a shared key: NULL urls (and inputs whose
+    canonical form is empty — not URLs at all) must never collapse into
+    one dedup group and drop each other."""
+    from etl_edi_data_scrapper_spark.functions.urls import url_dedup_verdicts
+
+    rows = [
+        (0, None),
+        (1, None),
+        (2, ""),
+        (3, "   "),
+        (4, "https://example.com/a"),
+        (5, "https://example.com/a"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    got = {
+        r.doc_id: (r.is_url_dup, r.canonical_url)
+        for r in url_dedup_verdicts(df).collect()
+    }
+    for i in (0, 1, 2, 3):
+        assert got[i] == (False, None), i
+    assert got[4] == (False, "https://example.com/a")
+    assert got[5] == (True, "https://example.com/a")
+
+
 def test_urls_zero_python_in_plan(spark):
     from etl_edi_data_scrapper_spark.functions.urls import url_dedup_verdicts
 
