@@ -188,3 +188,58 @@ def test_urls_zero_python_in_plan(spark):
     df = spark.createDataFrame([(1, "https://x.com/a")], "doc_id long, url string")
     plan = url_dedup_verdicts(df)._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan
+
+
+def test_canonicalize_duckdb_replica_parity(spark):
+    """The suite's DuckDB canonicalizer (_sql_canonical_url) must agree
+    with the Spark operator on ADVERSARIAL inputs, not just the five
+    synthesized gate variants — randomized cross-engine parity."""
+    import duckdb
+    import pandas as pd
+
+    from etl_edi_data_scrapper_spark.functions.urls import (
+        canonicalize_url,
+        registered_domain,
+        url_host,
+    )
+    from etl_edi_data_scrapper_spark.suite import (
+        _sql_canonical_url,
+        _sql_registered_domain,
+    )
+
+    rng = random.Random(13)
+    hosts = [
+        "Example.com", "www.Shop.example.CO.UK", "a.b.c.org:8080",
+        "x.example.com:443", "news.example.org:80",
+    ]
+    paths = ["", "/", "/x/y", "/x/y/", "/UP/low", "/a//b///"]
+    qparts = ["a=1", "b=2", "utm_source=t", "fbclid=q", "z=", "ref=r", "c=3"]
+    frags = ["", "#top", "#a/b?c"]
+    urls = []
+    for _ in range(200):
+        q = "&".join(rng.sample(qparts, rng.randint(0, len(qparts))))
+        urls.append(
+            rng.choice(["http", "https"])
+            + "://" + rng.choice(hosts) + rng.choice(paths)
+            + (("?" + q) if q else "") + rng.choice(frags)
+        )
+    df = spark.createDataFrame(list(enumerate(urls)), ["i", "url"])
+    got = {
+        r.i: (r.c, r.d)
+        for r in df.select(
+            "i",
+            canonicalize_url("url").alias("c"),
+            registered_domain(url_host("url")).alias("d"),
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.register("u", pd.DataFrame(list(enumerate(urls)), columns=["i", "url"]))
+    want = {
+        r[0]: (r[1], r[2])
+        for r in con.sql(
+            f"SELECT i, {_sql_canonical_url('url')} AS c, "
+            f"{_sql_registered_domain('url')} AS d FROM u"
+        ).fetchall()
+    }
+    for i, u in enumerate(urls):
+        assert got[i] == want[i], (u, got[i], want[i])
