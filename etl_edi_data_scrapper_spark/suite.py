@@ -2638,8 +2638,12 @@ def _pack_sequences_oracle(
       FROM c),
     bins AS (
       SELECT pack_shard, pack_bin,
-             list(offset_in_bin || ':' || doc_id || ':' || n_tokens
-                  ORDER BY offset_in_bin) AS bin_docs,
+             -- string_agg, not list(): the driver canonicalizes by a
+             -- pandas sort over all output columns and list cells are
+             -- unhashable (the r1 keyed_merge array_join convention).
+             -- doc_id in the ORDER BY is a deterministic tie-break.
+             string_agg(offset_in_bin || ':' || doc_id || ':' || n_tokens,
+                        '|' ORDER BY offset_in_bin, doc_id) AS bin_docs,
              CAST(count(*) AS BIGINT) AS bin_n_docs,
              CAST(min(offset_in_bin) AS BIGINT) AS bin_start_tokens,
              (pack_bin > 0 AND min(offset_in_bin) > 0) AS bin_carry_in
@@ -2673,9 +2677,10 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     bins opening mid-straddling-document; one groupBy on the
     assignment's own keys), joined back per-doc on (pack_shard,
     pack_bin) so the grain stays per-document and the 50-query cap
-    holds. Bin docs ride as offset:id:tokens strings (cross-engine
-    struct canonicalization); the operator itself returns typed
-    structs."""
+    holds. Bin docs ride as ONE '|'-joined offset:id:tokens string per
+    bin (the gate's pandas canonicalization cannot sort array cells —
+    containers always serialize for the driver); the operator itself
+    returns typed structs."""
     from etl_edi_data_scrapper_spark.functions.packing import (
         materialize_packed_bins,
         pack_by_token_budget,
@@ -2685,14 +2690,23 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     pack = pack_by_token_budget(docs)
     shuf = shuffle_to_shards(docs, shards=64, seed=0)
-    doc_strs = F.transform(
-        F.col("docs"),
-        lambda d: F.concat_ws(
-            ":",
-            d["offset_in_bin"].cast("string"),
-            d["doc_id"].cast("string"),
-            d["n_tokens"].cast("string"),
+    # array_join, not a raw array: the driver canonicalizes output by a
+    # pandas sort over all columns, and list cells are unhashable — every
+    # container column must serialize to a string for the gate (the r1
+    # keyed_merge addArray convention). sort_array in the operator orders
+    # structs by (offset_in_bin, doc_id, ...) — same as the oracle's
+    # string_agg ORDER BY offset_in_bin, doc_id.
+    doc_strs = F.array_join(
+        F.transform(
+            F.col("docs"),
+            lambda d: F.concat_ws(
+                ":",
+                d["offset_in_bin"].cast("string"),
+                d["doc_id"].cast("string"),
+                d["n_tokens"].cast("string"),
+            ),
         ),
+        "|",
     )
     # reuse the query's own assignment frame: the per-shard running-sum
     # window computes once (ReusedExchange), not once per consumer

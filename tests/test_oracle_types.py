@@ -69,6 +69,30 @@ def con(sf_dir):
     c.close()
 
 
+def test_no_top_level_container_columns_in_any_oracle(con):
+    """Top-level LIST/STRUCT/MAP oracle columns die in the driver's pandas
+    `sort_values` canonicalization (unhashable cells) — the r9
+    `pack_sequences` regression. Leaf-type nesting stays allowed for the
+    general type check below (CTE internals may use lists freely); the
+    OUTPUT columns may not."""
+    bad: dict[str, list[str]] = {}
+    for name, sql in ORACLES.items():
+        rel = con.sql(sql)
+        offenders = [
+            f"{col}: {typ}"
+            for col, typ in zip(rel.columns, rel.types)
+            if str(typ).endswith("[]")
+            or str(typ).startswith(("STRUCT(", "MAP(", "UNION("))
+        ]
+        if offenders:
+            bad[name] = offenders
+    assert not bad, (
+        "oracle output columns with container types — the driver cannot "
+        "pandas-sort these; string_agg/serialize them (the r1 keyed_merge "
+        f"convention): {bad}"
+    )
+
+
 def test_every_oracle_binds_and_emits_only_canonical_types(con):
     bad: dict[str, list[str]] = {}
     for name, sql in ORACLES.items():

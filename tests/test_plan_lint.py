@@ -15,6 +15,8 @@ testdata schema — a column typo or a bad lambda fails here in seconds,
 without executing anything.
 """
 
+from pyspark.sql.types import ArrayType, MapType, StructType
+
 from etl_edi_data_scrapper_spark.suite import QUERIES
 
 
@@ -30,3 +32,28 @@ def test_no_cartesian_products_or_row_python_udfs_anywhere(spark, sf_dir):
         if bad:
             offenders[name] = bad
     assert not offenders, f"scale-killer operators in plans: {offenders}"
+
+
+def test_no_container_columns_in_any_registered_output_schema(spark, sf_dir):
+    """The driver canonicalizes query output with a pandas `sort_values`
+    over ALL columns; array/struct/map cells are unhashable there and the
+    whole query ERRORS in CORRECTNESS_r{N}.json (this is exactly how the
+    r9 `pack_sequences` break shipped: a new `bin_docs` array<string>
+    column passed the old list→tuple local replica and died in the real
+    gate). The suite convention since r1 — serialize containers
+    (`array_join`, struct → 'a:b:c' strings) before returning — was only
+    a docstring; this pins it mechanically, schema-only, no execution."""
+    offenders: dict[str, list[str]] = {}
+    for name, fn in QUERIES.items():
+        bad = [
+            f"{f.name}: {f.dataType.simpleString()}"
+            for f in fn(spark, sf_dir).schema.fields
+            if isinstance(f.dataType, (ArrayType, MapType, StructType))
+        ]
+        if bad:
+            offenders[name] = bad
+    assert not offenders, (
+        "registered queries returning container-typed output columns — the "
+        "driver's pandas canonicalization cannot sort these; serialize "
+        f"(array_join / concat_ws) before returning: {offenders}"
+    )

@@ -15,6 +15,7 @@ import math
 import sys
 
 import duckdb
+import pandas as pd
 
 sys.path.insert(0, "/root/repo")
 
@@ -32,14 +33,25 @@ def canon(v) -> str:
         if math.isnan(v):
             return "nan"
         return repr(v)
-    if isinstance(v, (list, tuple)):
-        return "[" + ",".join(canon(x) for x in v) + "]"
     if isinstance(v, bytes):
         return v.hex()
     return str(v)
 
 
-def table_hash(rows: list[tuple], ncols: int) -> str:
+def driver_canon_check(rows: list[tuple], cols: list[str]) -> None:
+    """Replicate the driver's canonicalization step EXACTLY: a pandas
+    DataFrame `sort_values` over every output column. Anything the driver
+    cannot sort — list/dict/array cells are unhashable in pandas'
+    factorize — must raise HERE, in the local gate, not in the round's
+    CORRECTNESS_r{N}.json (the r9 pack_sequences break shipped because the
+    old replica canonicalized list→tuple, which the driver never does)."""
+    df = pd.DataFrame(rows, columns=list(cols))
+    if len(df.columns):
+        df.sort_values(by=list(cols), kind="mergesort")
+
+
+def table_hash(rows: list[tuple], cols: list[str]) -> str:
+    driver_canon_check(rows, cols)
     lines = sorted("\x1f".join(canon(c) for c in r) for r in rows)
     return hashlib.md5("\n".join(lines).encode()).hexdigest()
 
@@ -89,7 +101,13 @@ def main() -> int:
         if scols != ocols:
             status["spark_cols"] = scols
             status["oracle_cols"] = ocols
-        sh, oh = table_hash(srows, len(scols)), table_hash(orows, len(ocols))
+        try:
+            sh, oh = table_hash(srows, scols), table_hash(orows, ocols)
+        except TypeError as e:
+            # the driver's pandas sort raises on container cells — fail
+            # the same way it does instead of canonicalizing around it
+            results[name] = {"error": f"canon: TypeError: {e}"}
+            continue
         status["hash_match"] = sh == oh
         if sh != oh and len(srows) == len(orows) and scols == ocols:
             sset = {tuple(canon(c) for c in r) for r in srows}
