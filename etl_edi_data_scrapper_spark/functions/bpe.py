@@ -32,10 +32,17 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
-# stdlib-re rendering of text.BPE_SPLIT_PATTERN (\p{L} -> [^\W\d_],
-# \p{N} -> \d, "neither letter nor digit nor ws" -> [^\w\s] plus _)
+# stdlib-re rendering of the FULL GPT-2 pre-tokenizer (\p{L} ->
+# [^\W\d_], \p{N} -> \d, "neither letter nor digit nor ws" -> [^\w\s]
+# plus _), INCLUDING the `\s+(?!\S)` rule the JVM approximation
+# (text.BPE_SPLIT_PATTERN) deliberately omits: on a multi-space run the
+# real tokenizer keeps the LAST space glued to the following word
+# ('a  b' -> ['a', ' ', ' b'], not ['a', '  ', 'b']) — it changes which
+# merges fire on whitespace-heavy text (code, markdown). DuckDB's RE2
+# has no lookahead, which is why the JVM/oracle approximation cannot
+# carry this rule; the exact path is parity-tested, not SQL-oracled.
 _PRETOKEN_RE = (
-    r"'(?:s|t|re|ve|m|ll|d)| ?[^\W\d_]+| ?\d+| ?(?:[^\w\s]|_)+|\s+"
+    r"'(?:s|t|re|ve|m|ll|d)| ?[^\W\d_]+| ?\d+| ?(?:[^\w\s]|_)+|\s+(?!\S)|\s+"
 )
 
 
@@ -70,9 +77,19 @@ def load_merges(path: str) -> dict[tuple[str, str], int]:
     with open(path, encoding="utf-8") as fh:
         for i, line in enumerate(fh):
             line = line.rstrip("\r\n")
-            if not line or (i == 0 and line.startswith("#")):
+            if not line.strip() or (i == 0 and line.startswith("#")):
                 continue
-            a, b = line.split(" ")
+            # split on ANY whitespace run: byte-level BPE symbols never
+            # contain literal spaces (space is 'Ġ'), so a space-padded
+            # checkout must parse, and anything not exactly two fields
+            # is a diagnosable corrupt rule, not an unpacking traceback
+            parts = line.split()
+            if len(parts) != 2:
+                raise ValueError(
+                    f"{path}:{i + 1}: expected a two-symbol merge rule "
+                    f"'a b', got {line!r}"
+                )
+            a, b = parts
             ranks[(a, b)] = len(ranks)
     return ranks
 

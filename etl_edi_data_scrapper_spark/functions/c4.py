@@ -78,7 +78,10 @@ def add_c4_badwords(
     blocklist rides the plan as an array literal (the published list is
     a few KB; for an unbounded per-deployment list, explode tokens and
     broadcast-semi-join instead — same verdict, one extra shuffle)."""
-    toks = F.split(F.lower(F.col(text_col)), "[ \\n]+")
+    # \s+, not [ \n]+: the published filter splits on ALL whitespace —
+    # 'foo\tbadword' must match the blocklist (RE2-safe; the DuckDB
+    # oracle runs the identical pattern)
+    toks = F.split(F.lower(F.col(text_col)), "\\s+")
     arr = F.array(*[F.lit(w.lower()) for w in words])
     hits = F.size(
         F.filter(

@@ -141,17 +141,22 @@ def url_dedup_verdicts(
     canonical key; at scale this is the cheap first dedup pass that runs
     before any text op.
 
-    Rows with a NULL url — and rows whose canonical form comes out empty
-    (no ``scheme://`` authority, i.e. not a URL at all) — are NEVER
-    flagged as duplicates: a missing key is not a shared key. (Without
-    the guard, every no-URL doc in a real ingest would land in one
-    window partition and all but one be dropped as a 'duplicate'.)
-    Their ``canonical_url`` is NULL so downstream grouping can't collide
-    them either."""
+    Rows with a NULL url — and rows that are not URLs at all (no
+    ``scheme://authority`` head, e.g. ``''``, ``'N/A'``, a bare path) —
+    are NEVER flagged as duplicates: a missing key is not a shared key.
+    (Without the guard, every no-URL doc in a real ingest would land in
+    one window partition and all but one be dropped as a 'duplicate';
+    a shared PLACEHOLDER like 'N/A' canonicalizes to itself and collides
+    the same way, so the gate is on the head extraction, not on
+    emptiness of the canonical form.) Their ``canonical_url`` is NULL so
+    downstream grouping can't collide them either."""
     from pyspark.sql import Window as W
 
     canon = canonicalize_url(F.col(url_col))
-    canon = F.when(canon == "", F.lit(None)).otherwise(canon)
+    # not a URL unless the scheme://authority head parses — '' and 'N/A'
+    # both fail this, while '' alone would pass a canon=='' check for
+    # any non-empty placeholder
+    canon = F.when(_head(F.trim(F.col(url_col))) == "", F.lit(None)).otherwise(canon)
     return df.withColumn("canonical_url", canon).withColumn(
         "is_url_dup",
         F.when(F.col("canonical_url").isNull(), F.lit(False)).otherwise(

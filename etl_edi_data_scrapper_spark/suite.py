@@ -1800,7 +1800,7 @@ def _sql_c4_ctes(min_words: int = 3, min_sentences: int = 5) -> str:
               AND NOT contains(c4_text, '{{')
               AND len(ks) >= {min_sentences}) AS c4_keep,
              md5(array_to_string(ks, chr(10))) AS c4_clean_fp,
-             len(list_filter(string_split_regex(lower(c4_text), '[ \n]+'),
+             len(list_filter(string_split_regex(lower(c4_text), '\\s+'),
                  x -> list_contains({badwords},
                         regexp_replace(x, '^[^a-z0-9]+|[^a-z0-9]+$', '', 'g'))
                  ))::BIGINT AS c4_badword_hits

@@ -192,3 +192,33 @@ def test_packing_accepts_tokenizer(spark, merges_file):
         for r in pack_by_token_budget(df, budget=8, shards=2).collect()
     }
     assert ws[0] == len(rows[0][1].split(" "))
+
+
+def test_load_merges_diagnoses_malformed_lines(tmp_path):
+    """A corrupt rule raises a ValueError naming file and line, not an
+    opaque unpacking traceback; space-padded and blank lines parse."""
+    import pytest
+
+    from etl_edi_data_scrapper_spark.functions.bpe import load_merges
+
+    ok = tmp_path / "padded.txt"
+    ok.write_text("#version: x\nl o   \n   \nlo w\n")
+    assert load_merges(str(ok)) == {("l", "o"): 0, ("lo", "w"): 1}
+
+    bad = tmp_path / "corrupt.txt"
+    bad.write_text("#version: x\nl o\na b c\n")
+    with pytest.raises(ValueError, match=r"corrupt\.txt:3"):
+        load_merges(str(bad))
+
+
+def test_pretokenizer_keeps_last_space_glued_to_word():
+    """GPT-2's `\\s+(?!\\S)` rule: a multi-space run keeps its LAST space
+    attached to the following word ('a  b' -> ['a', ' ', ' b'])."""
+    import re
+
+    from etl_edi_data_scrapper_spark.functions.bpe import _PRETOKEN_RE
+
+    assert re.findall(_PRETOKEN_RE, "a  b") == ["a", " ", " b"]
+    assert re.findall(_PRETOKEN_RE, "a   b") == ["a", "  ", " b"]
+    assert re.findall(_PRETOKEN_RE, "a b") == ["a", " b"]
+    assert re.findall(_PRETOKEN_RE, "a  ") == ["a", "  "]

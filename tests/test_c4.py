@@ -165,3 +165,24 @@ def test_c4_badwords_zero_shuffle(spark):
     )
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_c4_badwords_split_on_all_whitespace(spark):
+    """The published filter splits on ALL whitespace — a tab- or
+    CR-separated badword must still hit the blocklist (advisor r9: the
+    old '[ \\n]+' split never matched 'foo\\tbadword')."""
+    from etl_edi_data_scrapper_spark.functions.c4 import add_c4_badwords
+
+    df = spark.createDataFrame(
+        [
+            (0, "foo\tbadword bar."),
+            (1, "foo\r\nbadword bar."),
+            (2, "clean\ttext only."),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r.doc_id: (r.c4_badword_hits, r.c4_badwords_keep)
+           for r in add_c4_badwords(df).collect()}
+    assert got[0] == (1, False)
+    assert got[1] == (1, False)
+    assert got[2] == (0, True)

@@ -170,13 +170,19 @@ def test_null_and_empty_urls_never_flag_as_dups(spark):
         (3, "   "),
         (4, "https://example.com/a"),
         (5, "https://example.com/a"),
+        # non-empty NON-URLS: a shared placeholder canonicalizes to itself
+        # and would collide every no-URL doc onto one key (advisor r9) —
+        # the guard is on the scheme://authority head, not emptiness
+        (6, "N/A"),
+        (7, "N/A"),
+        (8, "/relative/path/only"),
     ]
     df = spark.createDataFrame(rows, "doc_id long, url string")
     got = {
         r.doc_id: (r.is_url_dup, r.canonical_url)
         for r in url_dedup_verdicts(df).collect()
     }
-    for i in (0, 1, 2, 3):
+    for i in (0, 1, 2, 3, 6, 7, 8):
         assert got[i] == (False, None), i
     assert got[4] == (False, "https://example.com/a")
     assert got[5] == (True, "https://example.com/a")
