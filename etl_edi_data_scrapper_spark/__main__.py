@@ -143,6 +143,13 @@ def main(argv: list[str] | None = None, engine=None) -> int:
         "one domain per line",
     )
     pu.add_argument(
+        "--psl",
+        default=None,
+        help="public-suffix list file (publicsuffix.org format) for "
+        "registered-domain extraction in the urls stage; default is the "
+        "6-entry stub in functions/urls.py",
+    )
+    pu.add_argument(
         "--spans-min-len",
         type=int,
         default=8,
@@ -374,6 +381,7 @@ def main(argv: list[str] | None = None, engine=None) -> int:
             spans_min_len=args.spans_min_len,
             url_col=args.url_col,
             url_blocklist=url_blocklist,
+            psl=args.psl,
             clf_reference=clf_ref,
             badwords=badwords,
             benchmark=bench,

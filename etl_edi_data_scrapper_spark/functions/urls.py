@@ -35,9 +35,14 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-# exact-name click-id family; utm_* is matched by prefix
+# exact-name click-id family; utm_* is matched by prefix. Deliberately
+# EXCLUDES bare "ref": on several large platforms `?ref=` addresses the
+# CONTENT (it's how articles/profiles are routed), so stripping it would
+# merge genuinely different documents onto one canonical key — a
+# dedup-precision loss. Deployments that know their crawl's ref= is
+# purely referral-tracking pass tracking_params=TRACKING_PARAMS+("ref",).
 TRACKING_PARAMS = (
-    "fbclid", "gclid", "msclkid", "mc_cid", "mc_eid", "igshid", "ref",
+    "fbclid", "gclid", "msclkid", "mc_cid", "mc_eid", "igshid",
 )
 
 # stub public-suffix entries where the registered domain is 3 labels
@@ -51,16 +56,20 @@ def _head(c: Column) -> Column:
     return F.regexp_extract(c, _HEAD_RE, 1)
 
 
-def _is_tracking(p: Column) -> Column:
+def _is_tracking(p: Column, params: tuple[str, ...]) -> Column:
     name = F.split(p, "=")[0]
     cond = name.startswith("utm_")
-    for t in TRACKING_PARAMS:
+    for t in params:
         cond = cond | (name == t)
     return cond
 
 
-def canonicalize_url(c: Column | str) -> Column:
-    """The canonical dedup key of a crawl URL (rules in module docs)."""
+def canonicalize_url(
+    c: Column | str, tracking_params: tuple[str, ...] = TRACKING_PARAMS
+) -> Column:
+    """The canonical dedup key of a crawl URL (rules in module docs).
+    ``tracking_params`` swaps the exact-name drop list (utm_* is always
+    dropped by prefix) — per-deployment, like the C4 bad-words list."""
     c = F.col(c) if isinstance(c, str) else c
     u = F.regexp_replace(F.trim(c), "#.*$", "")  # 1. fragment off
     head = F.lower(_head(u))  # 2. lowercase scheme://authority
@@ -82,7 +91,7 @@ def canonicalize_url(c: Column | str) -> Column:
     kept = F.array_sort(  # 5. drop tracking params, sort the rest
         F.filter(
             F.split(query, "&"),
-            lambda p: (p != "") & ~_is_tracking(p),
+            lambda p: (p != "") & ~_is_tracking(p, tracking_params),
         )
     )
     path = F.regexp_replace(path, "/+$", "")  # 6. trailing slashes
@@ -115,20 +124,147 @@ def registered_domain(host: Column) -> Column:
     return F.when(n <= 2, host).otherwise(F.when(need3, last3).otherwise(last2))
 
 
+def load_psl(path: str) -> dict[str, tuple[str, ...]]:
+    """Parse a public-suffix list file (the published
+    publicsuffix.org/list/public_suffix_list.dat format: one rule per
+    line, ``//`` comments, ``*.``-wildcards, ``!``-exceptions; both the
+    ICANN and private sections are rules). Returns the three rule
+    families ``{"exact": ..., "wild": ..., "exc": ...}`` — wildcard
+    rules are stored as their BASE (``*.ck`` → ``ck``), exceptions
+    without the ``!``."""
+    exact: list[str] = []
+    wild: list[str] = []
+    exc: list[str] = []
+    with open(path, encoding="utf-8") as fh:
+        for line in fh:
+            line = line.strip()
+            if not line or line.startswith("//"):
+                continue
+            rule = line.split()[0].lower().lstrip(".")
+            if rule.startswith("!"):
+                exc.append(rule[1:])
+            elif rule.startswith("*."):
+                wild.append(rule[2:])
+            elif rule == "*":
+                continue  # the implicit default rule — always in effect
+            else:
+                exact.append(rule)
+    return {"exact": tuple(exact), "wild": tuple(wild), "exc": tuple(exc)}
+
+
+def _last_labels(labels: Column, n: Column, k: int) -> Column:
+    """The host's last-k-labels suffix, NULL when it has fewer than k."""
+    return F.when(
+        n >= k, F.array_join(F.slice(labels, n - F.lit(k - 1), k), ".")
+    )
+
+
+def add_registered_domain(
+    df: DataFrame,
+    url_col: str = "url",
+    out_col: str = "url_domain",
+    psl: str | dict[str, tuple[str, ...]] | None = None,
+    max_depth: int = 5,
+) -> DataFrame:
+    """``out_col`` = the URL's registered domain. With ``psl=None`` this
+    is the 6-entry-stub Column rule (:func:`registered_domain`); with a
+    real public-suffix list (a path or a :func:`load_psl` dict) it runs
+    the published PSL algorithm: the prevailing rule is any matching
+    EXCEPTION, else the LONGEST matching rule (wildcards match one extra
+    label), else the default ``*``; the registered domain is the public
+    suffix plus one label — or the host itself when the host IS a public
+    suffix (mirrors the stub's ``n <= 2 → host``).
+
+    Scale shape: one broadcast left-join per candidate depth (≤
+    ``max_depth``, and never deeper than the PSL's own deepest rule + 1)
+    against a driver-built (suffix → rule-kind flags) table — a few
+    thousand rows for the full published list. Zero shuffle, zero
+    Python in the plan; the host's candidate suffixes are narrow
+    column arithmetic."""
+    host = url_host(F.col(url_col))
+    if psl is None:
+        return df.withColumn(out_col, registered_domain(host))
+    rules = load_psl(psl) if isinstance(psl, str) else psl
+
+    flags: dict[str, list[bool]] = {}
+    for kind_i, kind in enumerate(("exact", "wild", "exc")):
+        for s in rules[kind]:
+            f = flags.setdefault(s, [False, False, False])
+            f[kind_i] = True
+    depth = max(
+        2,
+        min(
+            max_depth,
+            1 + max((s.count(".") + 1 for s in flags), default=1),
+        ),
+    )
+    spark = df.sparkSession
+    rule_rows = [
+        (s, s.count(".") + 1, ex, wi, xc) for s, (ex, wi, xc) in flags.items()
+    ]
+    rdf = spark.createDataFrame(
+        rule_rows, "suffix string, sdepth int, r_exact boolean, "
+        "r_wild boolean, r_exc boolean",
+    )
+
+    labels = F.split(host, r"\.")
+    n = F.size(labels)
+    step = df.withColumn("__psl_host", host).withColumn("__psl_n", n)
+    for k in range(1, depth + 1):
+        rk = F.broadcast(
+            rdf.where(F.col("sdepth") == k).select(
+                F.col("suffix").alias(f"__psl_cand{k}"),
+                F.col("r_exact").alias(f"__psl_ex{k}"),
+                F.col("r_wild").alias(f"__psl_wi{k}"),
+                F.col("r_exc").alias(f"__psl_xc{k}"),
+            )
+        )
+        step = step.withColumn(
+            f"__psl_cand{k}",
+            _last_labels(F.split(F.col("__psl_host"), r"\."), F.col("__psl_n"), k),
+        ).join(rk, f"__psl_cand{k}", "left")
+
+    n = F.col("__psl_n")
+    # exceptions prevail: rule labels minus the leftmost IS the suffix
+    exc_ps = [F.when(F.col(f"__psl_xc{k}"), F.lit(k - 1)) for k in range(1, depth + 1)]
+    # else the longest match: exact rule of depth k ⇒ suffix depth k;
+    # wildcard base of depth k ⇒ suffix depth k+1 (needs the extra label)
+    reg_ps = [F.when(F.col(f"__psl_ex{k}") & (n >= k), F.lit(k)) for k in range(1, depth + 1)] + [
+        F.when(F.col(f"__psl_wi{k}") & (n >= k + 1), F.lit(k + 1))
+        for k in range(1, depth + 1)
+    ]
+    ps = F.coalesce(F.greatest(*exc_ps), F.greatest(*reg_ps), F.lit(1))
+    labels = F.split(F.col("__psl_host"), r"\.")
+    dom = F.when(
+        n > ps, F.array_join(F.slice(labels, n - ps, ps + F.lit(1)), ".")
+    ).otherwise(F.col("__psl_host"))
+    drop = ["__psl_host", "__psl_n"] + [
+        c for k in range(1, depth + 1)
+        for c in (f"__psl_cand{k}", f"__psl_ex{k}", f"__psl_wi{k}", f"__psl_xc{k}")
+    ]
+    return step.withColumn(out_col, dom).drop(*drop)
+
+
 def flag_blocked_domains(
     df: DataFrame,
     url_col: str = "url",
     domains: tuple[str, ...] = (),
     out_col: str = "domain_blocked",
+    psl: str | dict[str, tuple[str, ...]] | None = None,
 ) -> DataFrame:
     """``out_col`` true when the URL's registered domain is on the
     blocklist (array-literal membership — blocklists are KBs; an
-    unbounded list would broadcast-semi-join the same verdict)."""
-    dom = registered_domain(url_host(F.col(url_col)))
+    unbounded list would broadcast-semi-join the same verdict).
+    ``psl=`` switches domain extraction from the 6-entry stub to a real
+    public-suffix list (see :func:`add_registered_domain`) — the
+    difference that makes ``github.io`` 10⁶ blockable user sites
+    instead of one registered domain."""
     arr = F.array(*[F.lit(d.lower()) for d in domains])
-    return df.withColumn(
-        out_col, F.array_contains(arr, dom) if domains else F.lit(False)
-    )
+    tmp = "__fbd_domain"
+    out = add_registered_domain(df, url_col=url_col, out_col=tmp, psl=psl)
+    return out.withColumn(
+        out_col, F.array_contains(arr, F.col(tmp)) if domains else F.lit(False)
+    ).drop(tmp)
 
 
 def url_dedup_verdicts(

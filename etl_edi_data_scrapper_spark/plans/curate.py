@@ -106,6 +106,7 @@ def curate_corpus(
     badwords: tuple[str, ...] | None = None,
     url_col: str | None = None,
     url_blocklist: tuple[str, ...] = (),
+    psl: str | dict[str, tuple[str, ...]] | None = None,
     benchmark: DataFrame | None = None,
     benchmark_text_col: str | None = None,
     decon_width: int = 8,
@@ -247,6 +248,7 @@ def curate_corpus(
             ),
             url_col=url_col,
             domains=url_blocklist,
+            psl=psl,
         ).select(
             id_col,
             "canonical_url",

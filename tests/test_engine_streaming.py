@@ -555,6 +555,47 @@ def test_cli_curate_urls_stage(spark, tmp_path):
     assert got[4] == (False, False, True, True)
 
 
+def test_cli_curate_urls_stage_with_psl(spark, tmp_path):
+    """--psl swaps the 6-entry stub for a real public-suffix list: with
+    github.io a public suffix, one user site blocks without blocking the
+    whole platform."""
+    from etl_edi_data_scrapper_spark.__main__ import main
+    from etl_edi_data_scrapper_spark.engine import Engine
+
+    docs = [
+        (0, "alpha text", "https://alice.github.io/repo"),
+        (1, "beta text", "https://bob.github.io/repo"),
+        (2, "gamma text", "https://example.com/x"),
+    ]
+    docs_dir = str(tmp_path / "docs")
+    spark.createDataFrame(
+        docs, "doc_id long, text string, url string"
+    ).write.parquet(docs_dir)
+    (tmp_path / "psl.dat").write_text("// psl\ncom\nio\ngithub.io\n")
+    (tmp_path / "domains.txt").write_text("alice.github.io\n")
+    out_dir = str(tmp_path / "verdicts")
+    rc = main(
+        [
+            "curate",
+            "--docs", docs_dir,
+            "--output", out_dir,
+            "--stages", "urls",
+            "--url-col", "url",
+            "--domain-blocklist", str(tmp_path / "domains.txt"),
+            "--psl", str(tmp_path / "psl.dat"),
+        ],
+        engine=Engine(spark=spark),
+    )
+    assert rc == 0
+    got = {
+        r.doc_id: (r.domain_blocked, r.urls_keep)
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    assert got[0] == (True, False)   # alice's site blocked
+    assert got[1] == (False, True)   # bob's site is a DIFFERENT domain
+    assert got[2] == (False, True)
+
+
 def test_curate_urls_stage_requires_url_col(spark, sf_dir):
     import pytest
 

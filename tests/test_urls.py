@@ -249,3 +249,126 @@ def test_canonicalize_duckdb_replica_parity(spark):
     }
     for i, u in enumerate(urls):
         assert got[i] == want[i], (u, got[i], want[i])
+
+
+def _psl_file(tmp_path, body: str):
+    p = tmp_path / "psl.dat"
+    p.write_text(body)
+    return str(p)
+
+
+def test_psl_registered_domain_known_cases(spark, tmp_path):
+    """The published PSL algorithm on the cases the stub gets wrong:
+    github.io is a public suffix (every user site is its own registered
+    domain), co.uk promotes to three labels, a bare TLD falls through to
+    the default rule, wildcards match one extra label, and exceptions
+    override wildcards."""
+    from etl_edi_data_scrapper_spark.functions.urls import add_registered_domain
+
+    psl = _psl_file(
+        tmp_path,
+        "// ===BEGIN ICANN DOMAINS===\n"
+        "com\n"
+        "uk\n"
+        "co.uk\n"
+        "*.ck\n"
+        "!www.ck\n"
+        "// ===BEGIN PRIVATE DOMAINS===\n"
+        "github.io\n",
+    )
+    rows = [
+        (0, "https://alice.github.io/repo"),       # -> alice.github.io
+        (1, "https://deep.alice.github.io/x"),     # -> alice.github.io
+        (2, "https://shop.example.co.uk/a"),       # -> example.co.uk
+        (3, "https://www.example.com/b"),          # -> example.com
+        (4, "https://a.foo.ck/c"),                 # *.ck -> a.foo.ck
+        (5, "https://sub.www.ck/d"),               # !www.ck -> www.ck
+        (6, "https://nosuchtld.zz/e"),             # default rule -> last 2
+        (7, "https://com/f"),                      # host IS a suffix -> host
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    got = {r.doc_id: r.url_domain
+           for r in add_registered_domain(df, psl=psl).collect()}
+    assert got == {
+        0: "alice.github.io",
+        1: "alice.github.io",
+        2: "example.co.uk",
+        3: "example.com",
+        4: "a.foo.ck",
+        5: "www.ck",
+        6: "nosuchtld.zz",
+        7: "com",
+    }
+
+
+def test_psl_parity_with_stub_on_its_own_entries(spark, tmp_path):
+    """A PSL file holding exactly the stub's 6 multi-label entries must
+    reproduce the stub's output on every host shape."""
+    from etl_edi_data_scrapper_spark.functions.urls import (
+        MULTI_LABEL_TLDS,
+        add_registered_domain,
+    )
+
+    psl = _psl_file(tmp_path, "\n".join(MULTI_LABEL_TLDS) + "\n")
+    rows = [
+        (i, u)
+        for i, u in enumerate(
+            [
+                "https://a.b.example.co.uk/x",
+                "https://example.co.uk/x",
+                "https://co.uk/x",
+                "https://shop.example.com.au/x",
+                "https://deep.sub.example.com/x",
+                "https://example.com/x",
+                "https://localhost/x",
+            ]
+        )
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    stub = {r.doc_id: r.url_domain
+            for r in add_registered_domain(df).collect()}
+    real = {r.doc_id: r.url_domain
+            for r in add_registered_domain(df, psl=psl).collect()}
+    assert real == stub
+
+
+def test_psl_blocklist_and_zero_python(spark, tmp_path):
+    from etl_edi_data_scrapper_spark.functions.urls import flag_blocked_domains
+
+    psl = _psl_file(tmp_path, "com\ngithub.io\n")
+    df = spark.createDataFrame(
+        [
+            (0, "https://alice.github.io/repo"),
+            (1, "https://bob.github.io/repo"),
+            (2, "https://example.com/x"),
+        ],
+        "doc_id long, url string",
+    )
+    out = flag_blocked_domains(df, domains=("alice.github.io",), psl=psl)
+    got = {r.doc_id: r.domain_blocked for r in out.collect()}
+    assert got == {0: True, 1: False, 2: False}
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    # all PSL joins broadcast: no shuffle exchange on the doc side
+    assert "ShuffleExchange" not in plan.replace("BroadcastExchange", "")
+
+
+def test_canonicalize_tracking_params_configurable(spark):
+    from pyspark.sql import functions as F
+
+    from etl_edi_data_scrapper_spark.functions.urls import (
+        TRACKING_PARAMS,
+        canonicalize_url,
+    )
+
+    assert "ref" not in TRACKING_PARAMS  # content-bearing on real sites
+    df = spark.createDataFrame(
+        [(0, "https://x.com/a?ref=item42&utm_source=s")], "doc_id long, url string"
+    )
+    keep_ref = df.select(canonicalize_url(F.col("url")).alias("c")).collect()[0].c
+    assert keep_ref == "https://x.com/a?ref=item42"
+    drop_ref = df.select(
+        canonicalize_url(F.col("url"), TRACKING_PARAMS + ("ref",)).alias("c")
+    ).collect()[0].c
+    assert drop_ref == "https://x.com/a"
