@@ -163,12 +163,26 @@ def bpe_token_count_exact(
 
     def count_batches(batches):
         r = b_ranks.value
+        # per-task segment memo — the same optimization the public GPT-2
+        # encoder ships (its bpe() cache): segment frequency is Zipf-
+        # heavy, so most segments repeat and the merge loop runs once per
+        # DISTINCT word, not once per occurrence. Bounded so a high-
+        # cardinality corpus (random ids, base64 blobs) cannot grow
+        # executor memory without limit.
+        cache: dict[str, int] = {}
+
+        def seg_count(seg: str) -> int:
+            n = cache.get(seg)
+            if n is None:
+                n = len(bpe_segment_tokens(seg, r, byte_enc))
+                if len(cache) >= 1 << 20:
+                    cache.clear()
+                cache[seg] = n
+            return n
+
         for pdf in batches:
             pdf[out_col] = [
-                sum(
-                    len(bpe_segment_tokens(seg, r, byte_enc))
-                    for seg in pat.findall(t or "")
-                )
+                sum(seg_count(seg) for seg in pat.findall(t or ""))
                 for t in pdf[text_col]
             ]
             yield pdf[fields + [out_col]]

@@ -2606,10 +2606,26 @@ def _pack_sequences_oracle(
     budget: int = 2048, shards: int = 32, shuffle_shards: int = 64, seed: int = 0
 ) -> str:
     key = f"md5('{seed}' || ':' || CAST(doc_id AS VARCHAR))"
+    # Closed-form replica of the EXACT-BPE leg (functions/bpe.py) under
+    # the 3-rule gate vocabulary PACK_GATE_BPE_RANKS: every merge drops
+    # the token count by one from the utf-8 byte count, and on a
+    # [a-z ]-only corpus (tests/test_bpe.py pins both the corpus
+    # alphabet and closed-form-vs-merge-loop equality on the real
+    # testdata) the merge counts are literal occurrence counts: 'er'
+    # pairs are disjoint (e != r), ' t' pairs are segment-leading and
+    # disjoint, and every (er, s) cascade corresponds 1:1 to a literal
+    # 'ers' triple.
+    bpe_n = (
+        "CAST(octet_length(encode(text))"
+        " - len(regexp_extract_all(text, 'er'))"
+        " - len(regexp_extract_all(text, ' t'))"
+        " - len(regexp_extract_all(text, 'ers')) AS BIGINT)"
+    )
     return f"""
     WITH tok AS (
       SELECT doc_id,
              CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             {bpe_n} AS bpe_n_tokens,
              CAST(doc_id % {shards} AS BIGINT) AS pack_shard
       FROM documents),
     c AS (
@@ -2618,7 +2634,9 @@ def _pack_sequences_oracle(
       -- renders as float64 and hash-mismatches Spark's long.
       SELECT *,
              CAST(sum(n_tokens) OVER (PARTITION BY pack_shard ORDER BY doc_id)
-                  - n_tokens AS BIGINT) AS shard_offset
+                  - n_tokens AS BIGINT) AS shard_offset,
+             CAST(sum(bpe_n_tokens) OVER (PARTITION BY pack_shard ORDER BY doc_id)
+                  - bpe_n_tokens AS BIGINT) AS bpe_shard_offset
       FROM tok),
     k AS (
       SELECT doc_id,
@@ -2634,7 +2652,8 @@ def _pack_sequences_oracle(
     pb AS (
       SELECT *,
              CAST(shard_offset // {budget} AS BIGINT) AS pack_bin,
-             CAST(shard_offset % {budget} AS BIGINT) AS offset_in_bin
+             CAST(shard_offset % {budget} AS BIGINT) AS offset_in_bin,
+             CAST(bpe_shard_offset // {budget} AS BIGINT) AS bpe_pack_bin
       FROM c),
     bins AS (
       SELECT pack_shard, pack_bin,
@@ -2649,11 +2668,20 @@ def _pack_sequences_oracle(
              (pack_bin > 0 AND min(offset_in_bin) > 0) AS bin_carry_in
       FROM pb GROUP BY pack_shard, pack_bin)
     SELECT p.doc_id, p.n_tokens, p.pack_shard, p.shard_offset, p.pack_bin,
+           p.bpe_n_tokens, p.bpe_pack_bin,
            s.shuffle_key, s.shard, s.shard_pos,
            b.bin_docs, b.bin_n_docs, b.bin_start_tokens, b.bin_carry_in
     FROM pb p JOIN s USING (doc_id)
          JOIN bins b ON p.pack_shard = b.pack_shard AND p.pack_bin = b.pack_bin
     """
+
+
+# The gate's exact-BPE fixture vocabulary (see _pack_sequences_oracle's
+# closed form): a real rank table with a cascaded merge ((e,r) before
+# (er,s)) and a byte-remapped leading-space merge (Ġ = the GPT-2 space
+# codepoint) — small enough that DuckDB can count the merges, real
+# enough that the full merge loop, rank ordering, and Ġ-remap all run.
+PACK_GATE_BPE_RANKS = {("e", "r"): 0, ("Ġ", "t"): 1, ("er", "s"): 2}
 
 
 @register("pack_sequences", oracle=_pack_sequences_oracle())
@@ -2680,7 +2708,15 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     holds. Bin docs ride as ONE '|'-joined offset:id:tokens string per
     bin (the gate's pandas canonicalization cannot sort array cells —
     containers always serialize for the driver); the operator itself
-    returns typed structs."""
+    returns typed structs.
+
+    r10 absorbs the exact-BPE packing leg: a second
+    `pack_by_token_budget(tokenizer=PACK_GATE_BPE_RANKS)` pass runs the
+    REAL Arrow-batched merge loop (functions/bpe.py) and contributes
+    `bpe_n_tokens` + the BPE-denominated `bpe_pack_bin`, hash-checked
+    against the oracle's closed-form merge count — the optional
+    trainer-visible-token path through the same gate discipline as the
+    default whitespace path."""
     from etl_edi_data_scrapper_spark.functions.packing import (
         materialize_packed_bins,
         pack_by_token_budget,
@@ -2689,6 +2725,11 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     pack = pack_by_token_budget(docs)
+    bpe_pack = pack_by_token_budget(docs, tokenizer=PACK_GATE_BPE_RANKS).select(
+        "doc_id",
+        F.col("n_tokens").alias("bpe_n_tokens"),
+        F.col("pack_bin").alias("bpe_pack_bin"),
+    )
     shuf = shuffle_to_shards(docs, shards=64, seed=0)
     # array_join, not a raw array: the driver canonicalizes output by a
     # pandas sort over all columns, and list cells are unhashable — every
@@ -2721,8 +2762,10 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         pack.join(shuf, "doc_id")
         .join(bins, ["pack_shard", "pack_bin"])
+        .join(bpe_pack, "doc_id")
         .select(
             "doc_id", "n_tokens", "pack_shard", "shard_offset", "pack_bin",
+            "bpe_n_tokens", "bpe_pack_bin",
             "shuffle_key", "shard", "shard_pos",
             "bin_docs", "bin_n_docs", "bin_start_tokens", "bin_carry_in",
         )

@@ -222,3 +222,52 @@ def test_pretokenizer_keeps_last_space_glued_to_word():
     assert re.findall(_PRETOKEN_RE, "a   b") == ["a", "  ", " b"]
     assert re.findall(_PRETOKEN_RE, "a b") == ["a", " b"]
     assert re.findall(_PRETOKEN_RE, "a  ") == ["a", "  "]
+
+
+def test_gate_vocab_closed_form_matches_merge_loop(spark):
+    """The pack_sequences oracle counts PACK_GATE_BPE_RANKS merges in
+    closed form (bytes - n('er') - n(' t') - n('ers')); that identity
+    holds only on a [a-z ]-only corpus with disjoint occurrence sets —
+    pin BOTH facts against the real testdata and the real merge loop."""
+    import re
+
+    from etl_edi_data_scrapper_spark.functions.bpe import bpe_count_text
+    from etl_edi_data_scrapper_spark.suite import PACK_GATE_BPE_RANKS
+
+    rows = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "text"
+    ).collect()
+    assert rows
+    for r in rows:
+        t = r.text
+        assert not re.search(r"[^a-z ]", t), "corpus alphabet changed"
+        closed = (
+            len(t.encode("utf-8"))
+            - len(re.findall("er", t))
+            - len(re.findall(" t", t))
+            - len(re.findall("ers", t))
+        )
+        assert bpe_count_text(t, PACK_GATE_BPE_RANKS) == closed
+
+
+def test_gate_vocab_closed_form_randomized():
+    """Same identity under random [a-z ] strings — including adversarial
+    'erer'/'ers'/'eers' overlaps the corpus may not contain."""
+    import random
+    import re
+
+    from etl_edi_data_scrapper_spark.functions.bpe import bpe_count_text
+    from etl_edi_data_scrapper_spark.suite import PACK_GATE_BPE_RANKS
+
+    rng = random.Random(10)
+    pieces = ["er", "ers", "erer", "eers", " t", " ter", "ters", "e", "r",
+              "s", "t", " ", "table", "stream"]
+    for _ in range(300):
+        t = "".join(rng.choice(pieces) for _ in range(rng.randint(0, 20)))
+        closed = (
+            len(t.encode("utf-8"))
+            - len(re.findall("er", t))
+            - len(re.findall(" t", t))
+            - len(re.findall("ers", t))
+        )
+        assert bpe_count_text(t, PACK_GATE_BPE_RANKS) == closed, repr(t)
