@@ -1,0 +1,162 @@
+"""Incremental URL dedup: screen each incoming micro-batch (a new crawl
+slice) against every canonical URL EVER accepted, so re-crawls and
+mirror fetches never re-admit a document the store already holds. The
+streaming face of `functions/urls.url_dedup_verdicts` — and the stage a
+real web-ingest pipeline runs FIRST, before any text op touches the
+batch (C4/CCNet/RefinedWeb all gate on URL before content).
+
+Same store-join shape as `neardup_stream.py` but strictly cheaper:
+exact keys (one broadcast-or-shuffle equi-join on a short string), no
+candidate verification step, and the accumulated state is one row per
+DISTINCT canonical URL ever accepted — the minimum any exact URL dedup
+must remember (each row also names the first-accepting doc and epoch,
+so verdicts can say WHO, like the near-dup store and unlike the bloom
+screen).
+
+Composition per micro-batch (pure batch operators, testable sans
+stream):
+
+  batch docs → `url_dedup_verdicts` (canonicalize + WITHIN-batch
+  first-id-wins) → left join against store keys from epochs strictly
+  before this one → verdict frame (`is_url_dup` = within-batch dup OR
+  store hit; `dup_of` names the original);
+  then the batch's first-per-key rows are inserted: keys NOT already
+  present are appended with this epoch id.
+
+Replay safety (foreachBatch is at-least-once): verdicts for epoch e
+join store rows from epochs **strictly before e**, so a replayed batch
+never matches its own insertions; the insert anti-joins against ALL
+existing keys, so replay appends nothing new. Rows that are not URLs
+at all (NULL / placeholder values — `url_dedup_verdicts`' head guard)
+are never flagged and never inserted: a missing key is not a shared
+key, in the store exactly as in the batch.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.errors import AnalysisException
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_edi_data_scrapper_spark.functions.urls import url_dedup_verdicts
+
+
+def _read_store(spark: SparkSession, store_dir: str) -> DataFrame | None:
+    """The accumulated (canonical_url, first_doc_id, epoch) table, or
+    None when no store exists yet. Only PATH_NOT_FOUND / empty-dir mean
+    'no store'; anything else (corruption, permissions) raises instead
+    of silently forgetting ingestion history."""
+    try:
+        store = spark.read.parquet(store_dir)
+        store.schema  # force analysis inside the try
+        return store
+    except AnalysisException as e:
+        if "PATH_NOT_FOUND" not in str(e) and "UNABLE_TO_INFER_SCHEMA" not in str(e):
+            raise
+        return None
+
+
+def screen_batch_against_url_store(
+    spark: SparkSession,
+    batch: DataFrame,
+    store_dir: str,
+    epoch_id: int,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """One increment: returns (id_col, canonical_url, is_url_dup,
+    dup_of) for the batch — ``dup_of`` is the store's first-accepting
+    doc id for store hits, the batch's lowest id for within-batch dups,
+    NULL for accepted rows — and inserts the batch's newly-accepted
+    canonical keys stamped with ``epoch_id``. The verdict frame is
+    eagerly checkpointed before the store append, so the caller may
+    evaluate it any number of times."""
+    local = url_dedup_verdicts(batch, url_col=url_col, id_col=id_col).select(
+        F.col(id_col), "canonical_url", F.col("is_url_dup").alias("__batch_dup")
+    )
+    local = local.localCheckpoint(eager=True)  # verdict + insert share it
+
+    store = _read_store(spark, store_dir)
+    prior = (
+        store.filter(F.col("epoch") < int(epoch_id))
+        .groupBy("canonical_url")
+        .agg(F.min("first_doc_id").alias("__store_first"))
+        if store is not None
+        else spark.createDataFrame([], "canonical_url string, __store_first long")
+    )
+
+    # per-key batch minimum via groupBy+join, NOT a window: a window
+    # would drag every NULL-canonical row (all the no-URL docs) into one
+    # partition — the exact skew the NULL guard exists to avoid
+    batch_first = (
+        local.filter(F.col("canonical_url").isNotNull())
+        .groupBy("canonical_url")
+        .agg(F.min(id_col).alias("__batch_first"))
+    )
+    joined = local.join(prior, "canonical_url", "left").join(
+        batch_first, "canonical_url", "left"
+    )
+    verdict = (
+        joined.select(
+            F.col(id_col),
+            "canonical_url",
+            (
+                F.col("canonical_url").isNotNull()
+                & (F.col("__batch_dup") | F.col("__store_first").isNotNull())
+            ).alias("is_url_dup"),
+            F.when(
+                F.col("canonical_url").isNotNull() & F.col("__store_first").isNotNull(),
+                F.col("__store_first"),
+            )
+            .when(
+                F.col("canonical_url").isNotNull() & F.col("__batch_dup"),
+                F.col("__batch_first"),
+            )
+            .alias("dup_of"),
+        )
+        .localCheckpoint(eager=True)  # materialize BEFORE the store grows
+    )
+
+    accepted = (
+        verdict.filter(~F.col("is_url_dup") & F.col("canonical_url").isNotNull())
+        .groupBy("canonical_url")
+        .agg(F.min(id_col).alias("first_doc_id"))
+    )
+    existing = (
+        store.select("canonical_url").distinct()
+        if store is not None
+        else spark.createDataFrame([], "canonical_url string")
+    )
+    new_keys = accepted.join(existing, "canonical_url", "left_anti").withColumn(
+        "epoch", F.lit(int(epoch_id)).cast("long")
+    )
+    new_keys.write.mode("append").parquet(store_dir)
+    return verdict
+
+
+def run_incremental_url_dedup(
+    spark: SparkSession,
+    doc_stream: DataFrame,
+    store_dir: str,
+    checkpoint_dir: str,
+    on_batch: Callable[[DataFrame, int], None],
+    url_col: str = "url",
+    id_col: str = "doc_id",
+):
+    """Streaming entry point: each micro-batch is screened against the
+    accumulated canonical-URL store and handed to
+    ``on_batch(verdict_df, epoch_id)``. Returns the StreamingQuery."""
+
+    def handle(batch_df: DataFrame, epoch_id: int) -> None:
+        verdict = screen_batch_against_url_store(
+            spark, batch_df, store_dir, epoch_id, url_col=url_col, id_col=id_col
+        )
+        on_batch(verdict, epoch_id)
+
+    return (
+        doc_stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
