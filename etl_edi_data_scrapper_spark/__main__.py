@@ -150,6 +150,13 @@ def main(argv: list[str] | None = None, engine=None) -> int:
         "6-entry stub in functions/urls.py",
     )
     pu.add_argument(
+        "--url-gate",
+        action="store_true",
+        help="run the urls stage FIRST and feed only its survivors to "
+        "the text stages (the order real web pipelines use; gated-out "
+        "docs get NULL text-stage columns and curate_keep=false)",
+    )
+    pu.add_argument(
         "--spans-min-len",
         type=int,
         default=8,
@@ -382,6 +389,7 @@ def main(argv: list[str] | None = None, engine=None) -> int:
             url_col=args.url_col,
             url_blocklist=url_blocklist,
             psl=args.psl,
+            url_gate=args.url_gate,
             clf_reference=clf_ref,
             badwords=badwords,
             benchmark=bench,

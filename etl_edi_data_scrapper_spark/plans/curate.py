@@ -107,6 +107,7 @@ def curate_corpus(
     url_col: str | None = None,
     url_blocklist: tuple[str, ...] = (),
     psl: str | dict[str, tuple[str, ...]] | None = None,
+    url_gate: bool = False,
     benchmark: DataFrame | None = None,
     benchmark_text_col: str | None = None,
     decon_width: int = 8,
@@ -136,111 +137,20 @@ def curate_corpus(
             "curate_corpus: the urls stage needs url_col= "
             "(--url-col on the CLI)"
         )
+    if url_gate and "urls" not in stages:
+        raise ValueError(
+            "curate_corpus: url_gate=True needs the urls stage selected"
+        )
     out = docs.select(F.col(id_col))
     keeps: list[F.Column] = []
 
-    if "quality" in stages:
-        from etl_edi_data_scrapper_spark.functions.text import lang_id, quality_score
-
-        q = docs.select(
-            F.col(id_col),
-            lang_id(F.col(text_col)).alias("lang_pred"),
-            quality_score(F.col(text_col)).alias("quality"),
-        ).withColumn(
-            "quality_keep",
-            F.col("lang_pred").isin(*langs) & (F.col("quality") >= quality_min),
-        )
-        out = out.join(q, id_col)
-        keeps.append(F.col("quality_keep"))
-
-    if "gopher" in stages:
-        from etl_edi_data_scrapper_spark.functions.gopher import (
-            add_gopher_features,
-            add_gopher_line_features,
-        )
-
-        g = add_gopher_line_features(
-            add_gopher_features(docs.select(id_col, text_col), text_col=text_col),
-            text_col=text_col,
-        ).select(id_col, "gopher_keep", "gopher_line_keep")
-        out = out.join(g, id_col)
-        keeps += [F.col("gopher_keep"), F.col("gopher_line_keep")]
-
-    if "c4" in stages:
-        from etl_edi_data_scrapper_spark.functions.c4 import (
-            C4_BADWORDS_PLACEHOLDER,
-            add_c4_badwords,
-            add_c4_features,
-        )
-
-        c = add_c4_badwords(
-            add_c4_features(docs.select(id_col, text_col), text_col=text_col),
-            text_col=text_col,
-            words=badwords or C4_BADWORDS_PLACEHOLDER,
-        ).select(
-            id_col, "c4_n_kept", "c4_keep", "c4_badword_hits", "c4_badwords_keep"
-        )
-        out = out.join(c, id_col)
-        keeps += [F.col("c4_keep"), F.col("c4_badwords_keep")]
-
-    if "xent" in stages:
-        from etl_edi_data_scrapper_spark.functions.text import unigram_cross_entropy
-
-        x = unigram_cross_entropy(
-            docs, id_col=id_col, text_col=text_col,
-            lo_milli=xent_band[0], hi_milli=xent_band[1],
-        ).select(id_col, "xent_milli", F.col("keep").alias("xent_keep"))
-        out = out.join(x, id_col)
-        keeps.append(F.col("xent_keep"))
-
-    if "bxent" in stages:
-        from etl_edi_data_scrapper_spark.functions.text import bigram_cross_entropy
-
-        b = bigram_cross_entropy(
-            docs, id_col=id_col, text_col=text_col,
-            lo_milli=bxent_band[0], hi_milli=bxent_band[1],
-        ).select(id_col, "bxent_milli", F.col("keep").alias("bxent_keep"))
-        out = out.join(b, id_col)
-        keeps.append(F.col("bxent_keep"))
-
-    if "exact" in stages:
-        from etl_edi_data_scrapper_spark.functions.text import fingerprint
-
-        fp = docs.select(F.col(id_col), fingerprint(F.col(text_col)).alias("__fp"))
-        dup = fp.withColumn(
-            "is_exact_dup",
-            F.col(id_col) > F.min(id_col).over(W.partitionBy("__fp")),
-        ).select(id_col, "is_exact_dup")
-        out = out.join(dup, id_col)
-        keeps.append(~F.col("is_exact_dup"))
-
-    if "minhash" in stages:
-        from etl_edi_data_scrapper_spark.functions.dedup import (
-            jaccard_pairs,
-            minhash_candidate_pairs,
-        )
-
-        pairs = minhash_candidate_pairs(
-            docs, id_col=id_col, text_col=text_col, max_bucket=max_bucket
-        )
-        verified = jaccard_pairs(
-            docs, pairs, id_col=id_col, text_col=text_col,
-            threshold=minhash_threshold,
-        )
-        # pair convention is a < b: b always has a lower-id near-dup
-        dup_ids = verified.select(F.col("b").alias(id_col)).distinct()
-        out = out.join(
-            dup_ids.withColumn("is_near_dup", F.lit(True)), id_col, "left"
-        ).withColumn("is_near_dup", F.coalesce("is_near_dup", F.lit(False)))
-        keeps.append(~F.col("is_near_dup"))
-
-    if "urls" in stages:
+    def _urls_frame() -> DataFrame:
         from etl_edi_data_scrapper_spark.functions.urls import (
             flag_blocked_domains,
             url_dedup_verdicts,
         )
 
-        u = flag_blocked_domains(
+        return flag_blocked_domains(
             url_dedup_verdicts(
                 docs.select(F.col(id_col), F.col(url_col)),
                 url_col=url_col,
@@ -256,7 +166,123 @@ def curate_corpus(
             "domain_blocked",
             (~F.col("is_url_dup") & ~F.col("domain_blocked")).alias("urls_keep"),
         )
+
+    # url_gate: run URL curation FIRST — the cheapest gate, and the order
+    # every real web pipeline uses (C4/CCNet/RefinedWeb gate on URL before
+    # any text op) — and feed only the SURVIVORS to the text stages. Docs
+    # gated out carry NULL text-stage columns (never computed) and a False
+    # curate_keep; text-stage semantics (dedup groups, LM fits, the
+    # classifier's reference pool) see the URL-deduped corpus, exactly as
+    # a staged deploy would.
+    stage_docs = docs
+    stage_join = "inner"
+    if url_gate:
+        u = _urls_frame()
         out = out.join(u, id_col)
+        keeps.append(F.col("urls_keep"))
+        stage_docs = docs.join(
+            u.filter(F.col("urls_keep")).select(id_col), id_col
+        )
+        stage_join = "left"
+
+    if "quality" in stages:
+        from etl_edi_data_scrapper_spark.functions.text import lang_id, quality_score
+
+        q = stage_docs.select(
+            F.col(id_col),
+            lang_id(F.col(text_col)).alias("lang_pred"),
+            quality_score(F.col(text_col)).alias("quality"),
+        ).withColumn(
+            "quality_keep",
+            F.col("lang_pred").isin(*langs) & (F.col("quality") >= quality_min),
+        )
+        out = out.join(q, id_col, stage_join)
+        keeps.append(F.col("quality_keep"))
+
+    if "gopher" in stages:
+        from etl_edi_data_scrapper_spark.functions.gopher import (
+            add_gopher_features,
+            add_gopher_line_features,
+        )
+
+        g = add_gopher_line_features(
+            add_gopher_features(stage_docs.select(id_col, text_col), text_col=text_col),
+            text_col=text_col,
+        ).select(id_col, "gopher_keep", "gopher_line_keep")
+        out = out.join(g, id_col, stage_join)
+        keeps += [F.col("gopher_keep"), F.col("gopher_line_keep")]
+
+    if "c4" in stages:
+        from etl_edi_data_scrapper_spark.functions.c4 import (
+            C4_BADWORDS_PLACEHOLDER,
+            add_c4_badwords,
+            add_c4_features,
+        )
+
+        c = add_c4_badwords(
+            add_c4_features(stage_docs.select(id_col, text_col), text_col=text_col),
+            text_col=text_col,
+            words=badwords or C4_BADWORDS_PLACEHOLDER,
+        ).select(
+            id_col, "c4_n_kept", "c4_keep", "c4_badword_hits", "c4_badwords_keep"
+        )
+        out = out.join(c, id_col, stage_join)
+        keeps += [F.col("c4_keep"), F.col("c4_badwords_keep")]
+
+    if "xent" in stages:
+        from etl_edi_data_scrapper_spark.functions.text import unigram_cross_entropy
+
+        x = unigram_cross_entropy(
+            stage_docs, id_col=id_col, text_col=text_col,
+            lo_milli=xent_band[0], hi_milli=xent_band[1],
+        ).select(id_col, "xent_milli", F.col("keep").alias("xent_keep"))
+        out = out.join(x, id_col, stage_join)
+        keeps.append(F.col("xent_keep"))
+
+    if "bxent" in stages:
+        from etl_edi_data_scrapper_spark.functions.text import bigram_cross_entropy
+
+        b = bigram_cross_entropy(
+            stage_docs, id_col=id_col, text_col=text_col,
+            lo_milli=bxent_band[0], hi_milli=bxent_band[1],
+        ).select(id_col, "bxent_milli", F.col("keep").alias("bxent_keep"))
+        out = out.join(b, id_col, stage_join)
+        keeps.append(F.col("bxent_keep"))
+
+    if "exact" in stages:
+        from etl_edi_data_scrapper_spark.functions.text import fingerprint
+
+        fp = stage_docs.select(F.col(id_col), fingerprint(F.col(text_col)).alias("__fp"))
+        dup = fp.withColumn(
+            "is_exact_dup",
+            F.col(id_col) > F.min(id_col).over(W.partitionBy("__fp")),
+        ).select(id_col, "is_exact_dup")
+        out = out.join(dup, id_col, stage_join)
+        keeps.append(~F.col("is_exact_dup"))
+
+    if "minhash" in stages:
+        from etl_edi_data_scrapper_spark.functions.dedup import (
+            jaccard_pairs,
+            minhash_candidate_pairs,
+        )
+
+        pairs = minhash_candidate_pairs(
+            stage_docs, id_col=id_col, text_col=text_col, max_bucket=max_bucket
+        )
+        verified = jaccard_pairs(
+            stage_docs, pairs, id_col=id_col, text_col=text_col,
+            threshold=minhash_threshold,
+        )
+        # pair convention is a < b: b always has a lower-id near-dup
+        dup_ids = verified.select(F.col("b").alias(id_col)).distinct()
+        nd = stage_docs.select(F.col(id_col)).join(
+            dup_ids.withColumn("is_near_dup", F.lit(True)), id_col, "left"
+        ).withColumn("is_near_dup", F.coalesce("is_near_dup", F.lit(False)))
+        out = out.join(nd, id_col, stage_join)
+        keeps.append(~F.col("is_near_dup"))
+
+    if "urls" in stages and not url_gate:
+        out = out.join(_urls_frame(), id_col)
         keeps.append(F.col("urls_keep"))
 
     if "spans" in stages:
@@ -265,7 +291,7 @@ def curate_corpus(
         )
 
         sp = exact_substr_dedup(
-            docs.select(F.col(id_col), F.col(text_col)),
+            stage_docs.select(F.col(id_col), F.col(text_col)),
             id_col=id_col,
             text_col=text_col,
             min_len=spans_min_len,
@@ -277,7 +303,7 @@ def curate_corpus(
             # a doc reduced to nothing was pure boilerplate — drop it
             (F.col("n_tokens_cut") < F.col("n_tokens")).alias("spans_keep"),
         )
-        out = out.join(sp, id_col)
+        out = out.join(sp, id_col, stage_join)
         keeps.append(F.col("spans_keep"))
 
     if "bloom" in stages:
@@ -286,7 +312,7 @@ def curate_corpus(
         )
 
         scr = bloom_span_contamination(
-            docs,
+            stage_docs,
             benchmark.select(
                 F.col(benchmark_text_col or text_col).alias(text_col)
             ),
@@ -300,7 +326,7 @@ def curate_corpus(
         # the recompute (the probe side explodes every doc span twice
         # otherwise)
         scr = scr.localCheckpoint(eager=False)
-        out = out.join(scr, id_col)
+        out = out.join(scr, id_col, stage_join)
         # a screen, not a verdict: bloom_contaminated does NOT gate
         # curate_keep on its own — the exact tier decides
 
@@ -309,7 +335,7 @@ def curate_corpus(
             scrub_benchmark_spans,
         )
 
-        base = docs.select(F.col(id_col), F.col(text_col))
+        base = stage_docs.select(F.col(id_col), F.col(text_col))
         if "bloom" in stages:
             # two-tier: the exact scrub touches ONLY bloom-flagged docs
             # (no false negatives possible — the bloom has none); the
@@ -345,7 +371,7 @@ def curate_corpus(
         d = d.withColumn(
             "decon_keep", F.col("n_tokens_cut") < F.col("n_tokens")
         ).drop("n_tokens")
-        out = out.join(d, id_col)
+        out = out.join(d, id_col, stage_join)
         keeps.append(F.col("decon_keep"))
 
     if clf_reference is not None:
@@ -354,9 +380,9 @@ def curate_corpus(
         )
 
         clf = fit_reference_classifier(
-            docs, clf_reference, id_col=id_col, text_col=text_col
+            stage_docs, clf_reference, id_col=id_col, text_col=text_col
         )
-        out = out.join(clf, id_col)
+        out = out.join(clf, id_col, stage_join)
         keeps.append(F.col("clf_keep"))
 
     keep = F.lit(True)

@@ -2088,8 +2088,10 @@ def _contamination_oracle(bench_max_id: int = 5, threshold: int = 3) -> str:
     bench AS (
       SELECT DISTINCT unnest(shingles) AS s FROM shingled
       WHERE doc_id < {bench_max_id}),
+    -- no DISTINCT: the shingle lists are list_distinct per doc already,
+    -- so unnesting yields unique (doc_id, s) pairs by construction
     corp AS (
-      SELECT DISTINCT doc_id, unnest(shingles) AS s FROM shingled
+      SELECT doc_id, unnest(shingles) AS s FROM shingled
       WHERE doc_id >= {bench_max_id}),
     hits AS (
       SELECT corp.doc_id, count(*) AS n_shared
@@ -2153,10 +2155,13 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.explode("sh").alias("s"))
         .distinct()
     )
-    corp = (
-        shingled.filter(F.col("doc_id") >= bench_max_id)
-        .select("doc_id", F.explode("sh").alias("s"))
-        .distinct()
+    # no (doc_id, s) distinct: shingles() arrays are already per-doc
+    # DISTINCT, so exploding yields unique pairs by construction — the
+    # distinct was a full shuffle of every exploded shingle for nothing
+    # (r10; measured the dominant cost at 100x). The broadcast join
+    # filters map-side; only MATCHED hits reach the groupBy shuffle.
+    corp = shingled.filter(F.col("doc_id") >= bench_max_id).select(
+        "doc_id", F.explode("sh").alias("s")
     )
     hits = corp.join(F.broadcast(bench), "s").groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_shared")
@@ -2362,7 +2367,8 @@ def _curation_oracle(bench_max_id: int = 5, threshold: int = 3) -> str:
     bench AS (
       SELECT DISTINCT unnest({sh}) AS s FROM tok WHERE doc_id < {bench_max_id}),
     corp AS (
-      SELECT DISTINCT doc_id, unnest({sh}) AS s FROM tok
+      -- no DISTINCT: {{sh}} is list_distinct per doc already
+      SELECT doc_id, unnest({sh}) AS s FROM tok
       WHERE doc_id >= {bench_max_id}),
     hits AS (
       SELECT corp.doc_id, count(*) AS n_shared
@@ -2465,10 +2471,11 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.explode("sh").alias("s"))
         .distinct()
     )
+    # no (doc_id, s) distinct: shingles() arrays are per-doc DISTINCT
+    # already — the distinct was the query's dominant shuffle at 100x
     hits = (
         shingled.filter(F.col("doc_id") >= bench_max_id)
         .select("doc_id", F.explode("sh").alias("s"))
-        .distinct()
         .join(F.broadcast(bench), "s")
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_shared"))

@@ -634,3 +634,74 @@ def test_cli_curate_rejects_unknown_stage(spark, sf_dir, tmp_path):
             spark.read.parquet(f"{sf_dir}/documents.parquet"),
             stages=("quality", "nope"),
         )
+
+
+def test_curate_url_gate_short_circuits_text_stages(spark):
+    """url_gate=True runs URL curation FIRST and feeds only survivors to
+    the text stages: gated-out docs carry NULL text-stage columns (never
+    computed) and a False curate_keep; dedup groups among survivors are
+    unchanged."""
+    import pytest
+
+    from etl_edi_data_scrapper_spark.plans.curate import curate_corpus
+
+    text = "some reasonable english document text the a of and to in is it"
+    rows = [
+        (0, text + " zero", "https://example.com/a"),
+        (1, text + " one", "https://WWW.example.com/a/"),   # URL dup of 0
+        (2, text + " two", "https://example.com/b"),
+        (3, text + " two", "https://example.com/c"),         # exact dup of 2
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, url string")
+    got = {
+        r.doc_id: r
+        for r in curate_corpus(
+            spark,
+            docs,
+            stages=("quality", "exact", "urls"),
+            url_col="url",
+            url_gate=True,
+        ).collect()
+    }
+    # doc 1 gated out by URL dedup: text stages never ran on it
+    assert got[1].is_url_dup and not got[1].curate_keep
+    assert got[1].quality is None and got[1].lang_pred is None
+    assert got[1].is_exact_dup is None
+    # survivors: full verdicts; 3 is still the exact dup of 2
+    assert got[0].curate_keep
+    assert got[2].curate_keep and not got[2].is_exact_dup
+    assert got[3].is_exact_dup and not got[3].curate_keep
+    assert got[0].quality is not None
+
+    with pytest.raises(ValueError, match="url_gate"):
+        curate_corpus(spark, docs, stages=("quality",), url_gate=True)
+
+
+def test_cli_curate_url_gate_flag(spark, tmp_path):
+    from etl_edi_data_scrapper_spark.__main__ import main
+    from etl_edi_data_scrapper_spark.engine import Engine
+
+    docs = [
+        (0, "good english text the a of and to in is it", "https://x.com/a"),
+        (1, "good english text the a of and to in is it", "https://x.com/a/"),
+    ]
+    docs_dir = str(tmp_path / "docs")
+    spark.createDataFrame(
+        docs, "doc_id long, text string, url string"
+    ).write.parquet(docs_dir)
+    out_dir = str(tmp_path / "verdicts")
+    rc = main(
+        [
+            "curate",
+            "--docs", docs_dir,
+            "--output", out_dir,
+            "--stages", "quality,urls",
+            "--url-col", "url",
+            "--url-gate",
+        ],
+        engine=Engine(spark=spark),
+    )
+    assert rc == 0
+    got = {r.doc_id: r for r in spark.read.parquet(out_dir).collect()}
+    assert not got[1].curate_keep and got[1].quality is None
+    assert got[0].curate_keep
