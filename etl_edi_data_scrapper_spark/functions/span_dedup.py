@@ -766,3 +766,94 @@ def benchmark_scrub_ctes(
                              p -> p + 1 <= i AND i <= p + {width})) = 0), ' '), '')
                   END AS decon_text
       FROM {p}t s LEFT JOIN {p}hits d USING ({id_col}))"""
+
+
+def dedup_lines_across_corpus(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """CCNet-style CROSS-document line dedup (Wenzek et al. 2020 §3.1 —
+    the public CCNet recipe deduplicates paragraphs corpus-wide by hash
+    before anything else): every line occurring more than once in the
+    corpus is cut from all but its FIRST occurrence (corpus order:
+    lowest (doc, line-index) wins). The line-grain sibling of the span
+    family above — spans catch boilerplate at arbitrary token offsets,
+    this catches it at the natural line/paragraph boundary for a
+    fraction of the cost (one row per LINE, not per token window).
+
+    Returns (id_col, n_lines, n_lines_cut, clean_text).
+
+    Scale shape: posexplode lines → one row_number window partitioned by
+    the 16-byte line hash — the shuffle carries (hash, doc, idx) ONLY,
+    never line text; per-doc cut lists are integer arrays joined back
+    and the text rebuilds from the original array by index filter, so
+    text never shuffles at all. Empty lines are kept verbatim (they are
+    structure, not content — and md5('') would collide corpus-wide,
+    the same guard as the span family)."""
+    from pyspark.sql import Window as W
+
+    lines = df.select(
+        F.col(id_col), F.split(F.col(text_col), "\n").alias("__ls")
+    )
+    occ = (
+        lines.select(F.col(id_col), F.posexplode("__ls").alias("idx", "line"))
+        .filter(F.col("line") != "")
+        .select(id_col, "idx", F.md5("line").alias("h"))
+    )
+    w = W.partitionBy("h").orderBy(id_col, "idx")
+    cuts = (
+        occ.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") > 1)
+        .groupBy(id_col)
+        .agg(F.sort_array(F.collect_list("idx")).alias("__cut"))
+    )
+    kept = F.filter(
+        F.col("__ls"),
+        lambda x, i: ~F.array_contains(F.col("__cut"), i),
+    )
+    return (
+        lines.join(cuts, id_col, "left")
+        .withColumn(
+            "__cut", F.coalesce("__cut", F.expr("CAST(array() AS array<int>)"))
+        )
+        .select(
+            F.col(id_col),
+            F.size("__ls").cast("long").alias("n_lines"),
+            F.size("__cut").cast("long").alias("n_lines_cut"),
+            F.array_join(kept, "\n").alias("clean_text"),
+        )
+    )
+
+
+def line_dedup_oracle_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """DuckDB oracle for :func:`dedup_lines_across_corpus` — same
+    first-occurrence rule via one row_number window over the line hash
+    (DuckDB list indexes and lambda positions are 1-based; range(1,
+    len+1) keeps cut indexes aligned with list_filter's i)."""
+    return f"""
+    ldl AS (SELECT {id_col}, string_split({text_col}, chr(10)) AS ls
+            FROM {table}),
+    ldx AS (
+      SELECT {id_col}, idx, ls[idx] AS line
+      FROM (SELECT {id_col}, ls,
+                   unnest(range(1, len(ls) + 1)) AS idx FROM ldl)),
+    ldo AS (
+      SELECT {id_col}, idx,
+             row_number() OVER (PARTITION BY md5(line)
+                                ORDER BY {id_col}, idx) AS rn
+      FROM ldx WHERE line != ''),
+    ldc AS (SELECT {id_col}, list(idx) AS cut
+            FROM ldo WHERE rn > 1 GROUP BY {id_col}),
+    ldm AS (
+      SELECT l.{id_col},
+             CAST(len(l.ls) AS BIGINT) AS n_lines,
+             CAST(coalesce(len(c.cut), 0) AS BIGINT) AS n_lines_cut,
+             array_to_string(list_filter(l.ls,
+               (x, i) -> c.cut IS NULL OR NOT list_contains(c.cut, i)),
+               chr(10)) AS clean_text
+      FROM ldl l LEFT JOIN ldc c USING ({id_col}))"""

@@ -1809,6 +1809,7 @@ def _sql_c4_ctes(min_words: int = 3, min_sentences: int = 5) -> str:
 
 def _pii_oracle() -> str:
     from etl_edi_data_scrapper_spark.functions.span_dedup import (
+        line_dedup_oracle_sql,
         span_dedup_multi_oracle_sql,
     )
     from etl_edi_data_scrapper_spark.functions.text import PII_PATTERNS
@@ -1832,7 +1833,8 @@ def _pii_oracle() -> str:
         {counts}
       FROM feed),
     tok AS (SELECT *, string_split(clean_text, ' ') AS t FROM scrub),
-    {_sql_c4_ctes()}
+    {_sql_c4_ctes()},
+    {line_dedup_oracle_sql(table="c4t", text_col="c4_text")}
     SELECT doc_id, tok.clean_text, n_email, n_ipv4, n_phone,
            len(t)::BIGINT AS n_before,
            len(list_filter(t, (x, i) -> i = 1 OR x != t[i - 1]))::BIGINT AS n_after,
@@ -1841,8 +1843,11 @@ def _pii_oracle() -> str:
            sp.n_spans, sp.n_spans_dropped,
            sp.clean_text AS span_clean_text,
            c4m.c4_n_lines, c4m.c4_n_kept, c4m.c4_keep, c4m.c4_clean_fp,
-           c4m.c4_badword_hits, c4m.c4_badword_hits = 0 AS c4_badwords_keep
+           c4m.c4_badword_hits, c4m.c4_badword_hits = 0 AS c4_badwords_keep,
+           ldm.n_lines AS ld_n_lines, ldm.n_lines_cut AS ld_lines_cut,
+           md5(ldm.clean_text) AS ld_clean_fp
     FROM tok JOIN sp USING (doc_id) JOIN c4m USING (doc_id)
+         JOIN ldm USING (doc_id)
     """
 
 
@@ -1877,13 +1882,25 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-checked cols (`c4_n_lines`/`c4_n_kept`/`c4_keep`/
     `c4_clean_fp`), every rule's drop path residue-keyed so both
     engines exercise it. Zero-shuffle like the other cleaning legs.
+
+    r10 adds the CCNet cross-document LINE-dedup leg
+    (`span_dedup.dedup_lines_across_corpus`, Wenzek 2020 §3.1: every
+    line occurring more than once corpus-wide is cut from all but its
+    first occurrence) over the same newline synthesis — its injected
+    lorem-ipsum/policy lines repeat ACROSS docs, so the cut path does
+    real cross-doc work. One row_number window on the 16-byte line
+    hash; line text never shuffles (`ld_n_lines`/`ld_lines_cut`/
+    `ld_clean_fp`).
     [r3 consolidation: absorbs the former `repetition_collapse`
     query; r6: absorbs `span_dedup`.]"""
     from etl_edi_data_scrapper_spark.functions.c4 import (
         add_c4_badwords,
         add_c4_features,
     )
-    from etl_edi_data_scrapper_spark.functions.span_dedup import dedup_spans_multi
+    from etl_edi_data_scrapper_spark.functions.span_dedup import (
+        dedup_lines_across_corpus,
+        dedup_spans_multi,
+    )
     from etl_edi_data_scrapper_spark.functions.text import pii_counts, scrub_pii
 
     docs = _t(spark, sf_dir, "documents").repartition(
@@ -1906,15 +1923,24 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tok = scrub.withColumn("t", F.split("clean_text", " "))
     kept = F.expr("filter(t, (x, i) -> i = 0 OR x != t[i - 1])")
+    c4_feed = (
+        docs.select("doc_id", "text")
+        .withColumn("__t", F.split("text", " "))
+        .withColumn("__ln", F.expr(_C4_LINES_SPARK))
+        .withColumn("__ln2", F.expr(_C4_MARK_SPARK))
+        .select("doc_id", F.expr(_C4_TEXT_SPARK).alias("c4_text"))
+    )
+    # r10: the CCNet cross-document line-dedup leg, over the same
+    # newline synthesis (its injected lorem-ipsum/policy lines repeat
+    # ACROSS docs — real cross-doc cuts); fingerprint keeps output narrow
+    ld = dedup_lines_across_corpus(c4_feed, text_col="c4_text").select(
+        "doc_id",
+        F.col("n_lines").alias("ld_n_lines"),
+        F.col("n_lines_cut").alias("ld_lines_cut"),
+        F.md5("clean_text").alias("ld_clean_fp"),
+    )
     c4 = add_c4_badwords(
-        add_c4_features(
-            docs.select("doc_id", "text")
-            .withColumn("__t", F.split("text", " "))
-            .withColumn("__ln", F.expr(_C4_LINES_SPARK))
-            .withColumn("__ln2", F.expr(_C4_MARK_SPARK))
-            .select("doc_id", F.expr(_C4_TEXT_SPARK).alias("c4_text")),
-            text_col="c4_text",
-        ),
+        add_c4_features(c4_feed, text_col="c4_text"),
         text_col="c4_text",
     ).select(
         "doc_id",
@@ -1938,6 +1964,7 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .join(spanned, "doc_id")
         .join(c4, "doc_id")
+        .join(ld, "doc_id")
     )
 
 

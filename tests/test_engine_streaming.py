@@ -705,3 +705,27 @@ def test_cli_curate_url_gate_flag(spark, tmp_path):
     got = {r.doc_id: r for r in spark.read.parquet(out_dir).collect()}
     assert not got[1].curate_keep and got[1].quality is None
     assert got[0].curate_keep
+
+
+def test_cli_curate_linedup_stage(spark, tmp_path):
+    from etl_edi_data_scrapper_spark.__main__ import main
+    from etl_edi_data_scrapper_spark.engine import Engine
+
+    docs = [
+        (0, "unique zero\nshared banner"),
+        (1, "shared banner\nbody one"),     # banner cut, doc survives
+        (2, "shared banner"),               # everything cut -> dropped
+    ]
+    docs_dir = str(tmp_path / "docs")
+    spark.createDataFrame(docs, "doc_id long, text string").write.parquet(docs_dir)
+    out_dir = str(tmp_path / "verdicts")
+    rc = main(
+        ["curate", "--docs", docs_dir, "--output", out_dir,
+         "--stages", "linedup"],
+        engine=Engine(spark=spark),
+    )
+    assert rc == 0
+    got = {r.doc_id: r for r in spark.read.parquet(out_dir).collect()}
+    assert got[0].curate_keep and got[0].linedup_lines_cut == 0
+    assert got[1].curate_keep and got[1].linedup_clean_text == "body one"
+    assert not got[2].curate_keep and got[2].linedup_clean_text == ""

@@ -801,3 +801,120 @@ def test_exact_substr_duckdb_oracle_parity(spark):
         )
     )
     assert got == want
+
+
+# --- r10: CCNet-style cross-document line dedup ----------------------------
+
+
+def _line_dedup_model(rows):
+    """Independent pure-Python reference: first corpus occurrence of each
+    non-empty line (by (doc, idx) order) survives; empties always kept."""
+    seen = set()
+    out = {}
+    for doc_id, text in sorted(rows):
+        kept, n_cut = [], 0
+        for line in text.split("\n"):
+            if line == "":
+                kept.append(line)
+            elif line in seen:
+                n_cut += 1
+            else:
+                seen.add(line)
+                kept.append(line)
+        out[doc_id] = (len(text.split("\n")), n_cut, "\n".join(kept))
+    return out
+
+
+def test_line_dedup_across_corpus(spark):
+    from etl_edi_data_scrapper_spark.functions.span_dedup import (
+        dedup_lines_across_corpus,
+    )
+
+    rows = [
+        (0, "unique zero\nshared banner line\nbody a"),
+        (1, "shared banner line\nbody b\n\nbody b2"),   # banner cut; empty kept
+        (2, "body a\nshared banner line\nunique two"),  # both cut
+        (3, "only unique lines\nhere"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_lines, r.n_lines_cut, r.clean_text)
+        for r in dedup_lines_across_corpus(df).collect()
+    }
+    assert got == _line_dedup_model(rows)
+    # spot-check semantics directly
+    assert got[1] == (4, 1, "body b\n\nbody b2")
+    assert got[2] == (3, 2, "unique two")
+
+
+def test_line_dedup_randomized_model_parity(spark):
+    import random
+
+    from etl_edi_data_scrapper_spark.functions.span_dedup import (
+        dedup_lines_across_corpus,
+    )
+
+    rng = random.Random(17)
+    pool = [f"line {i}" for i in range(12)] + [""]
+    rows = [
+        (i, "\n".join(rng.choice(pool) for _ in range(rng.randint(1, 8))))
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_lines, r.n_lines_cut, r.clean_text)
+        for r in dedup_lines_across_corpus(df).collect()
+    }
+    assert got == _line_dedup_model(rows)
+
+
+def test_line_dedup_duckdb_oracle_parity(spark):
+    import duckdb
+
+    from etl_edi_data_scrapper_spark.functions.span_dedup import (
+        dedup_lines_across_corpus,
+        line_dedup_oracle_sql,
+    )
+
+    rows = [
+        (0, "alpha\nbeta\ngamma"),
+        (1, "beta\ndelta"),
+        (2, "gamma\ngamma\nepsilon"),  # intra-doc repeat also cut
+        (3, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_lines, r.n_lines_cut, r.clean_text)
+        for r in dedup_lines_across_corpus(df).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE docs AS SELECT * FROM (VALUES "
+        + ", ".join(f"({i}, '{t}')" for i, t in rows).replace("\n", "' || chr(10) || '")
+        + ") AS t(doc_id, text)"
+    )
+    want = {
+        r[0]: (r[1], r[2], r[3])
+        for r in con.sql(
+            "WITH "
+            + line_dedup_oracle_sql(table="docs")
+            + " SELECT doc_id, n_lines, n_lines_cut, clean_text FROM ldm"
+        ).fetchall()
+    }
+    assert got == want
+
+
+def test_line_dedup_shuffle_never_carries_text(spark):
+    from etl_edi_data_scrapper_spark.functions.span_dedup import (
+        dedup_lines_across_corpus,
+    )
+
+    df = spark.createDataFrame([(1, "a\nb")], "doc_id long, text string")
+    plan = (
+        dedup_lines_across_corpus(df)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
