@@ -784,15 +784,18 @@ def dedup_lines_across_corpus(
 
     Returns (id_col, n_lines, n_lines_cut, clean_text).
 
-    Scale shape: posexplode lines → one row_number window partitioned by
-    the 16-byte line hash — the shuffle carries (hash, doc, idx) ONLY,
-    never line text; per-doc cut lists are integer arrays joined back
-    and the text rebuilds from the original array by index filter, so
-    text never shuffles at all. Empty lines are kept verbatim (they are
+    Scale shape: posexplode lines → per-hash FIRST occurrence via
+    min(struct(doc, idx)) AGGREGATION (not a row_number window: a viral
+    boilerplate line — "follow us on ..." × 10⁹ at web scale — would
+    land one giant partition in a window's sort buffer, while the agg's
+    map-side partial combine reduces every hot key to one row per task;
+    the later-occurrence join streams the hot key and AQE's skew split
+    handles the rest) → per-doc integer cut lists joined back. The
+    shuffles carry (16-byte hash, doc, idx) ONLY, never line text; the
+    text rebuilds from the original array by index filter, so line text
+    never shuffles at all. Empty lines are kept verbatim (they are
     structure, not content — and md5('') would collide corpus-wide,
     the same guard as the span family)."""
-    from pyspark.sql import Window as W
-
     lines = df.select(
         F.col(id_col), F.split(F.col(text_col), "\n").alias("__ls")
     )
@@ -801,10 +804,17 @@ def dedup_lines_across_corpus(
         .filter(F.col("line") != "")
         .select(id_col, "idx", F.md5("line").alias("h"))
     )
-    w = W.partitionBy("h").orderBy(id_col, "idx")
+    first = occ.groupBy("h").agg(
+        F.min(F.struct(F.col(id_col).alias("d"), F.col("idx").alias("i"))).alias(
+            "__first"
+        )
+    )
     cuts = (
-        occ.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") > 1)
+        occ.join(first, "h")  # same partitioning as the agg: ReusedExchange
+        .filter(
+            (F.col(id_col) != F.col("__first.d"))
+            | (F.col("idx") != F.col("__first.i"))
+        )
         .groupBy(id_col)
         .agg(F.sort_array(F.collect_list("idx")).alias("__cut"))
     )

@@ -1888,7 +1888,7 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     line occurring more than once corpus-wide is cut from all but its
     first occurrence) over the same newline synthesis — its injected
     lorem-ipsum/policy lines repeat ACROSS docs, so the cut path does
-    real cross-doc work. One row_number window on the 16-byte line
+    real cross-doc work. One min-struct aggregation on the 16-byte line
     hash; line text never shuffles (`ld_n_lines`/`ld_lines_cut`/
     `ld_clean_fp`).
     [r3 consolidation: absorbs the former `repetition_collapse`
