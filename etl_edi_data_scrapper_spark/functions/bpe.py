@@ -188,3 +188,94 @@ def bpe_token_count_exact(
             yield pdf[fields + [out_col]]
 
     return df.mapInPandas(count_batches, schema=out_schema)
+
+
+def learn_bpe_merges(
+    df: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 100,
+    min_count: int = 2,
+    max_words: int = 1_000_000,
+) -> list[tuple[str, str]]:
+    """LEARN a BPE merge table from the corpus (Sennrich/Haddow/Birch
+    2016, "Neural Machine Translation of Rare Words with Subword Units"
+    — the public algorithm every GPT-2-style vocabulary is built with).
+    Completes the module's ladder: approximate count (`text.
+    bpe_token_count`) → exact count under a given table
+    (`bpe_token_count_exact`) → learn the table itself.
+
+    Spark-first shape — the same one the reference trainers use: BPE
+    learning never touches the corpus directly, it works on the WORD
+    HISTOGRAM. One distributed aggregation builds it (pre-tokenizer
+    segments via the JVM regex `text.BPE_SPLIT_PATTERN`, groupBy count —
+    map-side combine makes the hot words cheap), then the greedy
+    pair-merge loop runs driver-side over the bounded histogram —
+    the `kmeans` driver-resident-state pattern, with the same explicit
+    bound: ``min_count`` prunes the tail first and the call RAISES when
+    more than ``max_words`` distinct segments survive (at web scale the
+    long tail is typos/URLs — raise ``min_count``, don't raise the cap).
+
+    Ties break by (count desc, pair lexicographic) so the learned table
+    is deterministic across runs and partitionings. Returns merges in
+    rank order — `dict(enumerate-inverted)` form is exactly what
+    ``bpe_token_count_exact(merges=...)`` / ``pack_by_token_budget
+    (tokenizer=...)`` accept via ``{pair: rank}``."""
+    from pyspark.sql import functions as F
+
+    from etl_edi_data_scrapper_spark.functions.text import BPE_SPLIT_PATTERN
+
+    if n_merges <= 0:
+        raise ValueError(f"n_merges must be positive, got {n_merges}")
+    hist_df = (
+        df.select(
+            F.explode(
+                F.regexp_extract_all(F.col(text_col), F.lit(BPE_SPLIT_PATTERN), 0)
+            ).alias("seg")
+        )
+        .groupBy("seg")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= int(min_count))
+    )
+    # bounded-driver-state guard BEFORE collect, like kmeans' spread gate
+    n_distinct = hist_df.count()
+    if n_distinct > max_words:
+        raise ValueError(
+            f"learn_bpe_merges: {n_distinct} distinct segments survive "
+            f"min_count={min_count} (cap {max_words}); raise min_count — "
+            "the histogram must stay driver-resident"
+        )
+    byte_enc = bytes_to_unicode()
+    hist: dict[tuple[str, ...], int] = {}
+    for row in hist_df.collect():
+        word = tuple(byte_enc[b] for b in row["seg"].encode("utf-8"))
+        hist[word] = hist.get(word, 0) + row["n"]
+
+    merges: list[tuple[str, str]] = []
+    for _ in range(int(n_merges)):
+        pair_counts: dict[tuple[str, str], int] = {}
+        for word, n in hist.items():
+            for i in range(len(word) - 1):
+                p = (word[i], word[i + 1])
+                pair_counts[p] = pair_counts.get(p, 0) + n
+        if not pair_counts:
+            break
+        best = min(pair_counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        if pair_counts[best] < max(int(min_count), 1):
+            break
+        merges.append(best)
+        merged = best[0] + best[1]
+        new_hist: dict[tuple[str, ...], int] = {}
+        for word, n in hist.items():
+            out: list[str] = []
+            i = 0
+            while i < len(word):
+                if i < len(word) - 1 and (word[i], word[i + 1]) == best:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(word[i])
+                    i += 1
+            key = tuple(out)
+            new_hist[key] = new_hist.get(key, 0) + n
+        hist = new_hist
+    return merges

@@ -271,3 +271,100 @@ def test_gate_vocab_closed_form_randomized():
             - len(re.findall("ers", t))
         )
         assert bpe_count_text(t, PACK_GATE_BPE_RANKS) == closed, repr(t)
+
+
+def _naive_learn(texts, n_merges, min_count):
+    """Independent Sennrich-2016 reference over the word histogram."""
+    import re
+    from collections import Counter
+
+    from etl_edi_data_scrapper_spark.functions.bpe import bytes_to_unicode
+    from etl_edi_data_scrapper_spark.functions.text import BPE_SPLIT_PATTERN
+
+    # JVM pattern -> stdlib re (the trainer segments JVM-side)
+    pat = BPE_SPLIT_PATTERN.replace(r"\p{L}", "[^\\W\\d_]").replace(
+        r"\p{N}", "\\d"
+    ).replace(r"[^\s\p{L}\p{N}]", "(?:[^\\w\\s]|_)")
+    enc = bytes_to_unicode()
+    segs = Counter()
+    for t in texts:
+        segs.update(re.findall(pat, t))
+    hist = Counter()
+    for seg, n in segs.items():
+        if n >= min_count:
+            hist[tuple(enc[b] for b in seg.encode("utf-8"))] += n
+    merges = []
+    for _ in range(n_merges):
+        pairs = Counter()
+        for w, n in hist.items():
+            for i in range(len(w) - 1):
+                pairs[(w[i], w[i + 1])] += n
+        if not pairs:
+            break
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        if pairs[best] < max(min_count, 1):
+            break
+        merges.append(best)
+        nh = Counter()
+        for w, n in hist.items():
+            out, i = [], 0
+            while i < len(w):
+                if i < len(w) - 1 and (w[i], w[i + 1]) == best:
+                    out.append(w[i] + w[i + 1])
+                    i += 2
+                else:
+                    out.append(w[i])
+                    i += 1
+            nh[tuple(out)] += n
+        hist = nh
+    return merges
+
+
+def test_learn_bpe_merges_matches_independent_reference(spark):
+    from etl_edi_data_scrapper_spark.functions.bpe import learn_bpe_merges
+
+    texts = [
+        "low lower lowest low low",
+        "new newer newest new newer",
+        "wide wider widest wide",
+        "low lower newer newest",
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               "doc_id long, text string")
+    got = learn_bpe_merges(df, n_merges=12, min_count=2)
+    want = _naive_learn(texts, 12, 2)
+    assert got == want and len(got) > 0
+    # determinism across a different partitioning
+    got2 = learn_bpe_merges(df.repartition(7), n_merges=12, min_count=2)
+    assert got2 == got
+
+
+def test_learned_merges_feed_the_exact_counter(spark):
+    from pyspark.sql import functions as F
+
+    from etl_edi_data_scrapper_spark.functions.bpe import (
+        bpe_token_count_exact,
+        learn_bpe_merges,
+    )
+
+    texts = ["low lower lowest"] * 4 + ["newer newest new"] * 4
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               "doc_id long, text string")
+    merges = learn_bpe_merges(df, n_merges=8, min_count=2)
+    ranks = {pair: r for r, pair in enumerate(merges)}
+    with_m = bpe_token_count_exact(df, merges=ranks).collect()
+    no_m = bpe_token_count_exact(df, merges={}).collect()
+    # merges strictly compress a corpus they were learned on
+    assert sum(r.n_bpe_tokens for r in with_m) < sum(r.n_bpe_tokens for r in no_m)
+
+
+def test_learn_bpe_merges_driver_state_guard(spark):
+    import pytest
+
+    from etl_edi_data_scrapper_spark.functions.bpe import learn_bpe_merges
+
+    df = spark.createDataFrame(
+        [(i, f"w{i} x{i} y{i}") for i in range(30)], "doc_id long, text string"
+    )
+    with pytest.raises(ValueError, match="min_count"):
+        learn_bpe_merges(df, n_merges=4, min_count=1, max_words=10)
