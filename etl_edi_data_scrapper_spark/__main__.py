@@ -157,6 +157,14 @@ def main(argv: list[str] | None = None, engine=None) -> int:
         "docs get NULL text-stage columns and curate_keep=false)",
     )
     pu.add_argument(
+        "--domain-report",
+        default=None,
+        help="with the urls stage: also write a per-registered-domain "
+        "triage table (doc count, URL-dup rate, mean quality in milli "
+        "units, dup-rate flag) to this parquet path - the domain-level "
+        "view RefinedWeb-style pipelines act on",
+    )
+    pu.add_argument(
         "--spans-min-len",
         type=int,
         default=8,
@@ -398,6 +406,22 @@ def main(argv: list[str] | None = None, engine=None) -> int:
         )
         sinkmod.write_parquet(verdicts, args.output, mode="overwrite")
         written = engine.spark.read.parquet(args.output)
+        if args.domain_report is not None:
+            if "url_domain" not in written.columns:
+                p.error("--domain-report needs the urls stage (--stages urls)")
+            from etl_edi_data_scrapper_spark.functions.urls import domain_report
+
+            rep = domain_report(
+                written,
+                quality_col="quality" if "quality" in written.columns else None,
+            )
+            sinkmod.write_parquet(rep, args.domain_report, mode="overwrite")
+            n_dom = engine.spark.read.parquet(args.domain_report)
+            flagged = n_dom.filter(F.col("dom_flagged")).count()
+            print(
+                f"STAGE: domain report: {n_dom.count()} domains, "
+                f"{flagged} flagged"
+            )
         keep_cols = [c for c in written.columns if c.endswith("_keep")] + [
             c
             for c in written.columns

@@ -299,3 +299,46 @@ def url_dedup_verdicts(
             F.col(id_col) > F.min(id_col).over(W.partitionBy("canonical_url"))
         ),
     )
+
+
+def domain_report(
+    df: DataFrame,
+    domain_col: str = "url_domain",
+    dup_col: str = "is_url_dup",
+    quality_col: str | None = None,
+    flag_dup_milli: int = 500,
+) -> DataFrame:
+    """Per-registered-domain triage aggregates — the domain-LEVEL view
+    real crawl pipelines act on (RefinedWeb filters whole domains by
+    aggregate signals before looking at individual pages): one row per
+    domain with ``dom_n_docs``, ``dom_dup_milli`` (URL-duplicate rate in
+    thousandths) and, when ``quality_col`` is given, ``dom_quality_milli``
+    (mean per-doc quality in thousandths); ``dom_flagged`` marks domains
+    whose duplicate rate reaches ``flag_dup_milli``.
+
+    All aggregates are INTEGER arithmetic (counts and pre-floored milli
+    units summed as longs, one integer division at the end) — a float
+    mean would be partial-order-dependent across partitionings and
+    engines. One groupBy on the domain (modest cardinality at any scale;
+    map-side combine does the heavy lifting)."""
+    base = df.filter(F.col(domain_col).isNotNull() & (F.col(domain_col) != ""))
+    aggs = [
+        F.count(F.lit(1)).cast("long").alias("dom_n_docs"),
+        F.sum(F.when(F.col(dup_col), 1).otherwise(0)).cast("long").alias("__dups"),
+    ]
+    if quality_col is not None:
+        aggs.append(
+            F.sum(F.floor(F.col(quality_col) * 1000).cast("long"))
+            .cast("long")
+            .alias("__q_milli")
+        )
+    rep = base.groupBy(F.col(domain_col).alias("url_domain")).agg(*aggs)
+    rep = rep.withColumn(
+        "dom_dup_milli",
+        F.expr("(__dups * 1000) DIV dom_n_docs").cast("long"),
+    ).withColumn("dom_flagged", F.col("dom_dup_milli") >= int(flag_dup_milli))
+    if quality_col is not None:
+        rep = rep.withColumn(
+            "dom_quality_milli", F.expr("__q_milli DIV dom_n_docs").cast("long")
+        )
+    return rep.drop("__dups", "__q_milli")

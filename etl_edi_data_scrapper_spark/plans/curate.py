@@ -154,15 +154,20 @@ def curate_corpus(
 
     def _urls_frame() -> DataFrame:
         from etl_edi_data_scrapper_spark.functions.urls import (
+            add_registered_domain,
             flag_blocked_domains,
             url_dedup_verdicts,
         )
 
         return flag_blocked_domains(
-            url_dedup_verdicts(
-                docs.select(F.col(id_col), F.col(url_col)),
+            add_registered_domain(
+                url_dedup_verdicts(
+                    docs.select(F.col(id_col), F.col(url_col)),
+                    url_col=url_col,
+                    id_col=id_col,
+                ),
                 url_col=url_col,
-                id_col=id_col,
+                psl=psl,
             ),
             url_col=url_col,
             domains=url_blocklist,
@@ -171,6 +176,7 @@ def curate_corpus(
             id_col,
             "canonical_url",
             "is_url_dup",
+            "url_domain",
             "domain_blocked",
             (~F.col("is_url_dup") & ~F.col("domain_blocked")).alias("urls_keep"),
         )

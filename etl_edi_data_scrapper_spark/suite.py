@@ -2410,7 +2410,18 @@ def _curation_oracle(bench_max_id: int = 5, threshold: int = 3) -> str:
                PARTITION BY {_sql_canonical_url("url")}) AS is_url_dup,
              {_sql_registered_domain("url")} AS url_domain
       FROM urls),
-    {_clf_ctes()}
+    {_clf_ctes()},
+    domagg AS (
+      -- RefinedWeb-style domain triage: integer milli-unit aggregates
+      -- (a float mean would be partial-order-dependent across engines)
+      SELECT u.url_domain,
+             CAST(count(*) AS BIGINT) AS dom_n_docs,
+             CAST((sum(CASE WHEN u.is_url_dup THEN 1 ELSE 0 END) * 1000)
+                  // count(*) AS BIGINT) AS dom_dup_milli,
+             CAST(sum(CAST(floor(d.quality * 1000) AS BIGINT))
+                  // count(*) AS BIGINT) AS dom_quality_milli
+      FROM udup u JOIN dupd d USING (doc_id)
+      GROUP BY u.url_domain)
     SELECT d.doc_id, d.lang_pred, d.quality, d.is_dup,
            (d.doc_id >= {bench_max_id}
             AND coalesce(h.n_shared, 0) >= {threshold}) AS contaminated,
@@ -2419,9 +2430,12 @@ def _curation_oracle(bench_max_id: int = 5, threshold: int = 3) -> str:
                      AND coalesce(h.n_shared, 0) >= {threshold})) AS keep,
            c.clf_score, c.clf_score > 0 AS clf_keep,
            u.canonical_url, u.is_url_dup, u.url_domain,
-           list_contains({_sql_blocklist()}, u.url_domain) AS domain_blocked
+           list_contains({_sql_blocklist()}, u.url_domain) AS domain_blocked,
+           da.dom_n_docs, da.dom_dup_milli, da.dom_quality_milli,
+           da.dom_dup_milli >= 500 AS dom_flagged
     FROM dupd d LEFT JOIN hits h USING (doc_id) JOIN cscore c USING (doc_id)
          JOIN udup u USING (doc_id)
+         JOIN domagg da ON da.url_domain = u.url_domain
     """
 
 
@@ -2464,7 +2478,17 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     registered domain (PSL-stub), and flag blocklisted domains. URLs
     are synthesized deterministically (groups of 5 docs share one
     canonical form through 4 messy variants; a 5th co.uk variant
-    exercises the multi-label-TLD stub and param sorting)."""
+    exercises the multi-label-TLD stub and param sorting).
+
+    r10 adds the domain-LEVEL triage view (`urls.domain_report`,
+    RefinedWeb-style: whole domains are filtered by aggregate signals
+    before pages are): per-registered-domain doc count, URL-dup rate
+    and mean quality in integer milli units (float means are
+    partial-order-dependent across engines/partitionings), and a
+    `dom_flagged` verdict joined back per doc from a broadcast-sized
+    domain table. The synthesis exercises both paths: every .com
+    domain carries exactly 500 milli URL-dups (flagged at >= 500), the
+    co.uk singletons carry 0."""
     from etl_edi_data_scrapper_spark.functions.dedup import shingles
     from etl_edi_data_scrapper_spark.functions.quality_classifier import (
         fit_reference_classifier,
@@ -2475,6 +2499,7 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         quality_score,
     )
     from etl_edi_data_scrapper_spark.functions.urls import (
+        domain_report,
         flag_blocked_domains,
         registered_domain,
         url_dedup_verdicts,
@@ -2532,6 +2557,17 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         registered_domain(url_host(F.col("url"))).alias("url_domain"),
         "domain_blocked",
     )
+    # r10: RefinedWeb-style domain-LEVEL triage — aggregate the per-doc
+    # URL-dup and quality signals per registered domain (integer milli
+    # units; a float mean is partial-order-dependent) and join the
+    # verdict back per doc; the domain table is tiny, so it broadcasts
+    dom = domain_report(
+        urls.select("doc_id", "url_domain", "is_url_dup").join(
+            out.select("doc_id", "quality"), "doc_id"
+        ),
+        dup_col="is_url_dup",
+        quality_col="quality",
+    )
     return (
         out.select(
             "doc_id",
@@ -2543,6 +2579,13 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .join(clf, "doc_id")
         .join(urls, "doc_id")
+        .join(F.broadcast(dom), "url_domain")
+        .select(
+            "doc_id", "lang_pred", "quality", "is_dup", "contaminated",
+            "keep", "clf_score", "clf_keep", "canonical_url", "is_url_dup",
+            "url_domain", "domain_blocked",
+            "dom_n_docs", "dom_dup_milli", "dom_quality_milli", "dom_flagged",
+        )
     )
 
 

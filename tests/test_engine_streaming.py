@@ -729,3 +729,37 @@ def test_cli_curate_linedup_stage(spark, tmp_path):
     assert got[0].curate_keep and got[0].linedup_lines_cut == 0
     assert got[1].curate_keep and got[1].linedup_clean_text == "body one"
     assert not got[2].curate_keep and got[2].linedup_clean_text == ""
+
+
+def test_cli_curate_domain_report(spark, tmp_path, capsys):
+    from etl_edi_data_scrapper_spark.__main__ import main
+    from etl_edi_data_scrapper_spark.engine import Engine
+
+    docs = [
+        (0, "good english text the a of and to in is it", "https://spam.net/a"),
+        (1, "good english text the a of and to in is it", "https://spam.net/a/"),
+        (2, "good english text the a of and to in is it", "https://good.org/x"),
+    ]
+    docs_dir = str(tmp_path / "docs")
+    spark.createDataFrame(
+        docs, "doc_id long, text string, url string"
+    ).write.parquet(docs_dir)
+    out_dir = str(tmp_path / "verdicts")
+    rep_dir = str(tmp_path / "domains")
+    rc = main(
+        [
+            "curate",
+            "--docs", docs_dir,
+            "--output", out_dir,
+            "--stages", "quality,urls",
+            "--url-col", "url",
+            "--domain-report", rep_dir,
+        ],
+        engine=Engine(spark=spark),
+    )
+    assert rc == 0
+    assert "STAGE: domain report: 2 domains, 1 flagged" in capsys.readouterr().out
+    got = {r.url_domain: (r.dom_dup_milli, r.dom_flagged)
+           for r in spark.read.parquet(rep_dir).collect()}
+    assert got["spam.net"] == (500, True)
+    assert got["good.org"] == (0, False)

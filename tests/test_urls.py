@@ -372,3 +372,41 @@ def test_canonicalize_tracking_params_configurable(spark):
         canonicalize_url(F.col("url"), TRACKING_PARAMS + ("ref",)).alias("c")
     ).collect()[0].c
     assert drop_ref == "https://x.com/a"
+
+
+def test_domain_report_triage(spark):
+    """RefinedWeb-style domain triage: integer milli aggregates, dup-rate
+    flag, NULL/empty domains excluded (no-URL docs are not a domain)."""
+    from etl_edi_data_scrapper_spark.functions.urls import domain_report
+
+    rows = [
+        (0, "spam.net", True, 0.8),
+        (1, "spam.net", True, 0.6),
+        (2, "spam.net", False, 0.4),
+        (3, "good.org", False, 0.9),
+        (4, "good.org", False, 0.7),
+        (5, None, False, 0.5),
+        (6, "", False, 0.5),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, url_domain string, is_url_dup boolean, quality double"
+    )
+    got = {
+        r.url_domain: (r.dom_n_docs, r.dom_dup_milli, r.dom_quality_milli, r.dom_flagged)
+        for r in domain_report(df, quality_col="quality").collect()
+    }
+    assert set(got) == {"spam.net", "good.org"}
+    assert got["spam.net"] == (3, 666, 600, True)
+    assert got["good.org"] == (2, 0, 800, False)
+
+
+def test_domain_report_no_quality_col(spark):
+    from etl_edi_data_scrapper_spark.functions.urls import domain_report
+
+    df = spark.createDataFrame(
+        [(0, "x.com", True), (1, "x.com", True)],
+        "doc_id long, url_domain string, is_url_dup boolean",
+    )
+    r = domain_report(df).collect()[0]
+    assert (r.dom_n_docs, r.dom_dup_milli, r.dom_flagged) == (2, 1000, True)
+    assert "dom_quality_milli" not in r.asDict()
