@@ -355,6 +355,10 @@ def main(argv: list[str] | None = None, engine=None) -> int:
         from etl_edi_data_scrapper_spark import sinks as sinkmod
         from etl_edi_data_scrapper_spark.plans.curate import curate_corpus
 
+        # knowable from args alone: fail BEFORE the (potentially hours-
+        # long) pipeline runs, not after the verdicts are written
+        if args.domain_report is not None and "urls" not in args.stages.split(","):
+            p.error("--domain-report needs the urls stage (--stages urls)")
         docs = engine.spark.read.parquet(args.docs)
         clf_ref = None
         if args.clf_reference_col is not None:
@@ -407,8 +411,6 @@ def main(argv: list[str] | None = None, engine=None) -> int:
         sinkmod.write_parquet(verdicts, args.output, mode="overwrite")
         written = engine.spark.read.parquet(args.output)
         if args.domain_report is not None:
-            if "url_domain" not in written.columns:
-                p.error("--domain-report needs the urls stage (--stages urls)")
             from etl_edi_data_scrapper_spark.functions.urls import domain_report
 
             rep = domain_report(

@@ -236,17 +236,19 @@ def learn_bpe_merges(
         .agg(F.count(F.lit(1)).alias("n"))
         .filter(F.col("n") >= int(min_count))
     )
-    # bounded-driver-state guard BEFORE collect, like kmeans' spread gate
-    n_distinct = hist_df.count()
-    if n_distinct > max_words:
+    # bounded-driver-state guard in the SAME job as the collect (a
+    # separate count() would run the corpus-wide explode+aggregate twice
+    # — r10 review): take one row past the cap and raise if it exists
+    rows = hist_df.limit(max_words + 1).collect()
+    if len(rows) > max_words:
         raise ValueError(
-            f"learn_bpe_merges: {n_distinct} distinct segments survive "
-            f"min_count={min_count} (cap {max_words}); raise min_count — "
-            "the histogram must stay driver-resident"
+            f"learn_bpe_merges: more than {max_words} distinct segments "
+            f"survive min_count={min_count}; raise min_count — the "
+            "histogram must stay driver-resident"
         )
     byte_enc = bytes_to_unicode()
     hist: dict[tuple[str, ...], int] = {}
-    for row in hist_df.collect():
+    for row in rows:
         word = tuple(byte_enc[b] for b in row["seg"].encode("utf-8"))
         hist[word] = hist.get(word, 0) + row["n"]
 

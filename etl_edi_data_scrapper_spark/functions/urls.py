@@ -131,7 +131,16 @@ def load_psl(path: str) -> dict[str, tuple[str, ...]]:
     ICANN and private sections are rules). Returns the three rule
     families ``{"exact": ..., "wild": ..., "exc": ...}`` — wildcard
     rules are stored as their BASE (``*.ck`` → ``ck``), exceptions
-    without the ``!``."""
+    without the ``!``.
+
+    Documented divergence from the full published algorithm: rules are
+    matched as the BYTES they appear in (lowercased), with no
+    IDNA/punycode canonicalization — the published list carries unicode
+    IDN rules while crawl URLs usually carry ACE hosts (``xn--...``),
+    and those will fall through to the default rule here. Deployments
+    that need IDN-exact registered domains should pre-encode the PSL
+    file to punycode (a one-time offline step with any IDNA tool) so
+    rules and hosts compare in the same form."""
     exact: list[str] = []
     wild: list[str] = []
     exc: list[str] = []
@@ -191,11 +200,16 @@ def add_registered_domain(
         for s in rules[kind]:
             f = flags.setdefault(s, [False, False, False])
             f[kind_i] = True
+    # candidates never need to go deeper than the deepest RULE: an exact
+    # rule matches at its own depth, a wildcard matches via its BASE's
+    # depth (the k+1 suffix depth is arithmetic, not a join), an
+    # exception at its own depth — a +1 here would add one always-NULL
+    # join per URL frame (r10 review)
     depth = max(
         2,
         min(
             max_depth,
-            1 + max((s.count(".") + 1 for s in flags), default=1),
+            max((s.count(".") + 1 for s in flags), default=1),
         ),
     )
     spark = df.sparkSession
@@ -251,6 +265,7 @@ def flag_blocked_domains(
     domains: tuple[str, ...] = (),
     out_col: str = "domain_blocked",
     psl: str | dict[str, tuple[str, ...]] | None = None,
+    domain_col: str | None = None,
 ) -> DataFrame:
     """``out_col`` true when the URL's registered domain is on the
     blocklist (array-literal membership — blocklists are KBs; an
@@ -258,8 +273,16 @@ def flag_blocked_domains(
     ``psl=`` switches domain extraction from the 6-entry stub to a real
     public-suffix list (see :func:`add_registered_domain`) — the
     difference that makes ``github.io`` 10⁶ blockable user sites
-    instead of one registered domain."""
+    instead of one registered domain. A frame that ALREADY carries the
+    registered domain passes ``domain_col=`` and skips the extraction
+    (with a PSL that is the whole per-depth join chain, done twice
+    otherwise — r10 review)."""
     arr = F.array(*[F.lit(d.lower()) for d in domains])
+    if domain_col is not None:
+        return df.withColumn(
+            out_col,
+            F.array_contains(arr, F.col(domain_col)) if domains else F.lit(False),
+        )
     tmp = "__fbd_domain"
     out = add_registered_domain(df, url_col=url_col, out_col=tmp, psl=psl)
     return out.withColumn(
@@ -319,19 +342,25 @@ def domain_report(
     All aggregates are INTEGER arithmetic (counts and pre-floored milli
     units summed as longs, one integer division at the end) — a float
     mean would be partial-order-dependent across partitionings and
-    engines. One groupBy on the domain (modest cardinality at any scale;
-    map-side combine does the heavy lifting)."""
+    engines. The quality mean divides by the count of QUALITY-BEARING
+    docs, not the domain's row count: under ``url_gate`` the gated-out
+    docs carry NULL quality (never computed) but a real domain, and
+    dividing by all rows would deflate exactly the high-dup domains the
+    report exists to triage (NULL when no doc in the domain has a
+    quality). One groupBy on the domain (modest cardinality at any
+    scale; map-side combine does the heavy lifting)."""
     base = df.filter(F.col(domain_col).isNotNull() & (F.col(domain_col) != ""))
     aggs = [
         F.count(F.lit(1)).cast("long").alias("dom_n_docs"),
         F.sum(F.when(F.col(dup_col), 1).otherwise(0)).cast("long").alias("__dups"),
     ]
     if quality_col is not None:
-        aggs.append(
+        aggs += [
             F.sum(F.floor(F.col(quality_col) * 1000).cast("long"))
             .cast("long")
-            .alias("__q_milli")
-        )
+            .alias("__q_milli"),
+            F.count(F.col(quality_col)).cast("long").alias("__q_n"),
+        ]
     rep = base.groupBy(F.col(domain_col).alias("url_domain")).agg(*aggs)
     rep = rep.withColumn(
         "dom_dup_milli",
@@ -339,6 +368,9 @@ def domain_report(
     ).withColumn("dom_flagged", F.col("dom_dup_milli") >= int(flag_dup_milli))
     if quality_col is not None:
         rep = rep.withColumn(
-            "dom_quality_milli", F.expr("__q_milli DIV dom_n_docs").cast("long")
+            "dom_quality_milli",
+            F.when(
+                F.col("__q_n") > 0, F.expr("__q_milli DIV __q_n")
+            ).cast("long"),
         )
-    return rep.drop("__dups", "__q_milli")
+    return rep.drop("__dups", "__q_milli", "__q_n")

@@ -171,7 +171,9 @@ def curate_corpus(
             ),
             url_col=url_col,
             domains=url_blocklist,
-            psl=psl,
+            # reuse the domain just computed — with a PSL, extracting
+            # again would run the whole per-depth join chain twice
+            domain_col="url_domain",
         ).select(
             id_col,
             "canonical_url",

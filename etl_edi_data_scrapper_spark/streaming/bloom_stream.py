@@ -18,11 +18,21 @@ Composition per micro-batch (pure batch operators, testable sans stream):
   present are appended with this epoch id.
 
 Replay safety (foreachBatch is at-least-once): verdicts for epoch e are
-computed against positions from epochs **strictly before e**, so a
-replayed batch never matches its own insertions; and the insert
+computed against positions from epochs **strictly before e within the
+same stream INCARNATION** plus ALL positions from other incarnations,
+so a replayed batch never matches its own insertions; and the insert
 anti-joins against ALL existing positions, so replay appends nothing new.
+The incarnation stamp (the checkpoint dir in the streaming entry point —
+epoch counters only restart when a NEW checkpoint dir starts a new
+incarnation) is what keeps a RESET epoch counter from going blind to
+history: with a bare ``epoch < e`` screen, a fresh incarnation's epoch-0
+batch would see an empty filter and re-admit every span ever ingested
+(r10 review). Stores written before the stamp existed read as a
+'legacy' incarnation and always screen.
 Verdicts are therefore deterministic per epoch and the store stays ≤ m
-rows of (pos, epoch). False-positive semantics are the filter's textbook
+rows of (pos, epoch, incarnation) — the anti-join is on the position
+alone, so a position is inserted once EVER, whatever the incarnation.
+False-positive semantics are the filter's textbook
 contract (FPR ≈ (1 − e^(−k·n/m))^k, no false negatives) — size ``m`` to
 the corpus the deployment expects, and route flagged docs to the exact
 tier (`span_dedup.scrub_benchmark_spans` against the matching corpus)
@@ -50,7 +60,11 @@ def _read_store(spark: SparkSession, store_dir: str) -> DataFrame | None:
     empty-dir mean 'no store'; anything else (corruption, permissions)
     raises instead of silently forgetting ingestion history."""
     try:
-        store = spark.read.parquet(store_dir)
+        # mergeSchema: a store that predates the incarnation stamp holds
+        # files WITHOUT the column next to files WITH it — a plain read
+        # would pick one sampled footer's schema and silently drop or
+        # invent the column depending on listing order
+        store = spark.read.option("mergeSchema", "true").parquet(store_dir)
         store.schema  # force analysis inside the try
         return store
     except AnalysisException as e:
@@ -69,12 +83,16 @@ def screen_batch_against_bloom_store(
     width: int = 8,
     m: int = 1 << 16,
     k: int = 3,
+    incarnation: str = "default",
 ) -> DataFrame:
     """One increment: returns (id_col, n_spans, n_spans_maybe_seen,
-    bloom_contaminated) for the batch — verdicts against epochs < epoch_id
-    only — and inserts the batch's span positions (new ones, stamped with
-    epoch_id). The verdict frame is eagerly checkpointed before the store
-    append, so the caller may evaluate it any number of times."""
+    bloom_contaminated) for the batch — verdicts against epochs <
+    epoch_id of THIS incarnation plus everything from other incarnations
+    (module docs: a bare epoch screen goes blind after an epoch-counter
+    reset) — and inserts the batch's span positions (new ones, stamped
+    with epoch_id + incarnation). The verdict frame is eagerly
+    checkpointed before the store append, so the caller may evaluate it
+    any number of times."""
     spans = batch.select(
         F.col(id_col),
         F.explode(F.expr(_span_expr(text_col, width))).alias("win"),
@@ -82,11 +100,21 @@ def screen_batch_against_bloom_store(
     spans = spans.localCheckpoint(eager=True)  # verdict + insert share it
 
     store = _read_store(spark, store_dir)
-    prior = (
-        store.filter(F.col("epoch") < int(epoch_id)).select("pos").distinct()
-        if store is not None
-        else spark.createDataFrame([], "pos long")
-    )
+    if store is None:
+        prior = spark.createDataFrame([], "pos long")
+    else:
+        if "incarnation" not in store.columns:
+            store = store.withColumn("incarnation", F.lit(None).cast("string"))
+        # legacy rows (pre-stamp files: NULL after the schema merge) were
+        # by definition written by some OTHER incarnation — always screen
+        inc = F.coalesce(F.col("incarnation"), F.lit("__legacy__"))
+        prior = (
+            store.filter(
+                (inc != incarnation) | (F.col("epoch") < int(epoch_id))
+            )
+            .select("pos")
+            .distinct()
+        )
     # one bounded table serves the k joins AND the insert anti-join
     prior = prior.localCheckpoint(eager=False)
 
@@ -123,8 +151,10 @@ def screen_batch_against_bloom_store(
         if store is not None
         else spark.createDataFrame([], "pos long")
     )
-    new_pos = batch_pos.join(existing, "pos", "left_anti").withColumn(
-        "epoch", F.lit(int(epoch_id)).cast("long")
+    new_pos = (
+        batch_pos.join(existing, "pos", "left_anti")
+        .withColumn("epoch", F.lit(int(epoch_id)).cast("long"))
+        .withColumn("incarnation", F.lit(incarnation))
     )
     new_pos.write.mode("append").parquet(store_dir)
     return verdict
@@ -144,7 +174,11 @@ def run_incremental_bloom_screen(
 ):
     """Streaming entry point: each micro-batch is screened against the
     accumulated filter and handed to ``on_batch(verdict_df, epoch_id)``.
-    Returns the StreamingQuery."""
+    Returns the StreamingQuery. The checkpoint dir doubles as the
+    incarnation stamp: epoch counters restart exactly when a NEW
+    checkpoint dir starts a new incarnation, so a restart of the same
+    stream keeps its stamp (replay stays deterministic) and a reset
+    counter cannot shadow history."""
 
     def handle(batch_df: DataFrame, epoch_id: int) -> None:
         verdict = screen_batch_against_bloom_store(
@@ -157,6 +191,7 @@ def run_incremental_bloom_screen(
             width=width,
             m=m,
             k=k,
+            incarnation=checkpoint_dir,
         )
         on_batch(verdict, epoch_id)
 

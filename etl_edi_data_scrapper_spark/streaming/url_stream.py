@@ -17,19 +17,33 @@ Composition per micro-batch (pure batch operators, testable sans
 stream):
 
   batch docs → `url_dedup_verdicts` (canonicalize + WITHIN-batch
-  first-id-wins) → left join against store keys from epochs strictly
-  before this one → verdict frame (`is_url_dup` = within-batch dup OR
-  store hit; `dup_of` names the original);
+  first-id-wins) → left join against the WHOLE store → verdict frame
+  (`is_url_dup` = within-batch dup OR a store hit whose first-accepting
+  doc is someone else; `dup_of` names the original);
   then the batch's first-per-key rows are inserted: keys NOT already
-  present are appended with this epoch id.
+  present are appended, stamped with this epoch id (provenance only).
 
-Replay safety (foreachBatch is at-least-once): verdicts for epoch e
-join store rows from epochs **strictly before e**, so a replayed batch
-never matches its own insertions; the insert anti-joins against ALL
-existing keys, so replay appends nothing new. Rows that are not URLs
-at all (NULL / placeholder values — `url_dedup_verdicts`' head guard)
-are never flagged and never inserted: a missing key is not a shared
-key, in the store exactly as in the batch.
+Replay safety (foreachBatch is at-least-once) is by IDENTITY, not by
+epoch arithmetic — the `neardup_stream` rule: a replayed doc that finds
+its OWN key in the store (``first_doc_id == doc_id``) is the accepted
+representative, not a duplicate, so replaying an epoch reproduces its
+verdicts exactly; the insert anti-joins against ALL existing keys, so
+replay appends nothing. Screening the whole store (never
+``epoch < current``) also means a NEW stream incarnation — fresh
+checkpoint dir, epoch counter back at 0 — still screens against every
+historical key; an epoch-relative filter would silently re-admit all
+of history after a checkpoint reset.
+
+Rows that are not URLs at all (NULL / placeholder values —
+`url_dedup_verdicts`' head guard) are never flagged and never
+inserted: a missing key is not a shared key, in the store exactly as
+in the batch.
+
+Store compatibility: the store keys ARE canonical forms, so changing
+the canonicalization (a different ``tracking_params`` set, a new PSL)
+changes the keys — an existing store must be rebuilt under the new
+rules or re-crawls of previously-held pages will be re-admitted under
+their new canonical spelling.
 """
 
 from __future__ import annotations
@@ -70,18 +84,22 @@ def screen_batch_against_url_store(
     dup_of) for the batch — ``dup_of`` is the store's first-accepting
     doc id for store hits, the batch's lowest id for within-batch dups,
     NULL for accepted rows — and inserts the batch's newly-accepted
-    canonical keys stamped with ``epoch_id``. The verdict frame is
-    eagerly checkpointed before the store append, so the caller may
-    evaluate it any number of times."""
+    canonical keys stamped with ``epoch_id`` (provenance only; verdicts
+    never read it). The verdict frame is eagerly checkpointed before
+    the store append, so the caller may evaluate it any number of
+    times."""
     local = url_dedup_verdicts(batch, url_col=url_col, id_col=id_col).select(
         F.col(id_col), "canonical_url", F.col("is_url_dup").alias("__batch_dup")
     )
     local = local.localCheckpoint(eager=True)  # verdict + insert share it
 
     store = _read_store(spark, store_dir)
+    # the WHOLE store, not epoch < current: replay safety is by identity
+    # (a doc is never a dup of itself — the filter below), and an
+    # epoch-relative screen would go blind to all of history the moment
+    # a new stream incarnation restarts the epoch counter at 0
     prior = (
-        store.filter(F.col("epoch") < int(epoch_id))
-        .groupBy("canonical_url")
+        store.groupBy("canonical_url")
         .agg(F.min("first_doc_id").alias("__store_first"))
         if store is not None
         else spark.createDataFrame([], "canonical_url string, __store_first long")
@@ -98,16 +116,21 @@ def screen_batch_against_url_store(
     joined = local.join(prior, "canonical_url", "left").join(
         batch_first, "canonical_url", "left"
     )
+    # an at-least-once REPLAY finds the doc's own key in the store — the
+    # accepted representative is not a duplicate of itself
+    store_hit = F.col("__store_first").isNotNull() & (
+        F.col("__store_first") != F.col(id_col)
+    )
     verdict = (
         joined.select(
             F.col(id_col),
             "canonical_url",
             (
                 F.col("canonical_url").isNotNull()
-                & (F.col("__batch_dup") | F.col("__store_first").isNotNull())
+                & (F.col("__batch_dup") | store_hit)
             ).alias("is_url_dup"),
             F.when(
-                F.col("canonical_url").isNotNull() & F.col("__store_first").isNotNull(),
+                F.col("canonical_url").isNotNull() & store_hit,
                 F.col("__store_first"),
             )
             .when(

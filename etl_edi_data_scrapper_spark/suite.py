@@ -2418,8 +2418,11 @@ def _curation_oracle(bench_max_id: int = 5, threshold: int = 3) -> str:
              CAST(count(*) AS BIGINT) AS dom_n_docs,
              CAST((sum(CASE WHEN u.is_url_dup THEN 1 ELSE 0 END) * 1000)
                   // count(*) AS BIGINT) AS dom_dup_milli,
+             -- divide by the quality-BEARING count (engine parity with
+             -- domain_report's url_gate semantics; equal to count(*) on
+             -- gate data where quality is never NULL)
              CAST(sum(CAST(floor(d.quality * 1000) AS BIGINT))
-                  // count(*) AS BIGINT) AS dom_quality_milli
+                  // count(d.quality) AS BIGINT) AS dom_quality_milli
       FROM udup u JOIN dupd d USING (doc_id)
       GROUP BY u.url_domain)
     SELECT d.doc_id, d.lang_pred, d.quality, d.is_dup,

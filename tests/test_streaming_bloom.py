@@ -136,3 +136,72 @@ def test_corrupt_store_fails_loudly(spark, tmp_path):
     b = spark.createDataFrame([(1, FRESH_A)], "doc_id long, text string")
     with pytest.raises(Exception):
         screen_batch_against_bloom_store(spark, b, str(store), 0).collect()
+
+
+def test_epoch_reset_new_incarnation_still_screens_history(spark, tmp_path):
+    """A new stream incarnation (fresh checkpoint dir) restarts epochs at
+    0; the incarnation stamp keeps the screen from going blind to every
+    span ever ingested (r10 review — a bare epoch < e filter would)."""
+    from etl_edi_data_scrapper_spark.streaming.bloom_stream import (
+        screen_batch_against_bloom_store,
+    )
+
+    store = str(tmp_path / "store")
+    b_old = spark.createDataFrame(
+        [(1, BANNER)], "doc_id long, text string"
+    )
+    screen_batch_against_bloom_store(spark, b_old, store, 57, incarnation="ckpt_A")
+
+    b_new = spark.createDataFrame(
+        [(100, f"lead in {BANNER} tail"), (101, FRESH_B)],
+        "doc_id long, text string",
+    )
+    v = {
+        r.doc_id: r.bloom_contaminated
+        for r in screen_batch_against_bloom_store(
+            spark, b_new, store, 0, incarnation="ckpt_B"
+        ).collect()
+    }
+    assert v == {100: True, 101: False}
+    # replay of the same (incarnation, epoch): identical verdicts — its
+    # own insertions stay excluded
+    v2 = {
+        r.doc_id: r.bloom_contaminated
+        for r in screen_batch_against_bloom_store(
+            spark, b_new, store, 0, incarnation="ckpt_B"
+        ).collect()
+    }
+    assert v2 == v
+
+
+def test_legacy_store_without_incarnation_column_screens(spark, tmp_path):
+    """Stores written before the stamp existed (no incarnation column)
+    read as a foreign incarnation: always screened, never shadowed."""
+    from pyspark.sql import functions as F
+
+    from etl_edi_data_scrapper_spark.functions.bloom import (
+        _span_expr,
+        bloom_positions,
+    )
+    from etl_edi_data_scrapper_spark.streaming.bloom_stream import (
+        screen_batch_against_bloom_store,
+    )
+
+    store = str(tmp_path / "store")
+    # hand-write a legacy-shape store: the banner's stride-1 width-8
+    # window positions (the module's own span shape), no stamp column
+    spans = spark.createDataFrame([(BANNER,)], "text string").select(
+        F.explode(F.expr(_span_expr("text", 8))).alias("win")
+    ).filter(F.col("win") != "")
+    spans.select(
+        F.explode(
+            F.array(*[p.cast("long") for p in bloom_positions(F.col("win"), 1 << 16, 3)])
+        ).alias("pos")
+    ).distinct().withColumn("epoch", F.lit(3).cast("long")).write.parquet(store)
+
+    b = spark.createDataFrame([(10, BANNER)], "doc_id long, text string")
+    # epoch 0 of a new incarnation: legacy rows must still screen
+    v = screen_batch_against_bloom_store(
+        spark, b, store, 0, incarnation="ckpt_new"
+    ).collect()[0]
+    assert v.bloom_contaminated

@@ -50,8 +50,8 @@ def test_batch_screen_and_insert(spark, tmp_path):
 
 def test_replay_is_idempotent(spark, tmp_path):
     """foreachBatch is at-least-once: re-running an epoch must return the
-    SAME verdicts (its own insertions are excluded by epoch < e) and
-    append nothing to the store."""
+    SAME verdicts (a doc finding its OWN key in the store is the accepted
+    representative, not a dup) and append nothing to the store."""
     from etl_edi_data_scrapper_spark.streaming.url_stream import (
         screen_batch_against_url_store,
     )
@@ -164,3 +164,37 @@ def test_streaming_e2e_two_batches(spark, tmp_path):
         q.stop()
     assert out[0] == {1: (False, None), 2: (False, None)}
     assert out[1] == {10: (True, 1)}
+
+
+def test_epoch_reset_still_screens_history(spark, tmp_path):
+    """A NEW stream incarnation (fresh checkpoint dir) restarts the epoch
+    counter at 0 — screening must be identity-based, not epoch-relative,
+    or every historical key goes invisible and all of history re-admits
+    (review r10)."""
+    from etl_edi_data_scrapper_spark.streaming.url_stream import (
+        screen_batch_against_url_store,
+    )
+
+    store = str(tmp_path / "store")
+    b_old = spark.createDataFrame(
+        [(1, "https://example.com/a")], "doc_id long, url string"
+    )
+    screen_batch_against_url_store(spark, b_old, store, 57)  # old incarnation
+
+    # new incarnation: epoch restarts at 0, store must still screen
+    b_new = spark.createDataFrame(
+        [(100, "https://example.com/a"), (101, "https://example.com/b")],
+        "doc_id long, url string",
+    )
+    v = {
+        r.doc_id: (r.is_url_dup, r.dup_of)
+        for r in screen_batch_against_url_store(spark, b_new, store, 0).collect()
+    }
+    assert v == {100: (True, 1), 101: (False, None)}
+    # and a replayed representative in the new incarnation is still not
+    # a duplicate of itself
+    v2 = {
+        r.doc_id: (r.is_url_dup, r.dup_of)
+        for r in screen_batch_against_url_store(spark, b_new, store, 0).collect()
+    }
+    assert v2 == v

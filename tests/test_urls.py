@@ -351,7 +351,9 @@ def test_psl_blocklist_and_zero_python(spark, tmp_path):
     assert "BatchEvalPython" not in plan
     assert "CartesianProduct" not in plan
     # all PSL joins broadcast: no shuffle exchange on the doc side
-    assert "ShuffleExchange" not in plan.replace("BroadcastExchange", "")
+    # ("Exchange hashpartitioning" is how ShuffleExchangeExec renders —
+    # the literal class name never appears in plan strings)
+    assert "Exchange hashpartitioning" not in plan
 
 
 def test_canonicalize_tracking_params_configurable(spark):
@@ -410,3 +412,25 @@ def test_domain_report_no_quality_col(spark):
     r = domain_report(df).collect()[0]
     assert (r.dom_n_docs, r.dom_dup_milli, r.dom_flagged) == (2, 1000, True)
     assert "dom_quality_milli" not in r.asDict()
+
+
+def test_domain_report_null_quality_uses_quality_bearing_denominator(spark):
+    """Under url_gate, gated-out docs carry NULL quality but a real
+    domain: the mean must divide by quality-BEARING docs, or high-dup
+    domains get their quality deflated (r10 review)."""
+    from etl_edi_data_scrapper_spark.functions.urls import domain_report
+
+    rows = [
+        (0, "spam.net", False, 0.8),
+        (1, "spam.net", True, None),   # URL-gated: quality never computed
+        (2, "allnull.org", True, None),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, url_domain string, is_url_dup boolean, quality double"
+    )
+    got = {
+        r.url_domain: (r.dom_n_docs, r.dom_dup_milli, r.dom_quality_milli)
+        for r in domain_report(df, quality_col="quality").collect()
+    }
+    assert got["spam.net"] == (2, 500, 800)      # NOT 400
+    assert got["allnull.org"] == (1, 1000, None)  # no quality-bearing doc
