@@ -359,6 +359,10 @@ def main(argv: list[str] | None = None, engine=None) -> int:
         # long) pipeline runs, not after the verdicts are written
         if args.domain_report is not None and "urls" not in args.stages.split(","):
             p.error("--domain-report needs the urls stage (--stages urls)")
+        if args.url_gate and "urls" not in args.stages.split(","):
+            p.error("--url-gate needs the urls stage (--stages urls)")
+        if "urls" in args.stages.split(",") and args.url_col is None:
+            p.error("the urls stage needs --url-col")
         docs = engine.spark.read.parquet(args.docs)
         clf_ref = None
         if args.clf_reference_col is not None:

@@ -173,7 +173,7 @@ def add_registered_domain(
     url_col: str = "url",
     out_col: str = "url_domain",
     psl: str | dict[str, tuple[str, ...]] | None = None,
-    max_depth: int = 5,
+    max_depth: int | None = None,
 ) -> DataFrame:
     """``out_col`` = the URL's registered domain. With ``psl=None`` this
     is the 6-entry-stub Column rule (:func:`registered_domain`); with a
@@ -184,8 +184,12 @@ def add_registered_domain(
     suffix plus one label — or the host itself when the host IS a public
     suffix (mirrors the stub's ``n <= 2 → host``).
 
-    Scale shape: one broadcast left-join per candidate depth (≤
-    ``max_depth``, and never deeper than the PSL's own deepest rule + 1)
+    ``max_depth`` defaults to the PSL's own deepest rule; an explicit
+    value SHALLOWER than the deepest rule raises (a silent cap would
+    mis-register every host under a deeper suffix).
+
+    Scale shape: one broadcast left-join per candidate depth (the PSL's
+    deepest rule depth, or the explicit ``max_depth`` override)
     against a driver-built (suffix → rule-kind flags) table — a few
     thousand rows for the full published list. Zero shuffle, zero
     Python in the plan; the host's candidate suffixes are narrow
@@ -205,13 +209,18 @@ def add_registered_domain(
     # depth (the k+1 suffix depth is arithmetic, not a join), an
     # exception at its own depth — a +1 here would add one always-NULL
     # join per URL frame (r10 review)
-    depth = max(
-        2,
-        min(
-            max_depth,
-            max((s.count(".") + 1 for s in flags), default=1),
-        ),
-    )
+    deepest = max((s.count(".") + 1 for s in flags), default=1)
+    if max_depth is not None and max_depth < deepest:
+        # a silent cap would make every host under a deeper suffix fall
+        # back to a shallower, WRONG registered domain (r10 ADVICE) —
+        # truncation must be a loud, deliberate choice
+        raise ValueError(
+            f"psl has rules {deepest} labels deep but max_depth={max_depth} "
+            f"would silently ignore them (hosts under those suffixes would "
+            f"mis-register at a shallower domain); pass max_depth>="
+            f"{deepest} or prune the rule list instead"
+        )
+    depth = max(2, deepest if max_depth is None else max_depth)
     spark = df.sparkSession
     rule_rows = [
         (s, s.count(".") + 1, ex, wi, xc) for s, (ex, wi, xc) in flags.items()
@@ -367,6 +376,12 @@ def domain_report(
         F.expr("(__dups * 1000) DIV dom_n_docs").cast("long"),
     ).withColumn("dom_flagged", F.col("dom_dup_milli") >= int(flag_dup_milli))
     if quality_col is not None:
+        # Negative-sum semantics (r10 ADVICE probe): a caller-supplied
+        # quality may be negative, so the milli sum can be too. Spark's
+        # DIV truncates toward zero — and so does DuckDB's integer //
+        # (measured on 1.0.0: -501 // 2 = -250, HUGEINT included), so the
+        # two engines agree natively on every sign; pinned cross-engine
+        # in test_domain_report_negative_quality_cross_engine_parity.
         rep = rep.withColumn(
             "dom_quality_milli",
             F.when(

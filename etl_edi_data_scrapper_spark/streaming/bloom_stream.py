@@ -22,10 +22,10 @@ computed against positions from epochs **strictly before e within the
 same stream INCARNATION** plus ALL positions from other incarnations,
 so a replayed batch never matches its own insertions; and the insert
 anti-joins against ALL existing positions, so replay appends nothing new.
-The incarnation stamp (the checkpoint dir in the streaming entry point —
-epoch counters only restart when a NEW checkpoint dir starts a new
-incarnation) is what keeps a RESET epoch counter from going blind to
-history: with a bare ``epoch < e`` screen, a fresh incarnation's epoch-0
+The incarnation stamp (a UUID file persisted inside the checkpoint dir —
+see ``incarnation_stamp``; epoch counters restart exactly when the
+checkpoint dir is new or recreated, and the UUID changes with it) is what
+keeps a RESET epoch counter from going blind to history: with a bare ``epoch < e`` screen, a fresh incarnation's epoch-0
 batch would see an empty filter and re-admit every span ever ingested
 (r10 review). Stores written before the stamp existed read as a
 'legacy' incarnation and always screen.
@@ -160,6 +160,39 @@ def screen_batch_against_bloom_store(
     return verdict
 
 
+def incarnation_stamp(checkpoint_dir: str) -> str:
+    """Read-or-create the stream's incarnation id: a UUID persisted as
+    ``__incarnation__`` INSIDE the checkpoint dir. The raw dir PATH is
+    not a safe stamp — delete-and-recreate the same path (the common
+    restart-from-scratch op) resets Spark's epoch counter to 0 under an
+    unchanged string, and the ``(inc != me) | (epoch < e)`` screen would
+    go blind to that path's entire prior history. A UUID file shares the
+    checkpoint dir's lifecycle exactly: same dir intact → same stamp
+    (replay stays deterministic); dir recreated → epochs restart AND the
+    stamp changes together, so prior rows read as a foreign incarnation
+    and always screen."""
+    import os
+    import uuid
+
+    os.makedirs(checkpoint_dir, exist_ok=True)
+    marker = os.path.join(checkpoint_dir, "__incarnation__")
+    try:
+        with open(marker, "r", encoding="ascii") as fh:
+            stamp = fh.read().strip()
+        if stamp:
+            return stamp
+    except FileNotFoundError:
+        pass
+    stamp = uuid.uuid4().hex
+    # write-then-rename: a crash mid-write must not leave a partial stamp
+    # that a restart would read as a (different) incarnation
+    tmp = marker + ".tmp"
+    with open(tmp, "w", encoding="ascii") as fh:
+        fh.write(stamp)
+    os.replace(tmp, marker)
+    return stamp
+
+
 def run_incremental_bloom_screen(
     spark: SparkSession,
     doc_stream: DataFrame,
@@ -174,11 +207,13 @@ def run_incremental_bloom_screen(
 ):
     """Streaming entry point: each micro-batch is screened against the
     accumulated filter and handed to ``on_batch(verdict_df, epoch_id)``.
-    Returns the StreamingQuery. The checkpoint dir doubles as the
-    incarnation stamp: epoch counters restart exactly when a NEW
-    checkpoint dir starts a new incarnation, so a restart of the same
+    Returns the StreamingQuery. The incarnation stamp is a UUID file
+    persisted inside the checkpoint dir (``incarnation_stamp``): epoch
+    counters restart exactly when the checkpoint dir is new OR recreated,
+    and the stamp changes in lockstep, so a restart of the same intact
     stream keeps its stamp (replay stays deterministic) and a reset
     counter cannot shadow history."""
+    stamp = incarnation_stamp(checkpoint_dir)
 
     def handle(batch_df: DataFrame, epoch_id: int) -> None:
         verdict = screen_batch_against_bloom_store(
@@ -191,7 +226,7 @@ def run_incremental_bloom_screen(
             width=width,
             m=m,
             k=k,
-            incarnation=checkpoint_dir,
+            incarnation=stamp,
         )
         on_batch(verdict, epoch_id)
 

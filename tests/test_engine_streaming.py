@@ -763,3 +763,27 @@ def test_cli_curate_domain_report(spark, tmp_path, capsys):
            for r in spark.read.parquet(rep_dir).collect()}
     assert got["spam.net"] == (500, True)
     assert got["good.org"] == (0, False)
+
+
+def test_cli_curate_args_preflight(spark, sf_dir, tmp_path):
+    """Arg combinations knowable-bad from the args alone exit as clean
+    argparse errors BEFORE any pipeline work — --url-gate without the
+    urls stage, and the urls stage without --url-col, get the same
+    preflight --domain-report already had (r10 ADVICE)."""
+    import pytest
+
+    from etl_edi_data_scrapper_spark.__main__ import main
+    from etl_edi_data_scrapper_spark.engine import Engine
+
+    base = [
+        "curate",
+        "--docs", f"{sf_dir}/documents.parquet",
+        "--output", str(tmp_path / "v"),
+    ]
+    eng = Engine(spark=spark)
+    with pytest.raises(SystemExit) as e1:
+        main(base + ["--stages", "quality", "--url-gate"], engine=eng)
+    assert e1.value.code == 2  # argparse error exit, not a traceback
+    with pytest.raises(SystemExit) as e2:
+        main(base + ["--stages", "urls"], engine=eng)  # missing --url-col
+    assert e2.value.code == 2

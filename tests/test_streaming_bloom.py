@@ -205,3 +205,52 @@ def test_legacy_store_without_incarnation_column_screens(spark, tmp_path):
         spark, b, store, 0, incarnation="ckpt_new"
     ).collect()[0]
     assert v.bloom_contaminated
+
+
+def test_incarnation_stamp_survives_restart_changes_on_recreate(tmp_path):
+    """The stamp is a UUID file INSIDE the checkpoint dir, not the dir
+    path: an intact restart reads the same stamp (replay determinism),
+    while delete-and-recreate of the SAME path — which resets Spark's
+    epoch counter to 0 — yields a NEW stamp, so the reset counter cannot
+    shadow the path's own prior insertions (ADVICE r10)."""
+    import shutil
+
+    from etl_edi_data_scrapper_spark.streaming.bloom_stream import (
+        incarnation_stamp,
+    )
+
+    ckpt = str(tmp_path / "ckpt")
+    first = incarnation_stamp(ckpt)
+    assert incarnation_stamp(ckpt) == first  # intact restart: stable
+
+    shutil.rmtree(ckpt)  # restart-from-scratch: epochs restart at 0 ...
+    second = incarnation_stamp(ckpt)
+    assert second != first  # ... and the stamp MUST change with them
+
+
+def test_recreated_checkpoint_dir_still_screens_own_history(spark, tmp_path):
+    """End-to-end shape of the ADVICE finding: ingest under the stamp of
+    checkpoint dir X at epoch 5, delete+recreate X (epoch resets to 0),
+    and the epoch-0 screen must still see the earlier spans."""
+    import shutil
+
+    from etl_edi_data_scrapper_spark.streaming.bloom_stream import (
+        incarnation_stamp,
+        screen_batch_against_bloom_store,
+    )
+
+    ckpt = str(tmp_path / "ckpt")
+    store = str(tmp_path / "store")
+    b_old = spark.createDataFrame([(1, BANNER)], "doc_id long, text string")
+    screen_batch_against_bloom_store(
+        spark, b_old, store, 5, incarnation=incarnation_stamp(ckpt)
+    )
+
+    shutil.rmtree(ckpt)
+    b_new = spark.createDataFrame(
+        [(100, f"lead in {BANNER} tail")], "doc_id long, text string"
+    )
+    v = screen_batch_against_bloom_store(
+        spark, b_new, store, 0, incarnation=incarnation_stamp(ckpt)
+    ).collect()[0]
+    assert v.bloom_contaminated  # with a path stamp this went blind

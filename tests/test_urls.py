@@ -434,3 +434,57 @@ def test_domain_report_null_quality_uses_quality_bearing_denominator(spark):
     }
     assert got["spam.net"] == (2, 500, 800)      # NOT 400
     assert got["allnull.org"] == (1, 1000, None)  # no quality-bearing doc
+
+
+def test_psl_deep_rules_covered_by_default_and_loud_when_capped(spark, tmp_path):
+    """max_depth defaults to the PSL's deepest rule — a 6-label private
+    rule must register correctly with no explicit depth — and an explicit
+    cap SHALLOWER than the deepest rule raises instead of silently
+    mis-registering hosts under the deeper suffixes (r10 ADVICE)."""
+    import pytest
+
+    from etl_edi_data_scrapper_spark.functions.urls import add_registered_domain
+
+    psl = _psl_file(
+        tmp_path,
+        "// ===BEGIN ICANN DOMAINS===\n"
+        "com\n"
+        "// ===BEGIN PRIVATE DOMAINS===\n"
+        "a.b.c.d.e.example\n",  # 6-label rule, deeper than the old cap of 5
+    )
+    df = spark.createDataFrame(
+        [(0, "https://site.a.b.c.d.e.example/x"), (1, "https://www.example.com/y")],
+        "doc_id long, url string",
+    )
+    got = {r.doc_id: r.url_domain
+           for r in add_registered_domain(df, psl=psl).collect()}
+    assert got == {0: "site.a.b.c.d.e.example", 1: "example.com"}
+
+    with pytest.raises(ValueError, match="max_depth"):
+        add_registered_domain(df, psl=psl, max_depth=5)
+
+
+def test_domain_report_negative_quality_cross_engine_parity(spark):
+    """A caller-supplied quality can be negative, making the milli sum
+    negative (r10 ADVICE). Both engines truncate integer division toward
+    zero (Spark DIV; DuckDB integer // — measured -501 // 2 = -250 on
+    1.0.0, HUGEINT sums included), so dom_quality_milli agrees natively
+    on every sign; this pins that agreement on the odd negative split
+    where truncate (-250) and floor (-251) differ."""
+    import duckdb
+
+    from etl_edi_data_scrapper_spark.functions.urls import domain_report
+
+    df = spark.createDataFrame(
+        [("c.com", False, -0.5005), ("c.com", False, 0.0)],
+        "url_domain string, is_url_dup boolean, quality double",
+    )
+    got = {
+        r.url_domain: r.dom_quality_milli
+        for r in domain_report(df, quality_col="quality").collect()
+    }
+    oracle = duckdb.sql(
+        "SELECT CAST(sum(CAST(floor(q*1000) AS BIGINT)) // count(q) AS BIGINT) "
+        "FROM (VALUES (-0.5005), (0.0)) t(q)"
+    ).fetchone()[0]
+    assert got["c.com"] == oracle == -250  # truncation on BOTH engines
