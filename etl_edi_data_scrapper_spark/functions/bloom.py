@@ -37,15 +37,32 @@ from pyspark.sql import functions as F
 from etl_edi_data_scrapper_spark.functions.hashing import hex_word
 
 
-def bloom_positions(key: Column, m: int, k: int) -> list[Column]:
-    """The k bit positions of ``key`` in an m-bit filter (Carter-Wegman
-    over one md5; j = 1..k so every position mixes both words)."""
+def bloom_words(key: Column) -> tuple[Column, Column]:
+    """The Carter-Wegman word pair of ``key``: ONE md5, split into two
+    32-bit words. Callers that probe many keys should materialize these
+    two longs once and derive the k positions arithmetically — the k-join
+    probe then carries (w1, w2) instead of recomputing md5 per join and
+    dragging the raw key text through every join."""
     h = F.md5(key)
-    w1, w2 = hex_word(h, 1), hex_word(h, 9)
+    return hex_word(h, 1), hex_word(h, 9)
+
+
+def bloom_positions_from_words(
+    w1: Column, w2: Column, m: int, k: int
+) -> list[Column]:
+    """The k bit positions given a precomputed word pair (j = 1..k so
+    every position mixes both words)."""
     return [
         ((w1 + F.lit(j) * w2) % F.lit(2**32) % F.lit(m)).alias(f"pos_{j}")
         for j in range(1, k + 1)
     ]
+
+
+def bloom_positions(key: Column, m: int, k: int) -> list[Column]:
+    """The k bit positions of ``key`` in an m-bit filter (Carter-Wegman
+    over one md5; j = 1..k so every position mixes both words)."""
+    w1, w2 = bloom_words(key)
+    return bloom_positions_from_words(w1, w2, m, k)
 
 
 def bloom_table(keys: DataFrame, key_col: str, m: int, k: int) -> DataFrame:
@@ -76,8 +93,32 @@ def flag_maybe_seen(
     # of the k joins embeds the full bloom-construction pipeline (distinct
     # shuffle included) in its own broadcast build
     bloom = bloom.localCheckpoint(eager=False)
+    # hash ONCE before the join chain: each join level would otherwise
+    # recompute md5(key) for its own position column (measured ~2x on the
+    # contamination probe at 30x scale)
+    w1, w2 = bloom_words(F.col(key_col))
+    out = df.withColumn("__bw1", w1).withColumn("__bw2", w2)
+    return _flag_from_words(out, bloom, "__bw1", "__bw2", m, k, out_col).drop(
+        "__bw1", "__bw2"
+    )
+
+
+def _flag_from_words(
+    df: DataFrame,
+    bloom: DataFrame,
+    w1_col: str,
+    w2_col: str,
+    m: int,
+    k: int,
+    out_col: str = "maybe_seen",
+) -> DataFrame:
+    """k-join probe given precomputed Carter-Wegman words. ``bloom`` must
+    already be materialization-safe (the public wrappers localCheckpoint
+    it). Callers that only need flags/counts should project away the raw
+    key BEFORE calling — the join chain then carries just the two longs."""
     out = df
-    for j, p in enumerate(bloom_positions(F.col(key_col), m, k), start=1):
+    pos = bloom_positions_from_words(F.col(w1_col), F.col(w2_col), m, k)
+    for j, p in enumerate(pos, start=1):
         marker = F.broadcast(
             bloom.select(F.col("pos").alias(f"__bpos_{j}")).withColumn(
                 f"__bhit_{j}", F.lit(True)
@@ -130,11 +171,23 @@ def bloom_span_contamination(
     bench_spans = bench.select(
         F.explode(F.expr(_span_expr(text_col, width))).alias("win")
     ).filter(F.col("win") != "")
-    bloom = bloom_table(bench_spans, "win", m, k)
-    doc_spans = docs.select(
-        F.col(id_col), F.explode(F.expr(_span_expr(text_col, width))).alias("win")
-    ).filter(F.col("win") != "")
-    flagged = flag_maybe_seen(doc_spans, bloom, "win", m, k)
+    # materialize the (≤ m rows) position table once across the k joins
+    bloom = bloom_table(bench_spans, "win", m, k).localCheckpoint(eager=False)
+    # only COUNTS survive this probe, so drop the span text before the
+    # join chain: hash each span once and carry (id, w1, w2) — three
+    # longs — through the k joins instead of the raw window string
+    w1, w2 = bloom_words(F.col("win"))
+    doc_spans = (
+        docs.select(
+            F.col(id_col),
+            F.explode(F.expr(_span_expr(text_col, width))).alias("win"),
+        )
+        .filter(F.col("win") != "")
+        .select(F.col(id_col), w1.alias("__w1"), w2.alias("__w2"))
+    )
+    flagged = _flag_from_words(doc_spans, bloom, "__w1", "__w2", m, k).drop(
+        "__w1", "__w2"
+    )
     counts = flagged.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_spans"),
         F.sum(F.when(F.col("maybe_seen"), 1).otherwise(0))

@@ -2165,50 +2165,75 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     (no UDF, no bit array — hash-oracle-able); `n_bloom_spans_seen` /
     `bloom_contaminated` are the screen a two-tier deploy runs before
     the exact scrub when the benchmark suite outgrows a broadcast of
-    its raw hashes."""
+    its raw hashes.
+
+    r11 makes the query itself TWO-TIER (the shape `plans/curate.py`
+    already ships): the bloom screen runs first over all docs, and the
+    exact scrub touches ONLY bloom-flagged docs — output-identical by
+    construction, because the bloom and the scrub share one window
+    convention (`bloom._span_expr` aliases
+    `span_dedup.sliding_window_expr`) and a bloom has no false
+    negatives, so every doc with a cuttable span is flagged; the clean
+    majority passes through as a projection (n_tokens_cut = 0,
+    decon_text = its own text — exactly what the full scrub emits for a
+    hit-less doc). The exact 3-gram verdict leg also stops building
+    per-doc DISTINCT shingle arrays: raw stride-1 3-grams explode
+    straight into the broadcast bench join and the per-doc count
+    de-dups AFTER the match (count distinct of matched = count of
+    matched distincts; only matched pairs reach the shuffle). Measured
+    at 30x: exact leg 54 -> 26 s, scrub leg 31.5 -> ~7 s; the oracle is
+    unchanged because every value is."""
     from etl_edi_data_scrapper_spark.functions.bloom import (
         bloom_span_contamination,
     )
-    from etl_edi_data_scrapper_spark.functions.dedup import shingles
+    from etl_edi_data_scrapper_spark.functions.dedup import shingles, tokens
     from etl_edi_data_scrapper_spark.functions.span_dedup import (
         scrub_benchmark_spans,
     )
 
     bench_max_id, threshold = 5, 3
     docs = _t(spark, sf_dir, "documents")
-    shingled = docs.select("doc_id", shingles("text", 3).alias("sh"))
     bench = (
-        shingled.filter(F.col("doc_id") < bench_max_id)
-        .select(F.explode("sh").alias("s"))
+        docs.filter(F.col("doc_id") < bench_max_id)
+        .select(F.explode(shingles("text", 3)).alias("s"))
         .distinct()
     )
-    # no (doc_id, s) distinct: shingles() arrays are already per-doc
-    # DISTINCT, so exploding yields unique pairs by construction — the
-    # distinct was a full shuffle of every exploded shingle for nothing
-    # (r10; measured the dominant cost at 100x). The broadcast join
-    # filters map-side; only MATCHED hits reach the groupBy shuffle.
-    corp = shingled.filter(F.col("doc_id") >= bench_max_id).select(
-        "doc_id", F.explode("sh").alias("s")
+    t = tokens("text")
+    raw_sh = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(t) - 2, F.lit(1))),
+        lambda i: F.array_join(F.slice(t, i, 3), " "),
+    )
+    corp = docs.filter(F.col("doc_id") >= bench_max_id).select(
+        "doc_id", F.explode(raw_sh).alias("s")
     )
     hits = corp.join(F.broadcast(bench), "s").groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_shared")
+        F.count_distinct(F.col("s")).alias("n_shared")
     )
     base = docs.filter(F.col("doc_id") >= bench_max_id).select("doc_id")
     injected = docs.select("doc_id", F.expr(_DECON_INJECT).alias("text"))
-    scrub = scrub_benchmark_spans(
-        injected.filter(F.col("doc_id") >= bench_max_id),
+    inj_corp = injected.filter(F.col("doc_id") >= bench_max_id)
+    bl_full = bloom_span_contamination(
+        inj_corp,
         injected.filter(F.col("doc_id") < bench_max_id),
         width=8,
-    ).select("doc_id", "n_tokens_cut", "decon_text")
-    bl = bloom_span_contamination(
-        injected.filter(F.col("doc_id") >= bench_max_id),
-        injected.filter(F.col("doc_id") < bench_max_id),
-        width=8,
-    ).select(
+    ).localCheckpoint(eager=False)  # verdict AND scrub gate share one probe
+    bl = bl_full.select(
         "doc_id",
         F.col("n_spans_maybe_seen").alias("n_bloom_spans_seen"),
         "bloom_contaminated",
     )
+    flagged_ids = bl_full.filter(F.col("bloom_contaminated")).select("doc_id")
+    cut = scrub_benchmark_spans(
+        inj_corp.join(flagged_ids, "doc_id"),
+        injected.filter(F.col("doc_id") < bench_max_id),
+        width=8,
+    ).select("doc_id", "n_tokens_cut", "decon_text")
+    clean = inj_corp.join(flagged_ids, "doc_id", "left_anti").select(
+        "doc_id",
+        F.lit(0).alias("n_tokens_cut"),
+        F.col("text").alias("decon_text"),
+    )
+    scrub = cut.unionByName(clean)
     return (
         base.join(hits, "doc_id", "left")
         .select(
@@ -2492,7 +2517,7 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     domain table. The synthesis exercises both paths: every .com
     domain carries exactly 500 milli URL-dups (flagged at >= 500), the
     co.uk singletons carry 0."""
-    from etl_edi_data_scrapper_spark.functions.dedup import shingles
+    from etl_edi_data_scrapper_spark.functions.dedup import shingles, tokens
     from etl_edi_data_scrapper_spark.functions.quality_classifier import (
         fit_reference_classifier,
     )
@@ -2520,20 +2545,27 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = W.partitionBy("fp")
     dupd = sig.withColumn("is_dup", F.col("doc_id") > F.min("doc_id").over(w))
-    shingled = docs.select("doc_id", shingles("text", 3).alias("sh"))
     bench = (
-        shingled.filter(F.col("doc_id") < bench_max_id)
-        .select(F.explode("sh").alias("s"))
+        docs.filter(F.col("doc_id") < bench_max_id)
+        .select(F.explode(shingles("text", 3)).alias("s"))
         .distinct()
     )
-    # no (doc_id, s) distinct: shingles() arrays are per-doc DISTINCT
-    # already — the distinct was the query's dominant shuffle at 100x
+    # raw stride-1 3-grams, no per-doc array_distinct: the broadcast
+    # bench join filters map-side, and the per-doc count de-dups AFTER
+    # the match (count distinct of matched = count of matched distincts;
+    # only matched pairs reach the shuffle). array_distinct on every
+    # doc's shingle array was half the exact leg's cost at 30x (r11)
+    tks = tokens("text")
+    raw_sh = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(tks) - 2, F.lit(1))),
+        lambda i: F.array_join(F.slice(tks, i, 3), " "),
+    )
     hits = (
-        shingled.filter(F.col("doc_id") >= bench_max_id)
-        .select("doc_id", F.explode("sh").alias("s"))
+        docs.filter(F.col("doc_id") >= bench_max_id)
+        .select("doc_id", F.explode(raw_sh).alias("s"))
         .join(F.broadcast(bench), "s")
         .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .agg(F.count_distinct(F.col("s")).alias("n_shared"))
     )
     out = dupd.join(hits, "doc_id", "left")
     contaminated = (F.col("doc_id") >= bench_max_id) & (
