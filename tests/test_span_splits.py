@@ -918,3 +918,33 @@ def test_line_dedup_shuffle_never_carries_text(spark):
     )
     assert "BatchEvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_line_dedup_saturated_doc_linear_rebuild(spark):
+    """Boilerplate-saturated mega-doc: every one of 20k lines in two docs
+    is a duplicate of doc 0, so the cut list is as long as the doc. The
+    r10 rebuild probed array_contains(cut, i) per line — O(L x cuts),
+    measured 20.2 s on this exact input; the array_except complement
+    rebuild is O(L + cuts), measured 3.8 s (session overhead included).
+    Asserts correctness on the saturated shape and a generous wall bound
+    (15 s ~ 4x the linear path, under the quadratic path's floor)."""
+    import time
+
+    from etl_edi_data_scrapper_spark.functions.span_dedup import (
+        dedup_lines_across_corpus,
+    )
+
+    n = 20000
+    boiler = "\n".join(f"boilerplate line {i}" for i in range(n))
+    df = spark.createDataFrame(
+        [(0, boiler), (1, boiler), (2, boiler)], "doc_id long, text string"
+    ).localCheckpoint(eager=True)
+    t0 = time.time()
+    rows = {r.doc_id: r for r in dedup_lines_across_corpus(df).collect()}
+    wall = time.time() - t0
+    assert rows[0].n_lines_cut == 0 and rows[0].clean_text == boiler
+    for d in (1, 2):
+        assert rows[d].n_lines == n
+        assert rows[d].n_lines_cut == n  # every line cut ...
+        assert rows[d].clean_text == ""  # ... nothing survives
+    assert wall < 15, f"saturated rebuild took {wall:.1f}s - quadratic again?"
