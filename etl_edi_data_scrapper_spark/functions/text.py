@@ -109,14 +109,50 @@ def lang_id(text: Column | str) -> Column:
 # | whitespace runs.
 BPE_SPLIT_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
 
+# RE2-safe closure of GPT-2's `\s+(?!\S)` rule for COUNTING purposes.
+# The real pre-tokenizer splits a whitespace run followed by text into
+# (run minus its last char) + the last char, and the last char then
+# either glues onto the next token (only a literal SPACE can — the
+# ` ?` alternative prefixes) or stands alone. Segment-count effect vs
+# the lookahead-free pattern above, as signed counting terms (each a
+# plain regex — no lookahead — so every engine can count them; the
+# decomposition is fuzz-pinned against the stdlib-re exact pre-tokenizer
+# over 20k+ random whitespace-heavy strings in tests/test_bpe.py):
+#   +1 per whitespace run of length >= 2 whose LAST char is a NON-SPACE
+#      whitespace followed by non-whitespace ("a\t\tb" ->
+#      ['a','\t','\t','b'] exact vs ['a','\t\t','b'] approximate);
+#   +1 per run of length >= 2 ending in ' ' followed by a contraction
+#      ("x  's" -> ['x',' '," '",'s'] exact: the glued space forces the
+#      apostrophe through the punct alternative, vs ['x','  ',"'s"]
+#      approximate where the bare contraction wins)
+#   -1 of those where a LETTER follows the contraction suffix ("  'store"
+#      re-splits as ["'s",'tore'] vs [" '",'store'] — same count);
+# every other shape counts identically (a run ending in ' ' before a
+# letter/digit/punct token re-splits as prefix + glued space: same
+# total). The subtraction pair avoids the lookahead a terminal check
+# would need.
+_BPE_CONTRACTION = r"'(?:s|t|re|ve|m|ll|d)"
+BPE_SPLIT_COUNT_FIXES: tuple[tuple[str, int], ...] = (
+    (r"\s[\t\n\x0B\f\r]\S", +1),
+    (r"\s " + _BPE_CONTRACTION, +1),
+    (r"\s " + _BPE_CONTRACTION + r"\p{L}", -1),
+)
+
 
 def bpe_token_count(c: Column | str) -> Column:
     """Approximate LLM-token count: # of pre-tokenizer segments (the BPE
     merge stage only splits within segments, so this upper-bounds and
     tracks real BPE counts far better than whitespace words). One
-    regexp_extract_all + size — JVM-side, no vocab needed."""
+    regexp_extract_all + size, plus the signed BPE_SPLIT_COUNT_FIXES
+    terms that close the `\\s+(?!\\S)` divergence on whitespace-heavy
+    text (code, markdown) — JVM-side, no vocab needed,
+    segment-count-exact against the real GPT-2 pre-tokenizer on ASCII
+    text."""
     c = F.col(c) if isinstance(c, str) else c
-    return F.size(F.regexp_extract_all(c, F.lit(BPE_SPLIT_PATTERN), 0))
+    n = F.size(F.regexp_extract_all(c, F.lit(BPE_SPLIT_PATTERN), 0))
+    for pat, sign in BPE_SPLIT_COUNT_FIXES:
+        n = n + F.lit(sign) * F.regexp_count(c, F.lit(pat))
+    return n
 
 
 # Rolling-hash constants: B ≈ small odd multiplier, M = 2^31-1 (Mersenne

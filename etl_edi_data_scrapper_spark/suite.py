@@ -1587,16 +1587,22 @@ ORACLES["vocab_topk"] = f"""
 
 def _text_fingerprints_select() -> str:
     from etl_edi_data_scrapper_spark.functions.text import (
+        BPE_SPLIT_COUNT_FIXES,
         BPE_SPLIT_PATTERN,
         ROLLING_B,
         ROLLING_M,
     )
 
     pat = BPE_SPLIT_PATTERN.replace("'", "''")
+    fixes = " ".join(
+        f"{'+' if sign > 0 else '-'} len(regexp_extract_all(text, "
+        f"'{p.replace(chr(39), chr(39) * 2)}'))"
+        for p, sign in BPE_SPLIT_COUNT_FIXES
+    )
     word = _sql_hex_word("md5(t)", 1)
     return f"""
     SELECT doc_id,
-      len(regexp_extract_all(text, '{pat}')) AS bpe_tokens,
+      len(regexp_extract_all(text, '{pat}')) {fixes} AS bpe_tokens,
       list_reduce(
         list_prepend(CAST(0 AS BIGINT),
           list_transform(string_split(text, ' '), t -> {word})),

@@ -368,3 +368,83 @@ def test_learn_bpe_merges_driver_state_guard(spark):
     )
     with pytest.raises(ValueError, match="min_count"):
         learn_bpe_merges(df, n_merges=4, min_count=1, max_words=10)
+
+
+def test_jvm_segment_count_matches_real_pretokenizer(spark):
+    """The RE2-safe JVM approximation (BPE_SPLIT_PATTERN + the signed
+    BPE_SPLIT_COUNT_FIXES terms) counts EXACTLY the segments of the real
+    GPT-2 pre-tokenizer — including the `\\s+(?!\\S)` rule RE2 cannot
+    express. Its count effect decomposes into three lookahead-free terms
+    (see text.py); pinned three ways on a whitespace-heavy code/markdown
+    fixture plus a 20k-string fuzz: the stdlib-re exact pre-tokenizer vs
+    the Spark expression vs the DuckDB rendering the oracle uses (r10
+    verdict nit #2). \\x0b is exercised on the python/Spark legs only:
+    RE2's \\s class omits it (documented oracle-side gap; the gate
+    corpus is ASCII text without vertical tabs)."""
+    import random
+    import re
+
+    import duckdb
+
+    from etl_edi_data_scrapper_spark.functions.bpe import _PRETOKEN_RE
+    from etl_edi_data_scrapper_spark.functions.text import (
+        BPE_SPLIT_COUNT_FIXES,
+        BPE_SPLIT_PATTERN,
+        bpe_token_count,
+    )
+
+    def py_fixes(fixes):
+        # stdlib re has no \p{L}: render the letter class by hand
+        return [(p.replace(r"\p{L}", "[^\\W\\d_]"), sign) for p, sign in fixes]
+
+    fixture = (
+        "def f(x):\n\tif x:\n\t\treturn x*2\n# header\n\n"
+        "| a | b |\n|---|---|\nrow   \t\nmixed \t mix\t\tend  's  'store 'll"
+    )
+    random.seed(11)
+    alphabet = [
+        "ab", "1", ".", "'s", "'ll", "'d", "s", "'", " ", "\t", "\n",
+        "\r", "\x0b", "\f", "  ", "\t ",
+    ]
+    cases = [fixture] + [
+        "".join(random.choice(alphabet) for _ in range(random.randint(0, 12)))
+        for _ in range(20000)
+    ]
+    # 1) pure-python: approximation + signed corrections == exact
+    # segmentation (the stdlib-re rendering of the approximation is
+    # _PRETOKEN_RE minus its lookahead alternative — a plain \p-class
+    # replace would corrupt the negated punct class)
+    approx_re = _PRETOKEN_RE.replace(r"\s+(?!\S)|", "")
+    assert approx_re != _PRETOKEN_RE  # the lookahead alternative was there
+    fixes_py = py_fixes(BPE_SPLIT_COUNT_FIXES)
+    for s in cases:
+        exact = len(re.findall(_PRETOKEN_RE, s))
+        got = len(re.findall(approx_re, s)) + sum(
+            sign * len(re.findall(p, s)) for p, sign in fixes_py
+        )
+        assert got == exact, repr(s)
+    # 2) the Spark expression and 3) the DuckDB oracle rendering agree
+    # with the exact count on the fixture + a sample of the fuzz corpus
+    sample = cases[:300]
+    sdf = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(sample)], "i long, text string"
+    ).select("i", bpe_token_count("text").alias("n"))
+    got_spark = {r.i: r.n for r in sdf.collect()}
+    pat = BPE_SPLIT_PATTERN.replace("'", "''")
+    fixes_sql = " ".join(
+        f"{'+' if sign > 0 else '-'} len(regexp_extract_all(?, "
+        f"'{p.replace(chr(39), chr(39) * 2)}'))"
+        for p, sign in BPE_SPLIT_COUNT_FIXES
+    )
+    con = duckdb.connect()
+    n_fix = len(BPE_SPLIT_COUNT_FIXES)
+    for i, s in enumerate(sample):
+        exact = len(re.findall(_PRETOKEN_RE, s))
+        assert got_spark[i] == exact, repr(s)
+        if "\x0b" in s:
+            continue  # RE2 \s omits \x0b — documented oracle-side gap
+        (got_duck,) = con.execute(
+            f"SELECT len(regexp_extract_all(?, '{pat}')) {fixes_sql}",
+            [s] * (1 + n_fix),
+        ).fetchone()
+        assert got_duck == exact, repr(s)
