@@ -32,6 +32,7 @@ the same way the C4 bad-words placeholder swaps in the published list.
 
 from __future__ import annotations
 
+import pandas as pd  # module-level so pandas_udf type hints resolve
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -64,17 +65,70 @@ def _is_tracking(p: Column, params: tuple[str, ...]) -> Column:
     return cond
 
 
+def _idna_encode_udf():
+    """Arrow-batched IDNA (punycode) host encoder — the ONE step of URL
+    canonicalization no regex engine can express. Null-gated by the
+    caller: the ASCII majority (>95 % of any real crawl) arrives as NULL
+    and costs a null check per row; only non-ASCII hosts run the stdlib
+    ``idna`` codec (IDNA 2003 nameprep + punycode, the public
+    algorithm). Hosts the codec rejects (empty labels, over-long labels)
+    keep their original spelling — the canonical key degrades to the r10
+    behavior instead of erroring the pipeline."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def enc(hosts: pd.Series) -> pd.Series:
+        def one(h):
+            if h is None:
+                return None
+            try:
+                return h.encode("idna").decode("ascii")
+            except (UnicodeError, ValueError):
+                return h
+
+        return hosts.map(one)
+
+    return enc
+
+
 def canonicalize_url(
-    c: Column | str, tracking_params: tuple[str, ...] = TRACKING_PARAMS
+    c: Column | str,
+    tracking_params: tuple[str, ...] = TRACKING_PARAMS,
+    idna: bool = False,
 ) -> Column:
     """The canonical dedup key of a crawl URL (rules in module docs).
     ``tracking_params`` swaps the exact-name drop list (utm_* is always
-    dropped by prefix) — per-deployment, like the C4 bad-words list."""
+    dropped by prefix) — per-deployment, like the C4 bad-words list.
+
+    ``idna=True`` additionally folds internationalized hosts onto their
+    punycode (ACE) spelling, so ``https://münchen.de/x`` and
+    ``https://xn--mnchen-3ya.de/x`` share one canonical key — on a
+    multilingual crawl the two spellings are the same page (r10 verdict
+    nit #3). Off by default because it is the module's single non-pure
+    expression (a null-gated Arrow pandas_udf that only ever sees the
+    non-ASCII minority; ASCII corpora produce byte-identical keys either
+    way, pinned in tests) — and because flipping it on changes the
+    canonical keys of IDN rows: a URL-dedup STORE built without it must
+    be rebuilt (see streaming/url_stream.py)."""
     c = F.col(c) if isinstance(c, str) else c
     u = F.regexp_replace(F.trim(c), "#.*$", "")  # 1. fragment off
     head = F.lower(_head(u))  # 2. lowercase scheme://authority
     rest = F.regexp_replace(u, _HEAD_RE, "")  # path[?query]
     head = F.regexp_replace(head, r"://www\.", "://")  # 3. www. off
+    if idna:
+        # scheme://[user@]host[:port] — punycode applies to the HOST
+        # label sequence only; userinfo and port pass through untouched
+        scheme = F.regexp_extract(head, r"^([a-z][a-z0-9+.\-]*://)", 1)
+        auth = F.regexp_replace(head, r"^[a-z][a-z0-9+.\-]*://", "")
+        user = F.regexp_extract(auth, r"^([^@]*@)", 1)
+        hostport = F.regexp_replace(auth, r"^[^@]*@", "")
+        host = F.regexp_replace(hostport, r":[0-9]+$", "")
+        port = F.regexp_extract(hostport, r"(:[0-9]+)$", 1)
+        ace = F.coalesce(
+            _idna_encode_udf()(F.when(host.rlike(r"[^\x00-\x7F]"), host)),
+            host,
+        )
+        head = F.concat(scheme, user, ace, port)
     head = F.when(  # 4. default ports
         head.startswith("https://") & head.endswith(":443"),
         F.regexp_replace(head, ":443$", ""),

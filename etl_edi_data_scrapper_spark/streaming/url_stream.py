@@ -40,10 +40,11 @@ inserted: a missing key is not a shared key, in the store exactly as
 in the batch.
 
 Store compatibility: the store keys ARE canonical forms, so changing
-the canonicalization (a different ``tracking_params`` set, a new PSL)
-changes the keys — an existing store must be rebuilt under the new
-rules or re-crawls of previously-held pages will be re-admitted under
-their new canonical spelling.
+the canonicalization (a different ``tracking_params`` set, a new PSL,
+toggling ``canonicalize_url(idna=...)`` — punycode folding rewrites the
+canonical key of every IDN host) changes the keys — an existing store
+must be rebuilt under the new rules or re-crawls of previously-held
+pages will be re-admitted under their new canonical spelling.
 """
 
 from __future__ import annotations

@@ -488,3 +488,51 @@ def test_domain_report_negative_quality_cross_engine_parity(spark):
         "FROM (VALUES (-0.5005), (0.0)) t(q)"
     ).fetchone()[0]
     assert got["c.com"] == oracle == -250  # truncation on BOTH engines
+
+
+def test_canonicalize_idna_known_cases(spark):
+    """IDN hosts and their punycode (ACE) spellings are the same page:
+    with idna=True both spellings of münchen.de share one canonical key
+    (r10 verdict nit #3); userinfo and explicit ports pass through; a
+    host the idna codec rejects keeps its r10 spelling instead of
+    erroring."""
+    from etl_edi_data_scrapper_spark.functions.urls import canonicalize_url
+
+    rows = [
+        (0, "https://münchen.de/pfad?x=1"),
+        (1, "https://xn--mnchen-3ya.de/pfad?x=1"),
+        (2, "https://MÜNCHEN.DE/pfad?x=1"),       # nameprep lowercases
+        (3, "https://user@bücher.example:8443/a"),  # userinfo + port kept
+        (4, "https://exämple..de/x"),             # empty label: codec rejects
+    ]
+    df = spark.createDataFrame(rows, "i long, url string").select(
+        "i", canonicalize_url("url", idna=True).alias("k")
+    )
+    got = {r.i: r.k for r in df.collect()}
+    assert got[0] == got[1] == got[2] == "https://xn--mnchen-3ya.de/pfad?x=1"
+    assert got[3] == "https://user@xn--bcher-kva.example:8443/a"
+    assert got[4] == "https://exämple..de/x"  # graceful degradation
+
+
+def test_canonicalize_idna_ascii_is_byte_identical(spark):
+    """On an ASCII corpus idna=True and idna=False produce byte-identical
+    canonical keys (the udf is null-gated behind a non-ASCII probe), so
+    the registered queries' DuckDB oracles remain valid with either
+    setting on the gate corpus."""
+    from etl_edi_data_scrapper_spark.functions.urls import canonicalize_url
+
+    urls = [
+        "HTTPS://WWW.Example.com:443/a/b/?utm_source=x&b=2&a=1#frag",
+        "http://shop.example.co.uk:80//deep///",
+        "https://example.com/?fbclid=abc",
+        "not a url at all",
+        "https://user:pw@example.com:8080/q?x=%20y",
+    ]
+    df = spark.createDataFrame([(i, u) for i, u in enumerate(urls)], "i long, url string")
+    both = df.select(
+        "i",
+        canonicalize_url("url").alias("plain"),
+        canonicalize_url("url", idna=True).alias("idna"),
+    )
+    for r in both.collect():
+        assert r.plain == r.idna, urls[r.i]
