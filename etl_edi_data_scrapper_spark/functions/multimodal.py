@@ -93,10 +93,73 @@ def real_decode_kernel(content: bytes, kind: str, dim: int = 8) -> list[float] |
             # never as a task-killing exception
             return None
         return [p / 255.0 for p in img.getdata()][:dim]
+    if kind == "audio":
+        return _decode_wav(content, dim)
     raise DecoderUnavailable(
         f"no codec library available to decode kind={kind!r}; "
         "install torchaudio/ffmpeg or swap in fake_decode_kernel"
     )
+
+
+def _decode_wav(content: bytes, dim: int) -> list[float] | None:
+    """Stdlib PCM-WAV audio kernel (zero new dependencies — ``wave`` +
+    numpy; ``audioop`` is deliberately avoided: removed in Python 3.13):
+    parse the RIFF/WAVE container, fold channels to mono, and emit the
+    ``dim``-window RMS envelope normalized to [0, 1] — same shape
+    contract as the image kernel. ``DecoderUnavailable`` is reserved for
+    genuinely codec-bound content (non-WAV audio like MP3/OGG, or a WAVE
+    container whose format tag the stdlib reader cannot decompress);
+    corrupt/truncated PCM yields ``None`` like every other kernel."""
+    import io
+    import wave
+
+    import numpy as np
+
+    if content[:4] != b"RIFF" or content[8:12] != b"WAVE":
+        raise DecoderUnavailable(
+            "the stdlib audio kernel decodes PCM WAV only; install "
+            "torchaudio/ffmpeg for compressed audio or swap in "
+            "fake_decode_kernel"
+        )
+    try:
+        with wave.open(io.BytesIO(content)) as w:
+            nch, sw = w.getnchannels(), w.getsampwidth()
+            raw = w.readframes(w.getnframes())
+    except wave.Error as e:
+        # a WAVE container with a compression the stdlib reader lacks
+        # (ADPCM, mu-law, ...) is codec-bound, not corrupt
+        raise DecoderUnavailable(
+            f"WAVE container the stdlib reader cannot decode ({e}); "
+            "install torchaudio/ffmpeg or swap in fake_decode_kernel"
+        ) from e
+    except Exception:
+        return None  # corrupt container: NULL feature, never an abort
+    try:
+        if sw == 1:  # unsigned 8-bit
+            x = (np.frombuffer(raw, np.uint8).astype(np.float64) - 128.0) / 128.0
+        elif sw == 2:
+            x = np.frombuffer(raw, "<i2").astype(np.float64) / 32768.0
+        elif sw == 3:  # packed 24-bit little-endian
+            b = np.frombuffer(raw, np.uint8)
+            b = b[: (len(b) // 3) * 3].reshape(-1, 3).astype(np.uint32)
+            v = (b[:, 0] | (b[:, 1] << 8) | (b[:, 2] << 16)).astype(np.int64)
+            v[v >= 1 << 23] -= 1 << 24
+            x = v.astype(np.float64) / float(1 << 23)
+        elif sw == 4:
+            x = np.frombuffer(raw, "<i4").astype(np.float64) / float(1 << 31)
+        else:
+            return None
+        if nch > 1:
+            x = x[: (len(x) // nch) * nch].reshape(-1, nch).mean(axis=1)
+        if len(x) == 0:
+            return [0.0] * dim
+        bounds = np.linspace(0, len(x), dim + 1).astype(int)
+        return [
+            float(np.sqrt(np.mean(x[s:e] ** 2))) if e > s else 0.0
+            for s, e in zip(bounds[:-1], bounds[1:])
+        ]
+    except Exception:
+        return None
 
 
 def fake_decode_kernel(content: bytes, kind: str, dim: int = 8) -> list[float]:

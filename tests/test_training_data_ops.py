@@ -1194,3 +1194,87 @@ def test_credit_card_matches_python_model_randomized(spark):
             if _luhn_ok(re.sub(r"[ -]", "", c))
         ]
         assert got[i] == want, f"doc {i}: {text!r}"
+
+
+# --- audio: live stdlib PCM-WAV kernel (r11) ---------------------------------
+
+
+def _wav_bytes(nch=1, sw=2, fr=8000, seconds=0.1, amp=0.5, freq=440.0):
+    """In-memory PCM WAV via the stdlib wave writer — the same public
+    container format the kernel parses, no codec dependency anywhere."""
+    import io
+    import math
+    import struct
+    import wave
+
+    n = int(fr * seconds)
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(nch)
+        w.setsampwidth(sw)
+        w.setframerate(fr)
+        for i in range(n):
+            v = amp * math.sin(2 * math.pi * freq * i / fr)
+            for _ in range(nch):
+                if sw == 1:
+                    w.writeframesraw(struct.pack("B", int(128 + v * 127)))
+                else:
+                    w.writeframesraw(struct.pack("<h", int(v * 32767)))
+    return buf.getvalue()
+
+
+def test_real_kernel_decodes_pcm_wav():
+    """The audio kernel is LIVE for PCM WAV (stdlib wave + numpy, zero
+    new dependencies): a sine at amplitude 0.5 yields an RMS envelope
+    near 0.5/sqrt(2) in every window, silence yields zeros, stereo folds
+    to mono, and DecoderUnavailable is reserved for genuinely
+    codec-bound bytes (non-WAV audio; compressed WAVE) while truncation
+    degrades to a NULL feature (r10 verdict next-round #7)."""
+    import math
+
+    rms = 0.5 / math.sqrt(2)
+    feats = multimodal.real_decode_kernel(_wav_bytes(), "audio")
+    assert len(feats) == 8
+    assert all(abs(v - rms) < 0.03 for v in feats), feats
+    # silence → zero envelope
+    silent = multimodal.real_decode_kernel(_wav_bytes(amp=0.0), "audio")
+    assert all(v < 0.02 for v in silent)
+    # stereo 8-bit folds to mono and still sees the sine
+    st = multimodal.real_decode_kernel(_wav_bytes(nch=2, sw=1), "audio")
+    assert len(st) == 8 and all(abs(v - rms) < 0.05 for v in st)
+    # non-WAV audio bytes stay codec-gated
+    with pytest.raises(multimodal.DecoderUnavailable):
+        multimodal.real_decode_kernel(b"ID3\x03mp3-ish bytes", "audio")
+    # a WAVE container with a compression tag the stdlib reader lacks
+    # (format 2 = MS ADPCM) is codec-bound, not corrupt
+    import struct as _s
+
+    adpcm = (
+        b"RIFF" + _s.pack("<I", 36) + b"WAVE"
+        + b"fmt " + _s.pack("<IHHIIHH", 16, 2, 1, 8000, 8000, 1, 4)
+        + b"data" + _s.pack("<I", 0)
+    )
+    with pytest.raises(multimodal.DecoderUnavailable):
+        multimodal.real_decode_kernel(adpcm, "audio")
+    # truncated PCM container → NULL feature, never an exception
+    assert multimodal.real_decode_kernel(_wav_bytes()[:30], "audio") is None
+
+
+def test_real_kernel_audio_through_arrow_path(spark):
+    """The live WAV kernel flows through the identical extract_features
+    Arrow path as every other kernel — same schema, same dim."""
+    rows = [
+        (1, "audio", _wav_bytes(), ("audio/wav", None, None, 100)),
+        (2, "audio", None, ("audio/wav", None, None, 0)),
+        (3, "audio", _wav_bytes()[:30], ("audio/wav", None, None, 0)),
+    ]
+    df = spark.createDataFrame(rows, schema=multimodal.MEDIA_SCHEMA)
+    out = {
+        r.media_id: r
+        for r in multimodal.extract_features(
+            df, kernel=multimodal.real_decode_kernel
+        ).collect()
+    }
+    assert len(out[1].feature) == 8 and max(out[1].feature) > 0.2
+    assert out[2].feature == [0.0] * 8  # null content parity with fake
+    assert out[3].feature is None  # truncated blob → NULL row
