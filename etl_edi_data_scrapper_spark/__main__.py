@@ -165,6 +165,14 @@ def main(argv: list[str] | None = None, engine=None) -> int:
         "view RefinedWeb-style pipelines act on",
     )
     pu.add_argument(
+        "--stage-dir",
+        default=None,
+        help="make the run restartable: persist each stage's verdict "
+        "frame to this dir as it completes and resume past completed "
+        "stages on rerun (parameter fingerprint checked; a changed "
+        "corpus or config needs a fresh dir)",
+    )
+    pu.add_argument(
         "--spans-min-len",
         type=int,
         default=8,
@@ -411,6 +419,7 @@ def main(argv: list[str] | None = None, engine=None) -> int:
             benchmark=bench,
             benchmark_text_col=args.benchmark_text_col,
             decon_width=args.decon_width,
+            stage_dir=args.stage_dir,
         )
         sinkmod.write_parquet(verdicts, args.output, mode="overwrite")
         written = engine.spark.read.parquet(args.output)

@@ -97,6 +97,33 @@ DECON_STAGES = ("bloom", "decon")  # require a benchmark frame
 URL_STAGES = ("urls",)  # require a url_col
 
 
+def _check_stage_config(stage_dir: str, config: dict) -> None:
+    """Write-or-verify the stage dir's parameter fingerprint: resuming
+    into a dir whose completed stages were computed under DIFFERENT
+    parameters would silently mix verdict regimes — refuse instead. The
+    input corpus itself is not fingerprinted (module docstring caveat)."""
+    import json
+    import os
+
+    os.makedirs(stage_dir, exist_ok=True)
+    path = os.path.join(stage_dir, "_config.json")
+    blob = json.dumps(config, sort_keys=True)
+    if os.path.exists(path):
+        with open(path, encoding="utf-8") as fh:
+            prior = fh.read()
+        if prior != blob:
+            raise ValueError(
+                f"stage_dir {stage_dir!r} was built under different "
+                f"parameters; use a fresh dir or delete it.\n"
+                f"  prior: {prior}\n  now:   {blob}"
+            )
+        return
+    tmp = path + ".tmp"
+    with open(tmp, "w", encoding="utf-8") as fh:
+        fh.write(blob)
+    os.replace(tmp, path)
+
+
 def curate_corpus(
     spark: SparkSession,
     docs: DataFrame,
@@ -121,13 +148,26 @@ def curate_corpus(
     decon_width: int = 8,
     bloom_m: int = 1 << 16,
     bloom_k: int = 3,
+    stage_dir: str | None = None,
 ) -> DataFrame:
     """Run ``docs`` through the selected curation stages; returns one row
     per document: the id, each stage's verdict columns, and the combined
     ``curate_keep``. ``clf_reference`` (a Column predicate marking the
     positive/reference class) enables the classifier stage;
     ``benchmark`` (a frame of held-out eval text) enables the
-    bloom/decon decontamination tier."""
+    bloom/decon decontamination tier.
+
+    ``stage_dir`` makes the run RESTARTABLE: each stage's per-doc verdict
+    frame is persisted to ``stage_dir/<stage>.parquet`` as soon as it is
+    computed (stages therefore execute EAGERLY, in order, instead of
+    fusing into the final sink's plan), and a rerun reads completed
+    stages back instead of recomputing them — a 100 TB curation that
+    dies in stage 7 of 9 resumes at stage 7 (the rollup idempotence
+    discipline, applied per stage). A ``_config.json`` fingerprint of
+    the stage-affecting parameters is written alongside; resuming into a
+    stage dir built under different parameters raises instead of
+    silently mixing verdict regimes. The docs frame itself is NOT
+    fingerprinted — a changed input corpus needs a fresh stage dir."""
     unknown = set(stages) - set(ALL_STAGES) - set(DECON_STAGES) - set(URL_STAGES)
     if unknown:
         raise ValueError(
@@ -149,6 +189,49 @@ def curate_corpus(
         raise ValueError(
             "curate_corpus: url_gate=True needs the urls stage selected"
         )
+    if stage_dir is not None:
+        _check_stage_config(
+            stage_dir,
+            {
+                "stages": sorted(stages),
+                "quality_min": quality_min,
+                "langs": sorted(langs),
+                "xent_band": list(xent_band),
+                "bxent_band": list(bxent_band),
+                "minhash_threshold": minhash_threshold,
+                "max_bucket": max_bucket,
+                "spans_min_len": spans_min_len,
+                "clf_reference": str(clf_reference) if clf_reference is not None else None,
+                "badwords": sorted(badwords) if badwords else None,
+                "url_col": url_col,
+                "url_blocklist": sorted(url_blocklist),
+                "psl": psl if isinstance(psl, (str, type(None))) else "<dict>",
+                "url_gate": url_gate,
+                "benchmark": benchmark is not None,
+                "benchmark_text_col": benchmark_text_col,
+                "decon_width": decon_width,
+                "bloom_m": bloom_m,
+                "bloom_k": bloom_k,
+            },
+        )
+
+    def _staged(name: str, build) -> DataFrame:
+        """Compute-or-resume one stage's per-doc frame. Without a
+        stage_dir this is just ``build()`` (fully lazy, single plan);
+        with one, a completed stage (parquet _SUCCESS present) is read
+        back verbatim and an incomplete one is computed, persisted, then
+        read back — so every downstream consumer sees the SAME bytes a
+        resumed run would."""
+        if stage_dir is None:
+            return build()
+        import os
+
+        path = os.path.join(stage_dir, f"{name}.parquet")
+        if os.path.exists(os.path.join(path, "_SUCCESS")):
+            return spark.read.parquet(path)
+        build().write.mode("overwrite").parquet(path)
+        return spark.read.parquet(path)
+
     out = docs.select(F.col(id_col))
     keeps: list[F.Column] = []
 
@@ -193,7 +276,7 @@ def curate_corpus(
     stage_docs = docs
     stage_join = "inner"
     if url_gate:
-        u = _urls_frame()
+        u = _staged("urls", _urls_frame)
         out = out.join(u, id_col)
         keeps.append(F.col("urls_keep"))
         stage_docs = docs.join(
@@ -204,13 +287,16 @@ def curate_corpus(
     if "quality" in stages:
         from etl_edi_data_scrapper_spark.functions.text import lang_id, quality_score
 
-        q = stage_docs.select(
-            F.col(id_col),
-            lang_id(F.col(text_col)).alias("lang_pred"),
-            quality_score(F.col(text_col)).alias("quality"),
-        ).withColumn(
-            "quality_keep",
-            F.col("lang_pred").isin(*langs) & (F.col("quality") >= quality_min),
+        q = _staged(
+            "quality",
+            lambda: stage_docs.select(
+                F.col(id_col),
+                lang_id(F.col(text_col)).alias("lang_pred"),
+                quality_score(F.col(text_col)).alias("quality"),
+            ).withColumn(
+                "quality_keep",
+                F.col("lang_pred").isin(*langs) & (F.col("quality") >= quality_min),
+            ),
         )
         out = out.join(q, id_col, stage_join)
         keeps.append(F.col("quality_keep"))
@@ -221,10 +307,15 @@ def curate_corpus(
             add_gopher_line_features,
         )
 
-        g = add_gopher_line_features(
-            add_gopher_features(stage_docs.select(id_col, text_col), text_col=text_col),
-            text_col=text_col,
-        ).select(id_col, "gopher_keep", "gopher_line_keep")
+        g = _staged(
+            "gopher",
+            lambda: add_gopher_line_features(
+                add_gopher_features(
+                    stage_docs.select(id_col, text_col), text_col=text_col
+                ),
+                text_col=text_col,
+            ).select(id_col, "gopher_keep", "gopher_line_keep"),
+        )
         out = out.join(g, id_col, stage_join)
         keeps += [F.col("gopher_keep"), F.col("gopher_line_keep")]
 
@@ -235,12 +326,17 @@ def curate_corpus(
             add_c4_features,
         )
 
-        c = add_c4_badwords(
-            add_c4_features(stage_docs.select(id_col, text_col), text_col=text_col),
-            text_col=text_col,
-            words=badwords or C4_BADWORDS_PLACEHOLDER,
-        ).select(
-            id_col, "c4_n_kept", "c4_keep", "c4_badword_hits", "c4_badwords_keep"
+        c = _staged(
+            "c4",
+            lambda: add_c4_badwords(
+                add_c4_features(
+                    stage_docs.select(id_col, text_col), text_col=text_col
+                ),
+                text_col=text_col,
+                words=badwords or C4_BADWORDS_PLACEHOLDER,
+            ).select(
+                id_col, "c4_n_kept", "c4_keep", "c4_badword_hits", "c4_badwords_keep"
+            ),
         )
         out = out.join(c, id_col, stage_join)
         keeps += [F.col("c4_keep"), F.col("c4_badwords_keep")]
@@ -248,31 +344,42 @@ def curate_corpus(
     if "xent" in stages:
         from etl_edi_data_scrapper_spark.functions.text import unigram_cross_entropy
 
-        x = unigram_cross_entropy(
-            stage_docs, id_col=id_col, text_col=text_col,
-            lo_milli=xent_band[0], hi_milli=xent_band[1],
-        ).select(id_col, "xent_milli", F.col("keep").alias("xent_keep"))
+        x = _staged(
+            "xent",
+            lambda: unigram_cross_entropy(
+                stage_docs, id_col=id_col, text_col=text_col,
+                lo_milli=xent_band[0], hi_milli=xent_band[1],
+            ).select(id_col, "xent_milli", F.col("keep").alias("xent_keep")),
+        )
         out = out.join(x, id_col, stage_join)
         keeps.append(F.col("xent_keep"))
 
     if "bxent" in stages:
         from etl_edi_data_scrapper_spark.functions.text import bigram_cross_entropy
 
-        b = bigram_cross_entropy(
-            stage_docs, id_col=id_col, text_col=text_col,
-            lo_milli=bxent_band[0], hi_milli=bxent_band[1],
-        ).select(id_col, "bxent_milli", F.col("keep").alias("bxent_keep"))
+        b = _staged(
+            "bxent",
+            lambda: bigram_cross_entropy(
+                stage_docs, id_col=id_col, text_col=text_col,
+                lo_milli=bxent_band[0], hi_milli=bxent_band[1],
+            ).select(id_col, "bxent_milli", F.col("keep").alias("bxent_keep")),
+        )
         out = out.join(b, id_col, stage_join)
         keeps.append(F.col("bxent_keep"))
 
     if "exact" in stages:
         from etl_edi_data_scrapper_spark.functions.text import fingerprint
 
-        fp = stage_docs.select(F.col(id_col), fingerprint(F.col(text_col)).alias("__fp"))
-        dup = fp.withColumn(
-            "is_exact_dup",
-            F.col(id_col) > F.min(id_col).over(W.partitionBy("__fp")),
-        ).select(id_col, "is_exact_dup")
+        def _exact_frame() -> DataFrame:
+            fp = stage_docs.select(
+                F.col(id_col), fingerprint(F.col(text_col)).alias("__fp")
+            )
+            return fp.withColumn(
+                "is_exact_dup",
+                F.col(id_col) > F.min(id_col).over(W.partitionBy("__fp")),
+            ).select(id_col, "is_exact_dup")
+
+        dup = _staged("exact", _exact_frame)
         out = out.join(dup, id_col, stage_join)
         keeps.append(~F.col("is_exact_dup"))
 
@@ -282,18 +389,21 @@ def curate_corpus(
             minhash_candidate_pairs,
         )
 
-        pairs = minhash_candidate_pairs(
-            stage_docs, id_col=id_col, text_col=text_col, max_bucket=max_bucket
-        )
-        verified = jaccard_pairs(
-            stage_docs, pairs, id_col=id_col, text_col=text_col,
-            threshold=minhash_threshold,
-        )
-        # pair convention is a < b: b always has a lower-id near-dup
-        dup_ids = verified.select(F.col("b").alias(id_col)).distinct()
-        nd = stage_docs.select(F.col(id_col)).join(
-            dup_ids.withColumn("is_near_dup", F.lit(True)), id_col, "left"
-        ).withColumn("is_near_dup", F.coalesce("is_near_dup", F.lit(False)))
+        def _minhash_frame() -> DataFrame:
+            pairs = minhash_candidate_pairs(
+                stage_docs, id_col=id_col, text_col=text_col, max_bucket=max_bucket
+            )
+            verified = jaccard_pairs(
+                stage_docs, pairs, id_col=id_col, text_col=text_col,
+                threshold=minhash_threshold,
+            )
+            # pair convention is a < b: b always has a lower-id near-dup
+            dup_ids = verified.select(F.col("b").alias(id_col)).distinct()
+            return stage_docs.select(F.col(id_col)).join(
+                dup_ids.withColumn("is_near_dup", F.lit(True)), id_col, "left"
+            ).withColumn("is_near_dup", F.coalesce("is_near_dup", F.lit(False)))
+
+        nd = _staged("minhash", _minhash_frame)
         out = out.join(nd, id_col, stage_join)
         keeps.append(~F.col("is_near_dup"))
 
@@ -302,7 +412,7 @@ def curate_corpus(
             dedup_lines_across_corpus,
         )
 
-        ldp = dedup_lines_across_corpus(
+        ldp = _staged("linedup", lambda: dedup_lines_across_corpus(
             stage_docs.select(F.col(id_col), F.col(text_col)),
             id_col=id_col,
             text_col=text_col,
@@ -313,12 +423,12 @@ def curate_corpus(
             F.col("clean_text").alias("linedup_clean_text"),
             # a doc whose every line was boilerplate contributes nothing
             (F.col("n_lines_cut") < F.col("n_lines")).alias("linedup_keep"),
-        )
+        ))
         out = out.join(ldp, id_col, stage_join)
         keeps.append(F.col("linedup_keep"))
 
     if "urls" in stages and not url_gate:
-        out = out.join(_urls_frame(), id_col)
+        out = out.join(_staged("urls", _urls_frame), id_col)
         keeps.append(F.col("urls_keep"))
 
     if "spans" in stages:
@@ -326,7 +436,7 @@ def curate_corpus(
             exact_substr_dedup,
         )
 
-        sp = exact_substr_dedup(
+        sp = _staged("spans", lambda: exact_substr_dedup(
             stage_docs.select(F.col(id_col), F.col(text_col)),
             id_col=id_col,
             text_col=text_col,
@@ -338,7 +448,7 @@ def curate_corpus(
             F.col("clean_text").alias("spans_clean_text"),
             # a doc reduced to nothing was pure boilerplate — drop it
             (F.col("n_tokens_cut") < F.col("n_tokens")).alias("spans_keep"),
-        )
+        ))
         out = out.join(sp, id_col, stage_join)
         keeps.append(F.col("spans_keep"))
 
@@ -347,7 +457,7 @@ def curate_corpus(
             bloom_span_contamination,
         )
 
-        scr = bloom_span_contamination(
+        scr = _staged("bloom", lambda: bloom_span_contamination(
             stage_docs,
             benchmark.select(
                 F.col(benchmark_text_col or text_col).alias(text_col)
@@ -357,11 +467,13 @@ def curate_corpus(
             width=decon_width,
             m=bloom_m,
             k=bloom_k,
-        ).select(id_col, "n_spans_maybe_seen", "bloom_contaminated")
-        # the screen feeds the decon tier below AND the verdict frame; cut
-        # the recompute (the probe side explodes every doc span twice
-        # otherwise)
-        scr = scr.localCheckpoint(eager=False)
+        ).select(id_col, "n_spans_maybe_seen", "bloom_contaminated"))
+        if stage_dir is None:
+            # the screen feeds the decon tier below AND the verdict frame;
+            # cut the recompute (the probe side explodes every doc span
+            # twice otherwise). Staged runs get this for free: the stage
+            # parquet IS the materialization.
+            scr = scr.localCheckpoint(eager=False)
         out = out.join(scr, id_col, stage_join)
         # a screen, not a verdict: bloom_contaminated does NOT gate
         # curate_keep on its own — the exact tier decides
@@ -371,8 +483,18 @@ def curate_corpus(
             scrub_benchmark_spans,
         )
 
-        base = stage_docs.select(F.col(id_col), F.col(text_col))
-        if "bloom" in stages:
+        def _decon_frame() -> DataFrame:
+            base = stage_docs.select(F.col(id_col), F.col(text_col))
+            if "bloom" not in stages:
+                return scrub_benchmark_spans(
+                    base, benchmark, id_col=id_col, text_col=text_col,
+                    bench_text_col=benchmark_text_col, width=decon_width,
+                ).select(
+                    id_col,
+                    F.col("n_tokens").cast("int").alias("n_tokens"),
+                    F.col("n_tokens_cut").cast("int").alias("n_tokens_cut"),
+                    "decon_text",
+                )
             # two-tier: the exact scrub touches ONLY bloom-flagged docs
             # (no false negatives possible — the bloom has none); the
             # clean majority passes through as a projection
@@ -388,23 +510,14 @@ def curate_corpus(
                 F.lit(0).alias("n_tokens_cut"),
                 F.col(text_col).alias("decon_text"),
             )
-            d = cut.select(
+            return cut.select(
                 id_col,
                 F.col("n_tokens").cast("int").alias("n_tokens"),
                 F.col("n_tokens_cut").cast("int").alias("n_tokens_cut"),
                 "decon_text",
             ).unionByName(clean)
-        else:
-            d = scrub_benchmark_spans(
-                base, benchmark, id_col=id_col, text_col=text_col,
-                bench_text_col=benchmark_text_col, width=decon_width,
-            ).select(
-                id_col,
-                F.col("n_tokens").cast("int").alias("n_tokens"),
-                F.col("n_tokens_cut").cast("int").alias("n_tokens_cut"),
-                "decon_text",
-            )
-        d = d.withColumn(
+
+        d = _staged("decon", _decon_frame).withColumn(
             "decon_keep", F.col("n_tokens_cut") < F.col("n_tokens")
         ).drop("n_tokens")
         out = out.join(d, id_col, stage_join)
@@ -415,9 +528,9 @@ def curate_corpus(
             fit_reference_classifier,
         )
 
-        clf = fit_reference_classifier(
+        clf = _staged("clf", lambda: fit_reference_classifier(
             stage_docs, clf_reference, id_col=id_col, text_col=text_col
-        )
+        ))
         out = out.join(clf, id_col, stage_join)
         keeps.append(F.col("clf_keep"))
 

@@ -1,0 +1,118 @@
+"""Stage-checkpointed curate (plans/curate.py stage_dir=): a run that
+dies mid-pipeline resumes past completed stages with byte-identical
+verdicts and without re-executing the completed stages' jobs."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def _docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+
+
+def _collect(df):
+    rows = df.orderBy("doc_id").collect()
+    return [tuple(r) for r in rows]
+
+
+def test_crash_between_stages_resumes_byte_identical(spark, tmp_path, monkeypatch):
+    """Kill the run between stages (the exact stage's fingerprint raises
+    after quality persisted), rerun, and the verdicts equal a fresh
+    unstaged run row for row — with the quality stage's parquet untouched
+    (mtime proof it was read, not recomputed)."""
+    from etl_edi_data_scrapper_spark.functions import text as text_mod
+    from etl_edi_data_scrapper_spark.plans.curate import curate_corpus
+
+    stage_dir = str(tmp_path / "stages")
+    docs = _docs(spark)
+    stages = ("quality", "exact")
+
+    real_fp = text_mod.fingerprint
+
+    def boom(*a, **k):
+        raise RuntimeError("simulated crash between stages")
+
+    monkeypatch.setattr(text_mod, "fingerprint", boom)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        curate_corpus(spark, docs, stages=stages, stage_dir=stage_dir).collect()
+    # stage 1 completed and persisted before the crash
+    q_success = os.path.join(stage_dir, "quality.parquet", "_SUCCESS")
+    assert os.path.exists(q_success)
+    assert not os.path.exists(os.path.join(stage_dir, "exact.parquet", "_SUCCESS"))
+    mtime_before = os.path.getmtime(q_success)
+
+    monkeypatch.setattr(text_mod, "fingerprint", real_fp)
+    resumed = curate_corpus(spark, docs, stages=stages, stage_dir=stage_dir)
+    fresh = curate_corpus(spark, docs, stages=stages)
+    assert _collect(resumed) == _collect(fresh)
+    # the completed stage was READ, not re-executed
+    assert os.path.getmtime(q_success) == mtime_before
+
+
+def test_completed_run_rerun_recomputes_nothing(spark, tmp_path):
+    """A second invocation over a fully-staged dir rewrites no stage
+    parquet at all (every stage resumes) and returns identical rows."""
+    from etl_edi_data_scrapper_spark.plans.curate import curate_corpus
+
+    stage_dir = str(tmp_path / "stages")
+    docs = _docs(spark)
+    stages = ("quality", "gopher", "exact")
+    first = _collect(curate_corpus(spark, docs, stages=stages, stage_dir=stage_dir))
+    marks = {
+        s: os.path.getmtime(os.path.join(stage_dir, f"{s}.parquet", "_SUCCESS"))
+        for s in stages
+    }
+    second = _collect(curate_corpus(spark, docs, stages=stages, stage_dir=stage_dir))
+    assert first == second
+    for s in stages:
+        assert (
+            os.path.getmtime(os.path.join(stage_dir, f"{s}.parquet", "_SUCCESS"))
+            == marks[s]
+        ), f"stage {s} was re-executed"
+
+
+def test_stage_dir_config_mismatch_raises(spark, tmp_path):
+    """Resuming into a stage dir built under different parameters mixes
+    verdict regimes — it must refuse loudly."""
+    from etl_edi_data_scrapper_spark.plans.curate import curate_corpus
+
+    stage_dir = str(tmp_path / "stages")
+    docs = _docs(spark)
+    curate_corpus(spark, docs, stages=("quality",), stage_dir=stage_dir).collect()
+    with pytest.raises(ValueError, match="different parameters"):
+        curate_corpus(
+            spark, docs, stages=("quality",), quality_min=0.9, stage_dir=stage_dir
+        )
+
+
+def test_two_tier_decon_resumes_from_staged_bloom(spark, tmp_path):
+    """The bloom screen's staged parquet feeds the decon gate on resume:
+    crash after bloom, rerun, decon verdicts match the unstaged run."""
+    from etl_edi_data_scrapper_spark.functions import span_dedup as sd_mod
+    from etl_edi_data_scrapper_spark.plans.curate import curate_corpus
+
+    docs = _docs(spark).limit(60)
+    bench = docs.filter(F.col("doc_id") < 3).select("text")
+    stage_dir = str(tmp_path / "stages")
+    kw = dict(stages=("bloom", "decon"), benchmark=bench)
+
+    real = sd_mod.scrub_benchmark_spans
+    try:
+        def boom(*a, **k):
+            raise RuntimeError("simulated crash after bloom")
+
+        sd_mod.scrub_benchmark_spans = boom
+        with pytest.raises(RuntimeError):
+            curate_corpus(spark, docs, stage_dir=stage_dir, **kw).collect()
+        assert os.path.exists(
+            os.path.join(stage_dir, "bloom.parquet", "_SUCCESS")
+        )
+    finally:
+        sd_mod.scrub_benchmark_spans = real
+    resumed = curate_corpus(spark, docs, stage_dir=stage_dir, **kw)
+    fresh = curate_corpus(spark, docs, **kw)
+    assert _collect(resumed) == _collect(fresh)
