@@ -244,7 +244,13 @@ def learn_bpe_merges(
         raise ValueError(
             f"learn_bpe_merges: more than {max_words} distinct segments "
             f"survive min_count={min_count}; raise min_count — the "
-            "histogram must stay driver-resident"
+            "histogram must stay driver-resident. Survivors follow "
+            "Heaps's law, measured in SCALE.md 'BPE histogram sizing': "
+            "V_m ~ (0.8*N/m)^0.556 for N corpus tokens, so min_count >= "
+            "0.8*N/max_words^1.8 bounds the histogram (a 100 TB corpus, "
+            "~2.5e13 tokens, fits a 1M-word cap at min_count ~ 320); "
+            "raising min_count shrinks survivors polynomially while "
+            "raising the cap costs driver memory linearly"
         )
     byte_enc = bytes_to_unicode()
     hist: dict[tuple[str, ...], int] = {}
