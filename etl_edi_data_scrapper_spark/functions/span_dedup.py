@@ -829,6 +829,10 @@ def dedup_lines_across_corpus(
         F.sequence(F.lit(0), F.size("__ls") - 1), F.col("__cut")
     )
     kept = F.transform(kept_idx, lambda i: F.get(F.col("__ls"), i))
+    # NULL text stays NULL (and its n_lines stays NULL, not size's -1) —
+    # matching the SQL oracle's split/filter/join NULL propagation; the
+    # r10 shape leaked -1/'' for NULL docs (r11 review)
+    has = F.col("__ls").isNotNull()
     return (
         lines.join(cuts, id_col, "left")
         .withColumn(
@@ -836,9 +840,9 @@ def dedup_lines_across_corpus(
         )
         .select(
             F.col(id_col),
-            F.size("__ls").cast("long").alias("n_lines"),
+            F.when(has, F.size("__ls")).cast("long").alias("n_lines"),
             F.size("__cut").cast("long").alias("n_lines_cut"),
-            F.array_join(kept, "\n").alias("clean_text"),
+            F.when(has, F.array_join(kept, "\n")).alias("clean_text"),
         )
     )
 

@@ -948,3 +948,22 @@ def test_line_dedup_saturated_doc_linear_rebuild(spark):
         assert rows[d].n_lines_cut == n  # every line cut ...
         assert rows[d].clean_text == ""  # ... nothing survives
     assert wall < 15, f"saturated rebuild took {wall:.1f}s - quadratic again?"
+
+
+def test_line_dedup_null_text_matches_oracle_nulls(spark):
+    """NULL text propagates as NULL (n_lines, clean_text) with zero cuts,
+    exactly like the DuckDB oracle's split/filter NULL propagation — the
+    r10 rebuild leaked n_lines=-1 / clean_text='' for NULL docs (r11
+    round review)."""
+    from etl_edi_data_scrapper_spark.functions.span_dedup import (
+        dedup_lines_across_corpus,
+    )
+
+    df = spark.createDataFrame(
+        [(0, "a\nb"), (1, None), (2, "a\nc")], "doc_id long, text string"
+    )
+    rows = {r.doc_id: r for r in dedup_lines_across_corpus(df).collect()}
+    assert rows[1].n_lines is None
+    assert rows[1].n_lines_cut == 0
+    assert rows[1].clean_text is None
+    assert rows[2].clean_text == "c"  # the shared line still dedups
