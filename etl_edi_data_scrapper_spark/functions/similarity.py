@@ -305,3 +305,314 @@ def load_ivf_index(spark, path: str) -> tuple[DataFrame, DataFrame]:
         spark.read.parquet(f"{path}/centroids"),
         spark.read.parquet(f"{path}/assigned"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — Jégou, Douze, Schmid, "Product Quantization
+# for Nearest Neighbor Search", IEEE TPAMI 2011. The 100 TB compression
+# rung BELOW int8 (`quantize_embeddings`): each vector is split into
+# `m_sub` subvectors and every subvector is replaced by the id of its
+# nearest entry in a tiny per-subspace codebook — a 64-dim float32 vector
+# (256 B) becomes m_sub code ids (8 B at m_sub=8/n_codes≤256), a 32×
+# compression that turns the ANN candidate scan from IO-bound float reads
+# into scanning precomputed-lookup-table sums (ADC: asymmetric distance
+# computation — the query stays exact float, only the corpus side is
+# quantized, so error enters once, not twice).
+#
+# Scale shape: codebooks are m_sub × n_codes rows — driver-resident by
+# design (the kmeans-centroid bounded-state pattern); ENCODE is a pure
+# per-row expression over a literal codebook (zero shuffle — the corpus
+# never moves); ADC top-k replaces cosine_topk's float dot products with
+# per-query table lookups over the 8-byte code arrays, and composes with
+# IVF routing (`ivfpq_topk`) so each query batch touches only
+# nprobe/n_centroids of the corpus — the FAISS IVFADC layout re-expressed
+# as DataFrame ops.
+# ---------------------------------------------------------------------------
+
+
+def sample_codebooks_local(
+    corpus: DataFrame,
+    m_sub: int = 8,
+    n_codes: int = 16,
+    dim: int = 64,
+    c_id: str = "vec_id",
+    c_vec: str = "embedding",
+) -> list[list[list[float]]]:
+    """Driver-side fast path for ``pq_codebooks(train='sample')``: one
+    bounded ``n_codes``-row fetch, sliced in Python — value-identical to
+    collecting the DataFrame form (float→double widening is exact on both
+    routes; parity pinned in tests/test_pq.py), but a single cheap job
+    instead of an orderBy+window+explode plan. Use when the codebook is
+    consumed as a literal anyway (encode/ADC), e.g. `suite.q_ann_recall`."""
+    if dim % m_sub != 0:
+        raise ValueError(f"dim {dim} not divisible by m_sub {m_sub}")
+    d = dim // m_sub
+    rows = (
+        corpus.orderBy(F.col(c_id)).limit(n_codes).select(F.col(c_vec)).collect()
+    )
+    return [
+        [[float(x) for x in r[0][s * d : (s + 1) * d]] for r in rows]
+        for s in range(m_sub)
+    ]
+
+
+def pq_codebooks(
+    corpus: DataFrame,
+    m_sub: int = 8,
+    n_codes: int = 16,
+    dim: int = 64,
+    c_id: str = "vec_id",
+    c_vec: str = "embedding",
+    train: str = "sample",
+    kmeans_iters: int = 3,
+) -> DataFrame:
+    """Per-subspace codebooks: (sub_id, code_id, sub_vec array<double>).
+
+    ``train="sample"``: code vectors are the subvectors of the ``n_codes``
+    lowest-id corpus vectors — fully deterministic and SQL-replicable (the
+    oracle path, same convention as `ivf_index(train="sample")`).
+    ``train="kmeans"``: per-subspace Lloyd's (`clustering.kmeans_fit`,
+    md5-spread deterministic init) — the quality path: codebook cells
+    track the data distribution, cutting quantization error at the same
+    code budget (pinned by test, not oracle — float iteration isn't
+    SQL-replicable)."""
+    if dim % m_sub != 0:
+        raise ValueError(f"dim {dim} not divisible by m_sub {m_sub}")
+    d_sub = dim // m_sub
+    if train == "kmeans":
+        from etl_edi_data_scrapper_spark.functions.clustering import kmeans_fit
+
+        rows = []
+        for s in range(m_sub):
+            sub = corpus.select(
+                F.col(c_id),
+                F.transform(
+                    F.slice(F.col(c_vec), s * d_sub + 1, d_sub),
+                    lambda x: x.cast("double"),
+                ).alias("__sub"),
+            )
+            centers, _ = kmeans_fit(
+                sub, vec_col="__sub", k=n_codes, n_iters=kmeans_iters, id_col=c_id
+            )
+            rows += [
+                (s, i, [float(x) for x in cvec]) for i, cvec in enumerate(centers)
+            ]
+        return corpus.sparkSession.createDataFrame(
+            rows, "sub_id int, code_id int, sub_vec array<double>"
+        )
+    base = (
+        corpus.orderBy(F.col(c_id))
+        .limit(n_codes)
+        .select(F.col(c_id), F.col(c_vec))
+        .withColumn(
+            "code_id",
+            (F.row_number().over(W.orderBy(F.col(c_id))) - 1).cast("int"),
+        )
+    )
+    subs = F.explode(
+        F.sequence(F.lit(0), F.lit(m_sub - 1))
+    ).alias("sub_id")
+    return base.select(subs, "code_id", F.col(c_vec)).select(
+        F.col("sub_id").cast("int"),
+        "code_id",
+        F.transform(
+            F.slice(F.col(c_vec), F.col("sub_id") * d_sub + 1, F.lit(d_sub)),
+            lambda x: x.cast("double"),
+        ).alias("sub_vec"),
+    )
+
+
+def _collect_codebooks(
+    codebooks: DataFrame | list,
+) -> list[list[list[float]]]:
+    """Driver-side [sub_id][code_id] -> sub_vec. Bounded by construction
+    (m_sub × n_codes rows — the codebook IS the model, like kmeans
+    centroids); raises if the frame is ragged rather than encode wrongly.
+    An already-collected nested list passes through unchanged, so a
+    caller wiring several PQ ops over one codebook (encode + ADC +
+    IVFADC, e.g. `suite.q_ann_recall`) collects exactly once."""
+    if isinstance(codebooks, list):
+        return codebooks
+    rows = codebooks.select("sub_id", "code_id", "sub_vec").collect()
+    m = max(r.sub_id for r in rows) + 1
+    n = max(r.code_id for r in rows) + 1
+    if len(rows) != m * n:
+        raise ValueError(f"ragged codebooks: {len(rows)} rows for {m}x{n}")
+    out: list[list[list[float] | None]] = [[None] * n for _ in range(m)]
+    for r in rows:
+        out[r.sub_id][r.code_id] = [float(x) for x in r.sub_vec]
+    return out  # type: ignore[return-value]
+
+
+def _sq_dist(a: Column, b: Column) -> Column:
+    """Σ (a_i − b_i)² with the elementwise cast/multiply order mirrored by
+    the DuckDB oracles (list_zip + list_transform + list_sum)."""
+    return F.aggregate(
+        F.zip_with(
+            a,
+            b,
+            lambda x, c: (x.cast("double") - c.cast("double"))
+            * (x.cast("double") - c.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks: DataFrame | list,
+    c_vec: str = "embedding",
+    out_col: str = "codes",
+) -> DataFrame:
+    """corpus + ``out_col`` array<int>: per subspace, the id of the nearest
+    codebook entry (squared L2; ties → lowest code_id, the array_position
+    first-match). ZERO shuffle: the collected codebook is inlined as a
+    literal and each row encodes in a pure expression — at 100 TB the
+    corpus never moves, and the 8-byte code column is what downstream
+    ADC scans instead of the float vectors."""
+    cbs = _collect_codebooks(codebooks)
+    d_sub = len(cbs[0][0])
+
+    # one nested-array literal + indexed transform (s = subspace index)
+    # instead of m_sub × n_codes per-entry expression nodes: the plan tree
+    # stays tiny, so Catalyst analysis doesn't grow with the code budget
+    # (measured 2-3 s of pure plan-build at m=8/n=16 with unrolled nodes)
+    def per_sub(cb_s: Column, s: Column) -> Column:
+        sub = F.slice(F.col(c_vec), s * d_sub + 1, F.lit(d_sub))
+        dists = F.transform(cb_s, lambda cvec: _sq_dist(sub, cvec))
+        return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+
+    return corpus.withColumn(out_col, F.transform(F.lit(cbs), per_sub))
+
+
+def pq_decode(
+    df: DataFrame,
+    codebooks: DataFrame | list,
+    codes_col: str = "codes",
+    out_col: str = "embedding",
+) -> DataFrame:
+    """Reconstruct array<double> from codes (codebook centroid per
+    subspace, concatenated) — the PQ analogue of `dequantize_embeddings`;
+    reconstruction error is the per-subspace quantization error."""
+    cbs = _collect_codebooks(codebooks)
+    cb_lit = F.lit(cbs)
+    return df.withColumn(
+        out_col,
+        F.flatten(
+            F.transform(
+                F.col(codes_col),
+                lambda c, s: F.element_at(F.element_at(cb_lit, s + 1), c + 1),
+            )
+        ),
+    )
+
+
+def _adc_tables(
+    queries: DataFrame,
+    cbs: list[list[list[float]]],
+    q_vec: str,
+) -> DataFrame:
+    """queries + ``__tab`` array<array<double>>: __tab[s][c] = squared L2
+    between the query's subvector s and codebook entry c — the ADC lookup
+    table, built map-side per query from the literal codebook."""
+    d_sub = len(cbs[0][0])
+
+    def tab_for(cb_s: Column, s: Column) -> Column:
+        # s is the OUTER transform's index = the subspace id (the inner
+        # per-code lambda stays single-parameter on purpose: a second
+        # parameter there would be the code index, not the subspace)
+        sub = F.slice(F.col(q_vec), s * d_sub + 1, F.lit(d_sub))
+        return F.transform(cb_s, lambda cvec: _sq_dist(sub, cvec))
+
+    return queries.withColumn("__tab", F.transform(F.lit(cbs), tab_for))
+
+
+def _adc_expr(m_sub: int, codes_col: str = "codes") -> Column:
+    """Σ_s __tab[s][codes[s]] — sequential in subspace order (the oracle
+    mirrors with list_sum over an ORDER BY sub list, so double addition
+    order is identical on both engines)."""
+    return F.aggregate(
+        F.sequence(F.lit(0), F.lit(m_sub - 1)),
+        F.lit(0.0),
+        lambda acc, s: acc
+        + F.element_at(
+            F.element_at("__tab", s + 1),
+            F.element_at(F.col(codes_col), s + 1) + 1,
+        ),
+    )
+
+
+def pq_adc_topk(
+    queries: DataFrame,
+    codebooks: DataFrame | list,
+    encoded: DataFrame,
+    k: int = 5,
+    q_id: str = "q_id",
+    q_vec: str = "q_vec",
+    c_id: str = "vec_id",
+    codes_col: str = "codes",
+) -> DataFrame:
+    """Approximate top-k by ADC over the full encoded corpus: queries
+    (tiny, broadcast with their lookup tables) × code scan, windowed
+    top-k — `cosine_topk`'s plan shape, but the corpus side reads 8-byte
+    code arrays and does m_sub table lookups per row instead of a
+    dim-wide float dot product. Ascending distance; ties → lowest
+    corpus id."""
+    cbs = _collect_codebooks(codebooks)
+    qt = F.broadcast(_adc_tables(queries.select(q_id, q_vec), cbs, q_vec))
+    scored = encoded.select(F.col(c_id), F.col(codes_col)).crossJoin(qt)
+    w = W.partitionBy(q_id).orderBy(F.col("adc").asc(), F.col(c_id))
+    return (
+        scored.select(q_id, c_id, _adc_expr(len(cbs), codes_col).alias("adc"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def ivfpq_topk(
+    queries: DataFrame,
+    centroids: DataFrame,
+    encoded_assigned: DataFrame,
+    codebooks: DataFrame | list,
+    k: int = 5,
+    nprobe: int = 3,
+    q_id: str = "q_id",
+    q_vec: str = "q_vec",
+    c_id: str = "vec_id",
+    codes_col: str = "codes",
+) -> DataFrame:
+    """IVF routing + ADC scoring (FAISS's IVFADC): route each query to its
+    ``nprobe`` nearest coarse centroids (exact float, query side only),
+    then ADC-score ONLY the codes assigned to those cells. Per-query cost
+    = (nprobe/n_centroids) × corpus × m_sub lookups over 8-byte codes —
+    the compounding of the two approximations that makes billion-vector
+    search tractable. ``encoded_assigned`` = `ivf_index` assignment +
+    `pq_encode` codes (persist it `save_ivf_index`-style partitioned by
+    centroid_id and the routed join prunes to the probed cells)."""
+    cbs = _collect_codebooks(codebooks)
+    cb = F.broadcast(
+        centroids.withColumn("__ncen", norm_expr(F.col("centroid_vec")))
+    )
+    qn = queries.select(q_id, q_vec).withColumn("__nq", norm_expr(F.col(q_vec)))
+    qsim = dot_expr(F.col(q_vec), F.col("centroid_vec")) / (
+        F.col("__nq") * F.col("__ncen")
+    )
+    wq = W.partitionBy(q_id).orderBy(F.col("__qsim").desc(), F.col("centroid_id"))
+    routed = (
+        qn.crossJoin(cb)
+        .withColumn("__qsim", qsim)
+        .withColumn("__rk", F.row_number().over(wq))
+        .filter(F.col("__rk") <= nprobe)
+        .select(q_id, q_vec, "centroid_id")
+    )
+    routed = _adc_tables(routed, cbs, q_vec).drop(q_vec)
+    cand = encoded_assigned.select(
+        F.col(c_id), F.col(codes_col), F.col("centroid_id")
+    ).join(F.broadcast(routed), "centroid_id")
+    w = W.partitionBy(q_id).orderBy(F.col("adc").asc(), F.col(c_id))
+    return (
+        cand.select(q_id, c_id, _adc_expr(len(cbs), codes_col).alias("adc"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

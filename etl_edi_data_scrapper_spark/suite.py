@@ -2173,22 +2173,24 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     the exact scrub when the benchmark suite outgrows a broadcast of
     its raw hashes.
 
-    r11 makes the query itself TWO-TIER (the shape `plans/curate.py`
-    already ships): the bloom screen runs first over all docs, and the
-    exact scrub touches ONLY bloom-flagged docs — output-identical by
-    construction, because the bloom and the scrub share one window
-    convention (`bloom._span_expr` aliases
-    `span_dedup.sliding_window_expr`) and a bloom has no false
-    negatives, so every doc with a cuttable span is flagged; the clean
-    majority passes through as a projection (n_tokens_cut = 0,
-    decon_text = its own text — exactly what the full scrub emits for a
-    hit-less doc). The exact 3-gram verdict leg also stops building
-    per-doc DISTINCT shingle arrays: raw stride-1 3-grams explode
-    straight into the broadcast bench join and the per-doc count
-    de-dups AFTER the match (count distinct of matched = count of
-    matched distincts; only matched pairs reach the shuffle). Measured
-    at 30x: exact leg 54 -> 26 s, scrub leg 31.5 -> ~7 s; the oracle is
-    unchanged because every value is."""
+    r11 slimmed both heavy legs and MEASURED AWAY an in-plan two-tier:
+    the bloom probe hashes each span once and carries (id, w1, w2) —
+    three longs — through the k joins instead of the raw window string
+    (`bloom.bloom_span_contamination`), and the exact 3-gram verdict
+    leg stops building per-doc DISTINCT shingle arrays: raw stride-1
+    3-grams explode straight into the broadcast bench join and the
+    per-doc count de-dups AFTER the match (count distinct of matched =
+    count of matched distincts; only matched pairs reach the shuffle).
+    An intermediate r11 shape additionally GATED the scrub on
+    bloom-flagged docs inside this one plan (localCheckpoint-shared
+    probe); measured A/B at factor 100 it LOST at both scales — sf0.1
+    base 4.0 s -> ~10 s (the checkpoint serializes the probe ahead of
+    every leg and re-pays it per fresh plan) and 100x scaled 158.6 s ->
+    247.3 s — so the in-plan query keeps the flat shape, and the
+    bloom-then-scrub two-tier lives where stages materialize between
+    tiers (`plans/curate.py`, the deploy path, where the probe verdict
+    is parquet and never recomputed). The oracle is unchanged because
+    every value is."""
     from etl_edi_data_scrapper_spark.functions.bloom import (
         bloom_span_contamination,
     )
@@ -2218,28 +2220,20 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = docs.filter(F.col("doc_id") >= bench_max_id).select("doc_id")
     injected = docs.select("doc_id", F.expr(_DECON_INJECT).alias("text"))
     inj_corp = injected.filter(F.col("doc_id") >= bench_max_id)
-    bl_full = bloom_span_contamination(
+    bl = bloom_span_contamination(
         inj_corp,
         injected.filter(F.col("doc_id") < bench_max_id),
         width=8,
-    ).localCheckpoint(eager=False)  # verdict AND scrub gate share one probe
-    bl = bl_full.select(
+    ).select(
         "doc_id",
         F.col("n_spans_maybe_seen").alias("n_bloom_spans_seen"),
         "bloom_contaminated",
     )
-    flagged_ids = bl_full.filter(F.col("bloom_contaminated")).select("doc_id")
-    cut = scrub_benchmark_spans(
-        inj_corp.join(flagged_ids, "doc_id"),
+    scrub = scrub_benchmark_spans(
+        inj_corp,
         injected.filter(F.col("doc_id") < bench_max_id),
         width=8,
     ).select("doc_id", "n_tokens_cut", "decon_text")
-    clean = inj_corp.join(flagged_ids, "doc_id", "left_anti").select(
-        "doc_id",
-        F.lit(0).alias("n_tokens_cut"),
-        F.col("text").alias("decon_text"),
-    )
-    scrub = cut.unionByName(clean)
     return (
         base.join(hits, "doc_id", "left")
         .select(
@@ -4593,7 +4587,118 @@ ORACLES["ann_topk"] = f"""
     """
 
 
-_RECALL_THRESHOLDS = {"lsh_p0": 0.2, "lsh_p1": 0.4, "ivf": 0.4}
+_RECALL_THRESHOLDS = {
+    "lsh_p0": 0.2,
+    "lsh_p1": 0.4,
+    "ivf": 0.4,
+    "pq": 0.2,
+    "ivfpq": 0.1,
+}
+
+
+def _pq_sql_ctes(
+    m_sub: int = 8,
+    n_codes: int = 16,
+    dim: int = 64,
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+) -> str:
+    """WITH-level CTEs replicating the PQ/IVFADC legs (similarity.pq_*,
+    train='sample' codebooks — lowest-id subvectors, fully deterministic).
+    Mirrors the Spark side operation-for-operation so doubles agree:
+    squared-L2 via list_zip/transform/sum in element order, ADC as
+    list_sum over an ORDER BY sub_id list (= the Spark sequence fold),
+    ties → lowest code_id / vec_id / centroid_id."""
+    d = dim // m_sub
+
+    def sqd(a: str, b: str) -> str:
+        return (
+            f"list_sum(list_transform(list_zip({a}, {b}), "
+            "x -> (x[1]::DOUBLE - x[2]::DOUBLE) * (x[1]::DOUBLE - x[2]::DOUBLE)))"
+        )
+
+    def sub(v: str, s: str) -> str:
+        return (
+            f"list_transform(list_slice({v}, {s}*{d}+1, {s}*{d}+{d}), "
+            "x -> x::DOUBLE)"
+        )
+
+    return f"""
+    pq_q AS (
+      SELECT vec_id AS q_id, embedding AS q_vec,
+             {_SQL_NORM.format(v="embedding")} AS nq
+      FROM embeddings WHERE vec_id < 5),
+    pq_exact AS (
+      SELECT q_id, vec_id FROM (
+        SELECT q.q_id, c.vec_id,
+               row_number() OVER (PARTITION BY q.q_id
+                 ORDER BY {sqd("q.q_vec", "c.embedding")} ASC,
+                          c.vec_id) AS rank
+        FROM embeddings c CROSS JOIN pq_q q) WHERE rank <= {k}),
+    pq_cb AS (
+      SELECT s.sub_id, c.code_id, {sub("c.embedding", "s.sub_id")} AS sub_vec
+      FROM (
+        SELECT embedding, row_number() OVER (ORDER BY vec_id) - 1 AS code_id
+        FROM (SELECT vec_id, embedding FROM embeddings
+              ORDER BY vec_id LIMIT {n_codes})) c
+      CROSS JOIN (SELECT unnest(range({m_sub})) AS sub_id) s),
+    pq_enc AS (
+      SELECT vec_id, sub_id, code_id FROM (
+        SELECT v.vec_id, b.sub_id, b.code_id,
+               row_number() OVER (PARTITION BY v.vec_id, b.sub_id
+                 ORDER BY {sqd(sub("v.embedding", "b.sub_id"), "b.sub_vec")} ASC,
+                          b.code_id) AS rk
+        FROM embeddings v CROSS JOIN pq_cb b) WHERE rk = 1),
+    pq_dtab AS (
+      SELECT q.q_id, b.sub_id, b.code_id,
+             {sqd(sub("q.q_vec", "b.sub_id"), "b.sub_vec")} AS d
+      FROM pq_q q CROSS JOIN pq_cb b),
+    pq_adc AS (
+      SELECT dt.q_id, e.vec_id, list_sum(list(dt.d ORDER BY e.sub_id)) AS adc
+      FROM pq_enc e JOIN pq_dtab dt
+        ON e.sub_id = dt.sub_id AND e.code_id = dt.code_id
+      GROUP BY dt.q_id, e.vec_id),
+    pq_topk AS (
+      SELECT q_id, vec_id FROM (
+        SELECT q_id, vec_id,
+               row_number() OVER (PARTITION BY q_id
+                 ORDER BY adc ASC, vec_id) AS rank
+        FROM pq_adc) WHERE rank <= {k}),
+    pq_cen AS (
+      SELECT vec_id AS centroid_id, embedding AS centroid_vec,
+             {_SQL_NORM.format(v="embedding")} AS ncen
+      FROM embeddings ORDER BY vec_id LIMIT {n_centroids}),
+    pq_assigned AS (
+      SELECT vec_id, centroid_id FROM (
+        SELECT v.vec_id, cen.centroid_id,
+               row_number() OVER (PARTITION BY v.vec_id ORDER BY
+                 {_SQL_DOT.format(a="v.embedding", b="cen.centroid_vec")}
+                   / ({_SQL_NORM.format(v="v.embedding")} * cen.ncen) DESC,
+                 cen.centroid_id) AS rk
+        FROM embeddings v CROSS JOIN pq_cen cen) WHERE rk = 1),
+    pq_routed AS (
+      SELECT q_id, centroid_id FROM (
+        SELECT q.q_id, cen.centroid_id,
+               row_number() OVER (PARTITION BY q.q_id ORDER BY
+                 {_SQL_DOT.format(a="q.q_vec", b="cen.centroid_vec")}
+                   / (q.nq * cen.ncen) DESC,
+                 cen.centroid_id) AS rk
+        FROM pq_q q CROSS JOIN pq_cen cen) WHERE rk <= {nprobe}),
+    pq_ivfadc AS (
+      SELECT dt.q_id, e.vec_id, list_sum(list(dt.d ORDER BY e.sub_id)) AS adc
+      FROM pq_enc e
+      JOIN pq_assigned a ON a.vec_id = e.vec_id
+      JOIN pq_routed r ON r.centroid_id = a.centroid_id
+      JOIN pq_dtab dt ON dt.q_id = r.q_id AND dt.sub_id = e.sub_id
+        AND dt.code_id = e.code_id
+      GROUP BY dt.q_id, e.vec_id),
+    pq_ivftopk AS (
+      SELECT q_id, vec_id FROM (
+        SELECT q_id, vec_id,
+               row_number() OVER (PARTITION BY q_id
+                 ORDER BY adc ASC, vec_id) AS rank
+        FROM pq_ivfadc) WHERE rank <= {k})"""
 
 
 def _ann_recall_oracle() -> str:
@@ -4612,11 +4717,25 @@ def _ann_recall_oracle() -> str:
       LEFT JOIN (SELECT q_id, vec_id FROM ({approx_sql}) t) a
         USING (q_id, vec_id))"""
 
+    def rec_cte(name: str, exact_cte: str, approx_cte: str) -> str:
+        return f"""
+    {name} AS (
+      SELECT CAST(count(a.vec_id) AS BIGINT) AS hits,
+             CAST(count(*) AS BIGINT) AS total,
+             CAST(count(a.vec_id) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS recall
+      FROM {exact_cte} e
+      LEFT JOIN {approx_cte} a USING (q_id, vec_id))"""
+
     ctes = ",".join(
         [
+            _pq_sql_ctes(),
             rec("r_p0", _ann_lsh_oracle(multiprobe=False)),
             rec("r_p1", _ann_lsh_oracle(multiprobe=True)),
             rec("r_ivf", _ann_ivf_oracle()),
+            # PQ legs measure quantization-induced recall loss against the
+            # metric PQ actually approximates (squared L2) — not cosine
+            rec_cte("r_pq", "pq_exact", "pq_topk"),
+            rec_cte("r_ivfpq", "pq_exact", "pq_ivftopk"),
         ]
     )
     legs = "\n    UNION ALL\n".join(
@@ -4646,12 +4765,23 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     contract an assertable output instead of a side-channel.
     [r3 consolidation: absorbs the former `ann_lsh` query — both probe
     settings of `lsh_topk` are exercised and hash-verified through the
-    recall join against the exact baseline.]"""
+    recall join against the exact baseline.]
+    [r11: absorbs the PQ family (same 50-query-cap discipline): `pq` =
+    full-scan ADC over train='sample' codebooks (similarity.pq_encode /
+    pq_adc_topk), `ivfpq` = IVF-routed ADC (FAISS's IVFADC layout,
+    similarity.ivfpq_topk) — both judged against the exact squared-L2
+    top-k (the metric PQ approximates), computed in-plan, so their
+    recall rows isolate quantization loss from metric mismatch.]"""
     from etl_edi_data_scrapper_spark.functions.similarity import (
+        _sq_dist,
         cosine_topk,
         ivf_index,
         ivf_topk,
+        ivfpq_topk,
         lsh_topk,
+        pq_adc_topk,
+        pq_encode,
+        sample_codebooks_local,
     )
 
     emb = _t(spark, sf_dir, "embeddings")
@@ -4660,6 +4790,27 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     exact = cosine_topk(queries, emb, k=5).select("q_id", "vec_id")
     centroids, assigned = ivf_index(emb, n_centroids=16)
+    # PQ legs (r11): judged against the metric PQ approximates — exact
+    # squared-L2 top-k — so the recall row isolates quantization loss
+    wl2 = W.partitionBy("q_id").orderBy(F.col("__d").asc(), F.col("vec_id"))
+    exact_l2 = (
+        emb.select("vec_id", "embedding")
+        .crossJoin(F.broadcast(queries))
+        .select(
+            "q_id",
+            "vec_id",
+            _sq_dist(F.col("q_vec"), F.col("embedding")).alias("__d"),
+        )
+        .withColumn("__rk", F.row_number().over(wl2))
+        .filter(F.col("__rk") <= 5)
+        .select("q_id", "vec_id")
+    )
+    # fetch the (m_sub × n_codes)-entry codebook ONCE, driver-side;
+    # encode/ADC/IVFADC all inline it as a literal (one bounded job per
+    # plan build — value-identical to collecting pq_codebooks, pinned)
+    cbs = sample_codebooks_local(emb, m_sub=8, n_codes=16, dim=64)
+    enc = pq_encode(emb.select("vec_id", "embedding"), cbs)
+    enc_assigned = pq_encode(assigned, cbs)
     legs = {
         "lsh_p0": lsh_topk(
             queries, emb, k=5, n_planes=5, multiprobe=False
@@ -4670,10 +4821,15 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ivf": ivf_topk(queries, centroids, assigned, k=5, nprobe=4).select(
             "q_id", "vec_id"
         ),
+        "pq": pq_adc_topk(queries, cbs, enc, k=5).select("q_id", "vec_id"),
+        "ivfpq": ivfpq_topk(
+            queries, centroids, enc_assigned, cbs, k=5, nprobe=4
+        ).select("q_id", "vec_id"),
     }
     recs = {}
     for method, approx in legs.items():
-        j = exact.join(
+        base_exact = exact_l2 if method in ("pq", "ivfpq") else exact
+        j = base_exact.join(
             approx.withColumn("__hit", F.lit(1)), ["q_id", "vec_id"], "left"
         )
         recall = (

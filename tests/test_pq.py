@@ -1,0 +1,199 @@
+"""Product quantization (functions/similarity.pq_*) — Jégou/Douze/Schmid
+TPAMI 2011 re-expressed as zero-shuffle DataFrame expressions.
+
+Covers: encode parity against a pure-numpy reference, exact reconstruction
+of codebook members, ADC == distance-to-reconstruction, full-probe IVFADC
+== full-scan ADC, kmeans codebooks beating sample codebooks on clustered
+data, and the zero-shuffle encode plan (the 100 TB contract: the corpus
+never moves to be encoded).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_edi_data_scrapper_spark.functions.similarity import (
+    ivf_index,
+    ivfpq_topk,
+    pq_adc_topk,
+    pq_codebooks,
+    pq_decode,
+    pq_encode,
+)
+
+
+def _corpus(spark, vecs):
+    return spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+
+
+def _queries(spark, vecs, ids=None):
+    ids = ids if ids is not None else range(len(vecs))
+    return spark.createDataFrame(
+        [(int(i), [float(x) for x in v]) for i, v in zip(ids, vecs)],
+        "q_id long, q_vec array<float>",
+    )
+
+
+VECS8 = [
+    [1, 0, 0, 0, 5, 5, 0, 0],
+    [0, 1, 0, 0, 0, 0, 5, 5],
+    [0, 0, 1, 0, 5, 0, 5, 0],
+    [0, 0, 0, 1, 0, 5, 0, 5],
+    [1, 1, 0, 0, 5, 4, 0, 1],
+    [0, 0, 1, 1, 4, 0, 5, 1],
+    [2, 0, 0, 0, 5, 5, 1, 0],
+    [0, 2, 0, 0, 1, 0, 5, 4],
+]
+
+
+def test_pq_encode_matches_numpy_reference(spark):
+    import numpy as np
+
+    m_sub, n_codes, dim = 4, 3, 8
+    corpus = _corpus(spark, VECS8)
+    cbs = pq_codebooks(corpus, m_sub=m_sub, n_codes=n_codes, dim=dim)
+    got = {
+        r.vec_id: list(r.codes)
+        for r in pq_encode(corpus, cbs).select("vec_id", "codes").collect()
+    }
+    X = np.array(VECS8, dtype=np.float64)
+    d = dim // m_sub
+    for i, v in enumerate(X):
+        for s in range(m_sub):
+            sub = v[s * d : (s + 1) * d]
+            cb = X[:n_codes, s * d : (s + 1) * d]  # sample codebook = lowest ids
+            dists = ((cb - sub) ** 2).sum(axis=1)
+            assert got[i][s] == int(dists.argmin())  # argmin = first min = lowest code
+
+
+def test_pq_codebook_members_reconstruct_exactly(spark):
+    corpus = _corpus(spark, VECS8)
+    cbs = pq_codebooks(corpus, m_sub=2, n_codes=4, dim=8)
+    enc = pq_encode(corpus, cbs)
+    dec = pq_decode(enc, cbs, out_col="recon")
+    rows = {r.vec_id: r for r in dec.filter(F.col("vec_id") < 4).collect()}
+    for i in range(4):  # the n_codes lowest ids ARE codebook entries
+        assert [float(x) for x in rows[i].recon] == [float(x) for x in VECS8[i]]
+
+
+def test_adc_equals_distance_to_reconstruction(spark):
+    """ADC(q, codes) = ||q - decode(codes)||² by construction (per-subspace
+    sums of the same squared diffs); only float re-association separates
+    them, so they agree to ~1e-9 relative."""
+    corpus = _corpus(spark, VECS8)
+    cbs = pq_codebooks(corpus, m_sub=4, n_codes=3, dim=8)
+    enc = pq_encode(corpus, cbs)
+    queries = _queries(spark, [[0.5, 0.1, 0, 0, 4.5, 4.0, 1.0, 0.2]], ids=[0])
+    adc = {
+        r.vec_id: r.adc
+        for r in pq_adc_topk(queries, cbs, enc, k=len(VECS8)).collect()
+    }
+    q = [0.5, 0.1, 0, 0, 4.5, 4.0, 1.0, 0.2]
+    recon = {
+        r.vec_id: [float(x) for x in r.recon]
+        for r in pq_decode(enc, cbs, out_col="recon").collect()
+    }
+    for vid, rv in recon.items():
+        want = sum((a - b) ** 2 for a, b in zip(q, rv))
+        assert adc[vid] == pytest.approx(want, rel=1e-9)
+
+
+def test_ivfpq_full_probe_equals_full_scan_adc(spark):
+    """nprobe = n_centroids probes every cell, so IVFADC must return
+    exactly the full-scan ADC top-k (routing only partitions the scan)."""
+    corpus = _corpus(spark, VECS8)
+    cbs = pq_codebooks(corpus, m_sub=4, n_codes=3, dim=8)
+    enc = pq_encode(corpus, cbs)
+    queries = _queries(spark, VECS8[:2], ids=[0, 1])
+    full = {
+        (r.q_id, r.vec_id, r.rank)
+        for r in pq_adc_topk(queries, cbs, enc, k=3).collect()
+    }
+    centroids, assigned = ivf_index(corpus, n_centroids=4)
+    enc_assigned = pq_encode(assigned, cbs)
+    routed = {
+        (r.q_id, r.vec_id, r.rank)
+        for r in ivfpq_topk(
+            queries, centroids, enc_assigned, cbs, k=3, nprobe=4
+        ).collect()
+    }
+    assert routed == full
+
+
+def test_pq_kmeans_codebooks_reduce_quantization_error(spark):
+    """Two tight clusters, and the n_codes lowest ids all sit in cluster A
+    — the sample codebook can't represent cluster B, Lloyd's can. Mean
+    squared reconstruction error must drop (the quality-path contract;
+    float iteration is model-pinned here, not oracle-gated)."""
+    a = [[10.0 + 0.1 * i, 10.0, 0.0, 0.0] for i in range(4)]
+    b = [[-10.0, -10.0 - 0.1 * i, 0.0, 0.0] for i in range(4)]
+    corpus = _corpus(spark, a + b)  # ids 0-3 = cluster A, 4-7 = cluster B
+
+    def mse(cbs):
+        enc = pq_encode(corpus, cbs)
+        dec = pq_decode(enc, cbs, out_col="recon")
+        err = F.aggregate(
+            F.zip_with(
+                "embedding",
+                "recon",
+                lambda x, r: (x.cast("double") - r) * (x.cast("double") - r),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        return dec.agg(F.avg(err)).first()[0]
+
+    sample_mse = mse(pq_codebooks(corpus, m_sub=2, n_codes=2, dim=4))
+    km_mse = mse(
+        pq_codebooks(corpus, m_sub=2, n_codes=2, dim=4, train="kmeans")
+    )
+    assert sample_mse > 50  # cluster B is ~20 units away per coordinate pair
+    assert km_mse < sample_mse / 10
+
+
+def test_pq_encode_plan_is_zero_shuffle(spark, sf_dir):
+    """The encode contract at 100 TB: a pure per-row expression over a
+    literal codebook — no Exchange anywhere in the encode plan (the
+    codebook build may shuffle its n_codes rows; the CORPUS never moves)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cbs = pq_codebooks(emb, m_sub=8, n_codes=16, dim=64)
+    plan = (
+        pq_encode(emb.select("vec_id", "embedding"), cbs)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_pq_codes_shape_and_bounds(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cbs = pq_codebooks(emb, m_sub=8, n_codes=16, dim=64)
+    bad = (
+        pq_encode(emb, cbs)
+        .filter(
+            (F.size("codes") != 8)
+            | F.exists("codes", lambda c: (c < 0) | (c >= 16))
+        )
+        .count()
+    )
+    assert bad == 0
+
+
+def test_sample_codebooks_local_matches_dataframe_form(spark, sf_dir):
+    """The driver-side fast path must be value-identical to collecting
+    pq_codebooks(train='sample') — both widen float32→double exactly."""
+    from etl_edi_data_scrapper_spark.functions.similarity import (
+        _collect_codebooks,
+        sample_codebooks_local,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    via_df = _collect_codebooks(pq_codebooks(emb, m_sub=8, n_codes=16, dim=64))
+    local = sample_codebooks_local(emb, m_sub=8, n_codes=16, dim=64)
+    assert local == via_df

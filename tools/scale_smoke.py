@@ -137,11 +137,20 @@ def build_scaled(spark, out_dir: str, factor: int) -> None:
         e.write.mode("overwrite").parquet(f"{out_dir}/embeddings.parquet")
 
 
-def time_query(fn, spark, sf_dir: str) -> float:
+def time_query(fn, spark, sf_dir: str, trials: int = 2) -> float:
+    """warm + min-of-``trials``. ``trials=1`` skips the warm run and times a
+    single cold execution — for factor-300 rows where a run is many minutes,
+    JIT/listing warm-up is noise relative to the run and tripling the cost
+    for min-of-2 buys nothing; a single cold run only OVER-states the scaled
+    time, so the resulting ratio is conservative."""
+    if trials <= 1:
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        return round(time.perf_counter() - t0, 3)
     df = fn(spark, sf_dir)
     df.write.format("noop").mode("overwrite").save()  # warm
     best = None
-    for _ in range(2):
+    for _ in range(trials):
         t0 = time.perf_counter()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         dt = time.perf_counter() - t0
@@ -149,7 +158,9 @@ def time_query(fn, spark, sf_dir: str) -> float:
     return round(best, 3)
 
 
-def time_neardup_increment(spark, sf_dir: str, work_dir: str) -> float:
+def time_neardup_increment(
+    spark, sf_dir: str, work_dir: str, trials: int = 2
+) -> float:
     """The production ingestion shape (streaming/neardup_stream.py): seed
     the band-key store with half the documents table (untimed), then time
     ONE increment of the other half against it — candidate band equi-join
@@ -166,7 +177,7 @@ def time_neardup_increment(spark, sf_dir: str, work_dir: str) -> float:
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
     best = None
-    for trial in range(2):
+    for trial in range(trials):
         store = os.path.join(work_dir, f"store_{trial}")
         shutil.rmtree(store, ignore_errors=True)
         dedup_batch_against_store(spark, docs.filter("doc_id % 2 = 0"), store)
@@ -266,6 +277,13 @@ def main() -> None:
         "registered query name — used by the per-round rotating 30x "
         "spot-check; 'neardup_increment' selects the store-join timing leg)",
     )
+    ap.add_argument(
+        "--trials",
+        type=int,
+        default=2,
+        help="timed runs per query (min is reported); 1 = single cold run, "
+        "no warm — for very large factors where a run is many minutes",
+    )
     args = ap.parse_args()
     out_dir = args.out or f"/tmp/scale_sf{args.factor}x"
 
@@ -301,8 +319,8 @@ def main() -> None:
     report: dict[str, dict[str, float]] = {}
     for name in run_queries:
         fn = ALL[name]
-        base = time_query(fn, spark, BASE_SF)
-        scaled = time_query(fn, spark, out_dir)
+        base = time_query(fn, spark, BASE_SF)  # base is cheap: keep warm+min-of-2
+        scaled = time_query(fn, spark, out_dir, trials=args.trials)
         report[name] = {
             "base": base,
             "scaled": scaled,
@@ -317,7 +335,9 @@ def main() -> None:
         nd_work = tempfile.mkdtemp(prefix="scale_neardup_")
         try:
             nd_base = time_neardup_increment(spark, BASE_SF, os.path.join(nd_work, "base"))
-            nd_scaled = time_neardup_increment(spark, out_dir, os.path.join(nd_work, "scaled"))
+            nd_scaled = time_neardup_increment(
+                spark, out_dir, os.path.join(nd_work, "scaled"), trials=args.trials
+            )
         finally:
             shutil.rmtree(nd_work, ignore_errors=True)
         report["neardup_increment"] = {
