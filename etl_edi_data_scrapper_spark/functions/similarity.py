@@ -307,6 +307,57 @@ def load_ivf_index(spark, path: str) -> tuple[DataFrame, DataFrame]:
     )
 
 
+def save_ivfpq_index(
+    centroids: DataFrame,
+    encoded_assigned: DataFrame,
+    codebooks: DataFrame | list,
+    path: str,
+    c_id: str = "vec_id",
+    codes_col: str = "codes",
+) -> None:
+    """Persist the full IVFADC layout: coarse centroids, per-subspace
+    codebooks, and the encoded assignment laid out PARTITIONED BY
+    ``centroid_id`` — with the float vectors DROPPED. This is where PQ's
+    compression cashes out on disk: each cell stores (vec_id, codes) —
+    ~8 B of codes instead of a dim-wide float array — so the routed
+    probe in :func:`ivfpq_topk` both prunes to nprobe cells AND reads
+    ~32× fewer bytes per cell than the IVF-flat index. A billion-vector
+    corpus that IVF-flat stores in 256 GB of cells fits in ~12 GB of
+    codes; the exact-rerank tier (fetch float originals for the final
+    top candidates) reads the primary store by id, not this index."""
+    spark = centroids.sparkSession
+    if isinstance(codebooks, list):
+        codebooks = spark.createDataFrame(
+            [
+                (s, c, vec)
+                for s, cb in enumerate(codebooks)
+                for c, vec in enumerate(cb)
+            ],
+            "sub_id int, code_id int, sub_vec array<double>",
+        )
+    centroids.write.mode("overwrite").parquet(f"{path}/centroids")
+    codebooks.write.mode("overwrite").parquet(f"{path}/codebooks")
+    encoded_assigned.select(
+        F.col(c_id), F.col(codes_col), F.col("centroid_id")
+    ).write.mode("overwrite").partitionBy("centroid_id").parquet(
+        f"{path}/codes"
+    )
+
+
+def load_ivfpq_index(
+    spark, path: str
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(centroids, encoded_assigned, codebooks) back from
+    :func:`save_ivfpq_index` — drop-in arguments for :func:`ivfpq_topk`.
+    The codes scan carries the ``centroid_id`` partition column, so the
+    routed ADC join prunes to the probed cells' directories."""
+    return (
+        spark.read.parquet(f"{path}/centroids"),
+        spark.read.parquet(f"{path}/codes"),
+        spark.read.parquet(f"{path}/codebooks"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Product quantization (PQ) — Jégou, Douze, Schmid, "Product Quantization
 # for Nearest Neighbor Search", IEEE TPAMI 2011. The 100 TB compression

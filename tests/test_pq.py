@@ -197,3 +197,51 @@ def test_sample_codebooks_local_matches_dataframe_form(spark, sf_dir):
     via_df = _collect_codebooks(pq_codebooks(emb, m_sub=8, n_codes=16, dim=64))
     local = sample_codebooks_local(emb, m_sub=8, n_codes=16, dim=64)
     assert local == via_df
+
+
+def test_ivfpq_index_save_load_roundtrip(spark, sf_dir, tmp_path):
+    """A saved+loaded IVFADC index answers identically to the in-memory
+    one; the codes land partitioned by centroid_id (pruned probes) and
+    WITHOUT the float vectors — the on-disk rows are (vec_id, codes),
+    which is where PQ's ~32x compression cashes out."""
+    import os
+
+    from etl_edi_data_scrapper_spark.functions.similarity import (
+        load_ivfpq_index,
+        sample_codebooks_local,
+        save_ivfpq_index,
+    )
+
+    corpus = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = corpus.limit(5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    cbs = sample_codebooks_local(corpus, m_sub=8, n_codes=16, dim=64)
+    centroids, assigned = ivf_index(corpus, n_centroids=8)
+    enc_assigned = pq_encode(assigned, cbs)
+    want = {
+        (r.q_id, r.rank): r.vec_id
+        for r in ivfpq_topk(
+            queries, centroids, enc_assigned, cbs, k=3, nprobe=2
+        ).collect()
+    }
+
+    idx = str(tmp_path / "ivfpq")
+    save_ivfpq_index(centroids, enc_assigned, cbs, idx)
+    cells = [d for d in os.listdir(f"{idx}/codes") if d.startswith("centroid_id=")]
+    assert len(cells) == 8
+    c2, ea2, cb2 = load_ivfpq_index(spark, idx)
+    assert set(ea2.columns) == {"vec_id", "codes", "centroid_id"}  # no floats
+    got = {
+        (r.q_id, r.rank): r.vec_id
+        for r in ivfpq_topk(queries, c2, ea2, cb2, k=3, nprobe=2).collect()
+    }
+    assert got == want and len(got) == 15
+
+    plan = (
+        ea2.filter(F.col("centroid_id") == 3)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PartitionFilters: [isnotnull(centroid_id" in plan
