@@ -632,6 +632,7 @@ def ivfpq_topk(
     q_vec: str = "q_vec",
     c_id: str = "vec_id",
     codes_col: str = "codes",
+    residual: bool = False,
 ) -> DataFrame:
     """IVF routing + ADC scoring (FAISS's IVFADC): route each query to its
     ``nprobe`` nearest coarse centroids (exact float, query side only),
@@ -640,7 +641,15 @@ def ivfpq_topk(
     the compounding of the two approximations that makes billion-vector
     search tractable. ``encoded_assigned`` = `ivf_index` assignment +
     `pq_encode` codes (persist it `save_ivf_index`-style partitioned by
-    centroid_id and the routed join prunes to the probed cells)."""
+    centroid_id and the routed join prunes to the probed cells).
+
+    ``residual=True`` scores RESIDUAL codes (built by
+    :func:`ivfpq_residual_index`): the ADC table for each (query, cell)
+    pair is computed against ``q_vec − centroid_vec`` — the canonical
+    IVFADC formulation, where the codebooks only have to cover the
+    within-cell residual range instead of the whole space, so the same
+    code budget buys a finer quantization grid. Cost shape is identical
+    (the table build was already per routed row)."""
     cbs = _collect_codebooks(codebooks)
     cb = F.broadcast(
         centroids.withColumn("__ncen", norm_expr(F.col("centroid_vec")))
@@ -655,9 +664,16 @@ def ivfpq_topk(
         .withColumn("__qsim", qsim)
         .withColumn("__rk", F.row_number().over(wq))
         .filter(F.col("__rk") <= nprobe)
-        .select(q_id, q_vec, "centroid_id")
+        .select(q_id, q_vec, "centroid_id", "centroid_vec")
     )
-    routed = _adc_tables(routed, cbs, q_vec).drop(q_vec)
+    if residual:
+        routed = routed.withColumn(
+            "__qres", residual_expr(F.col(q_vec), F.col("centroid_vec"))
+        )
+        routed = _adc_tables(routed, cbs, "__qres").drop(q_vec, "__qres")
+    else:
+        routed = _adc_tables(routed, cbs, q_vec).drop(q_vec)
+    routed = routed.drop("centroid_vec")
     cand = encoded_assigned.select(
         F.col(c_id), F.col(codes_col), F.col("centroid_id")
     ).join(F.broadcast(routed), "centroid_id")
@@ -667,3 +683,57 @@ def ivfpq_topk(
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def residual_expr(vec: Column, centroid: Column) -> Column:
+    """``vec − centroid`` as array<double> (elementwise, cast first) — the
+    quantity residual-PQ encodes and queries score against."""
+    return F.zip_with(
+        vec, centroid, lambda x, c: x.cast("double") - c.cast("double")
+    )
+
+
+def ivfpq_residual_index(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    m_sub: int = 8,
+    n_codes: int = 16,
+    dim: int = 64,
+    c_id: str = "vec_id",
+    c_vec: str = "embedding",
+    train: str = "sample",
+    kmeans_iters: int = 3,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """The full residual-IVFADC build (Jégou 2011 §IV; what FAISS calls
+    IVFADC): coarse-assign every vector, then PQ-encode the RESIDUAL
+    ``vec − centroid`` instead of the raw vector. Residuals span only a
+    cell's diameter, so the per-subspace codebooks cover a far smaller
+    range at the same code count — reconstruction error (and therefore
+    ADC ranking error) drops without touching the storage budget; the
+    whole gain is expressible map-side (one broadcast centroid join +
+    the same zero-shuffle encode).
+
+    Returns (centroids, encoded_assigned(c_id, codes, centroid_id),
+    codebooks) — feed straight into ``ivfpq_topk(..., residual=True)``
+    or ``save_ivfpq_index``. Codebooks are trained on the residuals
+    (``train`` as in :func:`pq_codebooks`)."""
+    centroids, assigned = ivf_index(
+        corpus, n_centroids=n_centroids, c_id=c_id, c_vec=c_vec
+    )
+    res = assigned.join(F.broadcast(centroids), "centroid_id").withColumn(
+        "__res", residual_expr(F.col(c_vec), F.col("centroid_vec"))
+    )
+    cbs = pq_codebooks(
+        res,
+        m_sub=m_sub,
+        n_codes=n_codes,
+        dim=dim,
+        c_id=c_id,
+        c_vec="__res",
+        train=train,
+        kmeans_iters=kmeans_iters,
+    )
+    enc = pq_encode(res, cbs, c_vec="__res").select(
+        F.col(c_id), F.col("codes"), F.col("centroid_id")
+    )
+    return centroids, enc, cbs

@@ -245,3 +245,99 @@ def test_ivfpq_index_save_load_roundtrip(spark, sf_dir, tmp_path):
         .toString()
     )
     assert "PartitionFilters: [isnotnull(centroid_id" in plan
+
+
+def _clustered_corpus(spark):
+    """Four well-separated clusters × 2 vectors, dim 4, ids 0-3 one per
+    cluster (so sample IVF centroids land one per cluster) and ids 4-7
+    their +0.25-shifted twins. The SAME shift everywhere on purpose: the
+    residual set is exactly {0, 0.25}ᵈ, representable without error by a
+    k=2 residual codebook — so the residual path's ADC ranking can be
+    asserted EQUAL to exact L2, not merely close."""
+    cents = [
+        [20.0, 20.0, 20.0, 20.0],
+        [20.0, -20.0, -20.0, 20.0],
+        [-20.0, 20.0, -20.0, -20.0],
+        [-20.0, -20.0, 20.0, -20.0],
+    ]
+    vecs = list(cents) + [[x + 0.25 for x in cents[j]] for j in range(4)]
+    return _corpus(spark, vecs), vecs
+
+
+def test_residual_ivfpq_cuts_reconstruction_error(spark):
+    """Jégou §IV: residual codebooks only cover a cell's diameter, so the
+    same code budget (2 codes × 2 subspaces) reconstructs near-exactly,
+    while raw-PQ must stretch those 4 codewords across 4 clusters ±40
+    apart — MSE drops by orders of magnitude."""
+    from etl_edi_data_scrapper_spark.functions.similarity import (
+        ivfpq_residual_index,
+        pq_decode,
+    )
+
+    corpus, vecs = _clustered_corpus(spark)
+    raw_cbs = pq_codebooks(corpus, m_sub=2, n_codes=2, dim=4, train="kmeans")
+    raw = pq_decode(pq_encode(corpus, raw_cbs), raw_cbs, out_col="recon")
+
+    centroids, enc, cbs = ivfpq_residual_index(
+        corpus, n_centroids=4, m_sub=2, n_codes=2, dim=4, train="kmeans"
+    )
+    res = (
+        pq_decode(enc, cbs, out_col="r")
+        .join(centroids, "centroid_id")
+        .withColumn(
+            "recon",
+            F.zip_with("centroid_vec", "r", lambda c, r: c.cast("double") + r),
+        )
+        .join(corpus, "vec_id")
+    )
+
+    err = F.aggregate(
+        F.zip_with(
+            "embedding",
+            "recon",
+            lambda x, r: (x.cast("double") - r) * (x.cast("double") - r),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    raw_mse = raw.agg(F.avg(err)).first()[0]
+    res_mse = res.agg(F.avg(err)).first()[0]
+    assert raw_mse > 100  # codewords stretched across ±40-apart clusters
+    assert res_mse < raw_mse / 100  # residuals span only the ±1 cell noise
+
+
+def test_residual_ivfpq_full_probe_matches_exact_l2(spark):
+    """With near-exact reconstruction (previous test) and every cell
+    probed, residual ADC ranking must reproduce the exact squared-L2
+    top-3 on the clustered corpus."""
+    from etl_edi_data_scrapper_spark.functions.similarity import (
+        _sq_dist,
+        ivfpq_residual_index,
+    )
+    from pyspark.sql import Window as W
+
+    corpus, vecs = _clustered_corpus(spark)
+    queries = _queries(spark, vecs[:3], ids=[0, 1, 2])
+    centroids, enc, cbs = ivfpq_residual_index(
+        corpus, n_centroids=4, m_sub=2, n_codes=2, dim=4, train="kmeans"
+    )
+    got = {
+        (r.q_id, r.rank): r.vec_id
+        for r in ivfpq_topk(
+            queries, centroids, enc, cbs, k=3, nprobe=4, residual=True
+        ).collect()
+    }
+    wl2 = W.partitionBy("q_id").orderBy(F.col("d").asc(), F.col("vec_id"))
+    exact = {
+        (r.q_id, r.rank): r.vec_id
+        for r in corpus.crossJoin(F.broadcast(queries))
+        .select(
+            "q_id",
+            "vec_id",
+            _sq_dist(F.col("q_vec"), F.col("embedding")).alias("d"),
+        )
+        .withColumn("rank", F.row_number().over(wl2))
+        .filter(F.col("rank") <= 3)
+        .collect()
+    }
+    assert got == exact
