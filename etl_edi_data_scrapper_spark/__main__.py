@@ -234,6 +234,44 @@ def main(argv: list[str] | None = None, engine=None) -> int:
     pe.add_argument("--family-size", type=int, default=None,
                     help="skip the duplication-profile probe and use this")
 
+    pa = sub.add_parser(
+        "ann-index",
+        help="build + persist an IVFADC (IVF + product-quantization) ANN "
+        "index: coarse cells partitioned on disk, 8-byte codes instead "
+        "of float vectors",
+    )
+    pa.add_argument("--embeddings", required=True, help="embeddings parquet path/dir")
+    pa.add_argument("--output", required=True, help="index output dir")
+    pa.add_argument("--id-col", default="vec_id")
+    pa.add_argument("--vec-col", default="embedding")
+    pa.add_argument("--dim", type=int, default=64)
+    pa.add_argument("--n-centroids", type=int, default=256)
+    pa.add_argument("--m-sub", type=int, default=8)
+    pa.add_argument("--n-codes", type=int, default=256)
+    pa.add_argument(
+        "--train", choices=["sample", "kmeans"], default="kmeans",
+        help="codebook training: 'kmeans' (quality) or 'sample' (cheapest, "
+        "deterministic)",
+    )
+    pa.add_argument(
+        "--no-residual", action="store_true",
+        help="encode raw vectors instead of residuals (residual encoding "
+        "is the canonical IVFADC and strictly finer at the same budget)",
+    )
+
+    pn = sub.add_parser(
+        "ann-query",
+        help="top-k nearest neighbors from a persisted ann-index for a "
+        "parquet of query vectors",
+    )
+    pn.add_argument("--index", required=True, help="ann-index dir")
+    pn.add_argument("--queries", required=True, help="query parquet path/dir")
+    pn.add_argument("--output", required=True, help="result parquet output dir")
+    pn.add_argument("--id-col", default="vec_id", help="query id column")
+    pn.add_argument("--vec-col", default="embedding", help="query vector column")
+    pn.add_argument("--k", type=int, default=10)
+    pn.add_argument("--nprobe", type=int, default=8)
+
     args = p.parse_args(argv)
 
     if engine is None:  # pragma: no cover - exercised via injected engine in tests
@@ -355,6 +393,87 @@ def main(argv: list[str] | None = None, engine=None) -> int:
             f"SUCCESS: Embeddings deduplicated | Vectors: {n} | "
             f"Kept: {kept} | Dropped: {n - kept}"
         )
+        return 0
+
+    if args.cmd == "ann-index":
+        import json as jsonmod
+        import os as osmod
+
+        from etl_edi_data_scrapper_spark.functions.similarity import (
+            ivf_index,
+            ivfpq_residual_index,
+            pq_codebooks,
+            pq_encode,
+            save_ivfpq_index,
+        )
+
+        emb = engine.spark.read.parquet(args.embeddings)
+        if args.no_residual:
+            centroids, assigned = ivf_index(
+                emb, n_centroids=args.n_centroids,
+                c_id=args.id_col, c_vec=args.vec_col,
+                train=args.train,
+            )
+            cbs = pq_codebooks(
+                emb, m_sub=args.m_sub, n_codes=args.n_codes, dim=args.dim,
+                c_id=args.id_col, c_vec=args.vec_col, train=args.train,
+            )
+            enc = pq_encode(assigned, cbs, c_vec=args.vec_col).select(
+                args.id_col, "codes", "centroid_id"
+            )
+        else:
+            centroids, enc, cbs = ivfpq_residual_index(
+                emb, n_centroids=args.n_centroids, m_sub=args.m_sub,
+                n_codes=args.n_codes, dim=args.dim,
+                c_id=args.id_col, c_vec=args.vec_col, train=args.train,
+            )
+        save_ivfpq_index(centroids, enc, cbs, args.output, c_id=args.id_col)
+        meta = {
+            "residual": not args.no_residual,
+            "id_col": args.id_col,
+            "dim": args.dim,
+            "n_centroids": args.n_centroids,
+            "m_sub": args.m_sub,
+            "n_codes": args.n_codes,
+            "train": args.train,
+        }
+        with open(osmod.path.join(args.output, "_meta.json"), "w") as fh:
+            jsonmod.dump(meta, fh, sort_keys=True)
+        n = engine.spark.read.parquet(f"{args.output}/codes").count()
+        print(
+            f"SUCCESS: ANN index built | Vectors: {n} | Cells: "
+            f"{args.n_centroids} | Codes: {args.m_sub}x{args.n_codes}"
+            f"{' (residual)' if not args.no_residual else ''}"
+        )
+        return 0
+
+    if args.cmd == "ann-query":
+        import json as jsonmod
+        import os as osmod
+
+        from pyspark.sql import functions as F
+
+        from etl_edi_data_scrapper_spark import sinks as sinkmod
+        from etl_edi_data_scrapper_spark.functions.similarity import (
+            ivfpq_topk,
+            load_ivfpq_index,
+        )
+
+        with open(osmod.path.join(args.index, "_meta.json")) as fh:
+            meta = jsonmod.load(fh)
+        centroids, enc, cbs = load_ivfpq_index(engine.spark, args.index)
+        queries = engine.spark.read.parquet(args.queries).select(
+            F.col(args.id_col).alias("q_id"),
+            F.col(args.vec_col).alias("q_vec"),
+        )
+        out = ivfpq_topk(
+            queries, centroids, enc, cbs,
+            k=args.k, nprobe=args.nprobe,
+            c_id=meta["id_col"], residual=meta["residual"],
+        )
+        sinkmod.write_parquet(out, args.output, mode="overwrite")
+        n = engine.spark.read.parquet(args.output).count()
+        print(f"SUCCESS: ANN query | Results: {n} | k: {args.k} | nprobe: {args.nprobe}")
         return 0
 
     if args.cmd == "curate":

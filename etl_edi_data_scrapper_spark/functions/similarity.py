@@ -703,6 +703,7 @@ def ivfpq_residual_index(
     c_vec: str = "embedding",
     train: str = "sample",
     kmeans_iters: int = 3,
+    coarse_train: str = "sample",
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """The full residual-IVFADC build (Jégou 2011 §IV; what FAISS calls
     IVFADC): coarse-assign every vector, then PQ-encode the RESIDUAL
@@ -716,9 +717,16 @@ def ivfpq_residual_index(
     Returns (centroids, encoded_assigned(c_id, codes, centroid_id),
     codebooks) — feed straight into ``ivfpq_topk(..., residual=True)``
     or ``save_ivfpq_index``. Codebooks are trained on the residuals
-    (``train`` as in :func:`pq_codebooks`)."""
+    (``train`` as in :func:`pq_codebooks`); the coarse quantizer trains
+    separately (``coarse_train``) — 'sample' keeps it deterministic,
+    'kmeans' buys tighter cells (smaller residual range) at fit cost."""
     centroids, assigned = ivf_index(
-        corpus, n_centroids=n_centroids, c_id=c_id, c_vec=c_vec
+        corpus,
+        n_centroids=n_centroids,
+        c_id=c_id,
+        c_vec=c_vec,
+        train=coarse_train,
+        kmeans_iters=kmeans_iters,
     )
     res = assigned.join(F.broadcast(centroids), "centroid_id").withColumn(
         "__res", residual_expr(F.col(c_vec), F.col("centroid_vec"))
