@@ -396,9 +396,6 @@ def main(argv: list[str] | None = None, engine=None) -> int:
         return 0
 
     if args.cmd == "ann-index":
-        import json as jsonmod
-        import os as osmod
-
         from etl_edi_data_scrapper_spark.functions.similarity import (
             ivf_index,
             ivfpq_residual_index,
@@ -427,7 +424,6 @@ def main(argv: list[str] | None = None, engine=None) -> int:
                 n_codes=args.n_codes, dim=args.dim,
                 c_id=args.id_col, c_vec=args.vec_col, train=args.train,
             )
-        save_ivfpq_index(centroids, enc, cbs, args.output, c_id=args.id_col)
         meta = {
             "residual": not args.no_residual,
             "id_col": args.id_col,
@@ -437,8 +433,9 @@ def main(argv: list[str] | None = None, engine=None) -> int:
             "n_codes": args.n_codes,
             "train": args.train,
         }
-        with open(osmod.path.join(args.output, "_meta.json"), "w") as fh:
-            jsonmod.dump(meta, fh, sort_keys=True)
+        save_ivfpq_index(
+            centroids, enc, cbs, args.output, c_id=args.id_col, meta=meta
+        )
         n = engine.spark.read.parquet(f"{args.output}/codes").count()
         print(
             f"SUCCESS: ANN index built | Vectors: {n} | Cells: "
@@ -448,19 +445,16 @@ def main(argv: list[str] | None = None, engine=None) -> int:
         return 0
 
     if args.cmd == "ann-query":
-        import json as jsonmod
-        import os as osmod
-
         from pyspark.sql import functions as F
 
         from etl_edi_data_scrapper_spark import sinks as sinkmod
         from etl_edi_data_scrapper_spark.functions.similarity import (
             ivfpq_topk,
             load_ivfpq_index,
+            load_ivfpq_meta,
         )
 
-        with open(osmod.path.join(args.index, "_meta.json")) as fh:
-            meta = jsonmod.load(fh)
+        meta = load_ivfpq_meta(args.index)
         centroids, enc, cbs = load_ivfpq_index(engine.spark, args.index)
         queries = engine.spark.read.parquet(args.queries).select(
             F.col(args.id_col).alias("q_id"),
@@ -469,7 +463,9 @@ def main(argv: list[str] | None = None, engine=None) -> int:
         out = ivfpq_topk(
             queries, centroids, enc, cbs,
             k=args.k, nprobe=args.nprobe,
-            c_id=meta["id_col"], residual=meta["residual"],
+            # an index saved without a meta sidecar reads as raw-encoded
+            c_id=meta.get("id_col", "vec_id"),
+            residual=meta.get("residual", False),
         )
         sinkmod.write_parquet(out, args.output, mode="overwrite")
         n = engine.spark.read.parquet(args.output).count()

@@ -167,19 +167,32 @@ def ivf_index(
                 F.col(c_vec).alias("centroid_vec"),
             )
         )
+    return centroids, ivf_assign(corpus, centroids, c_id=c_id, c_vec=c_vec)
+
+
+def ivf_assign(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    c_id: str = "vec_id",
+    c_vec: str = "embedding",
+) -> DataFrame:
+    """Assign every vector to its nearest centroid (argmax cosine, tie →
+    lowest centroid_id): one broadcast cross join + a per-vector windowed
+    argmin — a single map-side-joined pass over the corpus. Shared by
+    `ivf_index` (build time) and `append_to_ivfpq_index` (incremental
+    adds against FROZEN centroids)."""
     cb = F.broadcast(centroids)
     scored = corpus.withColumn("__nv", norm_expr(F.col(c_vec))).crossJoin(
         cb.withColumn("__ncen", norm_expr(F.col("centroid_vec")))
     )
     sim = dot_expr(F.col(c_vec), F.col("centroid_vec")) / (F.col("__nv") * F.col("__ncen"))
     w = W.partitionBy(c_id).orderBy(F.col("__csim").desc(), F.col("centroid_id"))
-    assigned = (
+    return (
         scored.withColumn("__csim", sim)
         .withColumn("__rk", F.row_number().over(w))
         .filter(F.col("__rk") == 1)
         .select(corpus[c_id], corpus[c_vec], "centroid_id")
     )
-    return centroids, assigned
 
 
 def ivf_topk(
@@ -314,6 +327,7 @@ def save_ivfpq_index(
     path: str,
     c_id: str = "vec_id",
     codes_col: str = "codes",
+    meta: dict | None = None,
 ) -> None:
     """Persist the full IVFADC layout: coarse centroids, per-subspace
     codebooks, and the encoded assignment laid out PARTITIONED BY
@@ -342,6 +356,14 @@ def save_ivfpq_index(
     ).write.mode("overwrite").partitionBy("centroid_id").parquet(
         f"{path}/codes"
     )
+    if meta is not None:
+        import json
+        import os
+
+        tmp = os.path.join(path, "_meta.json.tmp")
+        with open(tmp, "w", encoding="utf-8") as fh:
+            json.dump(meta, fh, sort_keys=True)
+        os.replace(tmp, os.path.join(path, "_meta.json"))
 
 
 def load_ivfpq_index(
@@ -745,3 +767,63 @@ def ivfpq_residual_index(
         F.col(c_id), F.col("codes"), F.col("centroid_id")
     )
     return centroids, enc, cbs
+
+
+def load_ivfpq_meta(path: str) -> dict:
+    """The index's `_meta.json` sidecar (written by `save_ivfpq_index`
+    when given one); `{}` for an index saved without it."""
+    import json
+    import os
+
+    p = os.path.join(path, "_meta.json")
+    if not os.path.exists(p):
+        return {}
+    with open(p, encoding="utf-8") as fh:
+        return json.load(fh)
+
+
+def append_to_ivfpq_index(
+    spark,
+    batch: DataFrame,
+    path: str,
+    c_id: str = "vec_id",
+    c_vec: str = "embedding",
+) -> int:
+    """Incrementally add a batch of vectors to a persisted IVFADC index —
+    the FAISS train-once/add-forever discipline: centroids and codebooks
+    are FROZEN (loaded, broadcast, never refit), the batch is
+    coarse-assigned, (residual-)encoded map-side, and its codes appended
+    to the partitioned cell layout. Returns the number of rows appended.
+
+    Replay-idempotent by identity (the streaming-store discipline): ids
+    already present in the index are anti-joined away before the append,
+    so re-running a crashed batch never double-inserts; the batch's codes
+    are materialized (localCheckpoint) BEFORE the append so the insert
+    never reads its own output. The existing-id listing reads only the
+    (id) column of the code store — 8-byte rows, not vectors.
+
+    Caveat (documented, inherent to frozen quantizers): appended vectors
+    far from the training distribution land in stretched cells with
+    coarser effective quantization; a drifted corpus wants a periodic
+    rebuild, which is `ann-index` again."""
+    centroids, existing, codebooks = load_ivfpq_index(spark, path)
+    meta = load_ivfpq_meta(path)
+    residual = bool(meta.get("residual", False))
+    assigned = ivf_assign(batch, centroids, c_id=c_id, c_vec=c_vec)
+    if residual:
+        res = assigned.join(F.broadcast(centroids), "centroid_id").withColumn(
+            "__res", residual_expr(F.col(c_vec), F.col("centroid_vec"))
+        )
+        enc = pq_encode(res, codebooks, c_vec="__res")
+    else:
+        enc = pq_encode(assigned, codebooks, c_vec=c_vec)
+    enc = enc.select(F.col(c_id), F.col("codes"), F.col("centroid_id"))
+    fresh = enc.join(
+        existing.select(F.col(c_id)), c_id, "left_anti"
+    ).localCheckpoint(eager=True)  # materialize BEFORE the store grows
+    n = fresh.count()
+    if n:
+        fresh.write.mode("append").partitionBy("centroid_id").parquet(
+            f"{path}/codes"
+        )
+    return n

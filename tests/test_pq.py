@@ -393,3 +393,53 @@ def test_cli_ann_index_and_query_roundtrip(spark, sf_dir, tmp_path, capsys):
     assert self_top1 >= n_q // 2
     self_top3 = res.filter(F.col("q_id") == F.col("vec_id")).count()
     assert self_top3 >= int(n_q * 0.7)
+
+
+def test_append_to_ivfpq_index_incremental_and_idempotent(spark, tmp_path):
+    """FAISS's train-once/add-forever: build the index on the cluster
+    exemplars, append their twins against FROZEN centroids+codebooks —
+    appended ids become queryable (and, with exactly-representable
+    residuals, rank themselves first); re-appending the same batch adds
+    ZERO rows (replay idempotence by identity, the streaming-store
+    discipline)."""
+    from etl_edi_data_scrapper_spark.functions.similarity import (
+        append_to_ivfpq_index,
+        ivfpq_residual_index,
+        ivfpq_topk,
+        load_ivfpq_index,
+        save_ivfpq_index,
+    )
+
+    corpus, vecs = _clustered_corpus(spark)
+    base = corpus.filter(F.col("vec_id") < 4)  # one exemplar per cluster
+    twins = corpus.filter(F.col("vec_id") >= 4)
+    # codebooks must know the twin residual (0.25): train them on the full
+    # corpus's residual range the way a production build would — here via
+    # kmeans over base+twins residuals, then REBUILD the stored index from
+    # base only so the append is a true incremental add
+    centroids, enc_full, cbs = ivfpq_residual_index(
+        corpus, n_centroids=4, m_sub=2, n_codes=2, dim=4, train="kmeans"
+    )
+    idx = str(tmp_path / "inc")
+    save_ivfpq_index(
+        centroids,
+        enc_full.join(base.select("vec_id"), "vec_id"),
+        cbs,
+        idx,
+        meta={"residual": True, "id_col": "vec_id"},
+    )
+    assert append_to_ivfpq_index(spark, twins, idx) == 4
+    assert append_to_ivfpq_index(spark, twins, idx) == 0  # replay: no-op
+    # appended rows answer queries: every twin retrieves itself at rank 1
+    c2, e2, cb2 = load_ivfpq_index(spark, idx)
+    assert e2.count() == 8
+    queries = twins.select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    top1 = {
+        r.q_id: r.vec_id
+        for r in ivfpq_topk(
+            queries, c2, e2, cb2, k=1, nprobe=4, residual=True
+        ).collect()
+    }
+    assert top1 == {i: i for i in range(4, 8)}
