@@ -454,7 +454,7 @@ def main(argv: list[str] | None = None, engine=None) -> int:
             load_ivfpq_meta,
         )
 
-        meta = load_ivfpq_meta(args.index)
+        meta = load_ivfpq_meta(engine.spark, args.index)
         centroids, enc, cbs = load_ivfpq_index(engine.spark, args.index)
         queries = engine.spark.read.parquet(args.queries).select(
             F.col(args.id_col).alias("q_id"),

@@ -1,0 +1,60 @@
+"""Tiny text-file I/O through the Hadoop FileSystem API.
+
+Sidecar files that live NEXT TO Spark-written data (an index's
+`_meta.json`, a stream's `__incarnation__` stamp) must share the data's
+filesystem: driver-local ``open()`` silently diverges the moment the
+path is ``hdfs://`` / ``s3a://`` — the sidecar lands on the driver's
+local disk while the data goes remote, decoupling their lifecycles
+(r11 review: a recreated remote checkpoint dir kept its stale local
+stamp, resurrecting the exact epoch-0 blindness the stamp exists to
+prevent). These helpers route through ``Path.getFileSystem`` (the same
+py4j surface `streaming/neardup_stream.py` and `operators/rollup.py`
+already use for renames), so local paths behave exactly as before and
+remote paths follow the data.
+
+``write_text_atomic`` is write-tmp → delete-dst → rename: rename is
+atomic per filesystem; the delete+rename pair is the standard HDFS
+approximation (rename refuses an existing destination there). A crash
+between the two leaves NO sidecar — for every caller here the missing-
+file direction is the safe one (a stamp regenerates as a fresh
+incarnation, which screens MORE; a missing meta is a loud/default
+read, never a stale one).
+"""
+
+from __future__ import annotations
+
+
+def _fs(spark, path: str):
+    jpath = spark._jvm.org.apache.hadoop.fs.Path(path)
+    return jpath.getFileSystem(spark._jsc.hadoopConfiguration()), jpath
+
+
+def read_text(spark, path: str) -> str | None:
+    """File contents as UTF-8 text, or None if absent."""
+    fs, p = _fs(spark, path)
+    if not fs.exists(p):
+        return None
+    stream = fs.open(p)
+    try:
+        return spark._jvm.org.apache.commons.io.IOUtils.toString(
+            stream, "UTF-8"
+        )
+    finally:
+        stream.close()
+
+
+def write_text_atomic(spark, path: str, text: str) -> None:
+    """Write-then-rename so a crash mid-write never leaves a partial
+    file readable at ``path`` (a missing file must be safer for the
+    caller than a truncated one — true for stamps and meta sidecars)."""
+    fs, dst = _fs(spark, path)
+    tmp = spark._jvm.org.apache.hadoop.fs.Path(path + ".tmp")
+    out = fs.create(tmp, True)
+    try:
+        out.write(bytearray(text.encode("utf-8")))
+    finally:
+        out.close()
+    if fs.exists(dst):
+        fs.delete(dst, False)
+    if not fs.rename(tmp, dst):
+        raise IOError(f"rename {path}.tmp -> {path} failed")

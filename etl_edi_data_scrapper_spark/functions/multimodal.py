@@ -180,7 +180,23 @@ def extract_features(
     mapInPandas keeps the binary column inside Arrow buffers; each batch is
     processed vectorized-per-partition. At 100 TB the stage is preceded by
     a size-aware repartition (see ``repartition_by_bytes``).
-    """
+
+    Per-row ``DecoderUnavailable`` degrades to a NULL feature here — a
+    mixed corpus with one MP3 among a million WAVs must not abort the
+    stage (r11 review), exactly like corrupt bytes. The ONE exception:
+    an unavailability CAUSED by ``ImportError`` (a missing codec
+    library) is environment-uniform — every row of that kind would fail
+    identically — so it propagates and fails fast instead of silently
+    NULLing 100 % of a modality. Direct ``kernel(...)`` calls keep the
+    informative raise."""
+
+    def feat(c, k):
+        try:
+            return kernel(c, k)
+        except DecoderUnavailable as e:
+            if isinstance(e.__cause__, ImportError):
+                raise  # missing library: uniform, fail fast
+            return None  # content this kernel can't decode: NULL row
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -193,7 +209,7 @@ def extract_features(
                         lambda b: hashlib.sha256(b).hexdigest() if b is not None else None
                     ),
                     "feature": [
-                        kernel(c, k) for c, k in zip(pdf["content"], pdf["kind"])
+                        feat(c, k) for c, k in zip(pdf["content"], pdf["kind"])
                     ],
                 }
             )

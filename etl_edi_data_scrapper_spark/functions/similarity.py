@@ -358,12 +358,15 @@ def save_ivfpq_index(
     )
     if meta is not None:
         import json
-        import os
 
-        tmp = os.path.join(path, "_meta.json.tmp")
-        with open(tmp, "w", encoding="utf-8") as fh:
-            json.dump(meta, fh, sort_keys=True)
-        os.replace(tmp, os.path.join(path, "_meta.json"))
+        from etl_edi_data_scrapper_spark import fsutil
+
+        # the sidecar lives on the INDEX's filesystem (hdfs://, s3a://,
+        # file) — a driver-local open() beside a remote index would strand
+        # the meta on the driver and the index would load as raw-encoded
+        fsutil.write_text_atomic(
+            spark, f"{path}/_meta.json", json.dumps(meta, sort_keys=True)
+        )
 
 
 def load_ivfpq_index(
@@ -769,17 +772,16 @@ def ivfpq_residual_index(
     return centroids, enc, cbs
 
 
-def load_ivfpq_meta(path: str) -> dict:
+def load_ivfpq_meta(spark, path: str) -> dict:
     """The index's `_meta.json` sidecar (written by `save_ivfpq_index`
-    when given one); `{}` for an index saved without it."""
+    when given one); `{}` for an index saved without it. Read through
+    the index path's OWN filesystem — a remote index's meta is remote."""
     import json
-    import os
 
-    p = os.path.join(path, "_meta.json")
-    if not os.path.exists(p):
-        return {}
-    with open(p, encoding="utf-8") as fh:
-        return json.load(fh)
+    from etl_edi_data_scrapper_spark import fsutil
+
+    text = fsutil.read_text(spark, f"{path}/_meta.json")
+    return json.loads(text) if text else {}
 
 
 def append_to_ivfpq_index(
@@ -807,8 +809,23 @@ def append_to_ivfpq_index(
     coarser effective quantization; a drifted corpus wants a periodic
     rebuild, which is `ann-index` again."""
     centroids, existing, codebooks = load_ivfpq_index(spark, path)
-    meta = load_ivfpq_meta(path)
+    meta = load_ivfpq_meta(spark, path)
     residual = bool(meta.get("residual", False))
+    # refuse wrong-dimension batches LOUDLY: encoding slices past a short
+    # array's end, zip_with NULL-pads, and every code comes out NULL —
+    # silent corruption that the id anti-join would then make PERMANENT
+    # (a corrected re-append sees the ids as already present). The index's
+    # true dim is m_sub × d_sub, read from the codebooks themselves.
+    cbs = _collect_codebooks(codebooks)
+    dim = len(cbs) * len(cbs[0][0])
+    n_bad = batch.filter(F.size(F.col(c_vec)) != dim).count()
+    if n_bad:
+        raise ValueError(
+            f"append batch has {n_bad} vectors whose dimension != the "
+            f"index's {dim} (= m_sub {len(cbs)} × d_sub {len(cbs[0][0])}); "
+            "refusing to append NULL codes"
+        )
+    codebooks = cbs  # already collected: every op below inlines the literal
     assigned = ivf_assign(batch, centroids, c_id=c_id, c_vec=c_vec)
     if residual:
         res = assigned.join(F.broadcast(centroids), "centroid_id").withColumn(

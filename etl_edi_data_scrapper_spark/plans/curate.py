@@ -97,6 +97,21 @@ DECON_STAGES = ("bloom", "decon")  # require a benchmark frame
 URL_STAGES = ("urls",)  # require a url_col
 
 
+def _psl_fingerprint(psl) -> str | None:
+    """Stage-config form of the PSL argument: path strings compare as
+    themselves; an inline rule dict compares by CONTENT hash — the r11
+    review caught the previous "<dict>" placeholder treating any two
+    rule sets as equal, which let a resume silently mix registered-domain
+    regimes."""
+    if isinstance(psl, (str, type(None))):
+        return psl
+    import hashlib
+    import json
+
+    blob = json.dumps(psl, sort_keys=True, default=sorted)
+    return "dict:" + hashlib.md5(blob.encode()).hexdigest()
+
+
 def _check_stage_config(stage_dir: str, config: dict) -> None:
     """Write-or-verify the stage dir's parameter fingerprint: resuming
     into a dir whose completed stages were computed under DIFFERENT
@@ -194,6 +209,12 @@ def curate_corpus(
             stage_dir,
             {
                 "stages": sorted(stages),
+                # the verdict-defining inputs that are NOT stage knobs:
+                # resuming under a different id/text column (or different
+                # PSL RULES — hash the dict, "<dict>" hid rule changes,
+                # r11 review) would silently mix verdict regimes
+                "id_col": id_col,
+                "text_col": text_col,
                 "quality_min": quality_min,
                 "langs": sorted(langs),
                 "xent_band": list(xent_band),
@@ -205,7 +226,7 @@ def curate_corpus(
                 "badwords": sorted(badwords) if badwords else None,
                 "url_col": url_col,
                 "url_blocklist": sorted(url_blocklist),
-                "psl": psl if isinstance(psl, (str, type(None))) else "<dict>",
+                "psl": _psl_fingerprint(psl),
                 "url_gate": url_gate,
                 "benchmark": benchmark is not None,
                 "benchmark_text_col": benchmark_text_col,

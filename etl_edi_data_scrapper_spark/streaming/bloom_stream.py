@@ -160,7 +160,7 @@ def screen_batch_against_bloom_store(
     return verdict
 
 
-def incarnation_stamp(checkpoint_dir: str) -> str:
+def incarnation_stamp(checkpoint_dir: str, spark: SparkSession | None = None) -> str:
     """Read-or-create the stream's incarnation id: a UUID persisted as
     ``__incarnation__`` INSIDE the checkpoint dir. The raw dir PATH is
     not a safe stamp — delete-and-recreate the same path (the common
@@ -170,12 +170,32 @@ def incarnation_stamp(checkpoint_dir: str) -> str:
     checkpoint dir's lifecycle exactly: same dir intact → same stamp
     (replay stays deterministic); dir recreated → epochs restart AND the
     stamp changes together, so prior rows read as a foreign incarnation
-    and always screen."""
+    and always screen.
+
+    The marker lives on the CHECKPOINT DIR'S filesystem (Hadoop FS API
+    via ``fsutil`` — r11 review: a driver-local ``open()`` beside an
+    ``hdfs://``/``s3a://`` checkpoint would decouple the stamp from the
+    dir's lifecycle, and a recreated remote dir would keep its stale
+    local stamp — resurrecting the exact blindness this stamp closes).
+    ``spark`` defaults to the active session; with no session at all
+    (pure-local unit use) a plain ``file:``-scheme path still resolves
+    through the local filesystem semantics below."""
     import os
     import uuid
 
+    spark = spark or SparkSession.getActiveSession()
+    marker = checkpoint_dir.rstrip("/") + "/__incarnation__"
+    if spark is not None:
+        from etl_edi_data_scrapper_spark import fsutil
+
+        stamp = fsutil.read_text(spark, marker)
+        if stamp and stamp.strip():
+            return stamp.strip()
+        stamp = uuid.uuid4().hex
+        fsutil.write_text_atomic(spark, marker, stamp)
+        return stamp
+    # no JVM available (driver-side unit use): local filesystem
     os.makedirs(checkpoint_dir, exist_ok=True)
-    marker = os.path.join(checkpoint_dir, "__incarnation__")
     try:
         with open(marker, "r", encoding="ascii") as fh:
             stamp = fh.read().strip()
@@ -213,7 +233,7 @@ def run_incremental_bloom_screen(
     and the stamp changes in lockstep, so a restart of the same intact
     stream keeps its stamp (replay stays deterministic) and a reset
     counter cannot shadow history."""
-    stamp = incarnation_stamp(checkpoint_dir)
+    stamp = incarnation_stamp(checkpoint_dir, spark)
 
     def handle(batch_df: DataFrame, epoch_id: int) -> None:
         verdict = screen_batch_against_bloom_store(

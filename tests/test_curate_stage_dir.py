@@ -116,3 +116,39 @@ def test_two_tier_decon_resumes_from_staged_bloom(spark, tmp_path):
     resumed = curate_corpus(spark, docs, stage_dir=stage_dir, **kw)
     fresh = curate_corpus(spark, docs, **kw)
     assert _collect(resumed) == _collect(fresh)
+
+
+def test_stage_dir_refuses_changed_text_col_and_psl_rules(spark, sf_dir, tmp_path):
+    """text_col and the CONTENT of an inline PSL dict are verdict-defining:
+    resuming under either change must refuse, not silently mix regimes
+    (r11 review — the old fingerprint omitted text_col and collapsed any
+    dict PSL to '<dict>')."""
+    import pytest
+
+    from etl_edi_data_scrapper_spark.plans.curate import curate_corpus
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .limit(20)
+        .withColumn("text2", F.col("text"))
+    )
+    d = str(tmp_path / "stage")
+    curate_corpus(spark, docs, stages=("quality",), stage_dir=d).collect()
+    with pytest.raises(ValueError, match="different"):
+        curate_corpus(
+            spark, docs, stages=("quality",), text_col="text2", stage_dir=d
+        )
+
+    d2 = str(tmp_path / "stage_psl")
+    url_docs = docs.withColumn(
+        "url", F.concat(F.lit("https://a.example.com/"), F.col("doc_id"))
+    )
+    curate_corpus(
+        spark, url_docs, stages=("urls",), url_col="url",
+        psl={"exact": ("com",), "wild": (), "exc": ()}, stage_dir=d2,
+    ).collect()
+    with pytest.raises(ValueError, match="different"):
+        curate_corpus(
+            spark, url_docs, stages=("urls",), url_col="url",
+            psl={"exact": ("com", "co.uk"), "wild": (), "exc": ()}, stage_dir=d2,
+        )

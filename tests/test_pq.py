@@ -443,3 +443,27 @@ def test_append_to_ivfpq_index_incremental_and_idempotent(spark, tmp_path):
         ).collect()
     }
     assert top1 == {i: i for i in range(4, 8)}
+
+
+def test_append_refuses_wrong_dimension_batch(spark, tmp_path):
+    """A wrong-dim batch would encode NULL codes (slices past the array
+    end) and the id anti-join would make the corruption PERMANENT — so
+    the append validates against the codebooks' m_sub × d_sub and
+    refuses loudly (r11 review)."""
+    from etl_edi_data_scrapper_spark.functions.similarity import (
+        append_to_ivfpq_index,
+        ivfpq_residual_index,
+        save_ivfpq_index,
+    )
+
+    corpus, _ = _clustered_corpus(spark)
+    centroids, enc, cbs = ivfpq_residual_index(
+        corpus, n_centroids=4, m_sub=2, n_codes=2, dim=4
+    )
+    idx = str(tmp_path / "dimchk")
+    save_ivfpq_index(centroids, enc, cbs, idx, meta={"residual": True})
+    short = spark.createDataFrame(
+        [(100, [1.0, 2.0])], "vec_id long, embedding array<float>"
+    )
+    with pytest.raises(ValueError, match="dimension"):
+        append_to_ivfpq_index(spark, short, idx)

@@ -1278,3 +1278,38 @@ def test_real_kernel_audio_through_arrow_path(spark):
     assert len(out[1].feature) == 8 and max(out[1].feature) > 0.2
     assert out[2].feature == [0.0] * 8  # null content parity with fake
     assert out[3].feature is None  # truncated blob → NULL row
+
+
+def test_extract_features_mixed_corpus_nulls_codec_bound_rows(spark):
+    """One MP3 among the WAVs must not abort the stage: per-row
+    DecoderUnavailable degrades to a NULL feature inside
+    extract_features (r11 review), while the PCM rows still decode.
+    Environment-uniform unavailability (cause = ImportError, a missing
+    codec LIBRARY) still propagates — silently NULLing 100% of a
+    modality would be worse than failing fast."""
+    import pytest
+
+    rows = [
+        (1, "audio", _wav_bytes(), ("audio/wav", None, None, 2_000)),
+        (2, "audio", b"ID3\x03 mp3-ish bytes", ("audio/mpeg", None, None, 2_000)),
+        (3, "video", b"\x00\x00ftyp fake mp4", ("video/mp4", 320, 240, 3_500)),
+    ]
+    df = spark.createDataFrame(rows, schema=multimodal.MEDIA_SCHEMA)
+    out = {
+        r.media_id: r
+        for r in multimodal.extract_features(
+            df, kernel=multimodal.real_decode_kernel
+        ).collect()
+    }
+    assert len(out[1].feature) == 8  # the PCM row decodes
+    assert out[2].feature is None  # codec-bound CONTENT -> NULL, no abort
+    assert out[3].feature is None  # no video codec -> NULL, no abort
+
+    def env_gated(content, kind, dim=8):
+        try:
+            raise ImportError("pretend the codec lib is missing")
+        except ImportError as e:
+            raise multimodal.DecoderUnavailable("lib missing") from e
+
+    with pytest.raises(Exception):  # Py4J wraps the worker's exception
+        multimodal.extract_features(df, kernel=env_gated).collect()
