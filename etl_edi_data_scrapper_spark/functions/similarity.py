@@ -844,3 +844,54 @@ def append_to_ivfpq_index(
             f"{path}/codes"
         )
     return n
+
+
+def ivfpq_topk_rerank(
+    queries: DataFrame,
+    centroids: DataFrame,
+    encoded_assigned: DataFrame,
+    codebooks: DataFrame | list,
+    corpus: DataFrame,
+    k: int = 5,
+    k_factor: int = 4,
+    nprobe: int = 3,
+    q_id: str = "q_id",
+    q_vec: str = "q_vec",
+    c_id: str = "vec_id",
+    codes_col: str = "codes",
+    c_vec: str = "embedding",
+    residual: bool = False,
+) -> DataFrame:
+    """The production two-stage ladder (Jégou 2011 §V's refinement step):
+    ADC shortlists ``k × k_factor`` candidates per query from the 8-byte
+    codes, then ONLY those rows fetch their float originals from
+    ``corpus`` (the primary store, joined by id) and re-rank by exact
+    squared L2. Quantization error survives only where it pushes a true
+    neighbor out of the shortlist — recall approaches the probed cells'
+    exact answer as ``k_factor`` grows, while the float fetch stays
+    O(queries × k × k_factor) rows regardless of corpus size. Returns
+    (q_id, c_id, d, rank) with exact distances."""
+    short = ivfpq_topk(
+        queries,
+        centroids,
+        encoded_assigned,
+        codebooks,
+        k=k * k_factor,
+        nprobe=nprobe,
+        q_id=q_id,
+        q_vec=q_vec,
+        c_id=c_id,
+        codes_col=codes_col,
+        residual=residual,
+    ).select(q_id, c_id)
+    cand = short.join(corpus.select(F.col(c_id), F.col(c_vec)), c_id).join(
+        F.broadcast(queries.select(q_id, q_vec)), q_id
+    )
+    w = W.partitionBy(q_id).orderBy(F.col("d").asc(), F.col(c_id))
+    return (
+        cand.select(
+            q_id, c_id, _sq_dist(F.col(q_vec), F.col(c_vec)).alias("d")
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

@@ -467,3 +467,42 @@ def test_append_refuses_wrong_dimension_batch(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="dimension"):
         append_to_ivfpq_index(spark, short, idx)
+
+
+def test_ivfpq_rerank_recovers_exact_ranking_in_probed_cells(spark):
+    """The refinement tier: ADC shortlists k x k_factor, float originals
+    re-rank exactly — with every cell probed and a shortlist as large as
+    the corpus, the result must EQUAL the exact squared-L2 top-k (the
+    ladder converges to exact); and on VECS8 the reranked top-1 is the
+    query itself even where pure ADC's quantization error demotes it."""
+    from etl_edi_data_scrapper_spark.functions.similarity import (
+        _sq_dist,
+        ivfpq_topk_rerank,
+    )
+    from pyspark.sql import Window as W
+
+    corpus = _corpus(spark, VECS8)
+    queries = _queries(spark, VECS8[:3], ids=[0, 1, 2])
+    cbs = pq_codebooks(corpus, m_sub=4, n_codes=3, dim=8)
+    centroids, assigned = ivf_index(corpus, n_centroids=4)
+    enc = pq_encode(assigned, cbs)
+    got = {
+        (r.q_id, r.rank): r.vec_id
+        for r in ivfpq_topk_rerank(
+            queries, centroids, enc, cbs, corpus, k=3, k_factor=3, nprobe=4
+        ).collect()
+    }
+    wl2 = W.partitionBy("q_id").orderBy(F.col("d").asc(), F.col("vec_id"))
+    exact = {
+        (r.q_id, r.rank): r.vec_id
+        for r in corpus.crossJoin(F.broadcast(queries))
+        .select(
+            "q_id", "vec_id",
+            _sq_dist(F.col("q_vec"), F.col("embedding")).alias("d"),
+        )
+        .withColumn("rank", F.row_number().over(wl2))
+        .filter(F.col("rank") <= 3)
+        .collect()
+    }
+    assert got == exact
+    assert all(got[(q, 1)] == q for q in range(3))  # self top-1 restored
