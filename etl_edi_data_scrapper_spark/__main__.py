@@ -271,6 +271,15 @@ def main(argv: list[str] | None = None, engine=None) -> int:
     pn.add_argument("--vec-col", default="embedding", help="query vector column")
     pn.add_argument("--k", type=int, default=10)
     pn.add_argument("--nprobe", type=int, default=8)
+    pn.add_argument(
+        "--rerank-corpus",
+        default=None,
+        help="float-vector parquet (the primary store): ADC shortlists "
+        "k x k-factor candidates, only those rows fetch their float "
+        "originals and re-rank by exact L2 (the two-stage refinement "
+        "ladder; output distances become exact)",
+    )
+    pn.add_argument("--k-factor", type=int, default=4)
 
     args = p.parse_args(argv)
 
@@ -460,16 +469,32 @@ def main(argv: list[str] | None = None, engine=None) -> int:
             F.col(args.id_col).alias("q_id"),
             F.col(args.vec_col).alias("q_vec"),
         )
-        out = ivfpq_topk(
-            queries, centroids, enc, cbs,
-            k=args.k, nprobe=args.nprobe,
-            # an index saved without a meta sidecar reads as raw-encoded
-            c_id=meta.get("id_col", "vec_id"),
-            residual=meta.get("residual", False),
-        )
+        # an index saved without a meta sidecar reads as raw-encoded
+        cid = meta.get("id_col", "vec_id")
+        residual = meta.get("residual", False)
+        if args.rerank_corpus:
+            from etl_edi_data_scrapper_spark.functions.similarity import (
+                ivfpq_topk_rerank,
+            )
+
+            corpus = engine.spark.read.parquet(args.rerank_corpus)
+            out = ivfpq_topk_rerank(
+                queries, centroids, enc, cbs, corpus,
+                k=args.k, k_factor=args.k_factor, nprobe=args.nprobe,
+                c_id=cid, c_vec=args.vec_col, residual=residual,
+            )
+        else:
+            out = ivfpq_topk(
+                queries, centroids, enc, cbs,
+                k=args.k, nprobe=args.nprobe, c_id=cid, residual=residual,
+            )
         sinkmod.write_parquet(out, args.output, mode="overwrite")
         n = engine.spark.read.parquet(args.output).count()
-        print(f"SUCCESS: ANN query | Results: {n} | k: {args.k} | nprobe: {args.nprobe}")
+        tier = " | rerank: exact" if args.rerank_corpus else ""
+        print(
+            f"SUCCESS: ANN query | Results: {n} | k: {args.k} | "
+            f"nprobe: {args.nprobe}{tier}"
+        )
         return 0
 
     if args.cmd == "curate":
