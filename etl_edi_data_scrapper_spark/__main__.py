@@ -157,6 +157,14 @@ def main(argv: list[str] | None = None, engine=None) -> int:
         "docs get NULL text-stage columns and curate_keep=false)",
     )
     pu.add_argument(
+        "--url-idna",
+        action="store_true",
+        help="punycode-fold internationalized hosts before canonical-key "
+        "dedup (the multilingual-crawl fix: m\u00fcnchen.de and "
+        "xn--mnchen-3ya.de share one key); changes IDN rows' canonical "
+        "keys, so a --stage-dir built without it refuses to resume",
+    )
+    pu.add_argument(
         "--domain-report",
         default=None,
         help="with the urls stage: also write a per-registered-domain "
@@ -280,6 +288,24 @@ def main(argv: list[str] | None = None, engine=None) -> int:
         "ladder; output distances become exact)",
     )
     pn.add_argument("--k-factor", type=int, default=4)
+    pn.add_argument(
+        "--rerank-id-col",
+        default=None,
+        help="id column in --rerank-corpus (default: the index's id_col)",
+    )
+    pn.add_argument(
+        "--rerank-vec-col",
+        default=None,
+        help="vector column in --rerank-corpus (default: --vec-col)",
+    )
+    pn.add_argument(
+        "--residual",
+        default="auto",
+        choices=["auto", "yes", "no"],
+        help="whether the index's codes are residual-encoded; 'auto' "
+        "reads _meta.json and REFUSES if the flag is absent (a wrong "
+        "guess ranks silently wrong)",
+    )
 
     args = p.parse_args(argv)
 
@@ -428,10 +454,14 @@ def main(argv: list[str] | None = None, engine=None) -> int:
                 args.id_col, "codes", "centroid_id"
             )
         else:
+            # --train governs BOTH quantizers: without coarse_train the
+            # coarse stage silently stayed 'sample' even under --train
+            # kmeans, shipping untrained routing on the default path
             centroids, enc, cbs = ivfpq_residual_index(
                 emb, n_centroids=args.n_centroids, m_sub=args.m_sub,
                 n_codes=args.n_codes, dim=args.dim,
                 c_id=args.id_col, c_vec=args.vec_col, train=args.train,
+                coarse_train=args.train,
             )
         meta = {
             "residual": not args.no_residual,
@@ -469,19 +499,39 @@ def main(argv: list[str] | None = None, engine=None) -> int:
             F.col(args.id_col).alias("q_id"),
             F.col(args.vec_col).alias("q_vec"),
         )
-        # an index saved without a meta sidecar reads as raw-encoded
         cid = meta.get("id_col", "vec_id")
-        residual = meta.get("residual", False)
+        residual = meta.get("residual")
+        if args.residual != "auto":
+            residual = args.residual == "yes"
+        if residual is None:
+            # guessing raw against residual codes ranks silently wrong;
+            # refuse at the CLI instead of shipping bad neighbors
+            p.error(
+                f"index {args.index} has no 'residual' flag in _meta.json; "
+                "pass --residual yes|no (or rebuild with ann-index, which "
+                "always writes it)"
+            )
         if args.rerank_corpus:
             from etl_edi_data_scrapper_spark.functions.similarity import (
                 ivfpq_topk_rerank,
             )
 
+            rerank_id = args.rerank_id_col or cid
+            rerank_vec = args.rerank_vec_col or args.vec_col
             corpus = engine.spark.read.parquet(args.rerank_corpus)
+            missing = {rerank_id, rerank_vec} - set(corpus.columns)
+            if missing:
+                p.error(
+                    f"rerank corpus {args.rerank_corpus} lacks column(s) "
+                    f"{sorted(missing)} (has {corpus.columns}); set "
+                    "--rerank-id-col/--rerank-vec-col"
+                )
+            if rerank_id != cid:
+                corpus = corpus.withColumnRenamed(rerank_id, cid)
             out = ivfpq_topk_rerank(
                 queries, centroids, enc, cbs, corpus,
                 k=args.k, k_factor=args.k_factor, nprobe=args.nprobe,
-                c_id=cid, c_vec=args.vec_col, residual=residual,
+                c_id=cid, c_vec=rerank_vec, residual=residual,
             )
         else:
             out = ivfpq_topk(
@@ -509,6 +559,8 @@ def main(argv: list[str] | None = None, engine=None) -> int:
             p.error("--domain-report needs the urls stage (--stages urls)")
         if args.url_gate and "urls" not in args.stages.split(","):
             p.error("--url-gate needs the urls stage (--stages urls)")
+        if args.url_idna and "urls" not in args.stages.split(","):
+            p.error("--url-idna needs the urls stage (--stages urls)")
         if "urls" in args.stages.split(",") and args.url_col is None:
             p.error("the urls stage needs --url-col")
         docs = engine.spark.read.parquet(args.docs)
@@ -551,6 +603,7 @@ def main(argv: list[str] | None = None, engine=None) -> int:
             minhash_threshold=args.minhash_threshold,
             spans_min_len=args.spans_min_len,
             url_col=args.url_col,
+            url_idna=args.url_idna,
             url_blocklist=url_blocklist,
             psl=args.psl,
             url_gate=args.url_gate,

@@ -47,8 +47,16 @@ def write_text_atomic(spark, path: str, text: str) -> None:
     """Write-then-rename so a crash mid-write never leaves a partial
     file readable at ``path`` (a missing file must be safer for the
     caller than a truncated one — true for stamps and meta sidecars)."""
+    import uuid
+
     fs, dst = _fs(spark, path)
-    tmp = spark._jvm.org.apache.hadoop.fs.Path(path + ".tmp")
+    # uuid-suffixed tmp: two concurrent writers (e.g. two streams racing
+    # an incarnation stamp on one checkpoint dir) must not share a tmp
+    # path, or one can rename the other's half-written file; with unique
+    # tmps, last rename wins with a complete file either way
+    tmp = spark._jvm.org.apache.hadoop.fs.Path(
+        path + ".tmp." + uuid.uuid4().hex
+    )
     out = fs.create(tmp, True)
     try:
         out.write(bytearray(text.encode("utf-8")))
@@ -57,4 +65,4 @@ def write_text_atomic(spark, path: str, text: str) -> None:
     if fs.exists(dst):
         fs.delete(dst, False)
     if not fs.rename(tmp, dst):
-        raise IOError(f"rename {path}.tmp -> {path} failed")
+        raise IOError(f"rename {tmp} -> {path} failed")

@@ -257,33 +257,96 @@ def learn_bpe_merges(
     for row in rows:
         word = tuple(byte_enc[b] for b in row["seg"].encode("utf-8"))
         hist[word] = hist.get(word, 0) + row["n"]
+    return _greedy_merges(hist, int(n_merges), int(min_count))
+
+
+def _greedy_merges(
+    hist: dict[tuple[str, ...], int], n_merges: int, min_count: int
+) -> list[tuple[str, str]]:
+    """The greedy merge loop with INCREMENTAL pair-count maintenance —
+    the optimization the public subword-nmt trainer ships as
+    `update_pair_statistics` (Sennrich 2016 reference code). The naive
+    loop recomputes every pair count from the whole histogram per merge:
+    O(n_merges × Σ|word|) ≈ 10¹¹ Python ops at a production 32k-merge
+    vocabulary over a 1M-word histogram — the r11 Heaps sizing's own
+    operating point was unreachable by the loop it fed (r11 verdict).
+    Here each merge touches ONLY the words that contain the merged pair
+    (an inverted index pair → word-ids), and the argmax comes from a
+    lazy-deletion heap, so total work is O(Σ|word| + Σ_merges
+    Σ_{affected words} |word| + heap churn) — minutes, not hours, at
+    32k merges (SCALE.md 'BPE 32k-merge timing').
+
+    Semantics are BIT-IDENTICAL to the naive loop (parity-tested against
+    an independent reference in tests/test_bpe.py and property-tested on
+    random histograms): pair counts sum over ALL adjacent positions
+    (overlaps included), replacement is greedy left-to-right, ties break
+    (count desc, pair lexicographic), and the loop stops when the best
+    surviving pair drops below max(min_count, 1).
+
+    Heap invariant: every pair whose CURRENT count ≥ threshold has an
+    accurate (-count, pair) entry (pushed at heapify or at the merge
+    that last changed it); stale entries are discarded on pop by value
+    mismatch. A merged pair never re-forms (symbols only concatenate),
+    so popping its index entry is final."""
+    import heapq
+
+    threshold = max(min_count, 1)
+    words: list[list] = [[list(w), n] for w, n in hist.items()]
+    stats: dict[tuple[str, str], int] = {}
+    indices: dict[tuple[str, str], set[int]] = {}
+    for idx, (word, n) in enumerate(words):
+        for i in range(len(word) - 1):
+            p = (word[i], word[i + 1])
+            stats[p] = stats.get(p, 0) + n
+            indices.setdefault(p, set()).add(idx)
+    heap = [(-c, p) for p, c in stats.items() if c >= threshold]
+    heapq.heapify(heap)
 
     merges: list[tuple[str, str]] = []
-    for _ in range(int(n_merges)):
-        pair_counts: dict[tuple[str, str], int] = {}
-        for word, n in hist.items():
-            for i in range(len(word) - 1):
-                p = (word[i], word[i + 1])
-                pair_counts[p] = pair_counts.get(p, 0) + n
-        if not pair_counts:
+    while len(merges) < n_merges:
+        best = None
+        while heap:
+            negc, p = heapq.heappop(heap)
+            if -negc != stats.get(p, 0):
+                continue  # stale: the accurate entry sorts elsewhere
+            if -negc >= threshold:
+                best = p
             break
-        best = min(pair_counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
-        if pair_counts[best] < max(int(min_count), 1):
+        if best is None:
             break
         merges.append(best)
-        merged = best[0] + best[1]
-        new_hist: dict[tuple[str, ...], int] = {}
-        for word, n in hist.items():
+        a, b = best
+        merged = a + b
+        changed: set[tuple[str, str]] = set()
+        for idx in indices.pop(best, ()):
+            word, n = words[idx]
+            # the index is maintained lazily (entries for pairs a word no
+            # longer contains are never removed) — skip those cheaply
+            if not any(
+                word[i] == a and word[i + 1] == b
+                for i in range(len(word) - 1)
+            ):
+                continue
+            for i in range(len(word) - 1):
+                p = (word[i], word[i + 1])
+                stats[p] -= n
+                changed.add(p)
             out: list[str] = []
             i = 0
             while i < len(word):
-                if i < len(word) - 1 and (word[i], word[i + 1]) == best:
+                if i < len(word) - 1 and word[i] == a and word[i + 1] == b:
                     out.append(merged)
                     i += 2
                 else:
                     out.append(word[i])
                     i += 1
-            key = tuple(out)
-            new_hist[key] = new_hist.get(key, 0) + n
-        hist = new_hist
+            words[idx][0] = out
+            for i in range(len(out) - 1):
+                p = (out[i], out[i + 1])
+                stats[p] = stats.get(p, 0) + n
+                indices.setdefault(p, set()).add(idx)
+                changed.add(p)
+        for p in changed:
+            if p != best and stats.get(p, 0) >= threshold:
+                heapq.heappush(heap, (-stats[p], p))
     return merges

@@ -328,6 +328,7 @@ def save_ivfpq_index(
     c_id: str = "vec_id",
     codes_col: str = "codes",
     meta: dict | None = None,
+    residual: bool | None = None,
 ) -> None:
     """Persist the full IVFADC layout: coarse centroids, per-subspace
     codebooks, and the encoded assignment laid out PARTITIONED BY
@@ -338,7 +339,14 @@ def save_ivfpq_index(
     ~32× fewer bytes per cell than the IVF-flat index. A billion-vector
     corpus that IVF-flat stores in 256 GB of cells fits in ~12 GB of
     codes; the exact-rerank tier (fetch float originals for the final
-    top candidates) reads the primary store by id, not this index."""
+    top candidates) reads the primary store by id, not this index.
+
+    The `_meta.json` sidecar is ALWAYS written (``meta`` merged with the
+    ``residual`` flag when given): codes from :func:`ivfpq_residual_index`
+    are meaningless against raw query vectors, so readers
+    (:func:`append_to_ivfpq_index`, the `ann-query` CLI) refuse an index
+    whose sidecar lacks the flag rather than guess — a raw/residual
+    mix-up ranks silently wrong, never errors."""
     spark = centroids.sparkSession
     if isinstance(codebooks, list):
         codebooks = spark.createDataFrame(
@@ -356,17 +364,19 @@ def save_ivfpq_index(
     ).write.mode("overwrite").partitionBy("centroid_id").parquet(
         f"{path}/codes"
     )
-    if meta is not None:
-        import json
+    import json
 
-        from etl_edi_data_scrapper_spark import fsutil
+    from etl_edi_data_scrapper_spark import fsutil
 
-        # the sidecar lives on the INDEX's filesystem (hdfs://, s3a://,
-        # file) — a driver-local open() beside a remote index would strand
-        # the meta on the driver and the index would load as raw-encoded
-        fsutil.write_text_atomic(
-            spark, f"{path}/_meta.json", json.dumps(meta, sort_keys=True)
-        )
+    meta = dict(meta) if meta else {}
+    if residual is not None:
+        meta.setdefault("residual", bool(residual))
+    # the sidecar lives on the INDEX's filesystem (hdfs://, s3a://,
+    # file) — a driver-local open() beside a remote index would strand
+    # the meta on the driver and the index would load as raw-encoded
+    fsutil.write_text_atomic(
+        spark, f"{path}/_meta.json", json.dumps(meta, sort_keys=True)
+    )
 
 
 def load_ivfpq_index(
@@ -790,6 +800,7 @@ def append_to_ivfpq_index(
     path: str,
     c_id: str = "vec_id",
     c_vec: str = "embedding",
+    residual: bool | None = None,
 ) -> int:
     """Incrementally add a batch of vectors to a persisted IVFADC index —
     the FAISS train-once/add-forever discipline: centroids and codebooks
@@ -810,7 +821,18 @@ def append_to_ivfpq_index(
     rebuild, which is `ann-index` again."""
     centroids, existing, codebooks = load_ivfpq_index(spark, path)
     meta = load_ivfpq_meta(spark, path)
-    residual = bool(meta.get("residual", False))
+    if residual is None:
+        residual = meta.get("residual")
+    if residual is None:
+        # an index without the flag could be either encoding; appending
+        # with the wrong one writes codes that rank silently wrong AND
+        # the id anti-join makes the corruption permanent — refuse.
+        raise ValueError(
+            f"index at {path} has no 'residual' flag in _meta.json and "
+            "none was passed; pass residual=True/False explicitly "
+            "(indexes saved by save_ivfpq_index now always carry it)"
+        )
+    residual = bool(residual)
     # refuse wrong-dimension batches LOUDLY: encoding slices past a short
     # array's end, zip_with NULL-pads, and every code comes out NULL —
     # silent corruption that the id anti-join would then make PERMANENT

@@ -357,11 +357,15 @@ def url_dedup_verdicts(
     df: DataFrame,
     url_col: str = "url",
     id_col: str = "doc_id",
+    idna: bool = False,
 ) -> DataFrame:
     """Adds ``canonical_url`` and ``is_url_dup`` (a LOWER-id row shares
     the canonical form — the C4/CCNet URL-dedup rule). One window on the
     canonical key; at scale this is the cheap first dedup pass that runs
-    before any text op.
+    before any text op. ``idna=True`` passes through to
+    :func:`canonicalize_url` (punycode-fold IDN hosts) — r12: threaded
+    here so `curate --url-idna` and the streaming URL store can actually
+    switch it on (the r11 fold was inert in every deploy path).
 
     Rows with a NULL url — and rows that are not URLs at all (no
     ``scheme://authority`` head, e.g. ``''``, ``'N/A'``, a bare path) —
@@ -374,7 +378,7 @@ def url_dedup_verdicts(
     downstream grouping can't collide them either."""
     from pyspark.sql import Window as W
 
-    canon = canonicalize_url(F.col(url_col))
+    canon = canonicalize_url(F.col(url_col), idna=idna)
     # not a URL unless the scheme://authority head parses — '' and 'N/A'
     # both fail this, while '' alone would pass a canon=='' check for
     # any non-empty placeholder

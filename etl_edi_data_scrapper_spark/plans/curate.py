@@ -108,7 +108,25 @@ def _psl_fingerprint(psl) -> str | None:
     import hashlib
     import json
 
-    blob = json.dumps(psl, sort_keys=True, default=sorted)
+    def _norm(v):
+        # json-ify every non-JSON value deterministically: sets/tuples
+        # become sorted-where-sortable lists, anything else its repr —
+        # a mixed-type set must fingerprint stably, not TypeError from
+        # inside the hash (and a config error should name the argument)
+        if isinstance(v, (set, frozenset, tuple)):
+            try:
+                return sorted(v)
+            except TypeError:
+                return sorted(map(repr, v))
+        return repr(v)
+
+    try:
+        blob = json.dumps(psl, sort_keys=True, default=_norm)
+    except (TypeError, ValueError) as exc:
+        raise ValueError(
+            f"psl rule dict is not fingerprintable ({exc}); pass a path "
+            "string or a JSON-serializable dict"
+        ) from exc
     return "dict:" + hashlib.md5(blob.encode()).hexdigest()
 
 
@@ -155,6 +173,7 @@ def curate_corpus(
     clf_reference=None,
     badwords: tuple[str, ...] | None = None,
     url_col: str | None = None,
+    url_idna: bool = False,
     url_blocklist: tuple[str, ...] = (),
     psl: str | dict[str, tuple[str, ...]] | None = None,
     url_gate: bool = False,
@@ -225,6 +244,9 @@ def curate_corpus(
                 "clf_reference": str(clf_reference) if clf_reference is not None else None,
                 "badwords": sorted(badwords) if badwords else None,
                 "url_col": url_col,
+                # idna rewrites every IDN row's canonical key: a resume
+                # mixing regimes would silently re-admit/re-drop IDN dups
+                "url_idna": url_idna,
                 "url_blocklist": sorted(url_blocklist),
                 "psl": _psl_fingerprint(psl),
                 "url_gate": url_gate,
@@ -269,6 +291,7 @@ def curate_corpus(
                     docs.select(F.col(id_col), F.col(url_col)),
                     url_col=url_col,
                     id_col=id_col,
+                    idna=url_idna,
                 ),
                 url_col=url_col,
                 psl=psl,

@@ -44,7 +44,13 @@ the canonicalization (a different ``tracking_params`` set, a new PSL,
 toggling ``canonicalize_url(idna=...)`` — punycode folding rewrites the
 canonical key of every IDN host) changes the keys — an existing store
 must be rebuilt under the new rules or re-crawls of previously-held
-pages will be re-admitted under their new canonical spelling.
+pages will be re-admitted under their new canonical spelling. r12: the
+``idna`` direction of this caveat is ENFORCED, not just documented — a
+``_canon_meta.json`` sidecar (on the store's own filesystem, the fsutil
+discipline) records the regime at store creation, and a batch arriving
+under the other regime raises instead of silently splitting the key
+space; a legacy store with no sidecar is idna=False by construction
+(the only regime that could have built it).
 """
 
 from __future__ import annotations
@@ -73,6 +79,37 @@ def _read_store(spark: SparkSession, store_dir: str) -> DataFrame | None:
         return None
 
 
+def _check_canon_meta(spark: SparkSession, store_dir: str, idna: bool,
+                      store_exists: bool) -> None:
+    """Write-or-verify the store's canonicalization regime. The sidecar
+    is written ONCE at store creation; a mismatched batch refuses loudly
+    (re-admitting history under respelled keys is the silent-failure
+    mode). Absent sidecar + existing store = a pre-r12 store, which
+    could only have been built idna=False."""
+    import json
+
+    from etl_edi_data_scrapper_spark import fsutil
+
+    meta_path = f"{store_dir}/_canon_meta.json"
+    text = fsutil.read_text(spark, meta_path)
+    stored = json.loads(text).get("idna", False) if text else (
+        False if store_exists else None
+    )
+    if stored is None:
+        fsutil.write_text_atomic(
+            spark, meta_path, json.dumps({"idna": bool(idna)})
+        )
+        return
+    if bool(stored) != bool(idna):
+        raise ValueError(
+            f"url store {store_dir} was built with idna={bool(stored)} "
+            f"but this batch screens with idna={bool(idna)}: the canonical "
+            "keys of IDN hosts differ between regimes, so the store would "
+            "silently re-admit (or over-drop) re-crawled pages. Rebuild "
+            "the store under the new regime or keep the old flag."
+        )
+
+
 def screen_batch_against_url_store(
     spark: SparkSession,
     batch: DataFrame,
@@ -80,6 +117,7 @@ def screen_batch_against_url_store(
     epoch_id: int,
     url_col: str = "url",
     id_col: str = "doc_id",
+    idna: bool = False,
 ) -> DataFrame:
     """One increment: returns (id_col, canonical_url, is_url_dup,
     dup_of) for the batch — ``dup_of`` is the store's first-accepting
@@ -89,12 +127,15 @@ def screen_batch_against_url_store(
     never read it). The verdict frame is eagerly checkpointed before
     the store append, so the caller may evaluate it any number of
     times."""
-    local = url_dedup_verdicts(batch, url_col=url_col, id_col=id_col).select(
+    local = url_dedup_verdicts(
+        batch, url_col=url_col, id_col=id_col, idna=idna
+    ).select(
         F.col(id_col), "canonical_url", F.col("is_url_dup").alias("__batch_dup")
     )
     local = local.localCheckpoint(eager=True)  # verdict + insert share it
 
     store = _read_store(spark, store_dir)
+    _check_canon_meta(spark, store_dir, idna, store_exists=store is not None)
     # the WHOLE store, not epoch < current: replay safety is by identity
     # (a doc is never a dup of itself — the filter below), and an
     # epoch-relative screen would go blind to all of history the moment
@@ -168,6 +209,7 @@ def run_incremental_url_dedup(
     on_batch: Callable[[DataFrame, int], None],
     url_col: str = "url",
     id_col: str = "doc_id",
+    idna: bool = False,
 ):
     """Streaming entry point: each micro-batch is screened against the
     accumulated canonical-URL store and handed to
@@ -175,7 +217,8 @@ def run_incremental_url_dedup(
 
     def handle(batch_df: DataFrame, epoch_id: int) -> None:
         verdict = screen_batch_against_url_store(
-            spark, batch_df, store_dir, epoch_id, url_col=url_col, id_col=id_col
+            spark, batch_df, store_dir, epoch_id, url_col=url_col,
+            id_col=id_col, idna=idna,
         )
         on_batch(verdict, epoch_id)
 

@@ -448,3 +448,63 @@ def test_jvm_segment_count_matches_real_pretokenizer(spark):
             [s] * (1 + n_fix),
         ).fetchone()
         assert got_duck == exact, repr(s)
+
+
+def test_greedy_merges_incremental_matches_naive_on_random_histograms():
+    """r12: the incremental pair-count loop (`_greedy_merges`, inverted
+    index + lazy-deletion heap) is BIT-IDENTICAL to the naive full-
+    recompute loop on randomized word histograms — including overlap
+    counting ('aaa' holds TWO (a,a) pairs but one greedy replacement),
+    (count desc, lex) tie-breaks, and the min_count stop. Hypothesis
+    drives word shapes, counts, and merge budgets."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from etl_edi_data_scrapper_spark.functions.bpe import _greedy_merges
+
+    def naive(hist, n_merges, min_count):
+        hist = dict(hist)
+        merges = []
+        for _ in range(n_merges):
+            pairs = {}
+            for w, n in hist.items():
+                for i in range(len(w) - 1):
+                    p = (w[i], w[i + 1])
+                    pairs[p] = pairs.get(p, 0) + n
+            if not pairs:
+                break
+            best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+            if pairs[best] < max(min_count, 1):
+                break
+            merges.append(best)
+            nh = {}
+            for w, n in hist.items():
+                out, i = [], 0
+                while i < len(w):
+                    if i < len(w) - 1 and (w[i], w[i + 1]) == best:
+                        out.append(w[i] + w[i + 1])
+                        i += 2
+                    else:
+                        out.append(w[i])
+                        i += 1
+                nh[tuple(out)] = nh.get(tuple(out), 0) + n
+            hist = nh
+        return merges
+
+    word = st.lists(
+        st.sampled_from("abc"), min_size=1, max_size=8
+    ).map(tuple)
+    hists = st.dictionaries(word, st.integers(1, 9), min_size=1, max_size=12)
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        hist=hists,
+        n_merges=st.integers(1, 20),
+        min_count=st.integers(0, 4),
+    )
+    def check(hist, n_merges, min_count):
+        assert _greedy_merges(dict(hist), n_merges, min_count) == naive(
+            hist, n_merges, min_count
+        )
+
+    check()

@@ -152,3 +152,20 @@ def test_stage_dir_refuses_changed_text_col_and_psl_rules(spark, sf_dir, tmp_pat
             spark, url_docs, stages=("urls",), url_col="url",
             psl={"exact": ("com", "co.uk"), "wild": (), "exc": ()}, stage_dir=d2,
         )
+
+
+def test_psl_fingerprint_normalizes_unsortable_values():
+    """r12 (ADVICE r11): a PSL dict containing sets — including mixed-type
+    sets, unsortable — must fingerprint stably (same content → same hash,
+    order-independent) instead of raising TypeError from inside
+    json.dumps(default=sorted); a truly unserializable value raises a
+    ValueError naming the psl argument, not a bare TypeError."""
+    from etl_edi_data_scrapper_spark.plans.curate import _psl_fingerprint
+
+    a = _psl_fingerprint({"rules": {"com", "org", 3}})
+    b = _psl_fingerprint({"rules": {3, "org", "com"}})
+    assert a == b and a.startswith("dict:")
+    assert _psl_fingerprint("path/to/psl.dat") == "path/to/psl.dat"
+    assert _psl_fingerprint(None) is None
+    # distinct content → distinct hash
+    assert _psl_fingerprint({"rules": {"com"}}) != a

@@ -787,3 +787,68 @@ def test_cli_curate_args_preflight(spark, sf_dir, tmp_path):
     with pytest.raises(SystemExit) as e2:
         main(base + ["--stages", "urls"], engine=eng)  # missing --url-col
     assert e2.value.code == 2
+
+
+def test_cli_curate_url_idna_flag_and_stage_dir_fingerprint(
+    spark, tmp_path, capsys
+):
+    """r12 (r11 verdict #4): --url-idna is operable from the CLI — the
+    IDN spelling and its punycode twin dedup to ONE key under the flag
+    and stay distinct without it; the flag is part of the --stage-dir
+    fingerprint, so resuming a dir built under the other regime refuses;
+    and --url-idna without the urls stage is a preflight error."""
+    import pytest
+
+    from etl_edi_data_scrapper_spark.__main__ import main
+    from etl_edi_data_scrapper_spark.engine import Engine
+
+    docs = [
+        (0, "doc a", "https://münchen.de/pfad?x=1"),
+        (1, "doc b", "https://xn--mnchen-3ya.de/pfad?x=1"),
+        (2, "doc c", "https://example.com/a"),
+    ]
+    docs_dir = str(tmp_path / "docs")
+    spark.createDataFrame(
+        docs, "doc_id long, text string, url string"
+    ).write.parquet(docs_dir)
+    eng = Engine(spark=spark)
+
+    out_plain = str(tmp_path / "v_plain")
+    assert main(
+        ["curate", "--docs", docs_dir, "--output", out_plain,
+         "--stages", "urls", "--url-col", "url"],
+        engine=eng,
+    ) == 0
+    plain = {r.doc_id: r.is_url_dup
+             for r in spark.read.parquet(out_plain).collect()}
+    assert plain == {0: False, 1: False, 2: False}  # distinct keys
+
+    out_idna = str(tmp_path / "v_idna")
+    stage_dir = str(tmp_path / "stages")
+    assert main(
+        ["curate", "--docs", docs_dir, "--output", out_idna,
+         "--stages", "urls", "--url-col", "url", "--url-idna",
+         "--stage-dir", stage_dir],
+        engine=eng,
+    ) == 0
+    idna = {r.doc_id: r.is_url_dup
+            for r in spark.read.parquet(out_idna).collect()}
+    assert idna == {0: False, 1: True, 2: False}  # folded: 1 dups 0
+
+    # resuming the stage dir under the OTHER regime refuses
+    with pytest.raises(ValueError, match="different\\s+parameters"):
+        main(
+            ["curate", "--docs", docs_dir, "--output", out_plain,
+             "--stages", "urls", "--url-col", "url",
+             "--stage-dir", stage_dir],
+            engine=eng,
+        )
+
+    # preflight: --url-idna without the urls stage
+    with pytest.raises(SystemExit):
+        main(
+            ["curate", "--docs", docs_dir, "--output", out_plain,
+             "--stages", "quality", "--url-idna"],
+            engine=eng,
+        )
+    assert "--url-idna needs the urls stage" in capsys.readouterr().err

@@ -540,3 +540,92 @@ def test_cli_ann_query_rerank_tier(spark, sf_dir, tmp_path, capsys):
     assert len(top1) == n_q
     self_top1 = sum(1 for q, v in top1.items() if q == v)
     assert self_top1 >= int(n_q * 0.95)  # vs ~57% for pure ADC
+
+
+def test_meta_sidecar_always_written_and_flag_refusals(spark, tmp_path):
+    """r12 hardening (ADVICE r11): `save_ivfpq_index` writes `_meta.json`
+    even when called without one (legal pre-r12, and exactly the call that
+    used to strand a residual index as assumed-raw); `append_to_ivfpq_index`
+    and the CLI refuse LOUDLY when the residual flag is unknowable instead
+    of guessing — a raw/residual mix-up ranks silently wrong, never errors.
+    An explicit residual= overrides for legacy indexes."""
+    from etl_edi_data_scrapper_spark import fsutil
+    from etl_edi_data_scrapper_spark.functions.similarity import (
+        append_to_ivfpq_index,
+        ivfpq_residual_index,
+        load_ivfpq_meta,
+        save_ivfpq_index,
+    )
+
+    corpus, _ = _clustered_corpus(spark)
+    centroids, enc, cbs = ivfpq_residual_index(
+        corpus, n_centroids=4, m_sub=2, n_codes=2, dim=4
+    )
+    idx = str(tmp_path / "legacy")
+    # meta=None + residual kwarg: the sidecar still lands, with the flag
+    save_ivfpq_index(centroids, enc, cbs, idx, residual=True)
+    assert load_ivfpq_meta(spark, idx) == {"residual": True}
+    # simulate a true pre-r12 index: no sidecar at all
+    fs, p = fsutil._fs(spark, f"{idx}/_meta.json")
+    fs.delete(p, False)
+    assert load_ivfpq_meta(spark, idx) == {}
+    batch = spark.createDataFrame(
+        [(100, [9.0, 9.0, 9.0, 9.0])], "vec_id long, embedding array<float>"
+    )
+    with pytest.raises(ValueError, match="residual"):
+        append_to_ivfpq_index(spark, batch, idx)
+    # explicit flag unblocks the legacy index
+    assert append_to_ivfpq_index(spark, batch, idx, residual=True) == 1
+
+
+def test_cli_ann_query_residual_flag_and_rerank_cols(
+    spark, sf_dir, tmp_path, capsys
+):
+    """CLI side of the r12 hardening: `ann-query` refuses a flagless index
+    under --residual auto (exit 2, argparse error), runs with an explicit
+    --residual; --rerank-id-col/--rerank-vec-col map a rerank corpus whose
+    schema differs from the index's, and a wrong column name fails with a
+    CLI-level message naming the corpus, not an AnalysisException."""
+    from etl_edi_data_scrapper_spark import fsutil
+    from etl_edi_data_scrapper_spark.__main__ import main
+    from etl_edi_data_scrapper_spark.engine import Engine
+
+    idx, out = str(tmp_path / "idx"), str(tmp_path / "res")
+    eng = Engine(spark=spark)
+    emb = f"{sf_dir}/embeddings.parquet"
+    assert main(
+        ["ann-index", "--embeddings", emb, "--output", idx,
+         "--dim", "64", "--n-centroids", "4", "--m-sub", "4",
+         "--n-codes", "8", "--train", "sample"],
+        engine=eng,
+    ) == 0
+    fs, p = fsutil._fs(spark, f"{idx}/_meta.json")
+    fs.delete(p, False)  # make it a legacy flagless index
+    with pytest.raises(SystemExit):
+        main(
+            ["ann-query", "--index", idx, "--queries", emb,
+             "--output", out, "--k", "2"],
+            engine=eng,
+        )
+    assert "residual" in capsys.readouterr().err
+    # renamed rerank corpus: the col flags route it; id comes back mapped
+    renamed = str(tmp_path / "renamed")
+    spark.read.parquet(emb).withColumnRenamed(
+        "vec_id", "doc_id"
+    ).withColumnRenamed("embedding", "emb").write.parquet(renamed)
+    assert main(
+        ["ann-query", "--index", idx, "--queries", emb, "--output", out,
+         "--k", "2", "--residual", "yes", "--rerank-corpus", renamed,
+         "--rerank-id-col", "doc_id", "--rerank-vec-col", "emb"],
+        engine=eng,
+    ) == 0
+    res = spark.read.parquet(out)
+    assert res.filter(F.col("rank") == 1).count() > 0
+    with pytest.raises(SystemExit):
+        main(
+            ["ann-query", "--index", idx, "--queries", emb, "--output", out,
+             "--residual", "yes", "--rerank-corpus", renamed,
+             "--rerank-id-col", "nope"],
+            engine=eng,
+        )
+    assert "lacks column" in capsys.readouterr().err

@@ -198,3 +198,60 @@ def test_epoch_reset_still_screens_history(spark, tmp_path):
         for r in screen_batch_against_url_store(spark, b_new, store, 0).collect()
     }
     assert v2 == v
+
+
+def test_idna_regime_enforced_on_store(spark, tmp_path):
+    """r12 (r11 verdict #4): the store's canonicalization regime is
+    recorded at creation and ENFORCED — a batch screened under the other
+    idna setting refuses loudly instead of silently splitting the key
+    space (re-admitting historical IDN pages under respelled keys). A
+    legacy store with no sidecar is idna=False by construction: an
+    idna=False batch proceeds, an idna=True batch refuses."""
+    import pytest
+
+    from etl_edi_data_scrapper_spark import fsutil
+    from etl_edi_data_scrapper_spark.streaming.url_stream import (
+        screen_batch_against_url_store,
+    )
+
+    store = str(tmp_path / "store")
+    b1 = spark.createDataFrame(
+        [(1, "https://münchen.de/pfad"), (2, "https://example.com/a")],
+        "doc_id long, url string",
+    )
+    v1 = {
+        r.doc_id: r.is_url_dup
+        for r in screen_batch_against_url_store(
+            spark, b1, store, 0, idna=True
+        ).collect()
+    }
+    assert v1 == {1: False, 2: False}
+    assert json.loads(
+        fsutil.read_text(spark, f"{store}/_canon_meta.json")
+    ) == {"idna": True}
+    # the punycode spelling of batch 1's IDN page IS a store hit now
+    b2 = spark.createDataFrame(
+        [(10, "https://xn--mnchen-3ya.de/pfad")], "doc_id long, url string"
+    )
+    v2 = screen_batch_against_url_store(
+        spark, b2, store, 1, idna=True
+    ).collect()
+    assert v2[0].is_url_dup and v2[0].dup_of == 1
+    # regime mismatch refuses loudly
+    with pytest.raises(ValueError, match="idna"):
+        screen_batch_against_url_store(spark, b2, store, 2, idna=False)
+    # legacy store (no sidecar): idna=False proceeds, idna=True refuses
+    fs, p = fsutil._fs(spark, f"{store}/_canon_meta.json")
+    fs.delete(p, False)
+    v3 = screen_batch_against_url_store(
+        spark,
+        spark.createDataFrame(
+            [(20, "https://example.com/z")], "doc_id long, url string"
+        ),
+        store,
+        3,
+        idna=False,
+    ).collect()
+    assert not v3[0].is_url_dup
+    with pytest.raises(ValueError, match="idna"):
+        screen_batch_against_url_store(spark, b2, store, 4, idna=True)
