@@ -257,6 +257,15 @@ def main(argv: list[str] | None = None, engine=None) -> int:
     pa.add_argument("--m-sub", type=int, default=8)
     pa.add_argument("--n-codes", type=int, default=256)
     pa.add_argument(
+        "--fit-fraction",
+        type=float,
+        default=None,
+        help="with --train kmeans: fit quantizers on kmeans_fit's "
+        "deterministic md5-bucket sample of this fraction of the corpus "
+        "(the FAISS train-on-a-sample discipline) instead of m_sub x "
+        "n_iters full passes; the final assignment still sees every row",
+    )
+    pa.add_argument(
         "--train", choices=["sample", "kmeans"], default="kmeans",
         help="codebook training: 'kmeans' (quality) or 'sample' (cheapest, "
         "deterministic)",
@@ -444,11 +453,12 @@ def main(argv: list[str] | None = None, engine=None) -> int:
             centroids, assigned = ivf_index(
                 emb, n_centroids=args.n_centroids,
                 c_id=args.id_col, c_vec=args.vec_col,
-                train=args.train,
+                train=args.train, fit_fraction=args.fit_fraction,
             )
             cbs = pq_codebooks(
                 emb, m_sub=args.m_sub, n_codes=args.n_codes, dim=args.dim,
                 c_id=args.id_col, c_vec=args.vec_col, train=args.train,
+                fit_fraction=args.fit_fraction,
             )
             enc = pq_encode(assigned, cbs, c_vec=args.vec_col).select(
                 args.id_col, "codes", "centroid_id"
@@ -461,7 +471,7 @@ def main(argv: list[str] | None = None, engine=None) -> int:
                 emb, n_centroids=args.n_centroids, m_sub=args.m_sub,
                 n_codes=args.n_codes, dim=args.dim,
                 c_id=args.id_col, c_vec=args.vec_col, train=args.train,
-                coarse_train=args.train,
+                coarse_train=args.train, fit_fraction=args.fit_fraction,
             )
         meta = {
             "residual": not args.no_residual,

@@ -629,3 +629,61 @@ def test_cli_ann_query_residual_flag_and_rerank_cols(
             engine=eng,
         )
     assert "lacks column" in capsys.readouterr().err
+
+
+def test_fit_fraction_sampled_codebooks_ab_vs_full_fit(spark):
+    """r12 (r11 verdict #7): `fit_fraction` threads through the kmeans
+    training paths (`pq_codebooks`, `ivf_index`, `ivfpq_residual_index`)
+    — the FAISS train-on-a-sample discipline. A/B on a 6k-vector
+    clustered corpus (30× the gate's 200-vector grain): the 25%-sample
+    fit's reconstruction MSE stays within 1.5× of the full fit's, and
+    BOTH kmeans fits beat the lowest-id 'sample' codebooks — sampling
+    the TRAINING set must not degenerate to not training at all."""
+    import hashlib
+
+    from etl_edi_data_scrapper_spark.functions.similarity import (
+        ivfpq_residual_index,
+        pq_codebooks,
+        pq_decode,
+        pq_encode,
+    )
+
+    def h(i, d):  # deterministic pseudo-noise in [-1, 1)
+        return (int(hashlib.md5(f"{i}:{d}".encode()).hexdigest()[:4], 16)
+                / 32768.0) - 1.0
+
+    cents = [[40.0 * ((c >> b) & 1) - 20.0 for b in range(8)]
+             for c in range(16)]
+    vecs = [[cents[i % 16][d] + h(i, d) for d in range(8)]
+            for i in range(6000)]
+    corpus = _corpus(spark, vecs)
+
+    def mse(cbs):
+        rec = pq_decode(
+            pq_encode(corpus, cbs), cbs, out_col="rec"
+        ).select(
+            F.aggregate(
+                F.zip_with(
+                    "embedding", "rec",
+                    lambda x, r: (x.cast("double") - r) * (x.cast("double") - r),
+                ),
+                F.lit(0.0), lambda a, v: a + v,
+            ).alias("e")
+        ).agg(F.avg("e")).first()[0]
+        return rec
+
+    full = mse(pq_codebooks(corpus, m_sub=4, n_codes=16, dim=8,
+                            train="kmeans"))
+    sampled = mse(pq_codebooks(corpus, m_sub=4, n_codes=16, dim=8,
+                               train="kmeans", fit_fraction=0.25))
+    lowest_id = mse(pq_codebooks(corpus, m_sub=4, n_codes=16, dim=8,
+                                 train="sample"))
+    assert sampled <= 1.5 * full
+    assert sampled < lowest_id and full < lowest_id
+
+    # the residual build accepts and uses it end-to-end (both quantizers)
+    cents_df, enc, cbs = ivfpq_residual_index(
+        corpus, n_centroids=16, m_sub=4, n_codes=16, dim=8,
+        train="kmeans", coarse_train="kmeans", fit_fraction=0.25,
+    )
+    assert cents_df.count() == 16 and enc.count() == 6000
