@@ -307,6 +307,14 @@ def main(argv: list[str] | None = None, engine=None) -> int:
         default=None,
         help="vector column in --rerank-corpus (default: --vec-col)",
     )
+    pp2 = sub.add_parser(
+        "ann-compact",
+        help="offline file-layout compaction for a persisted ann-index's "
+        "code store (one file per cell); run with appenders/queries "
+        "STOPPED, like compact-store",
+    )
+    pp2.add_argument("--index", required=True, help="ann-index dir")
+
     pn.add_argument(
         "--residual",
         default="auto",
@@ -490,6 +498,17 @@ def main(argv: list[str] | None = None, engine=None) -> int:
             f"SUCCESS: ANN index built | Vectors: {n} | Cells: "
             f"{args.n_centroids} | Codes: {args.m_sub}x{args.n_codes}"
             f"{' (residual)' if not args.no_residual else ''}"
+        )
+        return 0
+
+    if args.cmd == "ann-compact":
+        from etl_edi_data_scrapper_spark.functions.similarity import (
+            compact_ivfpq_codes,
+        )
+
+        fb, fa = compact_ivfpq_codes(engine.spark, args.index)
+        print(
+            f"SUCCESS: ANN index compacted | Files: {fb} -> {fa}"
         )
         return 0
 

@@ -17,6 +17,8 @@ Spark-first iteration shape:
 
 from __future__ import annotations
 
+import pandas as pd  # module-level so pandas_udf type hints resolve
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -110,8 +112,49 @@ def _sqdist(vec: Column, centroid: list[float]) -> Column:
     )
 
 
-def assign_clusters(df: DataFrame, vec_col: str, centroids: list[list[float]]) -> DataFrame:
-    """df + `cluster` column = argmin squared distance (ties → lowest id)."""
+def assign_clusters(
+    df: DataFrame,
+    vec_col: str,
+    centroids: list[list[float]],
+    strategy: str = "auto",
+) -> DataFrame:
+    """df + `cluster` column = argmin squared distance (ties → lowest id).
+
+    ``'expr'`` unrolls one struct per centroid — pure expression, the
+    SQL-mirrorable gate path, but the plan tree grows with k and the
+    folds evaluate interpreted (higher-order functions sit outside
+    whole-stage codegen), so at a FAISS-sized k the per-ITERATION plan
+    build alone dominates `kmeans_fit` (r12 ANN study: k=256 fits
+    crawled). ``'pandas'`` computes the same argmin in numpy over Arrow
+    batches — same tie rule (argmin → first minimum = lowest id), no
+    extra rows, no shuffle. ``'auto'``: expr at or under 64 centroids."""
+    if strategy == "auto":
+        strategy = "expr" if len(centroids) <= 64 else "pandas"
+    if strategy == "pandas":
+        import numpy as np
+
+        from pyspark.sql.functions import pandas_udf
+
+        cen_np = np.asarray(centroids, dtype=np.float64)
+
+        @pandas_udf("int")
+        def _assign(vs: pd.Series) -> pd.Series:
+            x = np.asarray(vs.tolist(), dtype=np.float64)
+            out = np.empty(x.shape[0], dtype=np.int32)
+            # row-chunked so the (rows x k x dim) broadcast intermediate
+            # stays ~100 MB whatever the Arrow batch size; direct
+            # differences (no norm expansion): immune to the cancellation
+            # that could flip argmin on near-tie centroids
+            step = max(1, 200_000_000 // (cen_np.size * 8 or 1))
+            for lo in range(0, x.shape[0], step):
+                blk = x[lo : lo + step]
+                d2 = ((blk[:, None, :] - cen_np[None, :, :]) ** 2).sum(-1)
+                out[lo : lo + step] = d2.argmin(axis=1)
+            return pd.Series(out)
+
+        return df.withColumn("cluster", _assign(F.col(vec_col)))
+    if strategy != "expr":
+        raise ValueError(f"unknown assign_clusters strategy {strategy!r}")
     scored = F.array(
         *[
             F.struct(_sqdist(F.col(vec_col), c).alias("d"), F.lit(i).alias("c"))

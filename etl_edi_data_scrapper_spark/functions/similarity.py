@@ -13,6 +13,8 @@ Two paths, same operator surface:
 
 from __future__ import annotations
 
+import pandas as pd  # module-level so pandas_udf type hints resolve
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
@@ -176,7 +178,10 @@ def ivf_index(
                 F.col(c_vec).alias("centroid_vec"),
             )
         )
-    return centroids, ivf_assign(corpus, centroids, c_id=c_id, c_vec=c_vec)
+    return centroids, ivf_assign(
+        corpus, centroids, c_id=c_id, c_vec=c_vec,
+        strategy="expr" if n_centroids <= 64 else "pandas",
+    )
 
 
 def ivf_assign(
@@ -184,12 +189,56 @@ def ivf_assign(
     centroids: DataFrame,
     c_id: str = "vec_id",
     c_vec: str = "embedding",
+    strategy: str = "auto",
 ) -> DataFrame:
     """Assign every vector to its nearest centroid (argmax cosine, tie →
-    lowest centroid_id): one broadcast cross join + a per-vector windowed
-    argmin — a single map-side-joined pass over the corpus. Shared by
-    `ivf_index` (build time) and `append_to_ivfpq_index` (incremental
-    adds against FROZEN centroids)."""
+    lowest centroid_id). Shared by `ivf_index` (build time) and
+    `append_to_ivfpq_index` (incremental adds against FROZEN centroids).
+
+    ``strategy='expr'``: one broadcast cross join + a per-vector windowed
+    argmax — map-side joined, exactly SQL-mirrorable (the gate-oracle
+    path, 16 cells). ``'pandas'``: the production-geometry path — the
+    cross join materializes corpus × n_centroids ROWS through a window
+    shuffle (25.6M rows at 100k × 256; corpus × 65536 at a FAISS-sized
+    cell count is a non-starter), where the Arrow path computes the same
+    argmax-cosine in numpy per batch with ZERO extra rows and NO
+    shuffle. Same tie rule: centroids are ordered by centroid_id and
+    argmax returns the first maximum. ``'auto'``: expr at or under 64
+    cells, pandas above (the cell count probed with a LIMIT-bounded
+    count so resolving the strategy never scans a big frame; callers
+    that know their cell count — `ivf_index`, `append_to_ivfpq_index` —
+    pass the strategy explicitly and skip the probe)."""
+    if strategy == "auto":
+        strategy = "expr" if centroids.limit(65).count() <= 64 else "pandas"
+    if strategy == "pandas":
+        import numpy as np
+
+        from pyspark.sql.functions import pandas_udf
+
+        rows = sorted(
+            centroids.select("centroid_id", "centroid_vec").collect(),
+            key=lambda r: r.centroid_id,
+        )
+        ids_np = np.asarray([r.centroid_id for r in rows], dtype=np.int64)
+        cen_np = np.asarray(
+            [[float(x) for x in r.centroid_vec] for r in rows],
+            dtype=np.float64,
+        )
+        cen_unit = cen_np / np.linalg.norm(cen_np, axis=1, keepdims=True)
+
+        @pandas_udf("long")
+        def _route(vs: pd.Series) -> pd.Series:
+            x = np.asarray(vs.tolist(), dtype=np.float64)
+            nx = np.linalg.norm(x, axis=1, keepdims=True)
+            nx[nx == 0.0] = 1.0
+            sims = (x / nx) @ cen_unit.T
+            return pd.Series(ids_np[sims.argmax(axis=1)])
+
+        return corpus.select(
+            F.col(c_id), F.col(c_vec), _route(F.col(c_vec)).alias("centroid_id")
+        )
+    if strategy != "expr":
+        raise ValueError(f"unknown ivf_assign strategy {strategy!r}")
     cb = F.broadcast(centroids)
     scored = corpus.withColumn("__nv", norm_expr(F.col(c_vec))).crossJoin(
         cb.withColumn("__ncen", norm_expr(F.col("centroid_vec")))
@@ -560,20 +609,78 @@ def _sq_dist(a: Column, b: Column) -> Column:
     )
 
 
+# auto-switch point for pq_encode/ivf_assign: at or under this many
+# model entries the pure-expression paths stay (zero-Python, exactly
+# SQL-mirrorable — the gate's oracle geometry is 8×16=128 / 16 cells);
+# above it the expression paths choke BOTH ways (r12 study: plan build
+# 2.0 → 14.2 → 42.5 s at 16/256/1024 codes — the nested literal's
+# conversion cost grows linearly — and execution is interpreted because
+# whole-stage codegen does not cover higher-order functions), so the
+# Arrow pandas path takes over with bit-compatible argmin semantics.
+_EXPR_MODEL_MAX_ENTRIES = 512
+
+
 def pq_encode(
     corpus: DataFrame,
     codebooks: DataFrame | list,
     c_vec: str = "embedding",
     out_col: str = "codes",
+    strategy: str = "auto",
 ) -> DataFrame:
     """corpus + ``out_col`` array<int>: per subspace, the id of the nearest
-    codebook entry (squared L2; ties → lowest code_id, the array_position
-    first-match). ZERO shuffle: the collected codebook is inlined as a
-    literal and each row encodes in a pure expression — at 100 TB the
-    corpus never moves, and the 8-byte code column is what downstream
-    ADC scans instead of the float vectors."""
+    codebook entry (squared L2; ties → lowest code_id). ZERO shuffle on
+    every strategy — at 100 TB the corpus never moves, and the 8-byte
+    code column is what downstream ADC scans instead of the float
+    vectors.
+
+    ``strategy``: 'literal' inlines the collected codebook as ONE
+    nested-array literal + indexed transform (plan tree does not grow
+    with the code budget; pure expression, exactly replicable in SQL —
+    the gate-oracle path). 'pandas' is the production-geometry path
+    (FAISS-standard n_codes=256): an Arrow-batched pandas_udf computing
+    the same argmin in numpy — same tie rule (argmin returns the first
+    minimum = lowest code_id), float64 like the expression's doubles.
+    'auto' picks literal at or under 512 total entries, pandas above
+    (r12 study: at 8×256 the literal costs ~14 s of PLAN BUILD per
+    query plus interpreted per-row evaluation ~100× slower than Arrow
+    batches; at the gate's 8×16 the two paths agree bit-for-bit,
+    parity-tested)."""
     cbs = _collect_codebooks(codebooks)
     d_sub = len(cbs[0][0])
+    n_entries = len(cbs) * len(cbs[0])
+    if strategy == "auto":
+        strategy = (
+            "literal" if n_entries <= _EXPR_MODEL_MAX_ENTRIES else "pandas"
+        )
+    if strategy == "pandas":
+        import numpy as np
+
+        from pyspark.sql.functions import pandas_udf
+
+        cb_np = np.asarray(cbs, dtype=np.float64)  # (m, n, d_sub)
+        m_sub = cb_np.shape[0]
+
+        @pandas_udf("array<int>")
+        def _enc(vs: pd.Series) -> pd.Series:
+            x = np.asarray(vs.tolist(), dtype=np.float64)
+            out = np.empty((x.shape[0], m_sub), dtype=np.int32)
+            # row-chunked so the (rows x n_codes x d_sub) intermediate
+            # stays ~100 MB whatever the Arrow batch size
+            step = max(1, 200_000_000 // (cb_np[0].size * 8 or 1))
+            for s in range(m_sub):
+                xs = x[:, s * d_sub : (s + 1) * d_sub]
+                cs = cb_np[s][None, :, :]
+                # direct (x − c)² differences (not the ‖x‖²−2xCᵀ+‖C‖²
+                # expansion): no cancellation, so argmin agrees with the
+                # literal path's fold on near-tie codes
+                for lo in range(0, xs.shape[0], step):
+                    d2 = ((xs[lo : lo + step, None, :] - cs) ** 2).sum(-1)
+                    out[lo : lo + step, s] = d2.argmin(axis=1)
+            return pd.Series(list(out))
+
+        return corpus.withColumn(out_col, _enc(F.col(c_vec)))
+    if strategy != "literal":
+        raise ValueError(f"unknown pq_encode strategy {strategy!r}")
 
     # one nested-array literal + indexed transform (s = subspace index)
     # instead of m_sub × n_codes per-entry expression nodes: the plan tree
@@ -935,3 +1042,58 @@ def ivfpq_topk_rerank(
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def compact_ivfpq_codes(spark, path: str) -> tuple[int, int]:
+    """Offline compaction for the IVFPQ code store (r11 verdict #3):
+    `append_to_ivfpq_index` appends one parquet file per batch per
+    touched cell FOREVER — a long-lived index turns every centroid_id
+    directory into thousands of tiny files, and the routed probe's
+    pruning win drowns in listing + footer overhead. Same discipline as
+    `compact_neardup_store` / `rollup-compact`: rewrite `{path}/codes`
+    with one task (→ one file) per cell via ``repartition("centroid_id")``
+    to a sibling temp dir, then swap through the Hadoop FileSystem API
+    (HDFS/S3A/local alike). Row set is unchanged (appends are id-anti-
+    joined, so there are no duplicate rows to drop — this is purely a
+    file-layout rewrite); centroids, codebooks, and `_meta.json` are
+    not touched. The swap is delete-then-rename, NOT atomic: run with
+    appenders and queries STOPPED. Returns (files_before, files_after)
+    counted over the codes tree's parquet data files."""
+    codes_dir = f"{path}/codes"
+    jpath = spark._jvm.org.apache.hadoop.fs.Path
+    dst = jpath(codes_dir)
+    fs = dst.getFileSystem(spark._jsc.hadoopConfiguration())
+
+    def _n_files(p) -> int:
+        n = 0
+        it = fs.listFiles(p, True)
+        while it.hasNext():
+            f = it.next()
+            name = f.getPath().getName()
+            if not name.startswith(("_", ".")):
+                n += 1
+        return n
+
+    before_df = spark.read.parquet(codes_dir)
+    rows = before_df.count()
+    files_before = _n_files(dst)
+    tmp = codes_dir.rstrip("/") + "__compacting"
+    (
+        before_df.repartition("centroid_id")
+        .write.mode("overwrite")
+        .partitionBy("centroid_id")
+        .parquet(tmp)
+    )
+    src = jpath(tmp)
+    if spark.read.parquet(tmp).count() != rows:
+        raise IOError(
+            f"compaction row-count mismatch at {tmp!r}; original untouched"
+        )
+    if not fs.delete(dst, True):
+        raise IOError(f"compaction could not remove the old codes at {codes_dir!r}")
+    if not fs.rename(src, dst):
+        raise IOError(
+            f"compaction wrote {tmp!r} but could not rename it over "
+            f"{codes_dir!r} — the compacted codes are intact at the temp path"
+        )
+    return files_before, _n_files(dst)

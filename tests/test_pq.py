@@ -687,3 +687,132 @@ def test_fit_fraction_sampled_codebooks_ab_vs_full_fit(spark):
         train="kmeans", coarse_train="kmeans", fit_fraction=0.25,
     )
     assert cents_df.count() == 16 and enc.count() == 6000
+
+
+def test_pandas_strategies_match_expression_paths(spark):
+    """r12 (ANN study finding): at production geometry the literal/
+    expression model paths choke — plan build grows with the literal
+    (2.0/14.2/42.5 s at 16/256/1024 codes) and higher-order folds
+    evaluate interpreted — so `pq_encode`, `ivf_assign`, and
+    `assign_clusters` gained Arrow/numpy strategies with an auto switch
+    (expr at gate geometry, pandas above). The two strategies must agree
+    EXACTLY: same argmin/argmax, same lowest-id tie rule, float64 both
+    sides, direct-difference distances (no norm expansion) so near-tie
+    rounding can't flip a code."""
+    import hashlib
+
+    from etl_edi_data_scrapper_spark.functions.clustering import (
+        assign_clusters,
+    )
+    from etl_edi_data_scrapper_spark.functions.similarity import (
+        ivf_assign,
+        pq_codebooks,
+        pq_encode,
+    )
+
+    def h(i, d):
+        return (int(hashlib.md5(f"{i}:{d}".encode()).hexdigest()[:4], 16)
+                / 32768.0) - 1.0
+
+    vecs = [[10.0 * h(i, d) for d in range(8)] for i in range(400)]
+    corpus = _corpus(spark, vecs)
+    # 75 codes x 4 subspaces = 300 entries: auto resolves to pandas
+    cbs = pq_codebooks(corpus, m_sub=4, n_codes=75, dim=8, train="sample")
+    lit = {r.vec_id: list(r.codes) for r in
+           pq_encode(corpus, cbs, strategy="literal").collect()}
+    pnd = {r.vec_id: list(r.codes) for r in
+           pq_encode(corpus, cbs, strategy="pandas").collect()}
+    auto = {r.vec_id: list(r.codes) for r in
+            pq_encode(corpus, cbs).collect()}
+    assert pnd == lit and auto == lit
+
+    from pyspark.sql import functions as F
+
+    centroids = corpus.limit(70).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("centroid_vec"),
+    )
+    expr = {r.vec_id: r.centroid_id for r in
+            ivf_assign(corpus, centroids, strategy="expr").collect()}
+    pnd = {r.vec_id: r.centroid_id for r in
+           ivf_assign(corpus, centroids, strategy="pandas").collect()}
+    auto = {r.vec_id: r.centroid_id for r in
+            ivf_assign(corpus, centroids).collect()}  # 70 cells -> pandas
+    assert pnd == expr and auto == expr
+
+    cents = [list(map(float, v)) for v in vecs[:70]]
+    e = {r.vec_id: r.cluster for r in
+         assign_clusters(corpus, "embedding", cents, strategy="expr").collect()}
+    pp = {r.vec_id: r.cluster for r in
+          assign_clusters(corpus, "embedding", cents, strategy="pandas").collect()}
+    a = {r.vec_id: r.cluster for r in
+         assign_clusters(corpus, "embedding", cents).collect()}
+    assert pp == e and a == e
+
+
+def test_ann_compact_bounds_files_and_preserves_answers(
+    spark, tmp_path, capsys
+):
+    """r12 (r11 verdict #3): `append_to_ivfpq_index` appends one file per
+    batch per touched cell forever; `compact_ivfpq_codes` (CLI
+    `ann-compact`) rewrites the code store to ONE file per cell via the
+    temp-write + Hadoop-FS swap discipline. Query answers are
+    byte-identical pre/post (same rows, same codes — it is purely a
+    file-layout rewrite), `_meta.json`/centroids/codebooks untouched,
+    and the file count drops to ≤ the number of live cells."""
+    from etl_edi_data_scrapper_spark.__main__ import main
+    from etl_edi_data_scrapper_spark.engine import Engine
+    from etl_edi_data_scrapper_spark.functions.similarity import (
+        append_to_ivfpq_index,
+        compact_ivfpq_codes,
+        ivfpq_residual_index,
+        ivfpq_topk,
+        load_ivfpq_index,
+        load_ivfpq_meta,
+        save_ivfpq_index,
+    )
+
+    corpus, vecs = _clustered_corpus(spark)
+    base = corpus.filter(F.col("vec_id") < 4)
+    centroids, enc_full, cbs = ivfpq_residual_index(
+        corpus, n_centroids=4, m_sub=2, n_codes=2, dim=4, train="kmeans"
+    )
+    idx = str(tmp_path / "idx")
+    save_ivfpq_index(
+        centroids,
+        enc_full.join(base.select("vec_id"), "vec_id"),
+        cbs,
+        idx,
+        meta={"residual": True, "id_col": "vec_id"},
+    )
+    # two appends -> extra files in every touched cell
+    assert append_to_ivfpq_index(
+        spark, corpus.filter((F.col("vec_id") >= 4) & (F.col("vec_id") < 6)), idx
+    ) == 2
+    assert append_to_ivfpq_index(
+        spark, corpus.filter(F.col("vec_id") >= 6), idx
+    ) == 2
+
+    queries = corpus.select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+
+    def answers():
+        c, e, cb = load_ivfpq_index(spark, idx)
+        return sorted(
+            (r.q_id, r.rank, r.vec_id, round(r.adc, 9))
+            for r in ivfpq_topk(
+                queries, c, e, cb, k=3, nprobe=4, residual=True
+            ).collect()
+        )
+
+    pre = answers()
+    meta_pre = load_ivfpq_meta(spark, idx)
+    fb, fa = compact_ivfpq_codes(spark, idx)
+    assert fb > fa and fa <= 4  # one file per live cell
+    assert answers() == pre
+    assert load_ivfpq_meta(spark, idx) == meta_pre
+    # and through the CLI (idempotent: already one file per cell)
+    assert main(["ann-compact", "--index", idx], engine=Engine(spark=spark)) == 0
+    assert "ANN index compacted" in capsys.readouterr().out
+    assert answers() == pre
