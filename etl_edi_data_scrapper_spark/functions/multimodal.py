@@ -63,9 +63,11 @@ def real_decode_kernel(content: bytes, kind: str, dim: int = 8) -> list[float] |
     """Codec-backed kernel, import-gated: images decode through Pillow when
     it is installed (grayscale → 4×2 thumbnail → ``dim`` normalized pixel
     values, matching ``fake_decode_kernel``'s shape contract exactly);
-    audio/video need torchaudio/ffmpeg which this container lacks. When the
-    library is absent the kernel raises ``DecoderUnavailable`` — callers
-    swap in ``fake_decode_kernel`` to exercise the identical Arrow path.
+    PCM-WAV audio decodes via the stdlib (``_decode_wav``); video decodes
+    through PyAV/ffmpeg when installed (``_decode_video``, first-frame
+    thumbnail on the same grid). When a library is absent the kernel
+    raises ``DecoderUnavailable`` — callers swap in
+    ``fake_decode_kernel`` to exercise the identical Arrow path.
     Corrupt/undecodable bytes yield ``None`` (a NULL feature), not an
     exception — a single bad blob must never abort a 100 TB stage."""
     if dim < 2 or dim % 2:
@@ -95,10 +97,87 @@ def real_decode_kernel(content: bytes, kind: str, dim: int = 8) -> list[float] |
         return [p / 255.0 for p in img.getdata()][:dim]
     if kind == "audio":
         return _decode_wav(content, dim)
+    if kind == "video":
+        return _decode_video(content, dim)
     raise DecoderUnavailable(
         f"no codec library available to decode kind={kind!r}; "
-        "install torchaudio/ffmpeg or swap in fake_decode_kernel"
+        "swap in fake_decode_kernel"
     )
+
+
+def _import_av():
+    """PyAV, or a crisp ``DecoderUnavailable`` whose __cause__ is the
+    ImportError — the marker `extract_features` uses to FAIL FAST
+    (a missing library is environment-uniform, unlike one bad blob)."""
+    try:
+        import av
+    except ImportError as e:
+        raise DecoderUnavailable(
+            "PyAV is not installed — cannot decode kind='video'; "
+            "install av (PyAV, bundles ffmpeg) or swap in "
+            "fake_decode_kernel"
+        ) from e
+    return av
+
+
+def _decode_video(content: bytes, dim: int) -> list[float] | None:
+    """PyAV/ffmpeg-gated video kernel (r11 verdict #8 — the last modality
+    to get the gated-real-kernel treatment): decode the FIRST frame,
+    grayscale it, block-mean it down to the same 2×(dim//2) thumbnail
+    grid as the image kernel, emit ``dim`` values in [0, 1]. First-frame-
+    only by design: the feature exists for dedup/triage, and a corpus
+    pass must not transcode every video — per-frame work goes through
+    `sample_frames`' exploded plan instead. Corrupt/undecodable bytes →
+    ``None`` (NULL feature), never a task-killing exception; keyframe
+    statistics live in :func:`video_keyframe_count`."""
+    av = _import_av()
+    import io
+
+    import numpy as np
+
+    try:
+        with av.open(io.BytesIO(content)) as container:
+            stream = next(
+                s for s in container.streams if s.type == "video"
+            )
+            frame = next(container.decode(stream))
+            gray = frame.to_ndarray(format="gray").astype(np.float64)
+    except Exception:
+        return None  # corrupt/streamless blob: NULL row, stage survives
+    h, w = gray.shape
+    cols = dim // 2
+    if h < 2 or w < cols:
+        return None  # sub-thumbnail frame: nothing meaningful to pool
+    rb = np.linspace(0, h, 3).astype(int)
+    cb = np.linspace(0, w, cols + 1).astype(int)
+    return [
+        float(gray[rb[r] : rb[r + 1], cb[c] : cb[c + 1]].mean()) / 255.0
+        for r in range(2)
+        for c in range(cols)
+    ]
+
+
+def video_keyframe_count(content: bytes) -> int | None:
+    """Keyframe count of the first video stream WITHOUT decoding frames
+    (demux only — packet headers carry the flag), the cheap triage stat
+    a video curation pass keys on (0 keyframes = unseekable/corrupt;
+    keyframes/duration = GOP density). PyAV-gated like `_decode_video`;
+    corrupt containers → None."""
+    av = _import_av()
+    import io
+
+    if content is None:
+        return None
+    try:
+        with av.open(io.BytesIO(content)) as container:
+            stream = next(
+                s for s in container.streams if s.type == "video"
+            )
+            return sum(
+                1 for p in container.demux(stream) if p.is_keyframe
+            )
+    except Exception:
+        return None
 
 
 def _decode_wav(content: bytes, dim: int) -> list[float] | None:

@@ -1286,13 +1286,29 @@ def test_extract_features_mixed_corpus_nulls_codec_bound_rows(spark):
     extract_features (r11 review), while the PCM rows still decode.
     Environment-uniform unavailability (cause = ImportError, a missing
     codec LIBRARY) still propagates — silently NULLing 100% of a
-    modality would be worse than failing fast."""
+    modality would be worse than failing fast. (r12: the video row moved
+    OUT of this test's codec-bound-content set — with the PyAV-gated
+    kernel, a video row in a PyAV-less environment is the
+    missing-LIBRARY case and correctly propagates; its mixed-corpus
+    behavior is covered by the gated/live video tests. Row 3 here is
+    now an ADPCM WAVE: a container the stdlib reader rejects as
+    codec-bound CONTENT, no ImportError cause.)"""
     import pytest
 
+    # minimal RIFF/WAVE whose fmt tag is 2 (ADPCM): wave.open raises
+    # wave.Error -> DecoderUnavailable WITHOUT an ImportError cause
+    adpcm = (
+        b"RIFF" + (36).to_bytes(4, "little") + b"WAVEfmt "
+        + (16).to_bytes(4, "little")
+        + (2).to_bytes(2, "little") + (1).to_bytes(2, "little")
+        + (8000).to_bytes(4, "little") + (4000).to_bytes(4, "little")
+        + (1).to_bytes(2, "little") + (4).to_bytes(2, "little")
+        + b"data" + (0).to_bytes(4, "little")
+    )
     rows = [
         (1, "audio", _wav_bytes(), ("audio/wav", None, None, 2_000)),
         (2, "audio", b"ID3\x03 mp3-ish bytes", ("audio/mpeg", None, None, 2_000)),
-        (3, "video", b"\x00\x00ftyp fake mp4", ("video/mp4", 320, 240, 3_500)),
+        (3, "audio", adpcm, ("audio/adpcm", None, None, 2_000)),
     ]
     df = spark.createDataFrame(rows, schema=multimodal.MEDIA_SCHEMA)
     out = {
@@ -1303,7 +1319,7 @@ def test_extract_features_mixed_corpus_nulls_codec_bound_rows(spark):
     }
     assert len(out[1].feature) == 8  # the PCM row decodes
     assert out[2].feature is None  # codec-bound CONTENT -> NULL, no abort
-    assert out[3].feature is None  # no video codec -> NULL, no abort
+    assert out[3].feature is None  # ADPCM WAVE container -> NULL, no abort
 
     def env_gated(content, kind, dim=8):
         try:
@@ -1313,3 +1329,72 @@ def test_extract_features_mixed_corpus_nulls_codec_bound_rows(spark):
 
     with pytest.raises(Exception):  # Py4J wraps the worker's exception
         multimodal.extract_features(df, kernel=env_gated).collect()
+
+
+def test_video_kernel_gated_with_crisp_error():
+    """r12 (r11 verdict #8): video is no longer a bare stub — the kernel
+    is PyAV-gated like Pillow for images. Without av installed, BOTH the
+    kernel and the keyframe counter raise DecoderUnavailable whose
+    __cause__ is the ImportError (the fail-fast marker: a missing
+    library is environment-uniform) with a message naming the package;
+    extract_features therefore fails fast instead of NULLing 100% of the
+    video modality."""
+    try:
+        import av  # noqa: F401
+
+        pytest.skip("PyAV installed — the video path is live, see below")
+    except ImportError:
+        pass
+    with pytest.raises(multimodal.DecoderUnavailable, match="PyAV") as ei:
+        multimodal.real_decode_kernel(b"\x00\x00\x00\x18ftypmp42", "video")
+    assert isinstance(ei.value.__cause__, ImportError)
+    with pytest.raises(multimodal.DecoderUnavailable, match="PyAV") as ei:
+        multimodal.video_keyframe_count(b"\x00\x00\x00\x18ftypmp42")
+    assert isinstance(ei.value.__cause__, ImportError)
+
+
+def test_video_kernel_decodes_when_pyav_present(spark):
+    """Runs wherever PyAV exists (real clusters); skipped here. The REAL
+    video kernel flows through the identical extract_features Arrow path
+    with the image kernel's dim contract: first frame, grayscale,
+    2×(dim//2) block-mean grid, values in [0, 1]; corrupt bytes → NULL
+    row; keyframe counting is demux-only and ≥ 1 on any encoded clip."""
+    av = pytest.importorskip("av")
+    import io
+
+    import numpy as np
+
+    def clip(shade: int) -> bytes:
+        buf = io.BytesIO()
+        with av.open(buf, "w", format="mp4") as out:
+            st = out.add_stream("mpeg4", rate=4)
+            st.width, st.height, st.pix_fmt = 32, 16, "yuv420p"
+            for _ in range(4):
+                arr = np.full((16, 32, 3), shade, dtype=np.uint8)
+                frame = av.VideoFrame.from_ndarray(arr, format="rgb24")
+                for pkt in st.encode(frame):
+                    out.mux(pkt)
+            for pkt in st.encode():
+                out.mux(pkt)
+        return buf.getvalue()
+
+    rows = [
+        (1, "video", clip(0), ("video/mp4", 32, 16, 1000)),
+        (2, "video", clip(255), ("video/mp4", 32, 16, 1000)),
+        (3, "video", None, ("video/mp4", 0, 0, None)),
+        (4, "video", b"not a video blob", ("video/mp4", 0, 0, None)),
+    ]
+    df = spark.createDataFrame(rows, schema=multimodal.MEDIA_SCHEMA)
+    out = {
+        r.media_id: r
+        for r in multimodal.extract_features(
+            df, kernel=multimodal.real_decode_kernel
+        ).collect()
+    }
+    assert len(out[1].feature) == 8 == len(out[2].feature)
+    assert all(v < 0.15 for v in out[1].feature)  # black clip
+    assert all(v > 0.85 for v in out[2].feature)  # white clip
+    assert out[3].feature == [0.0] * 8  # null content parity with fake
+    assert out[4].feature is None  # corrupt bytes → NULL row
+    assert multimodal.video_keyframe_count(clip(128)) >= 1
+    assert multimodal.video_keyframe_count(b"junk") is None
