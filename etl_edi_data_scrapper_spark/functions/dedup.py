@@ -176,6 +176,13 @@ def minhash_candidate_pairs(
     return bucket_pairs(bk, id_col, ["band", "band_key"], max_bucket=max_bucket)
 
 
+# "auto" broadcast cutoff for jaccard_pairs' candidate side: 2M pairs
+# (two longs + band metadata ~ 50 MB serialized) broadcasts comfortably;
+# past it the driver collect is the bottleneck (the r12 factor-300 smoke
+# died at ~43M pairs / >1 GB) and the shuffled path wins outright.
+_BROADCAST_PAIRS_MAX = 2_000_000
+
+
 def jaccard_pairs(
     df: DataFrame,
     pairs: DataFrame,
@@ -183,24 +190,35 @@ def jaccard_pairs(
     text_col: str = "text",
     shingle_n: int = 3,
     threshold: float = 0.0,
-    broadcast_candidates: bool = True,
+    broadcast_candidates: bool | str = "auto",
 ) -> DataFrame:
     """Exact shingle-set Jaccard for candidate pairs (verification stage).
 
-    The candidate set is BROADCAST by default (it is small by LSH
-    construction); the shingle frame streams through both joins — it is
-    never shuffled and never built into a hash relation, so the doc scan
-    stays a map-side pass at any corpus size. (Letting the optimizer pick
-    the build side here is wrong-way: size estimates for the shingle
-    projection are garbage, and broadcasting it materializes the whole
-    shingle pipeline.)
+    Candidate-join strategy: the shingle frame must NEVER be the build
+    side — it streams through both joins (letting the optimizer pick is
+    wrong-way: size estimates for the shingle projection are garbage,
+    and broadcasting it materializes the whole shingle pipeline). What
+    varies is the CANDIDATE side:
 
-    ``broadcast_candidates=False`` is the DENSE-DUPLICATION escape hatch:
-    when every document has many genuine near-dups (heavy replication —
-    the r7 100× smoke regime), the candidate set grows ∝ corpus ×
-    family-size and no longer fits a broadcast; this flips both joins to
-    shuffle joins on the id keys instead. The result is identical — pick
-    by candidate volume, not semantics.
+    * ``True`` — static broadcast. Correct while candidates are small by
+      LSH construction, but candidates grow ∝ corpus × duplication
+      density: the r12 factor-300 smoke KILLED this path (the broadcast
+      collect blew spark.driver.maxResultSize at >1 GB of pairs) — a
+      static hint cannot be the default for an operator that must
+      survive 100 TB.
+    * ``False`` — shuffle joins on the id keys. Always safe, never
+      driver-bound; pays two shuffles of the shingle frame.
+    * ``"auto"`` (default) — decide by MEASUREMENT, not estimate: the
+      candidate frame is materialized once (eager localCheckpoint — the
+      verification join was going to compute it anyway; the checkpoint
+      also stops the band join re-executing for both join legs) and
+      counted; ≤ `_BROADCAST_PAIRS_MAX` pairs broadcast, above that the
+      joins run shuffled with the pairs side as the shuffle-hash build.
+      AQE cannot make this call for us: a runtime-demoted broadcast
+      still collects to the driver first, and (measured, r12) AQE
+      respects explicit merge/shuffle_hash hints rather than promoting
+      small sides back to broadcast — so the count probe is the only
+      path that adapts in BOTH directions.
     """
     # widen the doc scan first: a compact corpus file yields few input
     # splits, and without this the whole shingle computation runs on ONE
@@ -209,7 +227,12 @@ def jaccard_pairs(
     sh = df.select(F.col(id_col), shingles(text_col, shingle_n).alias("sh"))
     sa, sb = sh.alias("sa"), sh.alias("sb")
     pairs = pairs.alias("p")
-    if broadcast_candidates:
+    if broadcast_candidates == "auto":
+        pairs = pairs.localCheckpoint(eager=True)
+        broadcast_candidates = pairs.count() <= _BROADCAST_PAIRS_MAX
+        if not broadcast_candidates:
+            pairs = pairs.hint("shuffle_hash")
+    if broadcast_candidates is True:
         pairs = F.broadcast(pairs)
     inter = F.size(F.array_intersect(F.col("sa.sh"), F.col("sb.sh")))
     union = F.size(F.col("sa.sh")) + F.size(F.col("sb.sh")) - inter
