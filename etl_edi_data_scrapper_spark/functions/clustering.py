@@ -164,11 +164,26 @@ def assign_clusters(
     return df.withColumn("cluster", F.array_sort(scored)[0]["c"])
 
 
+def _np_fold_sqdist(x, cen):
+    """(rows, k) squared distances with `_sqdist`'s exact float
+    discipline: per-dimension (a−b)·(a−b) accumulated in index order (a
+    sequential left fold), so numpy and expression strategies agree to
+    the last ulp. Intermediate stays (rows × k) — never (rows × k × d)."""
+    import numpy as np
+
+    out = np.zeros((x.shape[0], cen.shape[0]), dtype=np.float64)
+    for j in range(x.shape[1]):
+        diff = x[:, j : j + 1] - cen[None, :, j]
+        out += diff * diff
+    return out
+
+
 def assign_clusters_ivf(
     df: DataFrame,
     vec_col: str,
     centroids: list[list[float]],
     n_probe: int = 2,
+    strategy: str = "auto",
 ) -> DataFrame:
     """df + `cluster` column via TWO-LEVEL (IVF-style) routing: argmin over
     ~√k coarse centroids first, then argmin over only the fine centroids
@@ -203,6 +218,52 @@ def assign_clusters_ivf(
     coarse = [coarse[c] for c in live]
     cells = {new: cells[old] for new, old in enumerate(live)}
     n_probe = max(1, min(n_probe, len(coarse)))
+
+    if strategy == "auto":
+        strategy = "expr" if k <= 64 else "pandas"
+    if strategy == "pandas":
+        # the CASE-routing EXPRESSION is n_probe × k scoring nodes with a
+        # dim-wide literal each: at the r12 factor-300 smoke's k=2400 the
+        # driver died in analysis/codegen (java.lang.OutOfMemoryError: GC
+        # overhead limit exceeded) before a single row moved. The Arrow
+        # path computes the identical routing in numpy: coarse argsort
+        # (stable → ties to the lowest cell), distances to ALL fine
+        # centroids masked to the probed cells' members, argmin (first
+        # minimum = lowest fine index) — same probes, same winners,
+        # sequential-fold float parity via _np_fold_sqdist.
+        import numpy as np
+
+        from pyspark.sql.functions import pandas_udf
+
+        live_coarse = np.asarray(coarse, dtype=np.float64)
+        cen_np = np.asarray(centroids, dtype=np.float64)
+        cell_of_fine = np.empty(k, dtype=np.int64)
+        for c, members in cells.items():
+            for i in members:
+                cell_of_fine[i] = c
+
+        @pandas_udf("int")
+        def _route(vs: pd.Series) -> pd.Series:
+            x = np.asarray(vs.tolist(), dtype=np.float64)
+            out = np.empty(x.shape[0], dtype=np.int32)
+            step = max(1, 25_000_000 // max(1, k))
+            for lo in range(0, x.shape[0], step):
+                blk = x[lo : lo + step]
+                d2c = _np_fold_sqdist(blk, live_coarse)
+                probed = np.argsort(d2c, axis=1, kind="stable")[
+                    :, :n_probe
+                ]
+                d2f = _np_fold_sqdist(blk, cen_np)
+                allowed = (
+                    cell_of_fine[None, :, None] == probed[:, None, :]
+                ).any(-1)
+                d2f[~allowed] = np.inf
+                out[lo : lo + step] = d2f.argmin(axis=1)
+            return pd.Series(out)
+
+        return df.withColumn("cluster", _route(F.col(vec_col)))
+    if strategy != "expr":
+        raise ValueError(f"unknown assign_clusters_ivf strategy {strategy!r}")
 
     coarse_scored = F.array(
         *[

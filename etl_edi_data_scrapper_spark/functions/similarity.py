@@ -751,6 +751,123 @@ def _adc_expr(m_sub: int, codes_col: str = "codes") -> Column:
     )
 
 
+def _np_seq_sqdist_tables(q_np, cbs_np):
+    """ADC tables in numpy with the EXACT float discipline of
+    `_adc_tables`: per (subspace, code), a sequential left-fold of squared
+    differences over the sub-dimensions — bit-identical doubles to the
+    expression path (same IEEE ops in the same order), so the Arrow and
+    expression strategies agree to the last ulp, not merely closely."""
+    import numpy as np
+
+    m, n, d = cbs_np.shape
+    tab = np.zeros((q_np.shape[0], m, n), dtype=np.float64)
+    for s in range(m):
+        qs = q_np[:, s * d : (s + 1) * d]
+        for j in range(d):
+            diff = qs[:, j : j + 1] - cbs_np[s][None, :, j]
+            tab[:, s, :] += diff * diff
+    return tab
+
+
+def _np_route(q_np, cen_np, nprobe):
+    """Query → nprobe nearest coarse cells by cosine, mirroring the
+    expression route bit-for-bit: dots and norms are sequential left
+    folds in index order (`dot_expr`/`norm_expr` discipline), ties break
+    (sim desc, centroid index asc). Returns (Q, nprobe) int indexes into
+    the centroid-id-sorted centroid array."""
+    import numpy as np
+
+    dim = q_np.shape[1]
+    qn = np.zeros(q_np.shape[0])
+    cn = np.zeros(cen_np.shape[0])
+    for j in range(dim):
+        qn += q_np[:, j] * q_np[:, j]
+        cn += cen_np[:, j] * cen_np[:, j]
+    qn, cn = np.sqrt(qn), np.sqrt(cn)
+    dots = np.zeros((q_np.shape[0], cen_np.shape[0]))
+    for j in range(dim):
+        dots += q_np[:, j : j + 1] * cen_np[None, :, j]
+    sims = dots / (qn[:, None] * cn[None, :])
+    idx = np.arange(cen_np.shape[0])
+    out = np.empty((q_np.shape[0], min(nprobe, len(idx))), dtype=np.int64)
+    for qi in range(q_np.shape[0]):
+        order = np.lexsort((idx, -sims[qi]))
+        out[qi] = order[: out.shape[1]]
+    return out
+
+
+def _adc_partition_topk(q_keys, k, c_id, codes_col, tab=None,
+                        probe_cells=None, cell_col="centroid_id"):
+    """mapInPandas kernel factory: per-PARTITION ADC top-k per query —
+    the map-side combine the window-over-everything plan lacks. Each
+    batch's codes score via table lookups summed sequentially in
+    subspace order (the `_adc_expr` fold); per query only the k best
+    (adc asc, id asc) survive across batches, so the shuffle carries
+    ≤ partitions × Q × k rows instead of the full scored cross product.
+
+    ``probe_cells`` (routed/IVFADC mode): dict query-index → set of cell
+    ids; ``tab`` is then indexed (query, cell) → (m, n) table (residual
+    tables differ per cell). None = full-scan mode with tab (Q, m, n)."""
+    import numpy as np
+    import pandas as _pd
+
+    Q = len(q_keys)
+    m = (
+        tab.shape[-2]
+        if tab is not None
+        else next(t.shape[0] for d in probe_cells for t in d.values())
+    )
+
+    def run(batches):
+        best_s = [np.empty(0, dtype=np.float64) for _ in range(Q)]
+        best_i = [np.empty(0, dtype=np.int64) for _ in range(Q)]
+
+        def fold(qi, ids, scores):
+            sc = np.concatenate([best_s[qi], scores])
+            iv = np.concatenate([best_i[qi], ids])
+            order = np.lexsort((iv, sc))[:k]
+            best_s[qi], best_i[qi] = sc[order], iv[order]
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf[c_id].to_numpy(dtype=np.int64)
+            codes = np.asarray(pdf[codes_col].tolist(), dtype=np.int64)
+            if probe_cells is None:
+                scores = np.zeros((Q, len(ids)), dtype=np.float64)
+                for s in range(m):
+                    scores += tab[:, s, codes[:, s]]
+                for qi in range(Q):
+                    fold(qi, ids, scores[qi])
+            else:
+                cells = pdf[cell_col].to_numpy(dtype=np.int64)
+                for cell in np.unique(cells):
+                    mask = cells == cell
+                    sub_ids, sub_codes = ids[mask], codes[mask]
+                    for qi in range(Q):
+                        t = probe_cells[qi].get(int(cell))
+                        if t is None:
+                            continue
+                        sc = np.zeros(len(sub_ids), dtype=np.float64)
+                        for s in range(m):
+                            sc += t[s, sub_codes[:, s]]
+                        fold(qi, sub_ids, sc)
+        qcol, icol, scol = [], [], []
+        for qi in range(Q):
+            qcol.extend([int(q_keys[qi])] * len(best_i[qi]))
+            icol.extend(best_i[qi].tolist())
+            scol.extend(best_s[qi].tolist())
+        yield _pd.DataFrame(
+            {
+                "q_id": _pd.Series(qcol, dtype=np.int64),
+                c_id: _pd.Series(icol, dtype=np.int64),
+                "adc": _pd.Series(scol, dtype=np.float64),
+            }
+        )
+
+    return run
+
+
 def pq_adc_topk(
     queries: DataFrame,
     codebooks: DataFrame | list,
@@ -760,14 +877,51 @@ def pq_adc_topk(
     q_vec: str = "q_vec",
     c_id: str = "vec_id",
     codes_col: str = "codes",
+    strategy: str = "auto",
 ) -> DataFrame:
     """Approximate top-k by ADC over the full encoded corpus: queries
-    (tiny, broadcast with their lookup tables) × code scan, windowed
-    top-k — `cosine_topk`'s plan shape, but the corpus side reads 8-byte
-    code arrays and does m_sub table lookups per row instead of a
-    dim-wide float dot product. Ascending distance; ties → lowest
-    corpus id."""
+    (tiny, broadcast with their lookup tables) × code scan — the corpus
+    side reads 8-byte code arrays and does m_sub table lookups per row
+    instead of a dim-wide float dot product. Ascending distance; ties →
+    lowest corpus id.
+
+    ``strategy='expr'``: crossJoin + windowed top-k, exactly
+    SQL-mirrorable (the gate-oracle path) — but the window shuffles the
+    FULL Q × N scored cross product and the lookup fold evaluates
+    interpreted (62 s for 100 queries × 100k codes in
+    ANN_QUALITY_r12.json). ``'pandas'``: per-partition numpy top-k
+    (map-side combine — the shuffle carries ≤ partitions × Q × k rows)
+    + one tiny global window; tables and lookup sums use the exact
+    sequential-fold float discipline of the expression path, so results
+    are bit-identical, not merely close. ``'auto'``: expr at gate
+    geometry (≤ 512 codebook entries), pandas above."""
     cbs = _collect_codebooks(codebooks)
+    if strategy == "auto":
+        strategy = (
+            "expr"
+            if len(cbs) * len(cbs[0]) <= _EXPR_MODEL_MAX_ENTRIES
+            else "pandas"
+        )
+    if strategy == "pandas":
+        import numpy as np
+
+        rows = queries.select(q_id, q_vec).collect()
+        q_keys = np.asarray([int(r[0]) for r in rows], dtype=np.int64)
+        q_np = np.asarray(
+            [[float(x) for x in r[1]] for r in rows], dtype=np.float64
+        )
+        tab = _np_seq_sqdist_tables(q_np, np.asarray(cbs, dtype=np.float64))
+        kernel = _adc_partition_topk(q_keys, k, c_id, codes_col, tab=tab)
+        part = encoded.select(F.col(c_id), F.col(codes_col)).mapInPandas(
+            kernel, schema=f"q_id long, {c_id} long, adc double"
+        ).withColumnRenamed("q_id", q_id)
+        w = W.partitionBy(q_id).orderBy(F.col("adc").asc(), F.col(c_id))
+        return (
+            part.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+        )
+    if strategy != "expr":
+        raise ValueError(f"unknown pq_adc_topk strategy {strategy!r}")
     qt = F.broadcast(_adc_tables(queries.select(q_id, q_vec), cbs, q_vec))
     scored = encoded.select(F.col(c_id), F.col(codes_col)).crossJoin(qt)
     w = W.partitionBy(q_id).orderBy(F.col("adc").asc(), F.col(c_id))
@@ -790,6 +944,7 @@ def ivfpq_topk(
     c_id: str = "vec_id",
     codes_col: str = "codes",
     residual: bool = False,
+    strategy: str = "auto",
 ) -> DataFrame:
     """IVF routing + ADC scoring (FAISS's IVFADC): route each query to its
     ``nprobe`` nearest coarse centroids (exact float, query side only),
@@ -806,8 +961,74 @@ def ivfpq_topk(
     IVFADC formulation, where the codebooks only have to cover the
     within-cell residual range instead of the whole space, so the same
     code budget buys a finer quantization grid. Cost shape is identical
-    (the table build was already per routed row)."""
+    (the table build was already per routed row).
+
+    ``strategy`` as in :func:`pq_adc_topk`: 'expr' is the SQL-mirrorable
+    gate path; 'pandas' (auto above 512 codebook entries) routes in
+    numpy (same fold/tie discipline, bit-identical), prunes the code
+    scan to the probed cells with one `isin` literal filter (static
+    partition pruning on a `save_ivfpq_index` layout), and runs the
+    per-partition Arrow ADC top-k with per-(query, cell) tables — the
+    map-side combine that keeps the shuffle at partitions × Q × k
+    rows."""
     cbs = _collect_codebooks(codebooks)
+    if strategy == "auto":
+        strategy = (
+            "expr"
+            if len(cbs) * len(cbs[0]) <= _EXPR_MODEL_MAX_ENTRIES
+            else "pandas"
+        )
+    if strategy == "pandas":
+        import numpy as np
+
+        rows = queries.select(q_id, q_vec).collect()
+        q_keys = np.asarray([int(r[0]) for r in rows], dtype=np.int64)
+        q_np = np.asarray(
+            [[float(x) for x in r[1]] for r in rows], dtype=np.float64
+        )
+        cen_rows = sorted(
+            centroids.select("centroid_id", "centroid_vec").collect(),
+            key=lambda r: r.centroid_id,
+        )
+        cen_ids = np.asarray([r.centroid_id for r in cen_rows], dtype=np.int64)
+        cen_np = np.asarray(
+            [[float(x) for x in r.centroid_vec] for r in cen_rows],
+            dtype=np.float64,
+        )
+        route = _np_route(q_np, cen_np, nprobe)
+        cbs_np = np.asarray(cbs, dtype=np.float64)
+        probe_cells = []
+        raw_tab_cache = None
+        for qi in range(len(q_keys)):
+            if not residual and raw_tab_cache is None:
+                raw_tab_cache = _np_seq_sqdist_tables(q_np, cbs_np)
+            tabs = {}
+            for ci in route[qi]:
+                if residual:
+                    t = _np_seq_sqdist_tables(
+                        (q_np[qi] - cen_np[ci])[None, :], cbs_np
+                    )[0]
+                else:
+                    t = raw_tab_cache[qi]  # raw tables don't vary by cell
+                tabs[int(cen_ids[ci])] = t
+            probe_cells.append(tabs)
+        probed = sorted({cid for t in probe_cells for cid in t})
+        cand = encoded_assigned.select(
+            F.col(c_id), F.col(codes_col), F.col("centroid_id")
+        ).filter(F.col("centroid_id").isin(probed))
+        kernel = _adc_partition_topk(
+            q_keys, k, c_id, codes_col, probe_cells=probe_cells
+        )
+        part = cand.mapInPandas(
+            kernel, schema=f"q_id long, {c_id} long, adc double"
+        ).withColumnRenamed("q_id", q_id)
+        w = W.partitionBy(q_id).orderBy(F.col("adc").asc(), F.col(c_id))
+        return (
+            part.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+        )
+    if strategy != "expr":
+        raise ValueError(f"unknown ivfpq_topk strategy {strategy!r}")
     cb = F.broadcast(
         centroids.withColumn("__ncen", norm_expr(F.col("centroid_vec")))
     )

@@ -816,3 +816,64 @@ def test_ann_compact_bounds_files_and_preserves_answers(
     assert main(["ann-compact", "--index", idx], engine=Engine(spark=spark)) == 0
     assert "ANN index compacted" in capsys.readouterr().out
     assert answers() == pre
+
+
+def test_adc_pandas_strategies_bit_identical_to_expr(spark):
+    """r12 follow-up to the ANN study's flagged cost: `pq_adc_topk` and
+    `ivfpq_topk` gain the same expr/pandas auto-switch as the encode.
+    The Arrow path is BIT-identical, not approximately equal: ADC
+    tables, lookup sums, routing dots/norms are all sequential left
+    folds in index order (the `_adc_expr`/`dot_expr` discipline), ties
+    break (adc asc, id asc) / (sim desc, centroid asc) — asserted on
+    exact (id, rank, adc-to-the-double) tuples, raw AND residual, at a
+    k that forces tie-breaks, including the k-per-partition map-side
+    combine (repartitioned input)."""
+    import hashlib
+
+    from etl_edi_data_scrapper_spark.functions.similarity import (
+        ivf_index,
+        ivfpq_residual_index,
+        ivfpq_topk,
+        pq_adc_topk,
+        pq_codebooks,
+        pq_encode,
+    )
+
+    def h(i, d):
+        return (int(hashlib.md5(f"{i}:{d}".encode()).hexdigest()[:4], 16)
+                / 32768.0) - 1.0
+
+    vecs = [[10.0 * h(i, d) for d in range(8)] for i in range(300)]
+    corpus = _corpus(spark, vecs).repartition(7)
+    queries = _queries(spark, [vecs[i] for i in (3, 77, 150)], ids=(3, 77, 150))
+
+    cbs = pq_codebooks(corpus, m_sub=4, n_codes=8, dim=8, train="sample")
+    enc = pq_encode(corpus, cbs, strategy="literal")
+
+    def rows(df):
+        return sorted(
+            (r.q_id, r.rank, r.vec_id, r.adc) for r in df.collect()
+        )
+
+    a = rows(pq_adc_topk(queries, cbs, enc, k=7, strategy="expr"))
+    b = rows(pq_adc_topk(queries, cbs, enc, k=7, strategy="pandas"))
+    assert a == b and len(a) == 21
+
+    centroids, assigned = ivf_index(corpus, n_centroids=6)
+    enc_a = pq_encode(assigned, cbs, strategy="literal").select(
+        "vec_id", "codes", "centroid_id"
+    )
+    e = rows(ivfpq_topk(queries, centroids, enc_a, cbs, k=7, nprobe=3,
+                        strategy="expr"))
+    p = rows(ivfpq_topk(queries, centroids, enc_a, cbs, k=7, nprobe=3,
+                        strategy="pandas"))
+    assert e == p and len(e) == 21
+
+    rcen, renc, rcbs = ivfpq_residual_index(
+        corpus, n_centroids=6, m_sub=4, n_codes=8, dim=8
+    )
+    e = rows(ivfpq_topk(queries, rcen, renc, rcbs, k=7, nprobe=3,
+                        residual=True, strategy="expr"))
+    p = rows(ivfpq_topk(queries, rcen, renc, rcbs, k=7, nprobe=3,
+                        residual=True, strategy="pandas"))
+    assert e == p and len(e) == 21

@@ -106,3 +106,40 @@ def test_boundary_window_sees_only_boundary_rows(spark):
     got = out.select("vec_id", "cluster", "dist_micro", "proto_keep").collect()
     rows = [(r.vec_id, r.cluster, r.dist_micro) for r in got]
     assert {r.vec_id for r in got if r.proto_keep} == _spec_keep(rows, 0.5, True)
+
+
+def test_assign_clusters_ivf_pandas_matches_expr(spark):
+    """r12: the factor-300 smoke OOM'd the driver building the k=2400
+    CASE-routing expression (n_probe x k literal scoring nodes), so
+    `assign_clusters_ivf` gained the strategy switch: expr at k<=64
+    (gate-exact), Arrow/numpy above. Identical routing — same coarse
+    probe sets (stable argsort = lowest-cell ties), same fine winners
+    (lowest-index ties), sequential-fold float parity — asserted exact
+    on 90 fine centroids x 400 vectors at n_probe 1..3."""
+    import hashlib
+
+    from etl_edi_data_scrapper_spark.functions.clustering import (
+        assign_clusters_ivf,
+    )
+
+    def h(i, d):
+        return (int(hashlib.md5(f"{i}:{d}".encode()).hexdigest()[:4], 16)
+                / 32768.0) - 1.0
+
+    vecs = [[10.0 * h(i, d) for d in range(6)] for i in range(400)]
+    cents = [[10.0 * h(1000 + i, d) for d in range(6)] for i in range(90)]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    for n_probe in (1, 2, 3):
+        e = {r.vec_id: r.cluster for r in assign_clusters_ivf(
+            df, "embedding", cents, n_probe=n_probe, strategy="expr"
+        ).collect()}
+        p = {r.vec_id: r.cluster for r in assign_clusters_ivf(
+            df, "embedding", cents, n_probe=n_probe, strategy="pandas"
+        ).collect()}
+        a = {r.vec_id: r.cluster for r in assign_clusters_ivf(
+            df, "embedding", cents, n_probe=n_probe
+        ).collect()}  # 90 > 64 -> auto resolves to pandas
+        assert p == e and a == e
