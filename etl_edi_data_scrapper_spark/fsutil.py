@@ -52,8 +52,13 @@ def write_text_atomic(spark, path: str, text: str) -> None:
     fs, dst = _fs(spark, path)
     # uuid-suffixed tmp: two concurrent writers (e.g. two streams racing
     # an incarnation stamp on one checkpoint dir) must not share a tmp
-    # path, or one can rename the other's half-written file; with unique
-    # tmps, last rename wins with a complete file either way
+    # path, or one can rename the other's half-written file. Unique tmps
+    # guarantee whatever lands at ``path`` is a COMPLETE file; they do
+    # NOT serialize the race itself — Hadoop rename refuses an existing
+    # destination, so a loser can still hit the rename-failed branch in
+    # the exists/delete/rename window after the winner's rename lands.
+    # That case is tolerated below: dst then holds the winner's complete
+    # file, which is an acceptable outcome for every sidecar caller.
     tmp = spark._jvm.org.apache.hadoop.fs.Path(
         path + ".tmp." + uuid.uuid4().hex
     )
@@ -65,4 +70,9 @@ def write_text_atomic(spark, path: str, text: str) -> None:
     if fs.exists(dst):
         fs.delete(dst, False)
     if not fs.rename(tmp, dst):
+        if fs.exists(dst):
+            # lost the race to a concurrent writer whose complete file
+            # now occupies dst — drop our tmp and accept theirs
+            fs.delete(tmp, False)
+            return
         raise IOError(f"rename {tmp} -> {path} failed")

@@ -224,15 +224,31 @@ def ivf_assign(
             [[float(x) for x in r.centroid_vec] for r in rows],
             dtype=np.float64,
         )
-        cen_unit = cen_np / np.linalg.norm(cen_np, axis=1, keepdims=True)
+        ncen = np.linalg.norm(cen_np, axis=1, keepdims=True)
+        # Zero-norm centroids (e.g. a failed-embed row sampled as a
+        # literal-train centroid) must mirror the expr path, where
+        # dot/(nv*ncen) is null and desc-nulls-last never picks them:
+        # mask their sim column to -inf instead of letting a NaN row in
+        # cen_unit poison argmax (which returns the first NaN index and
+        # silently routes EVERY vector to the degenerate centroid).
+        zero_cen = (ncen == 0.0).ravel()
+        ncen[zero_cen] = 1.0
+        cen_unit = cen_np / ncen
 
         @pandas_udf("long")
         def _route(vs: pd.Series) -> pd.Series:
             x = np.asarray(vs.tolist(), dtype=np.float64)
             nx = np.linalg.norm(x, axis=1, keepdims=True)
+            zero_vec = (nx == 0.0).ravel()
             nx[nx == 0.0] = 1.0
             sims = (x / nx) @ cen_unit.T
-            return pd.Series(ids_np[sims.argmax(axis=1)])
+            sims[:, zero_cen] = -np.inf
+            out = ids_np[sims.argmax(axis=1)]
+            # expr parity: a zero-norm vector has null sim everywhere →
+            # the window (sim desc nulls-last, centroid_id asc) picks the
+            # LOWEST centroid_id, including a degenerate one.
+            out[zero_vec] = ids_np[0]
+            return pd.Series(out)
 
         return corpus.select(
             F.col(c_id), F.col(c_vec), _route(F.col(c_vec)).alias("centroid_id")
@@ -443,10 +459,30 @@ def load_ivfpq_index(
     """(centroids, encoded_assigned, codebooks) back from
     :func:`save_ivfpq_index` — drop-in arguments for :func:`ivfpq_topk`.
     The codes scan carries the ``centroid_id`` partition column, so the
-    routed ADC join prunes to the probed cells' directories."""
+    routed ADC join prunes to the probed cells' directories.
+
+    If ``codes`` is missing but a `compact_ivfpq_codes` working dir
+    survives (``codes__precompact`` = the originals moved aside,
+    ``codes__compacting`` = the rewritten layout), the error names the
+    recoverable directory instead of a bare path-not-found."""
+    codes = f"{path}/codes"
+    try:
+        codes_df = spark.read.parquet(codes)
+    except Exception as e:
+        jpath = spark._jvm.org.apache.hadoop.fs.Path
+        fs = jpath(path).getFileSystem(spark._jsc.hadoopConfiguration())
+        for leftover in (codes + "__precompact", codes + "__compacting"):
+            if fs.exists(jpath(leftover)):
+                raise IOError(
+                    f"{codes!r} is missing but a compaction working dir "
+                    f"survives at {leftover!r} — a `compact_ivfpq_codes` "
+                    f"run died mid-swap; rename it back to 'codes' to "
+                    f"recover (row sets are identical)."
+                ) from e
+        raise
     return (
         spark.read.parquet(f"{path}/centroids"),
-        spark.read.parquet(f"{path}/codes"),
+        codes_df,
         spark.read.parquet(f"{path}/codebooks"),
     )
 
@@ -655,6 +691,9 @@ def pq_encode(
     if strategy == "pandas":
         import numpy as np
 
+        from etl_edi_data_scrapper_spark.functions.clustering import (
+            _np_fold_sqdist,
+        )
         from pyspark.sql.functions import pandas_udf
 
         cb_np = np.asarray(cbs, dtype=np.float64)  # (m, n, d_sub)
@@ -664,17 +703,17 @@ def pq_encode(
         def _enc(vs: pd.Series) -> pd.Series:
             x = np.asarray(vs.tolist(), dtype=np.float64)
             out = np.empty((x.shape[0], m_sub), dtype=np.int32)
-            # row-chunked so the (rows x n_codes x d_sub) intermediate
-            # stays ~100 MB whatever the Arrow batch size
-            step = max(1, 200_000_000 // (cb_np[0].size * 8 or 1))
+            # row-chunked so the (rows x n_codes) fold intermediate stays
+            # bounded whatever the Arrow batch size
+            step = max(1, 200_000_000 // (cb_np.shape[1] * 8 or 1))
             for s in range(m_sub):
                 xs = x[:, s * d_sub : (s + 1) * d_sub]
-                cs = cb_np[s][None, :, :]
-                # direct (x − c)² differences (not the ‖x‖²−2xCᵀ+‖C‖²
-                # expansion): no cancellation, so argmin agrees with the
-                # literal path's fold on near-tie codes
+                # _np_fold_sqdist accumulates (a−b)·(a−b) per dimension in
+                # index order — the literal path's exact fold, so argmin
+                # agrees to the last ulp even on near-tie codes (the ADC
+                # paths already use the same discipline)
                 for lo in range(0, xs.shape[0], step):
-                    d2 = ((xs[lo : lo + step, None, :] - cs) ** 2).sum(-1)
+                    d2 = _np_fold_sqdist(xs[lo : lo + step], cb_np[s])
                     out[lo : lo + step, s] = d2.argmin(axis=1)
             return pd.Series(list(out))
 
@@ -796,8 +835,28 @@ def _np_route(q_np, cen_np, nprobe):
     return out
 
 
+_ADC_ID_SQL = {"long": "long", "int": "int", "string": "string"}
+
+
+def _adc_id_kind(df: DataFrame, col: str) -> str:
+    """'long' | 'int' | 'string' for an id column the Arrow ADC kernels
+    can carry; raises a crisp error otherwise — the silent auto-switch
+    above 512 codebook entries must never turn a working expr-path
+    pipeline into a mis-cast (`.simpleString()` names like 'bigint')."""
+    t = df.schema[col].dataType.simpleString()
+    kind = {"bigint": "long", "int": "int", "smallint": "int",
+            "tinyint": "int", "string": "string"}.get(t)
+    if kind is None:
+        raise ValueError(
+            f"ADC pandas strategy supports integral or string id columns; "
+            f"{col!r} is {t}. Cast it (or pass strategy='expr')."
+        )
+    return kind
+
+
 def _adc_partition_topk(q_keys, k, c_id, codes_col, tab=None,
-                        probe_cells=None, cell_col="centroid_id"):
+                        probe_cells=None, cell_col="centroid_id",
+                        id_kind="long"):
     """mapInPandas kernel factory: per-PARTITION ADC top-k per query —
     the map-side combine the window-over-everything plan lacks. Each
     batch's codes score via table lookups summed sequentially in
@@ -807,7 +866,10 @@ def _adc_partition_topk(q_keys, k, c_id, codes_col, tab=None,
 
     ``probe_cells`` (routed/IVFADC mode): dict query-index → set of cell
     ids; ``tab`` is then indexed (query, cell) → (m, n) table (residual
-    tables differ per cell). None = full-scan mode with tab (Q, m, n)."""
+    tables differ per cell). None = full-scan mode with tab (Q, m, n).
+    ``id_kind`` ('long'|'int'|'string', from `_adc_id_kind`) is the
+    CORPUS id dtype; string ids ride numpy '<U' arrays so the lexsort
+    tie-break (adc asc, id asc) matches the expr window's ordering."""
     import numpy as np
     import pandas as _pd
 
@@ -817,10 +879,12 @@ def _adc_partition_topk(q_keys, k, c_id, codes_col, tab=None,
         if tab is not None
         else next(t.shape[0] for d in probe_cells for t in d.values())
     )
+    int_ids = id_kind != "string"
+    id_empty_dtype = np.int64 if int_ids else "<U1"
 
     def run(batches):
         best_s = [np.empty(0, dtype=np.float64) for _ in range(Q)]
-        best_i = [np.empty(0, dtype=np.int64) for _ in range(Q)]
+        best_i = [np.empty(0, dtype=id_empty_dtype) for _ in range(Q)]
 
         def fold(qi, ids, scores):
             sc = np.concatenate([best_s[qi], scores])
@@ -831,7 +895,10 @@ def _adc_partition_topk(q_keys, k, c_id, codes_col, tab=None,
         for pdf in batches:
             if not len(pdf):
                 continue
-            ids = pdf[c_id].to_numpy(dtype=np.int64)
+            if int_ids:
+                ids = pdf[c_id].to_numpy(dtype=np.int64)
+            else:
+                ids = np.asarray(pdf[c_id].tolist(), dtype=str)
             codes = np.asarray(pdf[codes_col].tolist(), dtype=np.int64)
             if probe_cells is None:
                 scores = np.zeros((Q, len(ids)), dtype=np.float64)
@@ -840,12 +907,15 @@ def _adc_partition_topk(q_keys, k, c_id, codes_col, tab=None,
                 for qi in range(Q):
                     fold(qi, ids, scores[qi])
             else:
-                cells = pdf[cell_col].to_numpy(dtype=np.int64)
-                for cell in np.unique(cells):
+                # no dtype coercion: cell ids may be strings (literal-
+                # trained centroids on a string-id corpus); probe_cells
+                # keys are the same python values Row.collect yields
+                cells = pdf[cell_col].to_numpy()
+                for cell in _pd.unique(cells):
                     mask = cells == cell
                     sub_ids, sub_codes = ids[mask], codes[mask]
                     for qi in range(Q):
-                        t = probe_cells[qi].get(int(cell))
+                        t = probe_cells[qi].get(cell)
                         if t is None:
                             continue
                         sc = np.zeros(len(sub_ids), dtype=np.float64)
@@ -854,13 +924,15 @@ def _adc_partition_topk(q_keys, k, c_id, codes_col, tab=None,
                         fold(qi, sub_ids, sc)
         qcol, icol, scol = [], [], []
         for qi in range(Q):
-            qcol.extend([int(q_keys[qi])] * len(best_i[qi]))
+            qcol.extend([q_keys[qi]] * len(best_i[qi]))
             icol.extend(best_i[qi].tolist())
             scol.extend(best_s[qi].tolist())
         yield _pd.DataFrame(
             {
-                "q_id": _pd.Series(qcol, dtype=np.int64),
-                c_id: _pd.Series(icol, dtype=np.int64),
+                "q_id": _pd.Series(qcol, dtype=object),
+                c_id: _pd.Series(
+                    icol, dtype=np.int64 if int_ids else object
+                ),
                 "adc": _pd.Series(scol, dtype=np.float64),
             }
         )
@@ -905,15 +977,23 @@ def pq_adc_topk(
     if strategy == "pandas":
         import numpy as np
 
+        q_kind = _adc_id_kind(queries, q_id)
+        c_kind = _adc_id_kind(encoded, c_id)
         rows = queries.select(q_id, q_vec).collect()
-        q_keys = np.asarray([int(r[0]) for r in rows], dtype=np.int64)
+        q_keys = [r[0] for r in rows]
         q_np = np.asarray(
             [[float(x) for x in r[1]] for r in rows], dtype=np.float64
         )
         tab = _np_seq_sqdist_tables(q_np, np.asarray(cbs, dtype=np.float64))
-        kernel = _adc_partition_topk(q_keys, k, c_id, codes_col, tab=tab)
+        kernel = _adc_partition_topk(
+            q_keys, k, c_id, codes_col, tab=tab, id_kind=c_kind
+        )
         part = encoded.select(F.col(c_id), F.col(codes_col)).mapInPandas(
-            kernel, schema=f"q_id long, {c_id} long, adc double"
+            kernel,
+            schema=(
+                f"q_id {_ADC_ID_SQL[q_kind]}, "
+                f"{c_id} {_ADC_ID_SQL[c_kind]}, adc double"
+            ),
         ).withColumnRenamed("q_id", q_id)
         w = W.partitionBy(q_id).orderBy(F.col("adc").asc(), F.col(c_id))
         return (
@@ -981,8 +1061,10 @@ def ivfpq_topk(
     if strategy == "pandas":
         import numpy as np
 
+        q_kind = _adc_id_kind(queries, q_id)
+        c_kind = _adc_id_kind(encoded_assigned, c_id)
         rows = queries.select(q_id, q_vec).collect()
-        q_keys = np.asarray([int(r[0]) for r in rows], dtype=np.int64)
+        q_keys = [r[0] for r in rows]
         q_np = np.asarray(
             [[float(x) for x in r[1]] for r in rows], dtype=np.float64
         )
@@ -990,7 +1072,11 @@ def ivfpq_topk(
             centroids.select("centroid_id", "centroid_vec").collect(),
             key=lambda r: r.centroid_id,
         )
-        cen_ids = np.asarray([r.centroid_id for r in cen_rows], dtype=np.int64)
+        # centroid ids inherit the corpus id type under literal training
+        # (ivf_index train='literal' reuses corpus ids) — keep them as
+        # python values; the kernel matches them against the cell column
+        # generically
+        cen_ids = [r.centroid_id for r in cen_rows]
         cen_np = np.asarray(
             [[float(x) for x in r.centroid_vec] for r in cen_rows],
             dtype=np.float64,
@@ -1010,17 +1096,22 @@ def ivfpq_topk(
                     )[0]
                 else:
                     t = raw_tab_cache[qi]  # raw tables don't vary by cell
-                tabs[int(cen_ids[ci])] = t
+                tabs[cen_ids[ci]] = t
             probe_cells.append(tabs)
         probed = sorted({cid for t in probe_cells for cid in t})
         cand = encoded_assigned.select(
             F.col(c_id), F.col(codes_col), F.col("centroid_id")
         ).filter(F.col("centroid_id").isin(probed))
         kernel = _adc_partition_topk(
-            q_keys, k, c_id, codes_col, probe_cells=probe_cells
+            q_keys, k, c_id, codes_col, probe_cells=probe_cells,
+            id_kind=c_kind,
         )
         part = cand.mapInPandas(
-            kernel, schema=f"q_id long, {c_id} long, adc double"
+            kernel,
+            schema=(
+                f"q_id {_ADC_ID_SQL[q_kind]}, "
+                f"{c_id} {_ADC_ID_SQL[c_kind]}, adc double"
+            ),
         ).withColumnRenamed("q_id", q_id)
         w = W.partitionBy(q_id).orderBy(F.col("adc").asc(), F.col(c_id))
         return (
@@ -1277,9 +1368,13 @@ def compact_ivfpq_codes(spark, path: str) -> tuple[int, int]:
     (HDFS/S3A/local alike). Row set is unchanged (appends are id-anti-
     joined, so there are no duplicate rows to drop — this is purely a
     file-layout rewrite); centroids, codebooks, and `_meta.json` are
-    not touched. The swap is delete-then-rename, NOT atomic: run with
-    appenders and queries STOPPED. Returns (files_before, files_after)
-    counted over the codes tree's parquet data files."""
+    not touched. The swap is rename-aside → rename-in → delete-old, NOT
+    atomic: run with appenders and queries STOPPED. But every crash
+    window is recoverable without reading this source: the live codes
+    are at exactly one of ``codes`` / ``codes__precompact`` at all
+    times, and `load_ivfpq_index` names the survivor when ``codes`` is
+    missing. Returns (files_before, files_after) counted over the codes
+    tree's parquet data files."""
     codes_dir = f"{path}/codes"
     jpath = spark._jvm.org.apache.hadoop.fs.Path
     dst = jpath(codes_dir)
@@ -1310,11 +1405,30 @@ def compact_ivfpq_codes(spark, path: str) -> tuple[int, int]:
         raise IOError(
             f"compaction row-count mismatch at {tmp!r}; original untouched"
         )
-    if not fs.delete(dst, True):
-        raise IOError(f"compaction could not remove the old codes at {codes_dir!r}")
+    # rename the live codes ASIDE first (never delete before the new
+    # layout is in place): a driver death mid-swap leaves the original
+    # intact at __precompact instead of stranding the data at the temp
+    # dir with {path}/codes simply gone
+    old_dir = codes_dir.rstrip("/") + "__precompact"
+    old = jpath(old_dir)
+    if fs.exists(old):
+        fs.delete(old, True)  # leftover from a prior crashed compaction
+    if not fs.rename(dst, old):
+        raise IOError(
+            f"compaction could not move the old codes aside to "
+            f"{old_dir!r}; original untouched at {codes_dir!r}"
+        )
     if not fs.rename(src, dst):
+        # roll back so the index stays loadable
+        restored = fs.rename(old, dst)
         raise IOError(
             f"compaction wrote {tmp!r} but could not rename it over "
-            f"{codes_dir!r} — the compacted codes are intact at the temp path"
+            f"{codes_dir!r} — compacted codes intact at the temp path; "
+            + (
+                "original codes restored"
+                if restored
+                else f"original codes at {old_dir!r}"
+            )
         )
+    fs.delete(old, True)
     return files_before, _n_files(dst)

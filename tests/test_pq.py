@@ -877,3 +877,135 @@ def test_adc_pandas_strategies_bit_identical_to_expr(spark):
     p = rows(ivfpq_topk(queries, rcen, renc, rcbs, k=7, nprobe=3,
                         residual=True, strategy="pandas"))
     assert e == p and len(e) == 21
+
+def test_ivf_assign_zero_norm_centroid_parity(spark):
+    """r13 (ADVICE medium): a zero-norm centroid (e.g. a failed-embed
+    row sampled as a literal-train centroid) must never capture the
+    corpus. The expr path gets this for free (null sim sorts last); the
+    pandas path used to divide by a zero centroid norm — the NaN column
+    made np.argmax return the degenerate centroid for EVERY vector. Both
+    strategies must agree exactly, including the double-degenerate case
+    (zero-norm VECTOR too → lowest centroid_id, the expr window's
+    nulls-last + centroid_id-asc outcome)."""
+    import hashlib
+
+    from etl_edi_data_scrapper_spark.functions.similarity import ivf_assign
+
+    def h(i, d):
+        return (int(hashlib.md5(f"{i}:{d}".encode()).hexdigest()[:4], 16)
+                / 32768.0) - 1.0
+
+    vecs = [[10.0 * h(i, d) for d in range(8)] for i in range(100)]
+    vecs[17] = [0.0] * 8  # a zero-norm corpus vector rides along
+    corpus = _corpus(spark, vecs)
+    cent_rows = [(0, [0.0] * 8)] + [  # centroid_id 0 is DEGENERATE
+        (i + 1, [float(x) for x in vecs[i * 7]]) for i in range(9)
+    ]
+    centroids = spark.createDataFrame(
+        cent_rows, "centroid_id long, centroid_vec array<double>"
+    )
+    expr = {r.vec_id: r.centroid_id for r in
+            ivf_assign(corpus, centroids, strategy="expr").collect()}
+    pnd = {r.vec_id: r.centroid_id for r in
+           ivf_assign(corpus, centroids, strategy="pandas").collect()}
+    assert pnd == expr
+    assert 0 not in {c for v, c in expr.items() if v != 17}
+    assert expr[17] == 0  # zero vector: null sims everywhere -> lowest id
+    # and with no degenerate centroid, the zero VECTOR still agrees
+    clean = spark.createDataFrame(
+        cent_rows[1:], "centroid_id long, centroid_vec array<double>"
+    )
+    e2 = {r.vec_id: r.centroid_id for r in
+          ivf_assign(corpus, clean, strategy="expr").collect()}
+    p2 = {r.vec_id: r.centroid_id for r in
+          ivf_assign(corpus, clean, strategy="pandas").collect()}
+    assert p2 == e2 and e2[17] == 1  # lowest centroid_id present
+
+
+def test_adc_pandas_strategy_string_ids(spark):
+    """r13 (ADVICE): the expr ADC paths handle any id type, so the
+    silent auto-switch above 512 codebook entries must not crash (or
+    mis-cast) a string-id pipeline. String ids ride the Arrow kernels
+    and tie-break identically to the expr window (adc asc, id asc —
+    lexicographic for strings on both engines); unsupported id types
+    raise a crisp error instead of a numpy cast failure."""
+    import hashlib
+
+    import pytest as _pytest
+
+    from etl_edi_data_scrapper_spark.functions.similarity import (
+        ivf_index,
+        ivfpq_topk,
+        pq_adc_topk,
+        pq_codebooks,
+        pq_encode,
+    )
+
+    def h(i, d):
+        return (int(hashlib.md5(f"{i}:{d}".encode()).hexdigest()[:4], 16)
+                / 32768.0) - 1.0
+
+    vecs = [[10.0 * h(i, d) for d in range(8)] for i in range(120)]
+    corpus = spark.createDataFrame(
+        [(f"doc-{i:04d}", [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id string, embedding array<float>",
+    ).repartition(5)
+    queries = spark.createDataFrame(
+        [(f"q-{i}", [float(x) for x in vecs[i]]) for i in (3, 50)],
+        "q_id string, q_vec array<float>",
+    )
+    cbs = pq_codebooks(corpus, m_sub=4, n_codes=8, dim=8, train="sample",
+                       c_id="vec_id")
+    enc = pq_encode(corpus, cbs, strategy="literal")
+
+    def rows(df):
+        return sorted((r.q_id, r.rank, r.vec_id, r.adc) for r in df.collect())
+
+    a = rows(pq_adc_topk(queries, cbs, enc, k=5, strategy="expr"))
+    b = rows(pq_adc_topk(queries, cbs, enc, k=5, strategy="pandas"))
+    assert a == b and len(a) == 10
+
+    centroids, assigned = ivf_index(corpus, n_centroids=4, c_id="vec_id")
+    enc_a = pq_encode(assigned, cbs, strategy="literal").select(
+        "vec_id", "codes", "centroid_id"
+    )
+    e = rows(ivfpq_topk(queries, centroids, enc_a, cbs, k=5, nprobe=2,
+                        strategy="expr"))
+    p = rows(ivfpq_topk(queries, centroids, enc_a, cbs, k=5, nprobe=2,
+                        strategy="pandas"))
+    assert e == p and len(e) == 10
+
+    bad = corpus.withColumn("vec_id", F.col("vec_id").cast("binary"))
+    with _pytest.raises(ValueError, match="integral or string id"):
+        pq_adc_topk(queries, cbs, pq_encode(bad, cbs, strategy="literal"),
+                    k=5, strategy="pandas")
+
+
+def test_compaction_crash_leaves_recoverable_state(spark, tmp_path):
+    """r13 (ADVICE): a driver death mid-swap must not strand the codes
+    where only this module's source says to look. The swap is now
+    rename-aside (codes -> codes__precompact) before the new layout
+    renames in, and `load_ivfpq_index` names the surviving working dir
+    in its error when `codes` is missing."""
+    from etl_edi_data_scrapper_spark.functions.similarity import (
+        ivfpq_residual_index,
+        load_ivfpq_index,
+        save_ivfpq_index,
+    )
+
+    corpus = _corpus(spark, VECS8)
+    centroids, enc, cbs = ivfpq_residual_index(
+        corpus, n_centroids=2, m_sub=2, n_codes=2, dim=8
+    )
+    idx = str(tmp_path / "idx")
+    save_ivfpq_index(centroids, enc, cbs, idx, meta={"residual": True})
+    import shutil
+
+    # simulate the crash window: old codes moved aside, rename-in never ran
+    shutil.move(f"{idx}/codes", f"{idx}/codes__precompact")
+    with pytest.raises(IOError, match="codes__precompact"):
+        load_ivfpq_index(spark, idx)
+    # the documented recovery is a rename back
+    shutil.move(f"{idx}/codes__precompact", f"{idx}/codes")
+    _, codes_df, _ = load_ivfpq_index(spark, idx)
+    assert codes_df.count() == len(VECS8)
