@@ -51,8 +51,13 @@ def main() -> None:
     # anyway for the timings but withhold baseline_pass (null = "not
     # certified") instead of letting a gate that detected its own
     # invalidating condition certify the run (r8 shipped start-load 7.82).
+    # r13 (verdict #5): the r12 suite certified after a 30 s wait at load
+    # 2.77 and drifted +19% raw with broad slowdowns on untouched queries
+    # — the old >4.0 trigger was too lenient. Now wait for load ≤ 1.0
+    # (up to 10 min), and anything still above 2.5 at start withholds
+    # certification, not just 4.0.
     hot_waited = 0
-    while load_start > 4.0 and hot_waited < 300:
+    while load_start > 1.0 and hot_waited < 600:
         time.sleep(30)
         hot_waited += 30
         load_start = round(os.getloadavg()[0], 2)
@@ -95,7 +100,7 @@ def main() -> None:
     }
     if hot_waited:
         out["hot_start_waited_sec"] = hot_waited
-    if load_start > 4.0:
+    if load_start > 2.5:
         out["load_hot_start"] = True  # timings run, certification withheld
 
     # self-detecting regression gate: host-normalized per-query ratio vs the
@@ -123,16 +128,26 @@ def main() -> None:
         # shared-host noise produces transient 2-8x swings on single
         # queries (measured the same untouched projection at 0.8x and 8x
         # an hour apart); a genuine plan regression reproduces, noise does
-        # not — so re-time every >1.5x candidate once and keep the min
+        # not — so re-time every >1.4x candidate once and keep the min
         # (r8: was breach-only, which let r7's load-inflated semdedup 2.3x
-        # ship without a confirmation pass). r11: the retime runs in a
-        # FRESH SparkSession — 50 queries of accumulated session state
-        # (heap fragmentation, broadcast/cleaner backlog, Python worker
-        # residue) inflated an untouched Pandas-UDF query to 3.2x its
-        # anchor INSIDE the bench session while a fresh session measured
-        # it at its anchor; an in-session retime re-measures the noise,
-        # not the query. A real plan regression reproduces fresh.
-        candidates = [q for q in ratios if breach(q) or ratios[q] > 1.5]
+        # ship without a confirmation pass; r13: trigger lowered 1.5→1.4
+        # after the suite max landed at 1.47 and 1.46 — just under the
+        # old trigger — two rounds running, shipping unconfirmed both
+        # times). r11: the retime runs in a FRESH SparkSession — 50
+        # queries of accumulated session state (heap fragmentation,
+        # broadcast/cleaner backlog, Python worker residue) inflated an
+        # untouched Pandas-UDF query to 3.2x its anchor INSIDE the bench
+        # session while a fresh session measured it at its anchor; an
+        # in-session retime re-measures the noise, not the query. A real
+        # plan regression reproduces fresh. r13 (verdict #5): the top-3
+        # movers ALWAYS retime fresh-session, threshold or not, so a
+        # broad-drift round documents its movers instead of shipping
+        # them unmeasured.
+        top_movers = sorted(ratios, key=ratios.get, reverse=True)[:3]
+        candidates = sorted(
+            set(top_movers)
+            | {q for q in ratios if breach(q) or ratios[q] > 1.4}
+        )
         if candidates:
             from etl_edi_data_scrapper_spark.suite import QUERIES as _Q
 

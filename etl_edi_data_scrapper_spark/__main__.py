@@ -275,6 +275,14 @@ def main(argv: list[str] | None = None, engine=None) -> int:
         help="encode raw vectors instead of residuals (residual encoding "
         "is the canonical IVFADC and strictly finer at the same budget)",
     )
+    pa.add_argument(
+        "--opq", action="store_true",
+        help="learn an OPQ rotation (Ge et al. 2013) on a bounded sample "
+        "and build the whole index in rotated space — redistributes "
+        "variance across subspaces so the same code budget ranks "
+        "better standalone; the rotation rides _meta.json, so ann-query "
+        "and appends apply it automatically",
+    )
 
     pn = sub.add_parser(
         "ann-query",
@@ -314,6 +322,15 @@ def main(argv: list[str] | None = None, engine=None) -> int:
         "STOPPED, like compact-store",
     )
     pp2.add_argument("--index", required=True, help="ann-index dir")
+
+    psi = sub.add_parser(
+        "store-info",
+        help="identify and audit a persisted store (ivfpq-index, "
+        "url-store, bloom-store, neardup-store, stream-checkpoint): "
+        "prints the sidecar(s) + row/file counts as one JSON object; "
+        "refuses unknown layouts",
+    )
+    psi.add_argument("--store", required=True, help="store/checkpoint dir")
 
     pn.add_argument(
         "--residual",
@@ -457,6 +474,21 @@ def main(argv: list[str] | None = None, engine=None) -> int:
         )
 
         emb = engine.spark.read.parquet(args.embeddings)
+        rotation = None
+        if args.opq:
+            from etl_edi_data_scrapper_spark.functions.similarity import (
+                apply_rotation,
+                opq_train,
+            )
+
+            rotation, _ = opq_train(
+                emb, m_sub=args.m_sub, n_codes=args.n_codes, dim=args.dim,
+                c_id=args.id_col, c_vec=args.vec_col,
+            )
+            # both quantizers retrain distributed below on the rotated
+            # corpus (fit_fraction-able); opq_train's sample codebooks
+            # only served the rotation's alternation
+            emb = apply_rotation(emb, rotation, vec_col=args.vec_col)
         if args.no_residual:
             centroids, assigned = ivf_index(
                 emb, n_centroids=args.n_centroids,
@@ -490,6 +522,8 @@ def main(argv: list[str] | None = None, engine=None) -> int:
             "n_codes": args.n_codes,
             "train": args.train,
         }
+        if rotation is not None:
+            meta["opq_rotation"] = rotation
         save_ivfpq_index(
             centroids, enc, cbs, args.output, c_id=args.id_col, meta=meta
         )
@@ -512,6 +546,17 @@ def main(argv: list[str] | None = None, engine=None) -> int:
         )
         return 0
 
+    if args.cmd == "store-info":
+        from etl_edi_data_scrapper_spark.store_info import describe_store
+
+        try:
+            info = describe_store(engine.spark, args.store)
+        except ValueError as e:
+            print(f"ERROR: {e}")
+            return 1
+        print(json.dumps(info, indent=1, sort_keys=True, default=str))
+        return 0
+
     if args.cmd == "ann-query":
         from pyspark.sql import functions as F
 
@@ -529,6 +574,16 @@ def main(argv: list[str] | None = None, engine=None) -> int:
             F.col(args.vec_col).alias("q_vec"),
         )
         cid = meta.get("id_col", "vec_id")
+        # an OPQ index (ann-index --opq) scores ADC in rotated space;
+        # the rotation rides _meta.json so the caller needs no flag
+        rotation = meta.get("opq_rotation")
+        q_short = None
+        if rotation:
+            from etl_edi_data_scrapper_spark.functions.similarity import (
+                apply_rotation,
+            )
+
+            q_short = apply_rotation(queries, rotation, vec_col="q_vec")
         residual = meta.get("residual")
         if args.residual != "auto":
             residual = args.residual == "yes"
@@ -561,10 +616,12 @@ def main(argv: list[str] | None = None, engine=None) -> int:
                 queries, centroids, enc, cbs, corpus,
                 k=args.k, k_factor=args.k_factor, nprobe=args.nprobe,
                 c_id=cid, c_vec=rerank_vec, residual=residual,
+                shortlist_queries=q_short,
             )
         else:
             out = ivfpq_topk(
-                queries, centroids, enc, cbs,
+                q_short if q_short is not None else queries,
+                centroids, enc, cbs,
                 k=args.k, nprobe=args.nprobe, c_id=cid, residual=residual,
             )
         sinkmod.write_parquet(out, args.output, mode="overwrite")

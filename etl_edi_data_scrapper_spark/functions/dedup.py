@@ -182,6 +182,22 @@ def minhash_candidate_pairs(
 # died at ~43M pairs / >1 GB) and the shuffled path wins outright.
 _BROADCAST_PAIRS_MAX = 2_000_000
 
+# r13 (verdict #6): below this Catalyst size estimate for the candidate
+# plan, 'auto' broadcasts WITHOUT the checkpoint+count probe — the probe
+# costs two extra job round-trips per call, which is pure overhead on
+# gate/bench-scale frames (minhash_lsh carries two of them). The
+# estimate traces back to the (accurate) source-scan bytes through
+# projection ratios; it does NOT model bucket_pairs' quadratic pair
+# expansion — measured (r13, suite geometry): est 34 KB at sf0.01,
+# 317 KB at sf0.1, 19 MB at 300× where the ACTUAL pair count is 43M
+# (~2 GB serialized), i.e. the estimate understates real pair bytes by
+# ~100×. The threshold is calibrated against the probe's own cutoff:
+# 2M pairs (the broadcast limit) back-scale to an estimate of ~0.9 MB
+# on this pipeline, so 512 KB keeps every gate-fired broadcast
+# comfortably inside what the probe itself would have chosen, while
+# still covering the bench scales the gate exists for.
+_BROADCAST_EST_CERTAIN_BYTES = 512 << 10
+
 
 def jaccard_pairs(
     df: DataFrame,
@@ -222,7 +238,11 @@ def jaccard_pairs(
       first, and (measured, r12) AQE respects explicit merge/
       shuffle_hash hints rather than promoting small sides back to
       broadcast — so the count probe is the only path that adapts in
-      BOTH directions.
+      BOTH directions. r13 (verdict #6): the probe itself is gated on
+      Catalyst's plan-size estimate, `_spread_small_scan`-style — a
+      candidate plan estimating ≤ `_BROADCAST_EST_CERTAIN_BYTES`
+      broadcasts directly (no checkpoint, no count job); only ambiguous
+      sizes pay the measurement.
     """
     # widen the doc scan first: a compact corpus file yields few input
     # splits, and without this the whole shingle computation runs on ONE
@@ -232,10 +252,31 @@ def jaccard_pairs(
     sa, sb = sh.alias("sa"), sh.alias("sb")
     pairs = pairs.alias("p")
     if broadcast_candidates == "auto":
-        pairs = pairs.localCheckpoint(eager=True)
-        broadcast_candidates = pairs.count() <= _BROADCAST_PAIRS_MAX
-        if not broadcast_candidates:
-            pairs = pairs.hint("merge")
+        from etl_edi_data_scrapper_spark.functions.clustering import (
+            _plan_size_bytes,
+        )
+
+        if _plan_size_bytes(pairs) <= _BROADCAST_EST_CERTAIN_BYTES:
+            broadcast_candidates = True  # certainly small: skip the probe
+        else:
+            from pyspark import StorageLevel
+
+            # DISK_ONLY: a probe-path candidate frame is by definition
+            # possibly huge (the r13 300× smoke measured 191M pairs,
+            # ~6 GB deserialized), and it is read exactly twice (count,
+            # then one join pass). Caching it in the unified pool
+            # starved the DOWNSTREAM aggregates instead — the storage
+            # floor (spark.memory.storageFraction) is unevictable, and
+            # connected_components' first distinct died with
+            # AGGREGATE_OUT_OF_MEMORY at 24 g AND 48 g while three
+            # multi-GB checkpoints sat in the pool. Disk blocks cost
+            # two sequential reads and zero pool pressure.
+            pairs = pairs.localCheckpoint(
+                eager=True, storageLevel=StorageLevel.DISK_ONLY
+            )
+            broadcast_candidates = pairs.count() <= _BROADCAST_PAIRS_MAX
+            if not broadcast_candidates:
+                pairs = pairs.hint("merge")
     if broadcast_candidates is True:
         pairs = F.broadcast(pairs)
     inter = F.size(F.array_intersect(F.col("sa.sh"), F.col("sb.sh")))
@@ -657,6 +698,16 @@ def connected_components(
     # ~1000 s jaccard verification and pushed dedup_clusters to 994×
     # (3.3× over ideal-linear); the explode runs it once for both
     # directions and checkpoints the same edge set
+    # DISK_ONLY (r13): the edge set is the largest long-lived frame of
+    # the whole dedup pipeline (2 × verified pairs — 382M rows in the
+    # r13 300× smoke), re-read once per propagation round. In the
+    # unified pool it starved the very first labels distinct
+    # (AGGREGATE_OUT_OF_MEMORY at 24 g and 48 g alike — execution could
+    # not claim pages past the storage floor); on disk it costs one
+    # sequential scan per round and the aggregates get the whole pool.
+    # Gate-scale edge sets are KBs, where a disk re-read is free.
+    from pyspark import StorageLevel
+
     edges = (
         pairs.select(
             F.explode(
@@ -671,7 +722,7 @@ def connected_components(
             ).alias("e")
         )
         .select(F.col("e.src").alias("src"), F.col("e.dst").alias("dst"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
     )
     labels = (
         edges.select(F.col("src").alias("node"))

@@ -215,11 +215,18 @@ def ivf_assign(
 
         from pyspark.sql.functions import pandas_udf
 
+        # centroid ids inherit the corpus id type under literal training
+        # — carry strings as object arrays and emit the matching schema
+        # (the ADC kernels' r13 discipline)
+        cen_kind = _adc_id_kind(centroids, "centroid_id")
         rows = sorted(
             centroids.select("centroid_id", "centroid_vec").collect(),
             key=lambda r: r.centroid_id,
         )
-        ids_np = np.asarray([r.centroid_id for r in rows], dtype=np.int64)
+        ids_np = np.asarray(
+            [r.centroid_id for r in rows],
+            dtype=np.int64 if cen_kind != "string" else object,
+        )
         cen_np = np.asarray(
             [[float(x) for x in r.centroid_vec] for r in rows],
             dtype=np.float64,
@@ -235,7 +242,7 @@ def ivf_assign(
         ncen[zero_cen] = 1.0
         cen_unit = cen_np / ncen
 
-        @pandas_udf("long")
+        @pandas_udf(_ADC_ID_SQL[cen_kind])
         def _route(vs: pd.Series) -> pd.Series:
             x = np.asarray(vs.tolist(), dtype=np.float64)
             nx = np.linalg.norm(x, axis=1, keepdims=True)
@@ -628,6 +635,159 @@ def _collect_codebooks(
     for r in rows:
         out[r.sub_id][r.code_id] = [float(x) for x in r.sub_vec]
     return out  # type: ignore[return-value]
+
+
+# ---------------------------------------------------------------------------
+# OPQ — Ge, He, Ke, Sun, "Optimized Product Quantization" (CVPR 2013;
+# TPAMI 2014), the non-parametric variant (Algorithm: alternate
+# per-subspace k-means on rotated data with an orthogonal-Procrustes
+# rotation update R = UVᵀ from SVD(XᵀY)). PQ's blind d/m_sub slicing
+# leaves correlated/unbalanced variance inside subspaces; a learned
+# rotation redistributes it so the SAME code budget quantizes finer —
+# the standard FAISS recipe ("OPQ16,IVF...,PQ16") when 8–16 bytes must
+# rank on their own (r12 study: raw 8-byte codes plateau at 0.19
+# recall@10 at σ-noise hardness; see ANN_QUALITY_r13.json for the
+# bytes ± rotation ladder).
+#
+# Scale shape: training is driver-resident numpy over a bounded
+# deterministic sample (md5-ordered TakeOrderedAndProject — FAISS trains
+# OPQMatrix on max_train_points, never the corpus); the model is a d×d
+# rotation (64×64 = 32 KB) broadcast as a literal; application is an
+# Arrow-batched matmul — per-row, ZERO shuffle, the corpus never moves.
+# L2 is rotation-invariant, so exact top-k in rotated space equals exact
+# top-k in the original space; only the quantization error changes.
+# Float-iterative (SVD + Lloyd's) → pinned by tests, not SQL-oracled,
+# same as kmeans.
+# ---------------------------------------------------------------------------
+
+
+def _np_subspace_kmeans(xs, n_codes: int, n_iters: int):
+    """Deterministic per-subspace Lloyd's for OPQ training: init = first
+    ``n_codes`` rows of the (md5-ordered) sample, BLAS-expansion
+    distances (training picks centroids; cross-strategy ulp parity is
+    an ENCODE concern, handled by pq_encode). Empty cells keep their
+    previous centroid."""
+    import numpy as np
+
+    cent = xs[: min(n_codes, xs.shape[0])].copy()
+    for _ in range(n_iters):
+        d2 = (
+            (xs * xs).sum(1, keepdims=True)
+            - 2.0 * (xs @ cent.T)
+            + (cent * cent).sum(1)[None, :]
+        )
+        a = d2.argmin(1)
+        for c in range(cent.shape[0]):
+            m = a == c
+            if m.any():
+                cent[c] = xs[m].mean(0)
+    return cent
+
+
+def _np_opq_train(x, m_sub: int, n_codes: int, n_iters: int = 10,
+                  kmeans_iters: int = 4):
+    """OPQ-NP on an in-memory float64 sample: returns (R (d, d) with
+    det ±1, codebooks (m, n, d_sub)) minimizing ‖xR − quantize(xR)‖².
+    Deterministic: identity init, per-subspace first-rows k-means init,
+    numpy SVD."""
+    import numpy as np
+
+    n, d = x.shape
+    d_sub = d // m_sub
+    R = np.eye(d)
+    cbs = None
+    for _ in range(n_iters):
+        xr = x @ R
+        y = np.empty_like(xr)
+        cbs = []
+        for s in range(m_sub):
+            xs = xr[:, s * d_sub : (s + 1) * d_sub]
+            cent = _np_subspace_kmeans(xs, n_codes, kmeans_iters)
+            d2 = (
+                (xs * xs).sum(1, keepdims=True)
+                - 2.0 * (xs @ cent.T)
+                + (cent * cent).sum(1)[None, :]
+            )
+            y[:, s * d_sub : (s + 1) * d_sub] = cent[d2.argmin(1)]
+            cbs.append(cent)
+        u, _, vt = np.linalg.svd(x.T @ y)
+        R = u @ vt
+    return R, cbs
+
+
+def opq_train(
+    corpus: DataFrame,
+    m_sub: int = 8,
+    n_codes: int = 256,
+    dim: int = 64,
+    c_id: str = "vec_id",
+    c_vec: str = "embedding",
+    n_iters: int = 10,
+    kmeans_iters: int = 4,
+    max_train_rows: int = 65536,
+) -> tuple[list[list[float]], list[list[list[float]]]]:
+    """Train an OPQ rotation + codebooks on a bounded deterministic
+    sample (the ``max_train_rows`` vectors whose md5(id) sorts lowest —
+    per-partition heaps, no global sort, stable across partitionings;
+    the `kmeans_fit` init discipline stretched to a training set).
+    Returns (R as a nested list for literal/broadcast use, codebooks in
+    `pq_encode`'s [sub][code] layout — trained on ROTATED data, so
+    encode/ADC must run on `apply_rotation`-ed vectors)."""
+    if dim % m_sub != 0:
+        raise ValueError(f"dim {dim} not divisible by m_sub {m_sub}")
+    import numpy as np
+
+    rows = (
+        corpus.select(F.col(c_id), F.col(c_vec))
+        .orderBy(F.md5(F.col(c_id).cast("string")))
+        .limit(max_train_rows)
+        .collect()
+    )
+    if not rows:
+        raise ValueError("opq_train: empty corpus")
+    x = np.asarray([[float(v) for v in r[1]] for r in rows], dtype=np.float64)
+    if x.shape[1] != dim:
+        raise ValueError(f"opq_train: vectors are dim {x.shape[1]}, not {dim}")
+    R, cbs = _np_opq_train(x, m_sub, n_codes, n_iters, kmeans_iters)
+    return (
+        [[float(v) for v in row] for row in R],
+        [[[float(v) for v in c] for c in cb] for cb in cbs],
+    )
+
+
+def apply_rotation(
+    df: DataFrame,
+    rotation: list[list[float]],
+    vec_col: str = "embedding",
+    out_col: str | None = None,
+) -> DataFrame:
+    """``out_col = vec @ R`` as array<double> — Arrow-batched matmul
+    against the driver-resident d×d rotation, per-row and ZERO shuffle
+    (the OPQ preprocessing step for corpus AND queries; downstream PQ
+    ops are unchanged). Overwrites ``vec_col`` when ``out_col`` is
+    None — the common build shape, since nothing downstream should see
+    unrotated vectors by accident."""
+    import numpy as np
+
+    from pyspark.sql.functions import pandas_udf
+
+    r_np = np.asarray(rotation, dtype=np.float64)
+    if r_np.ndim != 2 or r_np.shape[0] != r_np.shape[1]:
+        raise ValueError(f"rotation must be square, got {r_np.shape}")
+
+    @pandas_udf("array<double>")
+    def _rot(vs: pd.Series) -> pd.Series:
+        if not len(vs):
+            return pd.Series([], dtype=object)
+        x = np.asarray(vs.tolist(), dtype=np.float64)
+        if x.shape[1] != r_np.shape[0]:
+            raise ValueError(
+                f"apply_rotation: vectors are dim {x.shape[1]}, rotation "
+                f"is {r_np.shape[0]}x{r_np.shape[1]}"
+            )
+        return pd.Series(list(x @ r_np))
+
+    return df.withColumn(out_col or vec_col, _rot(F.col(vec_col)))
 
 
 def _sq_dist(a: Column, b: Column) -> Column:
@@ -1285,6 +1445,14 @@ def append_to_ivfpq_index(
             "refusing to append NULL codes"
         )
     codebooks = cbs  # already collected: every op below inlines the literal
+    # an OPQ-built index (ann-index --opq) lives entirely in rotated
+    # space — centroids AND codebooks; an unrotated batch would encode
+    # against them silently wrong, and the id anti-join would make it
+    # permanent. The rotation rides _meta.json, so appends stay correct
+    # with no caller knowledge.
+    rot = meta.get("opq_rotation")
+    if rot:
+        batch = apply_rotation(batch, rot, vec_col=c_vec)
     assigned = ivf_assign(batch, centroids, c_id=c_id, c_vec=c_vec)
     if residual:
         res = assigned.join(F.broadcast(centroids), "centroid_id").withColumn(
@@ -1320,6 +1488,7 @@ def ivfpq_topk_rerank(
     codes_col: str = "codes",
     c_vec: str = "embedding",
     residual: bool = False,
+    shortlist_queries: DataFrame | None = None,
 ) -> DataFrame:
     """The production two-stage ladder (Jégou 2011 §V's refinement step):
     ADC shortlists ``k × k_factor`` candidates per query from the 8-byte
@@ -1329,9 +1498,16 @@ def ivfpq_topk_rerank(
     neighbor out of the shortlist — recall approaches the probed cells'
     exact answer as ``k_factor`` grows, while the float fetch stays
     O(queries × k × k_factor) rows regardless of corpus size. Returns
-    (q_id, c_id, d, rank) with exact distances."""
+    (q_id, c_id, d, rank) with exact distances.
+
+    ``shortlist_queries`` (OPQ indexes): the ADC stage scores in the
+    index's ROTATED space, so it needs rotated query vectors, while the
+    exact rerank joins the UNROTATED primary store and must use the
+    original ``queries`` (L2 is rotation-invariant, so the exact
+    distances agree either way — but mixing spaces inside one distance
+    would not). Same q_id values, rotated q_vec."""
     short = ivfpq_topk(
-        queries,
+        shortlist_queries if shortlist_queries is not None else queries,
         centroids,
         encoded_assigned,
         codebooks,

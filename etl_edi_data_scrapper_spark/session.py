@@ -37,6 +37,23 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # start every shuffle FINE and let AQE coalesce down to the
+        # advisory size: with initialPartitionNum = cores, a factor-300
+        # input pushed one map task's aggregate hash state past the pool
+        # (r13 smoke: AGGREGATE_OUT_OF_MEMORY in dedup_clusters' pair
+        # distinct at 24 g/32 threads) — per-task state must SHRINK as
+        # data grows, which needs more reduce partitions, not more
+        # memory. 8× cores here; real clusters size it ~2-4× total cores
+        # via SPARK_INITIAL_SHUFFLE_PARTITIONS. At bench scale AQE
+        # coalesces the extra partitions back to the same effective
+        # layout, so small-query plans are unchanged.
+        .config(
+            "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+            os.environ.get(
+                "SPARK_INITIAL_SHUFFLE_PARTITIONS",
+                str(int(shuffle_partitions) * 8),
+            ),
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         # let AQE coalesce CACHED plans too (off by default): the iterative
         # operators (connected components, k-means) persist small label /

@@ -1,4 +1,4 @@
-"""ANN quality study at production geometry (r11 verdict #2).
+"""ANN quality study at production geometry (r11 verdict #2; r13 ladder).
 
 The gate runs the PQ/IVFADC family at toy geometry (m_sub=8, n_codes=16,
 2k vectors) — enough to hash-oracle the op order, not to certify the
@@ -11,12 +11,21 @@ operating point. This study measures, at FAISS-standard geometry
   (b) recall@10 vs the EXACT (numpy, independent) squared-L2 answer for
       the three tiers — full-scan ADC, routed IVFADC over nprobe, and
       the k_factor exact-rerank ladder;
-  (c) end-to-end build/query wall times at this geometry.
+  (c) end-to-end build/query wall times at this geometry;
+  (d) r13 (verdict #3): the bytes ± rotation ladder — standalone
+      full-scan ADC recall at m_sub ∈ {8, 16} (8 vs 16 bytes/vector),
+      each raw and OPQ-rotated (Ge et al. 2013) — the two public levers
+      FAISS practice uses when codes must rank on their own (the r12
+      finding: 8 raw bytes plateau at 0.19 recall@10 at σ-noise
+      hardness regardless of nprobe).
 
-Writes one JSON artifact (default ANN_QUALITY_r12.json). Run on an idle
-host; heavy legs log progress to stderr.
+All tiers run strategy='auto' (the production path at this geometry —
+Arrow kernels; r12's adc_full_scan row predates the switch and is
+superseded by this artifact). Writes one JSON artifact (default
+ANN_QUALITY_r13.json). Run on an idle host; heavy legs log to stderr.
 
 Usage: python tools/ann_quality_study.py [--n 100000] [--out PATH]
+       [--skip-ladder] [--skip-plan-build]
 """
 
 from __future__ import annotations
@@ -76,7 +85,9 @@ def main() -> int:
     ap.add_argument("--m-sub", type=int, default=8)
     ap.add_argument("--n-codes", type=int, default=256)
     ap.add_argument("--fit-fraction", type=float, default=0.1)
-    ap.add_argument("--out", default="ANN_QUALITY_r12.json")
+    ap.add_argument("--out", default="ANN_QUALITY_r13.json")
+    ap.add_argument("--skip-ladder", action="store_true")
+    ap.add_argument("--skip-plan-build", action="store_true")
     args = ap.parse_args()
 
     import pandas as pd
@@ -84,9 +95,11 @@ def main() -> int:
     from pyspark.sql import functions as F
 
     from etl_edi_data_scrapper_spark.functions.similarity import (
+        apply_rotation,
         ivfpq_residual_index,
         ivfpq_topk,
         ivfpq_topk_rerank,
+        opq_train,
         pq_adc_topk,
         pq_codebooks,
         pq_encode,
@@ -139,7 +152,7 @@ def main() -> int:
     # Catalyst analysis/optimization cost of the nested-array literal
     d_sub = args.dim // args.m_sub
     plan_build = {"literal": {}, "auto": {}}
-    for strat in ("literal", "auto"):
+    for strat in () if args.skip_plan_build else ("literal", "auto"):
         for nc in (16, 256, 1024):
             fake = [[[float(s + c) for _ in range(d_sub)] for c in range(nc)]
                     for s in range(args.m_sub)]
@@ -244,6 +257,62 @@ def main() -> int:
         log(f"rerank kf={kf}: {tiers['rerank_by_k_factor'][str(kf)]}")
 
     result["tiers"] = tiers
+
+    # ---- (d) bytes ± rotation ladder: standalone ADC recall -----------
+    # isolates QUANTIZATION quality from routing: full-scan ADC at
+    # m_sub 8 vs 16 (8 vs 16 bytes/vector at n_codes=256), each raw and
+    # OPQ-rotated. Rotation preserves exact L2 top-k, so `truth` is
+    # reused unchanged; queries are rotated alongside the corpus.
+    if not args.skip_ladder:
+        ladder: dict = {}
+        for m in (8, 16):
+            log(f"ladder: m_sub={m} raw (kmeans codebooks) ...")
+            t0 = time.time()
+            cbs_m = _collect_codebooks(pq_codebooks(
+                corpus, m_sub=m, n_codes=args.n_codes, dim=args.dim,
+                train="kmeans", fit_fraction=args.fit_fraction,
+            ))
+            fit_s = round(time.time() - t0, 1)
+            t0 = time.time()
+            codes_m = pq_encode(corpus, cbs_m).select("vec_id", "codes")
+            rows = [
+                (r.q_id, r.vec_id)
+                for r in pq_adc_topk(queries, cbs_m, codes_m, k=10).collect()
+            ]
+            ladder[f"m{m}_raw"] = {
+                "bytes_per_vector": m,
+                "recall_at_10": round(recall(rows, truth, q_rows), 4),
+                "fit_sec": fit_s,
+                "encode_plus_scan_sec": round(time.time() - t0, 1),
+            }
+            log(f"ladder m{m}_raw: {ladder[f'm{m}_raw']}")
+
+            log(f"ladder: m_sub={m} OPQ (Ge et al. NP, sampled) ...")
+            t0 = time.time()
+            R, opq_cbs = opq_train(
+                corpus, m_sub=m, n_codes=args.n_codes, dim=args.dim,
+                n_iters=8, kmeans_iters=4,
+            )
+            fit_s = round(time.time() - t0, 1)
+            t0 = time.time()
+            corpus_rot = apply_rotation(corpus, R)
+            queries_rot = apply_rotation(queries, R, vec_col="q_vec")
+            codes_r = pq_encode(corpus_rot, opq_cbs).select("vec_id", "codes")
+            rows = [
+                (r.q_id, r.vec_id)
+                for r in pq_adc_topk(
+                    queries_rot, opq_cbs, codes_r, k=10
+                ).collect()
+            ]
+            ladder[f"m{m}_opq"] = {
+                "bytes_per_vector": m,
+                "recall_at_10": round(recall(rows, truth, q_rows), 4),
+                "fit_sec": fit_s,
+                "encode_plus_scan_sec": round(time.time() - t0, 1),
+            }
+            log(f"ladder m{m}_opq: {ladder[f'm{m}_opq']}")
+        result["bytes_rotation_ladder"] = ladder
+
     with open(args.out, "w") as fh:
         json.dump(result, fh, indent=1)
     print(json.dumps(result))
