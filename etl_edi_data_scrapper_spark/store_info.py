@@ -137,6 +137,21 @@ def describe_store(spark: SparkSession, path: str) -> dict[str, Any]:
             out["crashed_compaction_dirs"] = leftovers
         return out
 
+    # --- ivf-flat index: centroids + assigned, no codes/meta ------------
+    if all(
+        _exists(spark, f"{path}/{d}") for d in ("centroids", "assigned")
+    ) and not _exists(spark, f"{path}/codes"):
+        out["type"] = "ivf-index"
+        assigned = spark.read.parquet(f"{path}/assigned")
+        out["rows"] = assigned.count()
+        out["cells"] = assigned.select("centroid_id").distinct().count()
+        out["centroid_rows"] = spark.read.parquet(
+            f"{path}/centroids"
+        ).count()
+        out["keeps_float_vectors"] = True  # vs the IVFPQ code store
+        out["data_files"] = _data_files(spark, f"{path}/assigned")
+        return out
+
     # --- stream checkpoint: incarnation stamp --------------------------
     stamp = fsutil.read_text(spark, f"{path}/__incarnation__")
     df = _try_parquet(spark, path)

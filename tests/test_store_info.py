@@ -146,3 +146,23 @@ def test_store_info_checkpoint_and_unknown_refusal(spark, tmp_path, capsys):
         spark, ["store-info", "--store", str(tmp_path / "absent")], capsys
     )
     assert rc == 1
+
+def test_store_info_ivf_flat_index(spark, tmp_path, capsys):
+    from etl_edi_data_scrapper_spark.functions.similarity import (
+        ivf_index,
+        save_ivf_index,
+    )
+
+    corpus = spark.createDataFrame(
+        [(i, [float(i == j) for j in range(8)]) for i in range(10)],
+        "vec_id long, embedding array<float>",
+    )
+    centroids, assigned = ivf_index(corpus, n_centroids=2)
+    idx = str(tmp_path / "ivf")
+    save_ivf_index(centroids, assigned, idx)
+    rc, out = _cli(spark, ["store-info", "--store", idx], capsys)
+    assert rc == 0
+    info = json.loads(out)
+    assert info["type"] == "ivf-index"
+    assert info["rows"] == 10 and info["cells"] == 2
+    assert info["keeps_float_vectors"] is True

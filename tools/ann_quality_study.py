@@ -261,43 +261,52 @@ def main() -> int:
     # ---- (d) bytes ± rotation ladder: standalone ADC recall -----------
     # isolates QUANTIZATION quality from routing: full-scan ADC at
     # m_sub 8 vs 16 (8 vs 16 bytes/vector at n_codes=256), each raw and
-    # OPQ-rotated. Rotation preserves exact L2 top-k, so `truth` is
-    # reused unchanged; queries are rotated alongside the corpus.
-    if not args.skip_ladder:
+    # OPQ-rotated. Rotation preserves exact L2 top-k, so the ground
+    # truth is reused unchanged; queries are rotated alongside the
+    # corpus. Run on TWO corpora: the study's isotropic clusters
+    # (variance already balanced across subspaces — OPQ's predicted
+    # no-op case) and an anisotropic one (decaying per-dim spectrum
+    # mixed by a random rotation — the shape real text embeddings have,
+    # and OPQ's win case per Ge et al. §1).
+    def run_ladder(tag, corpus_df, queries_df, truth_l, q_rows_l):
         ladder: dict = {}
         for m in (8, 16):
-            log(f"ladder: m_sub={m} raw (kmeans codebooks) ...")
+            log(f"ladder[{tag}]: m_sub={m} raw (kmeans codebooks) ...")
             t0 = time.time()
             cbs_m = _collect_codebooks(pq_codebooks(
-                corpus, m_sub=m, n_codes=args.n_codes, dim=args.dim,
+                corpus_df, m_sub=m, n_codes=args.n_codes, dim=args.dim,
                 train="kmeans", fit_fraction=args.fit_fraction,
             ))
             fit_s = round(time.time() - t0, 1)
             t0 = time.time()
-            codes_m = pq_encode(corpus, cbs_m).select("vec_id", "codes")
+            codes_m = pq_encode(corpus_df, cbs_m).select("vec_id", "codes")
             rows = [
                 (r.q_id, r.vec_id)
-                for r in pq_adc_topk(queries, cbs_m, codes_m, k=10).collect()
+                for r in pq_adc_topk(
+                    queries_df, cbs_m, codes_m, k=10
+                ).collect()
             ]
             ladder[f"m{m}_raw"] = {
                 "bytes_per_vector": m,
-                "recall_at_10": round(recall(rows, truth, q_rows), 4),
+                "recall_at_10": round(recall(rows, truth_l, q_rows_l), 4),
                 "fit_sec": fit_s,
                 "encode_plus_scan_sec": round(time.time() - t0, 1),
             }
-            log(f"ladder m{m}_raw: {ladder[f'm{m}_raw']}")
+            log(f"ladder[{tag}] m{m}_raw: {ladder[f'm{m}_raw']}")
 
-            log(f"ladder: m_sub={m} OPQ (Ge et al. NP, sampled) ...")
+            log(f"ladder[{tag}]: m_sub={m} OPQ (Ge et al. NP) ...")
             t0 = time.time()
             R, opq_cbs = opq_train(
-                corpus, m_sub=m, n_codes=args.n_codes, dim=args.dim,
+                corpus_df, m_sub=m, n_codes=args.n_codes, dim=args.dim,
                 n_iters=8, kmeans_iters=4,
             )
             fit_s = round(time.time() - t0, 1)
             t0 = time.time()
-            corpus_rot = apply_rotation(corpus, R)
-            queries_rot = apply_rotation(queries, R, vec_col="q_vec")
-            codes_r = pq_encode(corpus_rot, opq_cbs).select("vec_id", "codes")
+            corpus_rot = apply_rotation(corpus_df, R)
+            queries_rot = apply_rotation(queries_df, R, vec_col="q_vec")
+            codes_r = pq_encode(corpus_rot, opq_cbs).select(
+                "vec_id", "codes"
+            )
             rows = [
                 (r.q_id, r.vec_id)
                 for r in pq_adc_topk(
@@ -306,12 +315,57 @@ def main() -> int:
             ]
             ladder[f"m{m}_opq"] = {
                 "bytes_per_vector": m,
-                "recall_at_10": round(recall(rows, truth, q_rows), 4),
+                "recall_at_10": round(recall(rows, truth_l, q_rows_l), 4),
                 "fit_sec": fit_s,
                 "encode_plus_scan_sec": round(time.time() - t0, 1),
             }
-            log(f"ladder m{m}_opq: {ladder[f'm{m}_opq']}")
-        result["bytes_rotation_ladder"] = ladder
+            log(f"ladder[{tag}] m{m}_opq: {ladder[f'm{m}_opq']}")
+        return ladder
+
+    if not args.skip_ladder:
+        result["bytes_rotation_ladder"] = run_ladder(
+            "isotropic", corpus, queries, truth, q_rows
+        )
+
+        # anisotropic corpus: same cluster structure, but the noise (the
+        # part quantization must capture) has a decaying spectrum mixed
+        # across ALL dims by a fixed random rotation — energy lands
+        # unevenly in PQ's blind d/m_sub slices
+        rng2 = np.random.default_rng(23)
+        scales = 10.0 * (0.80 ** np.arange(args.dim))
+        mix, _ = np.linalg.qr(rng2.normal(size=(args.dim, args.dim)))
+        centers2 = rng2.normal(0.0, 1.0, size=(1024, args.dim)) * scales
+        labels2 = rng2.integers(0, 1024, size=args.n)
+        xa = (
+            (centers2[labels2]
+             + rng2.normal(0.0, 0.1, size=(args.n, args.dim)) * scales)
+            @ mix
+        ).astype(np.float32)
+        qa_rows = rng2.choice(args.n, size=args.n_queries, replace=False)
+        qa = xa[qa_rows] + (
+            rng2.normal(0.0, 0.025, size=(args.n_queries, args.dim))
+            * scales @ mix
+        ).astype(np.float32)
+        truth_a = exact_top10(xa, qa)
+        corpus_a = spark.createDataFrame(
+            pd.DataFrame(
+                {"vec_id": np.arange(args.n),
+                 "embedding": xa.astype(float).tolist()}
+            ),
+            schema="vec_id long, embedding array<float>",
+        ).repartition(32).cache()
+        corpus_a.count()
+        queries_a = spark.createDataFrame(
+            pd.DataFrame(
+                {"q_id": qa_rows.astype("int64"),
+                 "q_vec": qa.astype(float).tolist()}
+            ),
+            schema="q_id long, q_vec array<float>",
+        ).cache()
+        queries_a.count()
+        result["bytes_rotation_ladder_anisotropic"] = run_ladder(
+            "anisotropic", corpus_a, queries_a, truth_a, qa_rows
+        )
 
     with open(args.out, "w") as fh:
         json.dump(result, fh, indent=1)
