@@ -46,6 +46,21 @@ output: consecutive duplicated window positions merge into one
 2022's suffix-array ExactSubstr reports, obtained here from the same
 sorted (hash, doc, pos) relation with a gaps-and-islands walk — no
 suffix array object, no Python.
+
+The ladder top is not an approximation (r13): the windowed form's cut
+coverage EQUALS true variable-length suffix-array semantics ("cut
+every token covered by a duplicated substring of ≥ min_len tokens
+whose occurrence is not the corpus-first"). Proof sketch: a non-first
+window is itself a non-first length-min_len occurrence; conversely any
+non-first occurrence (d, s, L) covering token i contains a window
+(d, q) covering i whose content recurs at the owner's matching offset,
+and (d0, s0) < (d, s) ⇒ (d0, s0+(q−s)) < (d, q), so that window is
+non-first too. Pinned against an independent all-substrings
+brute-force reference in
+`tests/test_span_splits.py::test_exact_substr_coverage_equals_suffix_array_semantics`.
+Overlapping maximal matches merge across width boundaries in the one
+pass via the islands walk (reported as one covering span; the CUT is
+identical either way).
 """
 
 from __future__ import annotations

@@ -967,3 +967,68 @@ def test_line_dedup_null_text_matches_oracle_nulls(spark):
     assert rows[1].n_lines_cut == 0
     assert rows[1].clean_text is None
     assert rows[2].clean_text == "c"  # the shared line still dedups
+
+
+def test_exact_substr_coverage_equals_suffix_array_semantics(spark):
+    """r13 (verdict #8, closed by EQUIVALENCE instead of new machinery):
+    Lee et al. 2022's suffix-array ExactSubstr cuts every token covered
+    by SOME duplicated substring of length ≥ min_len whose occurrence is
+    not the corpus-first. The shipped windowed form cuts every token
+    covered by a non-first duplicated WINDOW of exactly min_len tokens.
+    These are provably the same coverage: (⊆) a non-first window IS a
+    non-first length-min_len substring occurrence; (⊇) any non-first
+    substring occurrence (d, s, L) covering token i contains a window
+    (d, q) covering i whose content also occurs at the substring
+    owner's matching offset (d0, s0 + (q−s)), and (d0, s0) < (d, s)
+    implies (d0, s0+(q−s)) < (d, q) in (doc, pos) order — so that
+    window occurrence is non-first too. This test pins the theorem
+    against an INDEPENDENT brute-force implementation of the
+    variable-length semantics (all substrings, all lengths ≥ min_len,
+    per-substring first-occurrence ownership) on adversarial tiny-
+    alphabet corpora where overlapping maximal matches, nested matches,
+    and cross-width-boundary merges all occur."""
+    import random
+
+    from etl_edi_data_scrapper_spark.functions.span_dedup import (
+        exact_substr_dedup,
+    )
+
+    rng = random.Random(1311)
+
+    def brute_force_clean(docs, min_len):
+        # docs: list[(doc_id, tokens)] sorted by doc_id
+        occ = {}  # substring tuple -> list[(doc_id, pos)]
+        for d, toks in docs:
+            n = len(toks)
+            for s in range(n):
+                for L in range(min_len, n - s + 1):
+                    occ.setdefault(tuple(toks[s : s + L]), []).append((d, s))
+        cut = {d: set() for d, _ in docs}
+        for t, places in occ.items():
+            if len(places) < 2:
+                continue
+            owner = min(places)
+            for d, s in places:
+                if (d, s) != owner:
+                    cut[d].update(range(s, s + len(t)))
+        return {
+            d: " ".join(tok for i, tok in enumerate(toks) if i not in cut[d])
+            for d, toks in docs
+        }
+
+    for trial in range(10):
+        min_len = rng.choice([2, 3, 4])
+        alphabet = ["a", "b"] if trial % 2 == 0 else ["a", "b", "c"]
+        docs = []
+        for d in range(rng.randint(2, 6)):
+            toks = [rng.choice(alphabet) for _ in range(rng.randint(1, 12))]
+            docs.append((d, toks))
+        df = spark.createDataFrame(
+            [(d, " ".join(t)) for d, t in docs], "doc_id long, text string"
+        )
+        got = {
+            r.doc_id: r.clean_text
+            for r in exact_substr_dedup(df, min_len=min_len).collect()
+        }
+        want = brute_force_clean(docs, min_len)
+        assert got == want, (trial, min_len, docs, got, want)
