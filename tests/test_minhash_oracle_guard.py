@@ -67,3 +67,10 @@ def test_jaccard_shuffle_join_path_matches_broadcast(spark):
         tuple(r) for r in jaccard_pairs(df, cand, broadcast_candidates=False).collect()
     )
     assert via_broadcast == via_shuffle and via_broadcast
+    # r13: 'auto' (default) — whether the plan-estimate gate fires (tiny
+    # frame -> broadcast, no probe) or the probe path runs, the verdicts
+    # must be identical to both explicit strategies
+    via_auto = sorted(
+        tuple(r) for r in jaccard_pairs(df, cand).collect()
+    )
+    assert via_auto == via_broadcast

@@ -55,7 +55,10 @@ QUERIES = [
     "chunk_documents",
     # NOT semdedup: with k fixed its within-cluster self-join is quadratic
     # in cluster size BY DESIGN (SemDeDup scales k with corpus size — the
-    # knob, see SCALE.md); the smoke hunts ACCIDENTAL super-linearity
+    # knob, see SCALE.md); the smoke hunts ACCIDENTAL super-linearity.
+    # Measured r13: gate-path semdedup at 300x is ~5.6e10 cosine pairs
+    # (375k-vector clusters), killed after 25 min; the designed scaled
+    # operating point is --only semdedup_scaledk (29.6x at 300x).
 ]
 
 # a linear operator on a fixed 32-thread pool should scale ≈ data ratio;
