@@ -276,12 +276,16 @@ def main(argv: list[str] | None = None, engine=None) -> int:
         "is the canonical IVFADC and strictly finer at the same budget)",
     )
     pa.add_argument(
-        "--opq", action="store_true",
-        help="learn an OPQ rotation (Ge et al. 2013) on a bounded sample "
-        "and build the whole index in rotated space — redistributes "
-        "variance across subspaces so the same code budget ranks "
-        "better standalone; the rotation rides _meta.json, so ann-query "
-        "and appends apply it automatically",
+        "--opq", nargs="?", const="on", default="off",
+        choices=["on", "off", "auto"],
+        help="OPQ rotation (Ge et al. 2013): 'on' (or bare --opq) builds "
+        "the whole index in learned-rotation space; 'auto' MEASURES the "
+        "decision — fits both quantizations on a bounded sample and "
+        "rotates only if sample reconstruction MSE improves (rotation "
+        "quality is corpus-dependent: measured −14%% recall isotropic / "
+        "+25–48%% anisotropic, ANN_QUALITY_r13). The decision + both "
+        "MSEs land in _meta.json (see store-info); the rotation rides "
+        "_meta.json, so ann-query and appends apply it automatically",
     )
 
     pn = sub.add_parser(
@@ -475,20 +479,35 @@ def main(argv: list[str] | None = None, engine=None) -> int:
 
         emb = engine.spark.read.parquet(args.embeddings)
         rotation = None
-        if args.opq:
+        opq_info = None
+        if args.opq != "off":
             from etl_edi_data_scrapper_spark.functions.similarity import (
                 apply_rotation,
-                opq_train,
+                opq_train_auto,
             )
 
-            rotation, _ = opq_train(
+            dec = opq_train_auto(
                 emb, m_sub=args.m_sub, n_codes=args.n_codes, dim=args.dim,
                 c_id=args.id_col, c_vec=args.vec_col,
             )
-            # both quantizers retrain distributed below on the rotated
-            # corpus (fit_fraction-able); opq_train's sample codebooks
-            # only served the rotation's alternation
-            emb = apply_rotation(emb, rotation, vec_col=args.vec_col)
+            use = dec["use_rotation"] if args.opq == "auto" else True
+            opq_info = {
+                "mode": args.opq,
+                "chosen": "rotated" if use else "raw",
+                "mse_raw": dec["mse_raw"],
+                "mse_rotated": dec["mse_rotated"],
+            }
+            print(
+                f"STAGE: opq {args.opq}: sample MSE raw "
+                f"{dec['mse_raw']:.6g} vs rotated {dec['mse_rotated']:.6g} "
+                f"-> {opq_info['chosen']}"
+            )
+            if use:
+                rotation = dec["rotation"]
+                # both quantizers retrain distributed below on the rotated
+                # corpus (fit_fraction-able); opq_train_auto's sample
+                # codebooks only served the rotation + the MSE decision
+                emb = apply_rotation(emb, rotation, vec_col=args.vec_col)
         if args.no_residual:
             centroids, assigned = ivf_index(
                 emb, n_centroids=args.n_centroids,
@@ -522,8 +541,22 @@ def main(argv: list[str] | None = None, engine=None) -> int:
             "n_codes": args.n_codes,
             "train": args.train,
         }
+        if opq_info is not None:
+            meta["opq"] = opq_info
         if rotation is not None:
             meta["opq_rotation"] = rotation
+        # train-time quantization-error baseline (r13 verdict #5): appends
+        # against the frozen quantizers record their own MSE next to this,
+        # and store-info reports the drift ratio + a retrain advisory
+        from etl_edi_data_scrapper_spark.functions.similarity import (
+            index_quant_mse,
+        )
+
+        train_mse = index_quant_mse(
+            emb, centroids, enc, cbs, residual=not args.no_residual,
+            c_id=args.id_col, c_vec=args.vec_col,
+        )
+        meta["quant_mse"] = {"train": train_mse, "sample_rows": 65536}
         save_ivfpq_index(
             centroids, enc, cbs, args.output, c_id=args.id_col, meta=meta
         )

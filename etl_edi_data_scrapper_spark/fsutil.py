@@ -67,12 +67,38 @@ def write_text_atomic(spark, path: str, text: str) -> None:
         out.write(bytearray(text.encode("utf-8")))
     finally:
         out.close()
+    # remember the pre-existing dst's mtime: if OUR delete fails (returns
+    # False — e.g. permissions) and the rename then fails too, the file
+    # surviving at dst is the STALE original, not a concurrent writer's
+    # fresh one — that case must raise, not silently "succeed" leaving old
+    # content (r13 ADVICE #2). A changed/vanished-then-reappeared mtime
+    # means some OTHER writer completed meanwhile, which is the tolerated
+    # race below.
+    old_mtime = None
     if fs.exists(dst):
-        fs.delete(dst, False)
+        if not fs.delete(dst, False):
+            try:
+                old_mtime = fs.getFileStatus(dst).getModificationTime()
+            except Exception:
+                old_mtime = -1  # unreadable: treat any survivor as stale
     if not fs.rename(tmp, dst):
         if fs.exists(dst):
-            # lost the race to a concurrent writer whose complete file
-            # now occupies dst — drop our tmp and accept theirs
-            fs.delete(tmp, False)
-            return
-        raise IOError(f"rename {tmp} -> {path} failed")
+            surviving_is_stale = old_mtime is not None and (
+                old_mtime == -1
+                or fs.getFileStatus(dst).getModificationTime() == old_mtime
+            )
+            if not surviving_is_stale:
+                # lost the race to a concurrent writer whose complete
+                # file now occupies dst — drop our tmp and accept theirs
+                fs.delete(tmp, False)
+                return
+        fs.delete(tmp, False)
+        raise IOError(
+            f"rename {tmp} -> {path} failed"
+            + (
+                " (delete of the pre-existing file failed too; the stale"
+                " original still occupies the path)"
+                if old_mtime is not None
+                else ""
+            )
+        )

@@ -128,6 +128,26 @@ def describe_store(spark: SparkSession, path: str) -> dict[str, Any]:
         ).first()
         out["codebook_geometry"] = {"m_sub": agg["m"], "n_codes": agg["n"]}
         out["code_data_files"] = _data_files(spark, f"{path}/codes")
+        # quantizer staleness (r13 verdict #5): ann-index records the
+        # train-time quantization MSE and every append records its own;
+        # the ratio is the FAISS "monitor quantization error" signal —
+        # frozen centroids/codebooks degrade silently as appends drift,
+        # and past RETRAIN_MSE_RATIO the advisory says rebuild (ann-index
+        # again) rather than keep appending into stretched cells.
+        qm = out["meta"].get("quant_mse") if isinstance(out["meta"], dict) else None
+        if (
+            isinstance(qm, dict)
+            and qm.get("train")
+            and isinstance(qm.get("appended"), dict)
+        ):
+            from etl_edi_data_scrapper_spark.functions.similarity import (
+                RETRAIN_MSE_RATIO,
+            )
+
+            ratio = float(qm["appended"]["mse"]) / float(qm["train"])
+            out["quant_mse_ratio"] = ratio
+            out["retrain_advised"] = ratio > RETRAIN_MSE_RATIO
+            out["retrain_mse_ratio_threshold"] = RETRAIN_MSE_RATIO
         leftovers = [
             d
             for d in ("codes__precompact", "codes__compacting")

@@ -1201,3 +1201,206 @@ def test_cli_ann_index_opq_roundtrip_and_append(spark, tmp_path, capsys):
     ) == 0
     got = {r.q_id: r.vec_id for r in spark.read.parquet(out2).collect()}
     assert got[35] == 35
+
+
+def test_opq_auto_decision_is_measured_and_held_out(spark):
+    """r14 (r13 verdict #1): `opq_train_auto` must MEASURE the rotation
+    decision at the geometry the r13 recall ladder mapped — raw on an
+    ISOTROPIC corpus (i.i.d. gaussian: variance already balanced, the
+    ladder measured rotation at −14% recall), rotated on an ANISOTROPIC
+    one (decaying spectrum: +25–48%). The decision evaluates on a
+    HELD-OUT half of the sample: the d×d rotation reliably cuts
+    IN-sample MSE even where it hurts out-of-sample recall, so an
+    in-sample compare would rubber-stamp 'rotated' everywhere."""
+    import numpy as np
+
+    from etl_edi_data_scrapper_spark.functions.similarity import (
+        opq_train_auto,
+    )
+
+    from etl_edi_data_scrapper_spark.functions.similarity import (
+        OPQ_MIN_GAIN,
+    )
+
+    rng = np.random.default_rng(0)
+    iso = rng.normal(0, 1.0, size=(1000, 64))
+    dec_iso = opq_train_auto(
+        _corpus(spark, iso.tolist()), m_sub=8, n_codes=64, dim=64,
+        n_iters=6, kmeans_iters=3,
+    )
+    assert dec_iso["use_rotation"] is False
+
+    scales = np.exp(-np.arange(64) / 8.0)
+    z = rng.normal(0, 1.0, size=(2000, 64)) * scales
+    mix, _ = np.linalg.qr(rng.normal(size=(64, 64)))
+    dec_an = opq_train_auto(
+        _corpus(spark, (z @ mix).tolist()), m_sub=8, n_codes=64, dim=64,
+        n_iters=6, kmeans_iters=3,
+    )
+    assert dec_an["use_rotation"] is True
+    # robust margin on the win case (r13 ladder: +25–48% recall)
+    assert dec_an["mse_rotated"] < dec_an["mse_raw"] * 0.5
+    R = np.asarray(dec_an["rotation"])
+    assert np.allclose(R @ R.T, np.eye(64), atol=1e-9)
+    # use_rotation IS the thresholded MSE comparison, nothing else
+    for d in (dec_iso, dec_an):
+        assert d["use_rotation"] == (
+            d["mse_rotated"] < (1.0 - OPQ_MIN_GAIN) * d["mse_raw"]
+        )
+
+
+def test_cli_ann_index_opq_auto_records_decision(spark, tmp_path, capsys):
+    """`ann-index --opq auto` end-to-end: the measured decision + both
+    MSEs land in _meta.json (store-info surfaces them), the rotation is
+    stored ONLY when chosen, and the queryable index round-trips. Run on
+    a mixed anisotropic corpus where rotation robustly wins (the
+    direction pinned at library level above)."""
+    import numpy as np
+
+    from etl_edi_data_scrapper_spark.__main__ import main
+    from etl_edi_data_scrapper_spark.engine import Engine
+    from etl_edi_data_scrapper_spark.functions.similarity import (
+        load_ivfpq_meta,
+    )
+
+    rng = np.random.default_rng(1)
+    n, dim = 400, 8
+    z = np.zeros((n, dim))
+    z[:, :2] = rng.normal(0, 10.0, size=(n, 2))
+    z[:, 2:] = rng.normal(0, 0.05, size=(n, dim - 2))
+    mix, _ = np.linalg.qr(rng.normal(size=(dim, dim)))
+    x = z @ mix
+    emb = str(tmp_path / "emb")
+    spark.createDataFrame(
+        [(i, [float(v) for v in x[i]]) for i in range(n)],
+        "vec_id long, embedding array<float>",
+    ).write.parquet(emb)
+    idx = str(tmp_path / "idx")
+    eng = Engine(spark=spark)
+    assert main(
+        ["ann-index", "--embeddings", emb, "--output", idx,
+         "--dim", "8", "--n-centroids", "2", "--m-sub", "4",
+         "--n-codes", "8", "--opq", "auto"],
+        engine=eng,
+    ) == 0
+    capsys.readouterr()
+    meta = load_ivfpq_meta(spark, idx)
+    opq = meta["opq"]
+    assert opq["mode"] == "auto"
+    assert opq["chosen"] == "rotated"  # mixed-aniso: rotation wins big
+    assert "opq_rotation" in meta
+    assert meta["quant_mse"]["train"] > 0.0
+
+    # store-info surfaces the decision verbatim via the meta block
+    from etl_edi_data_scrapper_spark.store_info import describe_store
+
+    info = describe_store(spark, idx)
+    assert info["meta"]["opq"]["chosen"] == "rotated"
+
+    # auto on a corpus where raw wins: no rotation stored, queries are
+    # un-rotated. Force the direction by reusing the decision contract:
+    # an isotropic corpus at this small geometry can flip, so assert only
+    # consistency (rotation present IFF chosen == rotated).
+    iso = rng.normal(0, 1.0, size=(n, dim))
+    emb2 = str(tmp_path / "emb2")
+    spark.createDataFrame(
+        [(i, [float(v) for v in iso[i]]) for i in range(n)],
+        "vec_id long, embedding array<float>",
+    ).write.parquet(emb2)
+    idx2 = str(tmp_path / "idx2")
+    assert main(
+        ["ann-index", "--embeddings", emb2, "--output", idx2,
+         "--dim", "8", "--n-centroids", "2", "--m-sub", "4",
+         "--n-codes", "8", "--opq", "auto"],
+        engine=eng,
+    ) == 0
+    capsys.readouterr()
+    meta2 = load_ivfpq_meta(spark, idx2)
+    assert ("opq_rotation" in meta2) == (meta2["opq"]["chosen"] == "rotated")
+
+    # both indexes answer self-queries at rank 1 (rotation-transparent)
+    for path, data in ((idx, x), (idx2, iso)):
+        qpath = str(tmp_path / f"q_{path.split('/')[-1]}")
+        spark.createDataFrame(
+            [(i, [float(v) for v in data[i]]) for i in (3, 17)],
+            "vec_id long, embedding array<float>",
+        ).write.parquet(qpath)
+        out = str(tmp_path / f"res_{path.split('/')[-1]}")
+        assert main(
+            ["ann-query", "--index", path, "--queries", qpath,
+             "--output", out, "--k", "1", "--nprobe", "2"],
+            engine=eng,
+        ) == 0
+        capsys.readouterr()
+        got = {r.q_id: r.vec_id for r in spark.read.parquet(out).collect()}
+        assert got[3] == 3 and got[17] == 17
+
+
+def test_append_drift_tracked_and_store_info_advises_retrain(
+    spark, tmp_path, capsys
+):
+    """r14 (r13 verdict #5): frozen quantizers degrade silently as
+    appended data drifts. ann-index records the train-time quantization
+    MSE; every append records its batch MSE (row-weighted running mean);
+    store-info reports the ratio and advises retrain past
+    RETRAIN_MSE_RATIO. A same-distribution append must NOT advise; a
+    shifted-distribution append must."""
+    import numpy as np
+
+    from etl_edi_data_scrapper_spark.__main__ import main
+    from etl_edi_data_scrapper_spark.engine import Engine
+    from etl_edi_data_scrapper_spark.functions.similarity import (
+        append_to_ivfpq_index,
+        load_ivfpq_meta,
+    )
+    from etl_edi_data_scrapper_spark.store_info import describe_store
+
+    rng = np.random.default_rng(7)
+    base = rng.normal(0, 1.0, size=(200, 8))
+    emb = str(tmp_path / "emb")
+    spark.createDataFrame(
+        [(i, [float(v) for v in base[i]]) for i in range(200)],
+        "vec_id long, embedding array<float>",
+    ).write.parquet(emb)
+    idx = str(tmp_path / "idx")
+    eng = Engine(spark=spark)
+    assert main(
+        ["ann-index", "--embeddings", emb, "--output", idx,
+         "--dim", "8", "--n-centroids", "2", "--m-sub", "4",
+         "--n-codes", "8"],
+        engine=eng,
+    ) == 0
+    capsys.readouterr()
+    train_mse = load_ivfpq_meta(spark, idx)["quant_mse"]["train"]
+    assert train_mse > 0.0
+
+    # in-distribution append: ratio stays near 1, no advisory
+    b1 = rng.normal(0, 1.0, size=(50, 8))
+    batch1 = spark.createDataFrame(
+        [(1000 + i, [float(v) for v in b1[i]]) for i in range(50)],
+        "vec_id long, embedding array<float>",
+    )
+    assert append_to_ivfpq_index(spark, batch1, idx) == 50
+    qm1 = load_ivfpq_meta(spark, idx)["quant_mse"]
+    assert qm1["appended"]["rows"] == 50
+    m1 = qm1["last_append_mse"]
+    assert qm1["appended"]["mse"] == pytest.approx(m1)
+    info = describe_store(spark, idx)
+    assert info["retrain_advised"] is False
+
+    # drifted append (×20 scale): quantization error explodes
+    b2 = rng.normal(0, 20.0, size=(30, 8))
+    batch2 = spark.createDataFrame(
+        [(2000 + i, [float(v) for v in b2[i]]) for i in range(30)],
+        "vec_id long, embedding array<float>",
+    )
+    assert append_to_ivfpq_index(spark, batch2, idx) == 30
+    qm2 = load_ivfpq_meta(spark, idx)["quant_mse"]
+    m2 = qm2["last_append_mse"]
+    assert m2 > m1
+    # row-weighted running mean, pinned exactly
+    assert qm2["appended"]["rows"] == 80
+    assert qm2["appended"]["mse"] == pytest.approx((50 * m1 + 30 * m2) / 80)
+    info2 = describe_store(spark, idx)
+    assert info2["quant_mse_ratio"] > info2["retrain_mse_ratio_threshold"]
+    assert info2["retrain_advised"] is True
