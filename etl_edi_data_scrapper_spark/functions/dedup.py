@@ -153,6 +153,35 @@ def bucket_pairs(
     )
 
 
+def candidate_pair_bound(
+    bk: DataFrame,
+    id_col: str,
+    bucket_cols: list[str],
+    max_bucket: int | None = None,
+) -> int:
+    """EXACT upper bound on the pairs `bucket_pairs` will emit from these
+    band keys: Σ_buckets c·(c−1)/2 with c = min(distinct ids, max_bucket)
+    — the pre-``distinct()`` pair count, so always ≥ the emitted count.
+    One 1-row aggregation job over the band keys (linear shuffle, never
+    the quadratic expansion itself). This is the density-insensitive
+    secondary guard for `jaccard_pairs`' no-probe broadcast gate (r13
+    verdict finding: Catalyst's size estimate doesn't model the quadratic
+    bucket expansion and understates pair bytes ~100×, with a calibration
+    specific to this pipeline's shingle geometry; the bound is exact
+    whatever the corpus density)."""
+    c = F.countDistinct(F.col(id_col)).alias("n")
+    sizes = bk.groupBy(*bucket_cols).agg(c)
+    n = (
+        F.least(F.col("n"), F.lit(int(max_bucket)))
+        if max_bucket is not None
+        else F.col("n")
+    )
+    row = sizes.select(
+        F.sum((n.cast("long") * (n.cast("long") - 1)) / 2).alias("b")
+    ).first()
+    return int(row["b"] or 0)
+
+
 def minhash_candidate_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -161,7 +190,8 @@ def minhash_candidate_pairs(
     bands: int = 4,
     shingle_n: int = 3,
     max_bucket: int | None = None,
-) -> DataFrame:
+    with_bound: bool = False,
+):
     """Distinct candidate pairs (a < b) sharing ≥1 LSH band.
 
     ``max_bucket`` is `bucket_pairs`' saturation guard: when near-dup
@@ -170,9 +200,28 @@ def minhash_candidate_pairs(
     buckets grow ∝ family size and local pair work ∝ size² per bucket;
     the guard truncates each bucket to its ``max_bucket`` smallest ids —
     deterministic (sorted-array slice == a rank window over (band,
-    band_key) ordered by id), so the gate oracle replicates it exactly."""
+    band_key) ordered by id), so the gate oracle replicates it exactly.
+
+    ``with_bound=True`` returns ``(pairs, bound_fn)`` where ``bound_fn()``
+    computes `candidate_pair_bound` — pass it as `jaccard_pairs`'
+    ``pair_bound`` so the broadcast fast path is gated on an EXACT pair
+    count, not just Catalyst's estimate. The band keys are lazily
+    localCheckpoint-ed so the bound job and the downstream pair
+    construction share one execution of the signature pipeline (the
+    checkpoint is linear in docs×bands — never the quadratic pair
+    volume — so it is safe at any corpus density)."""
     sig = minhash_signatures(df, id_col, text_col, n_hashes, shingle_n)
     bk = lsh_band_keys(sig, id_col, n_hashes, bands)
+    if with_bound:
+        bk = bk.localCheckpoint(eager=False)
+        pairs = bucket_pairs(bk, id_col, ["band", "band_key"], max_bucket=max_bucket)
+
+        def bound() -> int:
+            return candidate_pair_bound(
+                bk, id_col, ["band", "band_key"], max_bucket=max_bucket
+            )
+
+        return pairs, bound
     return bucket_pairs(bk, id_col, ["band", "band_key"], max_bucket=max_bucket)
 
 
@@ -191,11 +240,11 @@ _BROADCAST_PAIRS_MAX = 2_000_000
 # expansion — measured (r13, suite geometry): est 34 KB at sf0.01,
 # 317 KB at sf0.1, 19 MB at 300× where the ACTUAL pair count is 43M
 # (~2 GB serialized), i.e. the estimate understates real pair bytes by
-# ~100×. The threshold is calibrated against the probe's own cutoff:
-# 2M pairs (the broadcast limit) back-scale to an estimate of ~0.9 MB
-# on this pipeline, so 512 KB keeps every gate-fired broadcast
-# comfortably inside what the probe itself would have chosen, while
-# still covering the bench scales the gate exists for.
+# ~100×, and that ratio is specific to this pipeline's projection and
+# shingle geometry. r14 (verdict #3): the estimate is therefore never
+# sufficient on its own — the fast path ALSO requires the caller's
+# exact `pair_bound` ≤ `_BROADCAST_PAIRS_MAX` (Σ min(n, max_bucket)²-
+# style, density-insensitive); with no bound, 'auto' always probes.
 _BROADCAST_EST_CERTAIN_BYTES = 512 << 10
 
 
@@ -207,6 +256,7 @@ def jaccard_pairs(
     shingle_n: int = 3,
     threshold: float = 0.0,
     broadcast_candidates: bool | str = "auto",
+    pair_bound=None,
 ) -> DataFrame:
     """Exact shingle-set Jaccard for candidate pairs (verification stage).
 
@@ -242,7 +292,19 @@ def jaccard_pairs(
       Catalyst's plan-size estimate, `_spread_small_scan`-style — a
       candidate plan estimating ≤ `_BROADCAST_EST_CERTAIN_BYTES`
       broadcasts directly (no checkpoint, no count job); only ambiguous
-      sizes pay the measurement.
+      sizes pay the measurement. r14 (verdict #3): the estimate alone is
+      DENSITY-BLIND — it traces source bytes through projection ratios
+      and does not model the quadratic bucket expansion (measured ~100×
+      understatement on suite geometry, and the ratio varies with shingle
+      width/duplication density) — so the no-probe fast path ALSO
+      requires ``pair_bound`` ≤ `_BROADCAST_PAIRS_MAX`. ``pair_bound``
+      is an exact upper bound on the candidate count: an int when the
+      caller knows it structurally (e.g. an explicit k×k cross product),
+      or the bound closure from ``minhash_candidate_pairs(...,
+      with_bound=True)`` (one linear 1-row aggregate —
+      `candidate_pair_bound`). Without it, 'auto' always pays the count
+      probe: a dense small-estimate corpus must never broadcast tens of
+      MB of pairs on the strength of an estimate.
     """
     # widen the doc scan first: a compact corpus file yields few input
     # splits, and without this the whole shingle computation runs on ONE
@@ -256,7 +318,12 @@ def jaccard_pairs(
             _plan_size_bytes,
         )
 
-        if _plan_size_bytes(pairs) <= _BROADCAST_EST_CERTAIN_BYTES:
+        if (
+            pair_bound is not None
+            and _plan_size_bytes(pairs) <= _BROADCAST_EST_CERTAIN_BYTES
+            and (pair_bound() if callable(pair_bound) else int(pair_bound))
+            <= _BROADCAST_PAIRS_MAX
+        ):
             broadcast_candidates = True  # certainly small: skip the probe
         else:
             from pyspark import StorageLevel

@@ -434,12 +434,13 @@ def curate_corpus(
         )
 
         def _minhash_frame() -> DataFrame:
-            pairs = minhash_candidate_pairs(
-                stage_docs, id_col=id_col, text_col=text_col, max_bucket=max_bucket
+            pairs, bound = minhash_candidate_pairs(
+                stage_docs, id_col=id_col, text_col=text_col,
+                max_bucket=max_bucket, with_bound=True,
             )
             verified = jaccard_pairs(
                 stage_docs, pairs, id_col=id_col, text_col=text_col,
-                threshold=minhash_threshold,
+                threshold=minhash_threshold, pair_bound=bound,
             )
             # pair convention is a < b: b always has a lower-id near-dup
             dup_ids = verified.select(F.col("b").alias(id_col)).distinct()

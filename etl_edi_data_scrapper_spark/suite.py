@@ -1295,10 +1295,13 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_edi_data_scrapper_spark.functions.splits import cluster_aware_split
 
     docs = _t(spark, sf_dir, "documents")
-    cand = minhash_candidate_pairs(
-        docs, n_hashes=12, bands=4, max_bucket=_LSH_MAX_BUCKET
+    cand, bound = minhash_candidate_pairs(
+        docs, n_hashes=12, bands=4, max_bucket=_LSH_MAX_BUCKET,
+        with_bound=True,
     )
-    verified = jaccard_pairs(docs, cand).filter(F.col("jaccard") >= 0.5)
+    verified = jaccard_pairs(docs, cand, pair_bound=bound).filter(
+        F.col("jaccard") >= 0.5
+    )
     comps = connected_components(verified)
     return cluster_aware_split(docs, comps).select(
         "doc_id", "cluster_id", "is_canonical", "split"
@@ -1368,10 +1371,11 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = _t(spark, sf_dir, "documents")
-    cand = minhash_candidate_pairs(
-        docs, n_hashes=12, bands=4, max_bucket=_LSH_MAX_BUCKET
+    cand, bound = minhash_candidate_pairs(
+        docs, n_hashes=12, bands=4, max_bucket=_LSH_MAX_BUCKET,
+        with_bound=True,
     )
-    lsh = jaccard_pairs(docs, cand)
+    lsh = jaccard_pairs(docs, cand, pair_bound=bound)
 
     slice40 = docs.filter(F.col("doc_id") < 40)
     ids = slice40.select(F.col("doc_id"))
@@ -1380,7 +1384,8 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(ids.select(F.col("doc_id").alias("b")))
         .filter(F.col("a") < F.col("b"))
     )
-    allpairs = jaccard_pairs(slice40, allpairs_cand)
+    # structural bound: a 40-id cross product is < 40·39/2 pairs
+    allpairs = jaccard_pairs(slice40, allpairs_cand, pair_bound=780)
 
     winnow = winnowing_shared_pairs(docs, n=3, w=8, max_df=5, min_shared=3)
 
