@@ -791,6 +791,14 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     line re-appended, doc_id%11==5 their first paragraph — exercising
     both drop paths) and hash-checks the four micro-fractions plus the
     `gopher_line_keep` verdict against a relational DuckDB replica.
+    r14 adds the TRAINED language classifier (`functions/
+    lang_classifier.py` — multiclass integer perceptron over hashed char
+    trigrams, the fasttext-lid shape; r13 verdict #4): `lang_clf_pred` +
+    `lang_clf_score` are the argmax class and its integer margin from a
+    model fit on the corpus's own labels, with the epochs unrolled into
+    the oracle (`_lang_clf_ctes`) so both the TRAINING and the scoring
+    are hash-checked bit-exactly.
+
     [r3 consolidation: absorbs the former `lang_id` query; r5: absorbs
     `unigram_xent` and `dedup_exact` to fit the driver's 50-query
     correctness cap — every leg's values stay hash-checked.]"""
@@ -873,13 +881,21 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     nl_feats = add_gopher_line_features(nl, text_col="nl_text").select(
         "doc_id", *GOPHER_LINE_FEATURE_COLS
     )
+    from etl_edi_data_scrapper_spark.functions.lang_classifier import (
+        fit_lang_classifier,
+    )
+    from etl_edi_data_scrapper_spark.functions.text import LANG_STOPWORDS
+
+    lang_clf = fit_lang_classifier(docs, langs=sorted(LANG_STOPWORDS))
     return (
         quality.join(xent, "doc_id")
         .join(bxent, "doc_id")
         .join(groups, "fingerprint")
         .join(nl_feats, "doc_id")
+        .join(lang_clf, "doc_id")
         .select(
-            "doc_id", "lang", "lang_pred", "fingerprint", "n_chars", "n_tokens",
+            "doc_id", "lang", "lang_pred", "lang_clf_pred", "lang_clf_score",
+            "fingerprint", "n_chars", "n_tokens",
             "avg_token_len", "stopword_ratio", "uniq_ratio", "quality",
             "top2_frac_micro", "top3_frac_micro", "top4_frac_micro",
             "dup5_cov_micro", "dup10_cov_micro", "gopher_keep",
@@ -1120,6 +1136,110 @@ def _sql_bigram_xent_ctes(
       FROM bxfs f LEFT JOIN bxps p USING (doc_id))"""
 
 
+def _lang_clf_ctes(
+    langs: tuple[str, ...] = ("de", "en", "es", "fr", "zh"),
+    n_buckets: int = 64,
+    n_epochs: int = 2,
+    max_fit_rows: int = 65536,
+) -> str:
+    """DuckDB replica of functions/lang_classifier.py: the MULTICLASS
+    integer perceptron over hashed char-trigram buckets, epochs unrolled
+    as CTEs (the class-dimensioned generalization of `_clf_ctes`). Epoch
+    e scores every doc for every class with the post-epoch-(e−1) weights
+    (epoch 1 sees all-zero scores, so everyone predicts the asc-first
+    language code — that IS the algorithm, identically in Spark), picks
+    argmax (score desc, class asc), and every mistake adds its trigram
+    counts to the true class / subtracts them from the predicted class.
+    The fit set is capped at the ``max_fit_rows`` labeled docs whose
+    md5(id) sorts lowest (row_number CTE) — replicating
+    `fit_lang_classifier`'s bounded driver-resident sample exactly at
+    any corpus size. ALL integer arithmetic, sums CAST to BIGINT
+    (HUGEINT discipline)."""
+    word = _sql_hex_word("md5(gram)", 1)
+    in_list = ", ".join(f"'{lg}'" for lg in langs)
+    cls_values = ", ".join(f"('{lg}')" for lg in langs)
+    parts = [
+        f"""
+    lgr AS (
+      SELECT doc_id, unnest(list_transform(
+        range(1, greatest(len(t) - 2, 1) + 1),
+        i -> substr(t, i, 3))) AS gram
+      FROM (SELECT doc_id, coalesce(text, '') AS t FROM documents)),
+    ltf AS (
+      SELECT doc_id, ({word}) % {n_buckets} AS bucket,
+             CAST(count(*) AS BIGINT) AS tf
+      FROM lgr GROUP BY doc_id, bucket),
+    lcls AS (SELECT cls FROM (VALUES {cls_values}) v(cls)),
+    llab AS (
+      SELECT doc_id, lang FROM (
+        SELECT doc_id, lang,
+               row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR))) AS rn
+        FROM documents WHERE lang IN ({in_list}))
+      WHERE rn <= {max_fit_rows}),
+    lw0 AS (SELECT CAST(NULL AS VARCHAR) AS cls, CAST(NULL AS BIGINT) AS bucket,
+                   CAST(NULL AS BIGINT) AS w WHERE 1 = 0),
+    lb0 AS (SELECT cls, CAST(0 AS BIGINT) AS b FROM lcls)"""
+    ]
+    for e in range(1, n_epochs + 1):
+        p = e - 1
+        parts.append(
+            f"""
+    ls{e} AS (
+      SELECT t.doc_id, c.cls,
+             CAST(coalesce(sum(t.tf * w.w), 0) + min(b.b) AS BIGINT) AS s
+      FROM ltf t JOIN llab USING (doc_id)
+      CROSS JOIN lcls c
+      LEFT JOIN lw{p} w ON w.cls = c.cls AND w.bucket = t.bucket
+      JOIN lb{p} b ON b.cls = c.cls
+      GROUP BY t.doc_id, c.cls),
+    lp{e} AS (
+      SELECT doc_id, cls AS pred FROM (
+        SELECT doc_id, cls,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY s DESC, cls ASC) AS rn
+        FROM ls{e}) WHERE rn = 1),
+    lm{e} AS (
+      SELECT p.doc_id, l.lang AS cls, CAST(1 AS BIGINT) AS sign
+      FROM lp{e} p JOIN llab l USING (doc_id) WHERE l.lang <> p.pred
+      UNION ALL
+      SELECT p.doc_id, p.pred AS cls, CAST(-1 AS BIGINT) AS sign
+      FROM lp{e} p JOIN llab l USING (doc_id) WHERE l.lang <> p.pred),
+    lg{e} AS (
+      SELECT m.cls, t.bucket, CAST(sum(m.sign * t.tf) AS BIGINT) AS g
+      FROM lm{e} m JOIN ltf t USING (doc_id) GROUP BY m.cls, t.bucket),
+    lw{e} AS (
+      SELECT coalesce(w.cls, g.cls) AS cls,
+             coalesce(w.bucket, g.bucket) AS bucket,
+             CAST(coalesce(w.w, 0) + coalesce(g.g, 0) AS BIGINT) AS w
+      FROM lw{p} w FULL JOIN lg{e} g
+        ON w.cls = g.cls AND w.bucket = g.bucket),
+    lb{e} AS (
+      SELECT b.cls,
+             CAST(b.b + coalesce(gb.g, 0) AS BIGINT) AS b
+      FROM lb{p} b LEFT JOIN (
+        SELECT cls, CAST(sum(sign) AS BIGINT) AS g
+        FROM lm{e} GROUP BY cls) gb USING (cls))"""
+        )
+    parts.append(
+        f"""
+    lsf AS (
+      SELECT t.doc_id, c.cls,
+             CAST(coalesce(sum(t.tf * w.w), 0) + min(b.b) AS BIGINT) AS s
+      FROM ltf t
+      CROSS JOIN lcls c
+      LEFT JOIN lw{n_epochs} w ON w.cls = c.cls AND w.bucket = t.bucket
+      JOIN lb{n_epochs} b ON b.cls = c.cls
+      GROUP BY t.doc_id, c.cls),
+    lclf AS (
+      SELECT doc_id, cls AS lang_clf_pred, s AS lang_clf_score FROM (
+        SELECT doc_id, cls, s,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY s DESC, cls ASC) AS rn
+        FROM lsf) WHERE rn = 1)"""
+    )
+    return ",".join(parts)
+
+
 def _text_quality_oracle() -> str:
     from etl_edi_data_scrapper_spark.functions.text import LANG_STOPWORDS
 
@@ -1158,8 +1278,11 @@ def _text_quality_oracle() -> str:
       FROM documents GROUP BY 1),
     {gopher_ctes},
     {line_ctes},
-    {bx_ctes}
-    SELECT q.doc_id, q.lang, q.lang_pred, q.fingerprint, q.n_chars, q.n_tokens,
+    {bx_ctes},
+    {_lang_clf_ctes()}
+    SELECT q.doc_id, q.lang, q.lang_pred,
+           lclf.lang_clf_pred, lclf.lang_clf_score,
+           q.fingerprint, q.n_chars, q.n_tokens,
            q.avg_token_len, q.stopword_ratio, q.uniq_ratio, q.quality,
            {gopher_cols},
            {line_cols},
@@ -1171,6 +1294,7 @@ def _text_quality_oracle() -> str:
     FROM q JOIN xm ON xm.doc_id = q.doc_id
       JOIN bxm ON bxm.doc_id = q.doc_id
       JOIN grp ON grp.fingerprint = q.fingerprint
+      JOIN lclf ON lclf.doc_id = q.doc_id
       {gopher_joins}
       {line_joins}
     """
