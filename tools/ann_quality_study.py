@@ -21,8 +21,14 @@ operating point. This study measures, at FAISS-standard geometry
 
 All tiers run strategy='auto' (the production path at this geometry —
 Arrow kernels; r12's adc_full_scan row predates the switch and is
-superseded by this artifact). Writes one JSON artifact (default
-ANN_QUALITY_r13.json). Run on an idle host; heavy legs log to stderr.
+superseded by this artifact). r14: the OPQ rows are measured with the
+SELF-CONSISTENT opq_train (final-rotation codebook refit — the r13
+ADVICE finding that this ladder was encoding final-R vectors against
+stale-R codebooks is fixed, so r14 OPQ recalls supersede r13's), and
+each (corpus, m_sub) adds an `m{m}_auto` row recording what
+`opq_train_auto`'s held-out MSE decision picks and whether it matches
+the better MEASURED recall leg. Writes one JSON artifact (default
+ANN_QUALITY_r14.json). Run on an idle host; heavy legs log to stderr.
 
 Usage: python tools/ann_quality_study.py [--n 100000] [--out PATH]
        [--skip-ladder] [--skip-plan-build]
@@ -85,7 +91,7 @@ def main() -> int:
     ap.add_argument("--m-sub", type=int, default=8)
     ap.add_argument("--n-codes", type=int, default=256)
     ap.add_argument("--fit-fraction", type=float, default=0.1)
-    ap.add_argument("--out", default="ANN_QUALITY_r13.json")
+    ap.add_argument("--out", default="ANN_QUALITY_r14.json")
     ap.add_argument("--skip-ladder", action="store_true")
     ap.add_argument("--skip-plan-build", action="store_true")
     args = ap.parse_args()
@@ -100,6 +106,7 @@ def main() -> int:
         ivfpq_topk,
         ivfpq_topk_rerank,
         opq_train,
+        opq_train_auto,
         pq_adc_topk,
         pq_codebooks,
         pq_encode,
@@ -320,6 +327,32 @@ def main() -> int:
                 "encode_plus_scan_sec": round(time.time() - t0, 1),
             }
             log(f"ladder[{tag}] m{m}_opq: {ladder[f'm{m}_opq']}")
+
+            # r14 (r13 verdict #1): the measured-auto decision — does the
+            # held-out sample-MSE comparison pick the leg the recall
+            # measurements above say is better?
+            log(f"ladder[{tag}]: m_sub={m} auto decision ...")
+            t0 = time.time()
+            dec = opq_train_auto(
+                corpus_df, m_sub=m, n_codes=args.n_codes, dim=args.dim,
+                n_iters=8, kmeans_iters=4,
+            )
+            better = (
+                "rotated"
+                if ladder[f"m{m}_opq"]["recall_at_10"]
+                > ladder[f"m{m}_raw"]["recall_at_10"]
+                else "raw"
+            )
+            chosen = "rotated" if dec["use_rotation"] else "raw"
+            ladder[f"m{m}_auto"] = {
+                "chosen": chosen,
+                "mse_raw": round(dec["mse_raw"], 4),
+                "mse_rotated": round(dec["mse_rotated"], 4),
+                "better_measured_leg": better,
+                "matches_better_leg": chosen == better,
+                "decision_sec": round(time.time() - t0, 1),
+            }
+            log(f"ladder[{tag}] m{m}_auto: {ladder[f'm{m}_auto']}")
         return ladder
 
     if not args.skip_ladder:
