@@ -690,14 +690,24 @@ def _np_pq_fit_recon(x, m_sub: int, n_codes: int, kmeans_iters: int):
     reconstruction. Returns (codebooks [m][n][d_sub], y = quantize(x)) —
     the shared kernel of the OPQ alternation, its final refit, and the
     raw-PQ leg of the `opq_train_auto` decision (same init, same
-    iteration budget, so the two MSEs differ only by the rotation)."""
+    iteration budget, so the two MSEs differ only by the rotation).
+
+    Subspace fits are fully independent (no shared state), so they run
+    THREAD-parallel (r13 verdict #8: the alternating loop is
+    embarrassingly parallel across subspaces; numpy releases the GIL in
+    the BLAS expansion, so this cuts the driver-side OPQ training wall
+    ~min(m_sub, cores)× — results are assembled by subspace index and
+    each fit is deterministic, so the output is bit-identical to the
+    sequential loop)."""
     import numpy as np
+    from concurrent.futures import ThreadPoolExecutor
 
     n, d = x.shape
     d_sub = d // m_sub
     y = np.empty_like(x)
-    cbs = []
-    for s in range(m_sub):
+    cbs: list = [None] * m_sub
+
+    def fit_one(s: int) -> None:
         xs = x[:, s * d_sub : (s + 1) * d_sub]
         cent = _np_subspace_kmeans(xs, n_codes, kmeans_iters)
         d2 = (
@@ -706,7 +716,17 @@ def _np_pq_fit_recon(x, m_sub: int, n_codes: int, kmeans_iters: int):
             + (cent * cent).sum(1)[None, :]
         )
         y[:, s * d_sub : (s + 1) * d_sub] = cent[d2.argmin(1)]
-        cbs.append(cent)
+        cbs[s] = cent
+
+    import os
+
+    workers = max(1, min(m_sub, (os.cpu_count() or 2) - 1))
+    if workers == 1:
+        for s in range(m_sub):
+            fit_one(s)
+    else:
+        with ThreadPoolExecutor(max_workers=workers) as ex:
+            list(ex.map(fit_one, range(m_sub)))
     return cbs, y
 
 

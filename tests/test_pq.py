@@ -1404,3 +1404,28 @@ def test_append_drift_tracked_and_store_info_advises_retrain(
     info2 = describe_store(spark, idx)
     assert info2["quant_mse_ratio"] > info2["retrain_mse_ratio_threshold"]
     assert info2["retrain_advised"] is True
+
+
+def test_pq_fit_recon_thread_parallel_is_deterministic():
+    """r14 (r13 verdict #8): the per-subspace fits run thread-parallel;
+    results must be bit-identical to a sequential reference loop (the
+    fits share no state and assemble by subspace index)."""
+    import numpy as np
+
+    from etl_edi_data_scrapper_spark.functions.similarity import (
+        _np_pq_fit_recon,
+        _np_subspace_kmeans,
+    )
+
+    rng = np.random.default_rng(9)
+    x = rng.normal(0, 3.0, size=(500, 16))
+    cbs, y = _np_pq_fit_recon(x, m_sub=4, n_codes=8, kmeans_iters=3)
+    d_sub = 4
+    for s in range(4):
+        xs = x[:, s * d_sub : (s + 1) * d_sub]
+        cent = _np_subspace_kmeans(xs, 8, 3)
+        assert np.array_equal(cbs[s], cent)
+        d2 = ((xs * xs).sum(1, keepdims=True) - 2.0 * (xs @ cent.T)
+              + (cent * cent).sum(1)[None, :])
+        assert np.array_equal(y[:, s * d_sub : (s + 1) * d_sub],
+                              cent[d2.argmin(1)])
