@@ -601,6 +601,26 @@ def main(argv: list[str] | None = None, engine=None) -> int:
         )
 
         meta = load_ivfpq_meta(engine.spark, args.index)
+        # staleness advisory (r14): the index records per-append
+        # quantization MSE against its train baseline; warn the operator
+        # at query time too, not only in store-info — drifted appends
+        # degrade THESE results silently
+        qm = meta.get("quant_mse")
+        if isinstance(qm, dict) and qm.get("train") and isinstance(
+            qm.get("appended"), dict
+        ):
+            from etl_edi_data_scrapper_spark.functions.similarity import (
+                RETRAIN_MSE_RATIO,
+            )
+
+            ratio = float(qm["appended"]["mse"]) / float(qm["train"])
+            if ratio > RETRAIN_MSE_RATIO:
+                print(
+                    f"WARN: appended-batch quantization MSE is {ratio:.2f}x "
+                    f"the train baseline (> {RETRAIN_MSE_RATIO}) — appended "
+                    "vectors rank through stretched cells; rebuild with "
+                    "ann-index (see store-info)"
+                )
         centroids, enc, cbs = load_ivfpq_index(engine.spark, args.index)
         queries = engine.spark.read.parquet(args.queries).select(
             F.col(args.id_col).alias("q_id"),

@@ -1405,6 +1405,21 @@ def test_append_drift_tracked_and_store_info_advises_retrain(
     assert info2["quant_mse_ratio"] > info2["retrain_mse_ratio_threshold"]
     assert info2["retrain_advised"] is True
 
+    # the advisory also reaches ann-query operators, not just store-info
+    qpath = str(tmp_path / "q")
+    spark.createDataFrame(
+        [(0, [float(v) for v in base[0]])],
+        "vec_id long, embedding array<float>",
+    ).write.parquet(qpath)
+    out = str(tmp_path / "res")
+    assert main(
+        ["ann-query", "--index", idx, "--queries", qpath, "--output", out,
+         "--k", "1", "--nprobe", "1"],
+        engine=eng,
+    ) == 0
+    printed = capsys.readouterr().out
+    assert "WARN" in printed and "quantization MSE" in printed
+
 
 def test_pq_fit_recon_thread_parallel_is_deterministic():
     """r14 (r13 verdict #8): the per-subspace fits run thread-parallel;
