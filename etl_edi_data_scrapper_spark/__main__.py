@@ -299,7 +299,18 @@ def main(argv: list[str] | None = None, engine=None) -> int:
     pn.add_argument("--id-col", default="vec_id", help="query id column")
     pn.add_argument("--vec-col", default="embedding", help="query vector column")
     pn.add_argument("--k", type=int, default=10)
-    pn.add_argument("--nprobe", type=int, default=8)
+    pn.add_argument(
+        "--nprobe", default="8",
+        help="cells probed per query, or 'auto': measure top-k overlap "
+        "vs full-probe ADC on a bounded query sample and take the "
+        "smallest probe count reaching --target-overlap (the FAISS "
+        "autotune discipline; decision printed with its ladder)",
+    )
+    pn.add_argument("--target-overlap", type=float, default=0.9)
+    pn.add_argument(
+        "--tune-queries", type=int, default=50,
+        help="--nprobe auto sample size (md5-lowest query ids)",
+    )
     pn.add_argument(
         "--rerank-corpus",
         default=None,
@@ -648,6 +659,35 @@ def main(argv: list[str] | None = None, engine=None) -> int:
                 "pass --residual yes|no (or rebuild with ann-index, which "
                 "always writes it)"
             )
+        if args.nprobe == "auto":
+            from etl_edi_data_scrapper_spark.functions.similarity import (
+                tune_nprobe,
+            )
+
+            # tune in the space ADC actually scores (rotated for an OPQ
+            # index), at the depth ADC actually shortlists (k x k_factor
+            # under rerank — the routing must deliver the SHORTLIST, not
+            # just the final k)
+            tune_k = (
+                args.k * args.k_factor if args.rerank_corpus else args.k
+            )
+            dec = tune_nprobe(
+                q_short if q_short is not None else queries,
+                centroids, enc, cbs,
+                k=tune_k, target_overlap=args.target_overlap,
+                max_queries=args.tune_queries, c_id=cid,
+                residual=residual,
+            )
+            nprobe = dec["nprobe"]
+            print(
+                f"STAGE: nprobe auto: {nprobe} "
+                f"(target overlap {dec['target_overlap']} "
+                f"{'reached' if dec['target_reached'] else 'NOT reached - full probe'}, "
+                f"{dec['n_queries']} sample queries, ladder "
+                + json.dumps(dec["ladder"], sort_keys=True) + ")"
+            )
+        else:
+            nprobe = int(args.nprobe)
         if args.rerank_corpus:
             from etl_edi_data_scrapper_spark.functions.similarity import (
                 ivfpq_topk_rerank,
@@ -667,7 +707,7 @@ def main(argv: list[str] | None = None, engine=None) -> int:
                 corpus = corpus.withColumnRenamed(rerank_id, cid)
             out = ivfpq_topk_rerank(
                 queries, centroids, enc, cbs, corpus,
-                k=args.k, k_factor=args.k_factor, nprobe=args.nprobe,
+                k=args.k, k_factor=args.k_factor, nprobe=nprobe,
                 c_id=cid, c_vec=rerank_vec, residual=residual,
                 shortlist_queries=q_short,
             )
@@ -675,14 +715,14 @@ def main(argv: list[str] | None = None, engine=None) -> int:
             out = ivfpq_topk(
                 q_short if q_short is not None else queries,
                 centroids, enc, cbs,
-                k=args.k, nprobe=args.nprobe, c_id=cid, residual=residual,
+                k=args.k, nprobe=nprobe, c_id=cid, residual=residual,
             )
         sinkmod.write_parquet(out, args.output, mode="overwrite")
         n = engine.spark.read.parquet(args.output).count()
         tier = " | rerank: exact" if args.rerank_corpus else ""
         print(
             f"SUCCESS: ANN query | Results: {n} | k: {args.k} | "
-            f"nprobe: {args.nprobe}{tier}"
+            f"nprobe: {nprobe}{tier}"
         )
         return 0
 

@@ -109,6 +109,72 @@ def lsh_band_keys(
     )
 
 
+def plan_lsh_bands(
+    n_hashes: int,
+    threshold: float,
+    fp_weight: float = 0.5,
+    fn_weight: float = 0.5,
+) -> dict:
+    """Measured-auto (b, r) for MinHash LSH banding: pick the banding whose
+    S-curve best matches a target Jaccard ``threshold``.
+
+    The probability a pair with Jaccard similarity s becomes a candidate
+    under b bands of r rows is P(s) = 1 − (1 − s^r)^b (Leskovec/Rajaraman/
+    Ullman, *Mining of Massive Datasets* §3.4.2-3.4.3 — the standard LSH
+    S-curve). The planner evaluates every (b, r) with b·r ≤ n_hashes
+    (maximal r per b, so no hash is wasted) and minimizes the weighted
+    integrated error the MMDS construction defines:
+
+        fp = ∫₀ᵗ P(s) ds      (candidates below the threshold)
+        fn = ∫ₜ¹ (1 − P(s)) ds (misses above it)
+
+    — the same objective the public datasketch MinHashLSH optimizer uses;
+    midpoint rule at 1000 points (P is smooth and bounded, so the
+    integration error is ≪ the grid spacing between adjacent (b, r)
+    curves). Pure driver-side arithmetic: no data, no jobs — callers
+    (`minhash_candidate_pairs(bands="auto", threshold=…)`) plan once per
+    query, and the decision is recorded in the returned dict:
+    ``{"bands", "rows", "n_hashes_used", "threshold_star", "fp", "fn"}``
+    where ``threshold_star = (1/b)^(1/r)`` is the curve's inflection (the
+    similarity at which P crosses ~0.5 — should land near ``threshold``).
+    """
+    if not 0.0 < threshold < 1.0:
+        raise ValueError(f"threshold must be in (0, 1), got {threshold}")
+    if n_hashes < 1:
+        raise ValueError(f"n_hashes must be >= 1, got {n_hashes}")
+    grid = [(i + 0.5) / 1000.0 for i in range(1000)]
+    best: dict | None = None
+    seen: set[tuple[int, int]] = set()
+    for b in range(1, n_hashes + 1):
+        r = n_hashes // b
+        if (b, r) in seen:
+            continue
+        seen.add((b, r))
+        fp = fn = 0.0
+        for s in grid:
+            p = 1.0 - (1.0 - s**r) ** b
+            if s < threshold:
+                fp += p
+            else:
+                fn += 1.0 - p
+        fp /= 1000.0
+        fn /= 1000.0
+        err = fp_weight * fp + fn_weight * fn
+        if best is None or err < best["_err"]:
+            best = {
+                "bands": b,
+                "rows": r,
+                "n_hashes_used": b * r,
+                "threshold_star": (1.0 / b) ** (1.0 / r),
+                "fp": fp,
+                "fn": fn,
+                "_err": err,
+            }
+    assert best is not None
+    best.pop("_err")
+    return best
+
+
 def bucket_pairs(
     bk: DataFrame,
     id_col: str,
@@ -187,12 +253,19 @@ def minhash_candidate_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     n_hashes: int = 12,
-    bands: int = 4,
+    bands: int | str = 4,
     shingle_n: int = 3,
     max_bucket: int | None = None,
     with_bound: bool = False,
+    threshold: float = 0.5,
 ):
     """Distinct candidate pairs (a < b) sharing ≥1 LSH band.
+
+    ``bands="auto"`` plans the banding from the target Jaccard
+    ``threshold`` via :func:`plan_lsh_bands` (the MMDS S-curve fit)
+    instead of making the operator guess a band count — the same
+    measured-decision discipline as ``--opq auto``, but closed-form (no
+    sample needed: the S-curve depends only on (b, r)).
 
     ``max_bucket`` is `bucket_pairs`' saturation guard: when near-dup
     FAMILY size grows with the corpus (heavy replication — the regime the
@@ -210,6 +283,8 @@ def minhash_candidate_pairs(
     construction share one execution of the signature pipeline (the
     checkpoint is linear in docs×bands — never the quadratic pair
     volume — so it is safe at any corpus density)."""
+    if bands == "auto":
+        bands = plan_lsh_bands(n_hashes, threshold)["bands"]
     sig = minhash_signatures(df, id_col, text_col, n_hashes, shingle_n)
     bk = lsh_band_keys(sig, id_col, n_hashes, bands)
     if with_bound:

@@ -1777,6 +1777,104 @@ def ivfpq_topk_rerank(
     )
 
 
+def tune_nprobe(
+    queries: DataFrame,
+    centroids: DataFrame,
+    encoded_assigned: DataFrame,
+    codebooks: DataFrame | list,
+    k: int = 10,
+    target_overlap: float = 0.9,
+    nprobes: tuple[int, ...] = (1, 2, 4, 8, 16, 32),
+    max_queries: int = 50,
+    q_id: str = "q_id",
+    q_vec: str = "q_vec",
+    c_id: str = "vec_id",
+    codes_col: str = "codes",
+    residual: bool = False,
+) -> dict:
+    """Measured-auto ``nprobe``: the smallest probe count whose top-k
+    matches the FULL-probe ADC answer at ``target_overlap`` on a bounded
+    query sample — the FAISS autotune discipline (OperatingPoints /
+    ``nprobe`` criterion sweeps) applied to the one knob IVF routing
+    actually controls.
+
+    The reference is nprobe = n_centroids (every cell probed): that is
+    the best THESE codes can rank, so overlap against it isolates pure
+    routing loss — quantization loss is k_factor/rerank's job
+    (:func:`ivfpq_topk_rerank`), not nprobe's, and folding it in would
+    make the tuner chase a floor no probe count can lift. Overlap@k is
+    |topk(nprobe) ∩ topk(full)| / |topk(full)| averaged over the sample;
+    candidates at nprobe are a subset of full-probe candidates, so the
+    metric is monotone in nprobe and the first ladder point reaching the
+    target is the minimal one (the walk stops there — later points are
+    never measured).
+
+    Bounded by construction: the sample is the ``max_queries`` md5-lowest
+    query ids (deterministic, the opq_train/kmeans sample discipline),
+    every ladder point is one `ivfpq_topk` job over that sample, and
+    driver state is ≤ sample × k id pairs per point. Returns
+    ``{"nprobe", "target_overlap", "target_reached", "k", "n_queries",
+    "reference_nprobe", "ladder": {nprobe: overlap}}`` for _meta.json /
+    logging — the decision is recorded, not just applied."""
+    qs = (
+        queries.select(q_id, q_vec)
+        .orderBy(F.md5(F.col(q_id).cast("string")), F.col(q_id))
+        .limit(int(max_queries))
+        .localCheckpoint()
+    )
+    n_q = qs.count()
+    if n_q == 0:
+        raise ValueError("tune_nprobe: empty query sample")
+    n_cen = centroids.count()
+
+    def topk_sets(nprobe: int) -> dict:
+        rows = (
+            ivfpq_topk(
+                qs, centroids, encoded_assigned, codebooks,
+                k=k, nprobe=nprobe, q_id=q_id, q_vec=q_vec, c_id=c_id,
+                codes_col=codes_col, residual=residual,
+            )
+            .select(q_id, c_id)
+            .collect()
+        )
+        got: dict = {}
+        for r in rows:
+            got.setdefault(r[0], set()).add(r[1])
+        return got
+
+    ref = topk_sets(int(n_cen))
+    ladder: dict[int, float] = {}
+    chosen = None
+    for np_ in sorted({int(p) for p in nprobes if 1 <= int(p) < n_cen}):
+        got = topk_sets(np_)
+        overlap = float(
+            sum(
+                len(got.get(q, set()) & s) / len(s)
+                for q, s in ref.items()
+            )
+            / max(len(ref), 1)
+        )
+        ladder[np_] = overlap
+        if overlap >= target_overlap:
+            chosen = np_
+            break
+    reached = chosen is not None
+    if chosen is None:
+        # nothing under full probing reached the target on this corpus
+        # geometry — fall back to exact routing rather than ship a known
+        # miss (the caller sees target_reached=False and the ladder)
+        chosen = int(n_cen)
+    return {
+        "nprobe": chosen,
+        "target_overlap": target_overlap,
+        "target_reached": reached,
+        "k": k,
+        "n_queries": int(n_q),
+        "reference_nprobe": int(n_cen),
+        "ladder": ladder,
+    }
+
+
 def compact_ivfpq_codes(spark, path: str) -> tuple[int, int]:
     """Offline compaction for the IVFPQ code store (r11 verdict #3):
     `append_to_ivfpq_index` appends one parquet file per batch per

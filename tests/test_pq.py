@@ -1444,3 +1444,126 @@ def test_pq_fit_recon_thread_parallel_is_deterministic():
               + (cent * cent).sum(1)[None, :])
         assert np.array_equal(y[:, s * d_sub : (s + 1) * d_sub],
                               cent[d2.argmin(1)])
+
+
+def _ring_corpus(spark, n=64):
+    """Vectors around a ring: directions vary smoothly, so the
+    cosine-routed IVF cells are angular arcs and every top-k
+    neighborhood straddles cell boundaries — overlap vs full-probe
+    GROWS with nprobe, the regime the tuner exists to measure. (A
+    collinear corpus would NOT work: cosine routing sees one direction,
+    i.e. one effective cell, and nprobe=1 is already perfect.)"""
+    import math
+
+    rows = [
+        (
+            i,
+            [
+                math.cos(2 * math.pi * i / n),
+                math.sin(2 * math.pi * i / n),
+                math.cos(2 * math.pi * i / n),
+                math.sin(2 * math.pi * i / n),
+            ],
+        )
+        for i in range(n)
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_tune_nprobe_picks_minimal_probe_reaching_target(spark):
+    """r14 operator intelligence: the chosen nprobe is the FIRST ladder
+    point whose mean top-k overlap vs full-probe ADC reaches the target;
+    every earlier point measured below it."""
+    from etl_edi_data_scrapper_spark.functions.similarity import (
+        ivf_index,
+        pq_codebooks,
+        pq_encode,
+        tune_nprobe,
+    )
+
+    corpus = _ring_corpus(spark)
+    # n_codes=64 = every point: the sample codebook represents each
+    # vector exactly, so ADC == exact distance and the ladder isolates
+    # ROUTING loss (16 cells of ~4 consecutive points; top-10 must span
+    # several cells — nprobe=1 cannot reach 0.9)
+    centroids, assigned = ivf_index(
+        corpus, n_centroids=16, train="kmeans", kmeans_iters=4
+    )
+    cbs = pq_codebooks(corpus, m_sub=2, n_codes=64, dim=4)
+    enc = pq_encode(assigned, cbs)
+    queries = corpus.select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    dec = tune_nprobe(
+        queries, centroids, enc, cbs, k=10, target_overlap=0.9,
+        nprobes=(1, 2, 4, 8), max_queries=16,
+    )
+    assert dec["target_reached"] is True
+    assert dec["ladder"][dec["nprobe"]] >= 0.9
+    for np_, ov in dec["ladder"].items():
+        if np_ < dec["nprobe"]:
+            assert ov < 0.9
+    assert dec["n_queries"] == 16 and dec["reference_nprobe"] == 16
+    # a ring corpus at 16 arc cells NEEDS more than one probe for top-10
+    assert dec["nprobe"] > 1
+
+
+def test_tune_nprobe_ladder_monotone_and_unreachable_target(spark):
+    """Overlap is weakly monotone in nprobe (candidates are supersets);
+    an unreachable target measures the WHOLE ladder and falls back to
+    full probing with target_reached=False."""
+    from etl_edi_data_scrapper_spark.functions.similarity import (
+        ivf_index,
+        pq_codebooks,
+        pq_encode,
+        tune_nprobe,
+    )
+
+    corpus = _ring_corpus(spark)
+    centroids, assigned = ivf_index(
+        corpus, n_centroids=8, train="kmeans", kmeans_iters=4
+    )
+    cbs = pq_codebooks(corpus, m_sub=2, n_codes=16, dim=4)
+    enc = pq_encode(assigned, cbs)
+    queries = corpus.select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    dec = tune_nprobe(
+        queries, centroids, enc, cbs, k=10, target_overlap=2.0,
+        nprobes=(1, 2, 4), max_queries=12,
+    )
+    assert dec["target_reached"] is False
+    assert dec["nprobe"] == dec["reference_nprobe"] == 8
+    ladder = [dec["ladder"][p] for p in sorted(dec["ladder"])]
+    assert len(ladder) == 3
+    assert all(a <= b + 1e-12 for a, b in zip(ladder, ladder[1:]))
+
+
+def test_cli_ann_query_nprobe_auto(spark, sf_dir, tmp_path, capsys):
+    """`ann-query --nprobe auto` tunes on a bounded sample, prints the
+    decision with its measured ladder, and answers with the chosen
+    probe count."""
+    from etl_edi_data_scrapper_spark.__main__ import main
+    from etl_edi_data_scrapper_spark.engine import Engine
+
+    idx, out = str(tmp_path / "idx"), str(tmp_path / "res")
+    eng = Engine(spark=spark)
+    emb = f"{sf_dir}/embeddings.parquet"
+    assert main(
+        ["ann-index", "--embeddings", emb, "--output", idx,
+         "--dim", "64", "--n-centroids", "8", "--m-sub", "8",
+         "--n-codes", "16", "--train", "sample"],
+        engine=eng,
+    ) == 0
+    capsys.readouterr()
+    assert main(
+        ["ann-query", "--index", idx, "--queries", emb, "--output", out,
+         "--k", "3", "--nprobe", "auto", "--target-overlap", "0.8",
+         "--tune-queries", "12"],
+        engine=eng,
+    ) == 0
+    printed = capsys.readouterr().out
+    assert "STAGE: nprobe auto:" in printed and "ladder" in printed
+    assert "SUCCESS: ANN query" in printed
+    n_q = spark.read.parquet(emb).count()
+    assert spark.read.parquet(out).count() == n_q * 3
