@@ -505,13 +505,16 @@ def main(argv: list[str] | None = None, engine=None) -> int:
             opq_info = {
                 "mode": args.opq,
                 "chosen": "rotated" if use else "raw",
+                "recall_raw": dec["recall_raw"],
+                "recall_rotated": dec["recall_rotated"],
                 "mse_raw": dec["mse_raw"],
                 "mse_rotated": dec["mse_rotated"],
             }
             print(
-                f"STAGE: opq {args.opq}: sample MSE raw "
-                f"{dec['mse_raw']:.6g} vs rotated {dec['mse_rotated']:.6g} "
-                f"-> {opq_info['chosen']}"
+                f"STAGE: opq {args.opq}: held-out recall@10 raw "
+                f"{dec['recall_raw']:.3f} vs rotated "
+                f"{dec['recall_rotated']:.3f} (MSE {dec['mse_raw']:.6g} vs "
+                f"{dec['mse_rotated']:.6g}) -> {opq_info['chosen']}"
             )
             if use:
                 rotation = dec["rotation"]

@@ -261,3 +261,96 @@ def keyed_merge_salted(
 
     staged = df.groupBy(key, "__salt").agg(*partial)
     return staged.groupBy(key).agg(*final)
+
+
+def keyed_merge_auto(
+    df: DataFrame,
+    key: str,
+    merge_rules: dict[str, str] | None = None,
+    seq_col: str = SEQ_COL,
+    salt_buckets: int = 16,
+    max_array_elements: int | None = None,
+    salt_above: int = 1_000_000,
+) -> tuple[DataFrame, dict]:
+    """Measured-auto plain-vs-salted ``keyed_merge`` (r14 — the
+    `jaccard_pairs` auto-strategy discipline applied to the reference's
+    core operator). Returns ``(result, decision)``; the result is
+    byte-identical whichever strategy fires (pinned by the salted
+    equivalence tests).
+
+    The decision rule follows where skew can actually hurt this
+    aggregation: every rule EXCEPT ``addArray`` keeps constant-size
+    per-key state with map-side partials (a hot key costs one partial
+    row per task — plain groupBy is already skew-safe), so
+    (a) with no ``addArray`` rule the plain merge ships WITHOUT any
+        probe job;
+    (b) with one, the hot-key mass is MEASURED first: one
+        ``groupBy(key).count() → max`` probe — itself constant-state,
+        so the probe cannot hit the skew it is probing for — and the
+        salted two-stage fires only when the hottest key's row count
+        reaches ``salt_above`` (default 1M: ~the per-task row volume
+        where a single reducer's collect_list state becomes a
+        straggler/OOM term at 100 TB; size it to executor memory /
+        expected element width).
+
+    The probe is one linear pass over the input. Callers merging the
+    same frame repeatedly should probe once and call the chosen
+    strategy directly; the decision dict (strategy, max_key_rows,
+    salt_above, probed) is returned — record it, the opq_train_auto
+    convention."""
+    merge_rules = dict(merge_rules or {})
+    bad = {r for r in merge_rules.values()} - VALID_RULES
+    if bad:
+        raise ValueError(f"unknown merge rules: {sorted(bad)}")
+    decision: dict = {"salt_above": int(salt_above), "probed": False,
+                      "max_key_rows": None}
+    if "addArray" not in merge_rules.values():
+        decision["strategy"] = "plain"
+        decision["reason"] = (
+            "no addArray rule: per-key aggregation state is constant "
+            "(map-side partials), plain groupBy is skew-safe"
+        )
+        return (
+            keyed_merge(
+                df, key, merge_rules, seq_col=seq_col,
+                max_array_elements=max_array_elements,
+            ),
+            decision,
+        )
+    kc = F.col(key)
+    hot = (
+        df.filter(kc.isNotNull() & (kc.cast("string") != ""))
+        .groupBy(key).count()
+        .agg(F.max("count").alias("m"))
+        .first()["m"]
+    )
+    decision["probed"] = True
+    decision["max_key_rows"] = int(hot or 0)
+    if decision["max_key_rows"] >= salt_above:
+        decision["strategy"] = "salted"
+        decision["reason"] = (
+            f"hottest key carries {decision['max_key_rows']} rows "
+            f">= salt_above={salt_above}: addArray collect state on one "
+            "reducer would be the straggler/OOM term"
+        )
+        return (
+            keyed_merge_salted(
+                df, key, merge_rules, seq_col=seq_col,
+                salt_buckets=salt_buckets,
+                max_array_elements=max_array_elements,
+            ),
+            decision,
+        )
+    decision["strategy"] = "plain"
+    decision["reason"] = (
+        f"hottest key carries {decision['max_key_rows']} rows < "
+        f"salt_above={salt_above}: one-stage merge is cheaper (no "
+        "second shuffle)"
+    )
+    return (
+        keyed_merge(
+            df, key, merge_rules, seq_col=seq_col,
+            max_array_elements=max_array_elements,
+        ),
+        decision,
+    )

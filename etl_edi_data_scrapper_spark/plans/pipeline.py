@@ -84,6 +84,38 @@ def aggregate(
     mapped, merge_rules = map_columns(
         df, cfg.column_map_rules, cfg.supplier_id, cfg.version, keep=[SEQ_COL]
     )
+    # Optional config key "merge_strategy": "plain" (default — the
+    # reference's shape), "salted" (force the two-stage skew path), or
+    # "auto" (r14: measure the hottest key's row count and salt only
+    # when addArray state on one reducer would be the straggler term;
+    # byte-identical results either way). "salt_above"/"salt_buckets"
+    # tune the auto/salted paths.
+    strategy = cfg.extra.get("merge_strategy", "plain")
+    if strategy == "salted":
+        from etl_edi_data_scrapper_spark.operators.merge import keyed_merge_salted
+
+        return keyed_merge_salted(
+            mapped, cfg.unique_index, merge_rules,
+            salt_buckets=int(cfg.extra.get("salt_buckets", 16)),
+        )
+    if strategy == "auto":
+        from etl_edi_data_scrapper_spark.operators.merge import keyed_merge_auto
+
+        out, dec = keyed_merge_auto(
+            mapped, cfg.unique_index, merge_rules,
+            salt_buckets=int(cfg.extra.get("salt_buckets", 16)),
+            salt_above=int(cfg.extra.get("salt_above", 1_000_000)),
+        )
+        print(
+            f"STAGE: merge_strategy auto: {dec['strategy']} "
+            f"(max_key_rows={dec['max_key_rows']}, "
+            f"salt_above={dec['salt_above']})"
+        )
+        return out
+    if strategy != "plain":
+        raise ValueError(
+            f"unknown merge_strategy {strategy!r} (plain|salted|auto)"
+        )
     return keyed_merge(mapped, cfg.unique_index, merge_rules)
 
 

@@ -852,3 +852,29 @@ def test_cli_curate_url_idna_flag_and_stage_dir_fingerprint(
             engine=eng,
         )
     assert "--url-idna needs the urls stage" in capsys.readouterr().err
+
+
+def test_run_job_merge_strategy_knob(spark, sf_dir, capsys):
+    """r14: config key merge_strategy plain|salted|auto — identical
+    results on all three; 'auto' records its measured decision (STAGE
+    line) and probes only when an addArray rule exists."""
+    eng = Engine(spark)
+    base = JOB(sf_dir)
+    jobs = {
+        name: {**base, "column_map_rules": {
+            **base["column_map_rules"], "status": ["l_returnflag", "addArray"],
+        }, "merge_strategy": name}
+        for name in ("plain", "salted", "auto")
+    }
+    outs = {}
+    for name, job in jobs.items():
+        rows = eng.run_job(job, sink="collect")
+        outs[name] = sorted(tuple(r) for r in rows)
+    assert outs["plain"] == outs["salted"] == outs["auto"]
+    printed = capsys.readouterr().out
+    assert "STAGE: merge_strategy auto:" in printed
+    # the sf lineitem feed has no 1M-row key: auto must measure + stay plain
+    assert "auto: plain" in printed and "max_key_rows=" in printed
+
+    with pytest.raises(ValueError, match="merge_strategy"):
+        eng.run_job({**base, "merge_strategy": "bogus"})

@@ -329,8 +329,11 @@ def main() -> int:
             log(f"ladder[{tag}] m{m}_opq: {ladder[f'm{m}_opq']}")
 
             # r14 (r13 verdict #1): the measured-auto decision — does the
-            # held-out sample-MSE comparison pick the leg the recall
-            # measurements above say is better?
+            # held-out sample RECALL comparison pick the leg the full
+            # measurements above say is better? (The first r14 run caught
+            # the MSE-based decision mispicking here: -13.5%% held-out MSE
+            # on this clustered corpus while measured recall favors raw —
+            # the decision metric is recall since.)
             log(f"ladder[{tag}]: m_sub={m} auto decision ...")
             t0 = time.time()
             dec = opq_train_auto(
@@ -346,6 +349,8 @@ def main() -> int:
             chosen = "rotated" if dec["use_rotation"] else "raw"
             ladder[f"m{m}_auto"] = {
                 "chosen": chosen,
+                "recall_raw_heldout": round(dec["recall_raw"], 4),
+                "recall_rotated_heldout": round(dec["recall_rotated"], 4),
                 "mse_raw": round(dec["mse_raw"], 4),
                 "mse_rotated": round(dec["mse_rotated"], 4),
                 "better_measured_leg": better,
