@@ -253,7 +253,13 @@ def main(argv: list[str] | None = None, engine=None) -> int:
     pa.add_argument("--id-col", default="vec_id")
     pa.add_argument("--vec-col", default="embedding")
     pa.add_argument("--dim", type=int, default=64)
-    pa.add_argument("--n-centroids", type=int, default=256)
+    pa.add_argument(
+        "--n-centroids", default="256",
+        help="IVF cell count, or 'auto': the FAISS sizing rule — "
+        "~8*sqrt(N) cells, capped so each cell keeps >= 39 training "
+        "points (the faiss clustering warning threshold); the measured "
+        "N and the decision are printed and recorded in _meta.json",
+    )
     pa.add_argument("--m-sub", type=int, default=8)
     pa.add_argument("--n-codes", type=int, default=256)
     pa.add_argument(
@@ -489,6 +495,21 @@ def main(argv: list[str] | None = None, engine=None) -> int:
         )
 
         emb = engine.spark.read.parquet(args.embeddings)
+        if args.n_centroids == "auto":
+            # FAISS practice: IVF cell counts between 4*sqrt(N) and
+            # 16*sqrt(N); 8*sqrt(N) is the midpoint rule. The 39-points-
+            # per-centroid floor is faiss's own clustering warning bound
+            # (fewer and the k-means cells are undertrained).
+            n_vec = emb.count()
+            n_centroids = max(1, min(
+                int(8 * n_vec ** 0.5) or 1, n_vec // 39 or 1, 65536,
+            ))
+            print(
+                f"STAGE: n_centroids auto: {n_centroids} "
+                f"(N={n_vec}, rule=min(8*sqrt(N), N/39, 65536))"
+            )
+        else:
+            n_centroids = int(args.n_centroids)
         rotation = None
         opq_info = None
         if args.opq != "off":
@@ -524,7 +545,7 @@ def main(argv: list[str] | None = None, engine=None) -> int:
                 emb = apply_rotation(emb, rotation, vec_col=args.vec_col)
         if args.no_residual:
             centroids, assigned = ivf_index(
-                emb, n_centroids=args.n_centroids,
+                emb, n_centroids=n_centroids,
                 c_id=args.id_col, c_vec=args.vec_col,
                 train=args.train, fit_fraction=args.fit_fraction,
             )
@@ -541,7 +562,7 @@ def main(argv: list[str] | None = None, engine=None) -> int:
             # coarse stage silently stayed 'sample' even under --train
             # kmeans, shipping untrained routing on the default path
             centroids, enc, cbs = ivfpq_residual_index(
-                emb, n_centroids=args.n_centroids, m_sub=args.m_sub,
+                emb, n_centroids=n_centroids, m_sub=args.m_sub,
                 n_codes=args.n_codes, dim=args.dim,
                 c_id=args.id_col, c_vec=args.vec_col, train=args.train,
                 coarse_train=args.train, fit_fraction=args.fit_fraction,
@@ -550,7 +571,8 @@ def main(argv: list[str] | None = None, engine=None) -> int:
             "residual": not args.no_residual,
             "id_col": args.id_col,
             "dim": args.dim,
-            "n_centroids": args.n_centroids,
+            "n_centroids": n_centroids,
+            "n_centroids_mode": args.n_centroids,
             "m_sub": args.m_sub,
             "n_codes": args.n_codes,
             "train": args.train,
@@ -577,7 +599,7 @@ def main(argv: list[str] | None = None, engine=None) -> int:
         n = engine.spark.read.parquet(f"{args.output}/codes").count()
         print(
             f"SUCCESS: ANN index built | Vectors: {n} | Cells: "
-            f"{args.n_centroids} | Codes: {args.m_sub}x{args.n_codes}"
+            f"{n_centroids} | Codes: {args.m_sub}x{args.n_codes}"
             f"{' (residual)' if not args.no_residual else ''}"
         )
         return 0

@@ -268,7 +268,7 @@ def keyed_merge_auto(
     key: str,
     merge_rules: dict[str, str] | None = None,
     seq_col: str = SEQ_COL,
-    salt_buckets: int = 16,
+    salt_buckets: int | str = "auto",
     max_array_elements: int | None = None,
     salt_above: int = 1_000_000,
 ) -> tuple[DataFrame, dict]:
@@ -293,11 +293,17 @@ def keyed_merge_auto(
         straggler/OOM term at 100 TB; size it to executor memory /
         expected element width).
 
+    ``salt_buckets="auto"`` sizes the salt from the SAME measurement:
+    ⌈max_key_rows / salt_above⌉ buckets (clamped to [2, 256]) caps each
+    per-(key, salt) partial's collect state at ~``salt_above`` rows —
+    the bucket count scales with the measured hot mass instead of a
+    fixed 16 that over-salts mild skew and under-salts a monster key.
+
     The probe is one linear pass over the input. Callers merging the
     same frame repeatedly should probe once and call the chosen
     strategy directly; the decision dict (strategy, max_key_rows,
-    salt_above, probed) is returned — record it, the opq_train_auto
-    convention."""
+    salt_above, salt_buckets, probed) is returned — record it, the
+    opq_train_auto convention."""
     merge_rules = dict(merge_rules or {})
     bad = {r for r in merge_rules.values()} - VALID_RULES
     if bad:
@@ -327,7 +333,12 @@ def keyed_merge_auto(
     decision["probed"] = True
     decision["max_key_rows"] = int(hot or 0)
     if decision["max_key_rows"] >= salt_above:
+        if salt_buckets == "auto":
+            salt_buckets = min(
+                256, max(2, -(-decision["max_key_rows"] // salt_above))
+            )
         decision["strategy"] = "salted"
+        decision["salt_buckets"] = int(salt_buckets)
         decision["reason"] = (
             f"hottest key carries {decision['max_key_rows']} rows "
             f">= salt_above={salt_above}: addArray collect state on one "
@@ -336,7 +347,7 @@ def keyed_merge_auto(
         return (
             keyed_merge_salted(
                 df, key, merge_rules, seq_col=seq_col,
-                salt_buckets=salt_buckets,
+                salt_buckets=int(salt_buckets),
                 max_array_elements=max_array_elements,
             ),
             decision,

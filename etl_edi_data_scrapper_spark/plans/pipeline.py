@@ -101,15 +101,19 @@ def aggregate(
     if strategy == "auto":
         from etl_edi_data_scrapper_spark.operators.merge import keyed_merge_auto
 
+        sb = cfg.extra.get("salt_buckets", "auto")
         out, dec = keyed_merge_auto(
             mapped, cfg.unique_index, merge_rules,
-            salt_buckets=int(cfg.extra.get("salt_buckets", 16)),
+            salt_buckets=sb if sb == "auto" else int(sb),
             salt_above=int(cfg.extra.get("salt_above", 1_000_000)),
         )
         print(
             f"STAGE: merge_strategy auto: {dec['strategy']} "
             f"(max_key_rows={dec['max_key_rows']}, "
-            f"salt_above={dec['salt_above']})"
+            f"salt_above={dec['salt_above']}"
+            + (f", salt_buckets={dec['salt_buckets']}"
+               if "salt_buckets" in dec else "")
+            + ")"
         )
         return out
     if strategy != "plain":

@@ -276,6 +276,16 @@ def test_keyed_merge_auto_decision_and_equivalence(spark):
     }
     assert {r.key: tuple(r) for r in out.collect()} == salted
 
+    # (b2) salt_buckets="auto" sizes the salt from the measured hot mass:
+    # ceil(270 / 100) = 3 buckets, still byte-identical
+    out, dec = keyed_merge_auto(df, "key", rules, salt_above=100)
+    assert dec["strategy"] == "salted" and dec["salt_buckets"] == 3
+    salted3 = {
+        r.key: tuple(r)
+        for r in keyed_merge_salted(df, "key", rules, salt_buckets=3).collect()
+    }
+    assert {r.key: tuple(r) for r in out.collect()} == salted3
+
     # (c) addArray but no key reaches the bar: plain, probed
     out, dec = keyed_merge_auto(df, "key", rules, salt_above=1000)
     assert dec["strategy"] == "plain" and dec["probed"] is True

@@ -1572,3 +1572,36 @@ def test_cli_ann_query_nprobe_auto(spark, sf_dir, tmp_path, capsys):
     assert "SUCCESS: ANN query" in printed
     n_q = spark.read.parquet(emb).count()
     assert spark.read.parquet(out).count() == n_q * 3
+
+
+def test_cli_ann_index_n_centroids_auto(spark, sf_dir, tmp_path, capsys):
+    """`ann-index --n-centroids auto`: the FAISS sizing rule
+    min(8*sqrt(N), N/39) measured from the corpus — at the sf0.001
+    embeddings table (N=500) that is the 39-points-per-centroid floor,
+    N//39 = 12 cells — decision printed and recorded in _meta.json."""
+    from etl_edi_data_scrapper_spark.__main__ import main
+    from etl_edi_data_scrapper_spark.engine import Engine
+    from etl_edi_data_scrapper_spark.functions.similarity import (
+        load_ivfpq_meta,
+    )
+
+    idx, out = str(tmp_path / "idx"), str(tmp_path / "res")
+    eng = Engine(spark=spark)
+    emb = f"{sf_dir}/embeddings.parquet"
+    assert main(
+        ["ann-index", "--embeddings", emb, "--output", idx,
+         "--dim", "64", "--n-centroids", "auto", "--m-sub", "8",
+         "--n-codes", "16", "--train", "sample"],
+        engine=eng,
+    ) == 0
+    printed = capsys.readouterr().out
+    assert "STAGE: n_centroids auto: 12 (N=500" in printed
+    meta = load_ivfpq_meta(spark, idx)
+    assert meta["n_centroids"] == 12
+    assert meta["n_centroids_mode"] == "auto"
+    assert main(
+        ["ann-query", "--index", idx, "--queries", emb, "--output", out,
+         "--k", "2", "--nprobe", "3"],
+        engine=eng,
+    ) == 0
+    assert spark.read.parquet(out).count() == 500 * 2
