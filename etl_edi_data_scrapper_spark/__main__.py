@@ -206,6 +206,13 @@ def main(argv: list[str] | None = None, engine=None) -> int:
         help="enable the classifier stage: column marking reference docs",
     )
     pu.add_argument(
+        "--clf-target-keep", type=float, default=None,
+        help="with the classifier stage: instead of the fixed score>0 "
+        "cutoff, keep ~this fraction of documents - the threshold is the "
+        "exact (1-target) percentile of the scored corpus (one 1-row "
+        "aggregate)",
+    )
+    pu.add_argument(
         "--clf-reference-value",
         default=None,
         help="value of --clf-reference-col that labels the positive class",
@@ -812,6 +819,7 @@ def main(argv: list[str] | None = None, engine=None) -> int:
             psl=args.psl,
             url_gate=args.url_gate,
             clf_reference=clf_ref,
+            clf_target_keep=args.clf_target_keep,
             badwords=badwords,
             benchmark=bench,
             benchmark_text_col=args.benchmark_text_col,

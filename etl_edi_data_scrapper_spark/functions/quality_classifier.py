@@ -155,13 +155,25 @@ def fit_reference_classifier(
     text_col: str = "text",
     n_buckets: int = 64,
     n_epochs: int = 3,
+    target_keep: float | None = None,
 ) -> DataFrame:
     """The pipeline form: label docs matching ``reference_pred`` (a
     Column predicate — e.g. source == 'wiki') +1, the rest −1, fit, and
     return (id, clf_score, clf_keep) for EVERY document. This is the
     GPT-3/LLaMA-style weak-label setup: the reference corpus is the
     positive class and the classifier generalizes its surface statistics
-    to unseen crawl docs."""
+    to unseen crawl docs.
+
+    ``target_keep`` (r14, measured-auto): instead of the fixed
+    ``score > 0`` cutoff — whose keep fraction is whatever the margin
+    distribution happens to give — pick the threshold as the exact
+    (1 − target_keep) quantile of the scored corpus, so the stage keeps
+    ~``target_keep`` of documents by construction (the LLaMA-style
+    "keep the best X%" budget). One extra 1-row aggregate over the
+    already-scored frame (``percentile``, exact — integer scores make
+    it cheap and deterministic); keep stays ``score > threshold`` with
+    the strict inequality, so ties at the cut score drop together and
+    the realized fraction lands ≤ target within one tie-group."""
     feat = featurize(docs, id_col=id_col, text_col=text_col, n_buckets=n_buckets)
     labeled = feat.join(
         docs.select(
@@ -176,4 +188,18 @@ def fit_reference_classifier(
     w, bias = perceptron_fit(
         labeled, label_col="__y", n_buckets=n_buckets, n_epochs=n_epochs
     )
-    return classify(labeled, w, bias).select(id_col, "clf_score", "clf_keep")
+    scored = classify(labeled, w, bias)
+    if target_keep is not None:
+        if not 0.0 < target_keep < 1.0:
+            raise ValueError(
+                f"target_keep must be in (0, 1), got {target_keep}"
+            )
+        thr = scored.agg(
+            F.expr(
+                f"percentile(clf_score, {1.0 - target_keep})"
+            ).alias("t")
+        ).first()["t"]
+        scored = scored.withColumn(
+            "clf_keep", F.col("clf_score") > F.lit(float(thr))
+        )
+    return scored.select(id_col, "clf_score", "clf_keep")

@@ -171,6 +171,7 @@ def curate_corpus(
     max_bucket: int | None = 256,
     spans_min_len: int = 8,
     clf_reference=None,
+    clf_target_keep: float | None = None,
     badwords: tuple[str, ...] | None = None,
     url_col: str | None = None,
     url_idna: bool = False,
@@ -242,6 +243,9 @@ def curate_corpus(
                 "max_bucket": max_bucket,
                 "spans_min_len": spans_min_len,
                 "clf_reference": str(clf_reference) if clf_reference is not None else None,
+                # a different keep-budget moves the clf threshold: a
+                # resume mixing cutoffs would mix verdict regimes
+                "clf_target_keep": clf_target_keep,
                 "badwords": sorted(badwords) if badwords else None,
                 "url_col": url_col,
                 # idna rewrites every IDN row's canonical key: a resume
@@ -574,7 +578,8 @@ def curate_corpus(
         )
 
         clf = _staged("clf", lambda: fit_reference_classifier(
-            stage_docs, clf_reference, id_col=id_col, text_col=text_col
+            stage_docs, clf_reference, id_col=id_col, text_col=text_col,
+            target_keep=clf_target_keep,
         ))
         out = out.join(clf, id_col, stage_join)
         keeps.append(F.col("clf_keep"))

@@ -185,3 +185,37 @@ def test_fit_parity_property(spark, texts, n_pos):
     got = perceptron_fit(feat, label_col="y", n_buckets=B, n_epochs=2)
     want = _fit_py(_featurize_py(texts_d, B), labels, B, 2)
     assert got == want
+
+
+def test_target_keep_budget_threshold(spark):
+    """r14: `target_keep` swaps the fixed score>0 cutoff for the exact
+    (1-target) percentile — realized keep fraction lands at/under the
+    budget (strict > drops whole tie-groups), the cut is a clean
+    threshold (min kept score > max dropped score), and the default
+    path is untouched."""
+    from pyspark.sql import functions as F
+
+    from etl_edi_data_scrapper_spark.functions.quality_classifier import (
+        fit_reference_classifier,
+    )
+
+    rows = [(i, "market earnings prices " * (1 + i % 3)) for i in range(10)]
+    rows += [(100 + i, "cats dogs parks trees " * (1 + i % 4)) for i in range(10)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    ref = F.col("doc_id") >= 100
+
+    out = fit_reference_classifier(
+        docs, ref, n_buckets=B, n_epochs=5, target_keep=0.25
+    ).collect()
+    kept = [r.clf_score for r in out if r.clf_keep]
+    dropped = [r.clf_score for r in out if not r.clf_keep]
+    assert 0 < len(kept) <= 5  # 25% of 20, ties can only shrink it
+    assert min(kept) > max(dropped)
+
+    # default path: verdict is still the sign cutoff
+    base = fit_reference_classifier(docs, ref, n_buckets=B, n_epochs=5).collect()
+    for r in base:
+        assert r.clf_keep == (r.clf_score > 0)
+
+    with pytest.raises(ValueError, match="target_keep"):
+        fit_reference_classifier(docs, ref, n_buckets=B, target_keep=1.5)
