@@ -206,6 +206,12 @@ def main(argv: list[str] | None = None, engine=None) -> int:
         help="enable the classifier stage: column marking reference docs",
     )
     pu.add_argument(
+        "--minhash-bands", default="4",
+        help="LSH band count for the minhash stage, or 'auto': plan "
+        "(bands, rows) from the verify threshold via the MMDS S-curve "
+        "(closed-form, zero jobs)",
+    )
+    pu.add_argument(
         "--clf-target-keep", type=float, default=None,
         help="with the classifier stage: instead of the fixed score>0 "
         "cutoff, keep ~this fraction of documents - the threshold is the "
@@ -820,6 +826,10 @@ def main(argv: list[str] | None = None, engine=None) -> int:
             url_gate=args.url_gate,
             clf_reference=clf_ref,
             clf_target_keep=args.clf_target_keep,
+            minhash_bands=(
+                "auto" if args.minhash_bands == "auto"
+                else int(args.minhash_bands)
+            ),
             badwords=badwords,
             benchmark=bench,
             benchmark_text_col=args.benchmark_text_col,

@@ -168,6 +168,7 @@ def curate_corpus(
     xent_band: tuple[int, int] = (2000, 6000),
     bxent_band: tuple[int, int] = (2000, 9000),
     minhash_threshold: float = 0.7,
+    minhash_bands: int | str = 4,
     max_bucket: int | None = 256,
     spans_min_len: int = 8,
     clf_reference=None,
@@ -240,6 +241,9 @@ def curate_corpus(
                 "xent_band": list(xent_band),
                 "bxent_band": list(bxent_band),
                 "minhash_threshold": minhash_threshold,
+                # a different banding changes the candidate sets: a
+                # resume mixing bandings would mix near-dup verdicts
+                "minhash_bands": minhash_bands,
                 "max_bucket": max_bucket,
                 "spans_min_len": spans_min_len,
                 "clf_reference": str(clf_reference) if clf_reference is not None else None,
@@ -438,9 +442,14 @@ def curate_corpus(
         )
 
         def _minhash_frame() -> DataFrame:
+            # minhash_bands="auto": plan (b, r) from the verify threshold
+            # via the MMDS S-curve (plan_lsh_bands) instead of the fixed
+            # 4-band default — candidates align with what jaccard_pairs
+            # will accept, so fewer wasted verifications off-threshold
             pairs, bound = minhash_candidate_pairs(
                 stage_docs, id_col=id_col, text_col=text_col,
                 max_bucket=max_bucket, with_bound=True,
+                bands=minhash_bands, threshold=minhash_threshold,
             )
             verified = jaccard_pairs(
                 stage_docs, pairs, id_col=id_col, text_col=text_col,

@@ -169,3 +169,25 @@ def test_psl_fingerprint_normalizes_unsortable_values():
     assert _psl_fingerprint(None) is None
     # distinct content → distinct hash
     assert _psl_fingerprint({"rules": {"com"}}) != a
+
+
+def test_minhash_bands_auto_equals_planned_explicit(spark):
+    """r14: curate's minhash stage plans (b, r) from the verify
+    threshold when minhash_bands="auto" — verdicts equal the explicitly
+    planned banding, and differ from a deliberately mis-sized one only
+    through candidate coverage (subset property not asserted; equality
+    to the plan is)."""
+    from etl_edi_data_scrapper_spark.functions.dedup import plan_lsh_bands
+    from etl_edi_data_scrapper_spark.plans.curate import curate_corpus
+
+    docs = _docs(spark)
+    planned = plan_lsh_bands(12, 0.7)["bands"]
+    auto = _collect(curate_corpus(
+        spark, docs, stages=("minhash",), minhash_bands="auto",
+        minhash_threshold=0.7,
+    ))
+    explicit = _collect(curate_corpus(
+        spark, docs, stages=("minhash",), minhash_bands=planned,
+        minhash_threshold=0.7,
+    ))
+    assert auto == explicit and len(auto) == 500
