@@ -299,11 +299,13 @@ def keyed_merge_auto(
     the bucket count scales with the measured hot mass instead of a
     fixed 16 that over-salts mild skew and under-salts a monster key.
 
-    The probe is one linear pass over the input. Callers merging the
-    same frame repeatedly should probe once and call the chosen
-    strategy directly; the decision dict (strategy, max_key_rows,
-    salt_above, salt_buckets, probed) is returned — record it, the
-    opq_train_auto convention."""
+    The probe is one linear pass over the input — measured at factor
+    300 (SCALE.md): 313 s against the merge's own 792 s, because the
+    probe re-pays the input SCAN, the dominant term of both jobs. It is
+    skew-immune but not free: probe a NEW feed once, record the
+    decision, and pin `merge_strategy` for reruns — the decision dict
+    (strategy, max_key_rows, salt_above, salt_buckets, probed) is
+    returned for exactly that, the opq_train_auto convention."""
     merge_rules = dict(merge_rules or {})
     bad = {r for r in merge_rules.values()} - VALID_RULES
     if bad:
