@@ -34,6 +34,13 @@
         fold a per-batch-partial rollup's history into one partial per
         day. Offline only; compact past the replay horizon.
 
+    python -m etl_edi_data_scrapper_spark learn-bpe --docs PATH \
+        --output merges.txt [--n-merges N --min-count C]
+        learn a BPE merge table from the corpus (Sennrich 2016 over the
+        distributed word histogram) and persist it as standard
+        GPT-2-format merges.txt — the artifact bpe_token_count_exact
+        and pack_by_token_budget consume.
+
     python -m etl_edi_data_scrapper_spark curate --docs PATH \
         --output DIR [--stages quality,gopher,xent,bxent,exact,minhash] \
         [--clf-reference-col COL --clf-reference-value VAL]
@@ -254,6 +261,23 @@ def main(argv: list[str] | None = None, engine=None) -> int:
                     help="memory bound for the auto-geometry planner")
     pe.add_argument("--family-size", type=int, default=None,
                     help="skip the duplication-profile probe and use this")
+
+    pb = sub.add_parser(
+        "learn-bpe",
+        help="learn a BPE merge table from a document corpus (Sennrich "
+        "2016 over the distributed word histogram) and write standard "
+        "GPT-2-format merges.txt",
+    )
+    pb.add_argument("--docs", required=True, help="corpus parquet path/dir")
+    pb.add_argument("--output", required=True, help="merges.txt output path")
+    pb.add_argument("--text-col", default="text")
+    pb.add_argument("--n-merges", type=int, default=1000)
+    pb.add_argument("--min-count", type=int, default=2,
+                    help="histogram tail prune; raise it at web scale "
+                    "instead of raising --max-words")
+    pb.add_argument("--max-words", type=int, default=1_000_000,
+                    help="driver histogram bound - the learn RAISES past "
+                    "it rather than silently sampling")
 
     pa = sub.add_parser(
         "ann-index",
@@ -761,6 +785,24 @@ def main(argv: list[str] | None = None, engine=None) -> int:
         print(
             f"SUCCESS: ANN query | Results: {n} | k: {args.k} | "
             f"nprobe: {nprobe}{tier}"
+        )
+        return 0
+
+    if args.cmd == "learn-bpe":
+        from etl_edi_data_scrapper_spark.functions.bpe import (
+            learn_bpe_merges,
+            save_merges,
+        )
+
+        docs = engine.spark.read.parquet(args.docs)
+        merges = learn_bpe_merges(
+            docs, text_col=args.text_col, n_merges=args.n_merges,
+            min_count=args.min_count, max_words=args.max_words,
+        )
+        save_merges(merges, args.output, spark=engine.spark)
+        print(
+            f"SUCCESS: BPE merges learned | Rules: {len(merges)} | "
+            f"Output: {args.output}"
         )
         return 0
 

@@ -94,6 +94,39 @@ def load_merges(path: str) -> dict[tuple[str, str], int]:
     return ranks
 
 
+def save_merges(
+    merges: "list[tuple[str, str]] | dict[tuple[str, str], int]",
+    path: str,
+    spark=None,
+) -> None:
+    """Write a merge table as standard GPT-2-format merges.txt —
+    ``#version`` header, one "a b" rule per line in RANK order — the
+    round-trip companion of :func:`load_merges` (the byte↔unicode
+    bijection keeps every symbol printable, so the file is plain text
+    any GPT-2-compatible tokenizer can consume). This is the
+    persistence step the learn→count/pack ladder needed: learn once on
+    the corpus, ship the artifact, count/pack forever.
+
+    With ``spark`` given, writes through the Hadoop FS atomically
+    (`fsutil.write_text_atomic`: any scheme, never a torn file);
+    without, plain local write."""
+    if isinstance(merges, dict):
+        pairs = [p for p, _ in sorted(merges.items(), key=lambda kv: kv[1])]
+    else:
+        pairs = list(merges)
+    for p in pairs:
+        if len(p) != 2 or any("\n" in s or " " in s or not s for s in p):
+            raise ValueError(f"unwritable merge rule {p!r}")
+    text = "#version: 0.2\n" + "".join(f"{a} {b}\n" for a, b in pairs)
+    if spark is not None:
+        from etl_edi_data_scrapper_spark.fsutil import write_text_atomic
+
+        write_text_atomic(spark, path, text)
+    else:
+        with open(path, "w", encoding="utf-8") as fh:
+            fh.write(text)
+
+
 def bpe_segment_tokens(
     segment: str,
     ranks: dict[tuple[str, str], int],

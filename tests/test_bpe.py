@@ -508,3 +508,59 @@ def test_greedy_merges_incremental_matches_naive_on_random_histograms():
         )
 
     check()
+
+
+def test_save_merges_roundtrip_and_cli_learn_bpe(spark, sf_dir, tmp_path, capsys):
+    """r14: the learn→persist→reuse ladder step. save_merges writes
+    standard GPT-2 merges.txt (header + rank-ordered rules) that
+    load_merges reads back identically — local AND Hadoop-FS atomic
+    paths — and the `learn-bpe` CLI produces an artifact the exact
+    counter consumes with identical counts to the in-memory table."""
+    from etl_edi_data_scrapper_spark.__main__ import main
+    from etl_edi_data_scrapper_spark.engine import Engine
+    from etl_edi_data_scrapper_spark.functions.bpe import (
+        bpe_token_count_exact,
+        learn_bpe_merges,
+        load_merges,
+        save_merges,
+    )
+
+    texts = ["low lower lowest"] * 4 + ["newer newest new"] * 4
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               "doc_id long, text string")
+    merges = learn_bpe_merges(df, n_merges=8, min_count=2)
+    ranks = {pair: r for r, pair in enumerate(merges)}
+
+    p_local = str(tmp_path / "merges_local.txt")
+    save_merges(merges, p_local)
+    assert load_merges(p_local) == ranks
+    assert open(p_local).readline().startswith("#version")
+
+    p_fs = str(tmp_path / "merges_fs.txt")
+    save_merges(ranks, p_fs, spark=spark)  # dict form + Hadoop FS write
+    assert load_merges(p_fs) == ranks
+
+    with pytest.raises(ValueError, match="unwritable"):
+        save_merges([("a b", "c")], str(tmp_path / "bad.txt"))
+
+    out = str(tmp_path / "merges_cli.txt")
+    eng = Engine(spark=spark)
+    assert main(
+        ["learn-bpe", "--docs", f"{sf_dir}/documents.parquet",
+         "--output", out, "--n-merges", "24"],
+        engine=eng,
+    ) == 0
+    assert "SUCCESS: BPE merges learned | Rules: 24" in capsys.readouterr().out
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    from_file = {
+        r.doc_id: r.n_bpe_tokens
+        for r in bpe_token_count_exact(docs, merges=out).collect()
+    }
+    learned = learn_bpe_merges(docs, n_merges=24)
+    in_mem = {
+        r.doc_id: r.n_bpe_tokens
+        for r in bpe_token_count_exact(
+            docs, merges={p: r for r, p in enumerate(learned)}
+        ).collect()
+    }
+    assert from_file == in_mem
