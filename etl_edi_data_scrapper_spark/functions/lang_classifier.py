@@ -276,6 +276,7 @@ def fit_lang_classifier(
     n_buckets: int = 64,
     n_epochs: int = 2,
     max_fit_rows: int = 65536,
+    return_model: bool = False,
 ) -> DataFrame:
     """Pipeline form: featurize once (lazily checkpointed so the fit
     sample and the final scoring share one featurization), fit
@@ -286,7 +287,9 @@ def fit_lang_classifier(
     document distributed. Returns (id, lang_clf_pred, lang_clf_score).
     The oracle unroll (`suite._lang_clf_ctes`) replicates the cap with a
     row_number-over-md5 CTE, so parity holds at ANY corpus size, not
-    just while the cap doesn't bind."""
+    just while the cap doesn't bind. ``return_model=True`` returns
+    ``(scored, (w, b))`` so the trained model can be persisted
+    (`save_lang_model`) and reused without refitting."""
     import numpy as np
 
     langs = sorted(langs)
@@ -313,4 +316,66 @@ def fit_lang_classifier(
     else:
         w = {lg: [0] * n_buckets for lg in langs}
         b = {lg: 0 for lg in langs}
-    return multiclass_classify(labeled, w, b, id_col=id_col)
+    scored = multiclass_classify(labeled, w, b, id_col=id_col)
+    return (scored, (w, b)) if return_model else scored
+
+
+def save_lang_model(
+    spark, path: str, w: dict, b: dict, n_buckets: int, n: int = 3
+) -> None:
+    """Persist a trained multiclass language model as a JSON sidecar
+    (r14, the `quality_classifier.save_model` convention): all-integer
+    weights make the round trip bit-exact. Records the featurization
+    geometry (trigram ``n``, ``n_buckets``) so scoring cannot silently
+    run under a different hash space than training."""
+    import json
+
+    from etl_edi_data_scrapper_spark.fsutil import write_text_atomic
+
+    write_text_atomic(spark, path, json.dumps({
+        "kind": "multiclass_integer_perceptron_v1",
+        "w": {c: [int(v) for v in ws] for c, ws in w.items()},
+        "b": {c: int(v) for c, v in b.items()},
+        "n_buckets": int(n_buckets),
+        "n": int(n),
+    }, sort_keys=True))
+
+
+def load_lang_model(spark, path: str) -> tuple[dict, dict, int, int]:
+    """(w, b, n_buckets, n) from `save_lang_model`'s sidecar; loud
+    refusal on absence or a different model kind."""
+    import json
+
+    from etl_edi_data_scrapper_spark.fsutil import read_text
+
+    raw = read_text(spark, path)
+    if raw is None:
+        raise FileNotFoundError(f"no language model at {path}")
+    d = json.loads(raw)
+    if d.get("kind") != "multiclass_integer_perceptron_v1":
+        raise ValueError(
+            f"{path}: expected kind 'multiclass_integer_perceptron_v1', "
+            f"got {d.get('kind')!r}"
+        )
+    w = {c: [int(v) for v in ws] for c, ws in d["w"].items()}
+    b = {c: int(v) for c, v in d["b"].items()}
+    return w, b, int(d["n_buckets"]), int(d["n"])
+
+
+def classify_lang_corpus(
+    docs: DataFrame,
+    w: dict,
+    b: dict,
+    n_buckets: int,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Score RAW documents with an already-trained (possibly loaded)
+    language model: featurize under the model's recorded geometry +
+    classify, zero training jobs. Returns (id, lang_clf_pred,
+    lang_clf_score)."""
+    feat = char_trigram_featurize(
+        docs, id_col=id_col, text_col=text_col, n=n, n_buckets=n_buckets
+    )
+    return multiclass_classify(feat, w, b, id_col=id_col)

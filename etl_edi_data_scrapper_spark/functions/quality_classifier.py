@@ -156,6 +156,7 @@ def fit_reference_classifier(
     n_buckets: int = 64,
     n_epochs: int = 3,
     target_keep: float | None = None,
+    return_model: bool = False,
 ) -> DataFrame:
     """The pipeline form: label docs matching ``reference_pred`` (a
     Column predicate — e.g. source == 'wiki') +1, the rest −1, fit, and
@@ -173,7 +174,11 @@ def fit_reference_classifier(
     already-scored frame (``percentile``, exact — integer scores make
     it cheap and deterministic); keep stays ``score > threshold`` with
     the strict inequality, so ties at the cut score drop together and
-    the realized fraction lands ≤ target within one tie-group."""
+    the realized fraction lands ≤ target within one tie-group.
+
+    ``return_model=True`` returns ``(scored, (w, bias))`` so the
+    trained model can be persisted (`save_model`) and applied to new
+    corpora (`classify_corpus`) without refitting."""
     feat = featurize(docs, id_col=id_col, text_col=text_col, n_buckets=n_buckets)
     labeled = feat.join(
         docs.select(
@@ -202,4 +207,59 @@ def fit_reference_classifier(
         scored = scored.withColumn(
             "clf_keep", F.col("clf_score") > F.lit(float(thr))
         )
-    return scored.select(id_col, "clf_score", "clf_keep")
+    scored = scored.select(id_col, "clf_score", "clf_keep")
+    return (scored, (w, bias)) if return_model else scored
+
+
+def save_model(spark, path: str, w: list, bias: int, n_buckets: int) -> None:
+    """Persist a trained binary perceptron as a JSON sidecar (r14 — the
+    learn→persist→reuse step `save_merges` gave the tokenizer): the
+    model is K+1 INTEGERS, so the round trip is bit-exact by
+    construction. Written atomically through the Hadoop FS (any
+    scheme); `load_model` refuses files of a different kind rather than
+    silently mis-shaping weights."""
+    import json
+
+    from etl_edi_data_scrapper_spark.fsutil import write_text_atomic
+
+    write_text_atomic(spark, path, json.dumps({
+        "kind": "integer_perceptron_v1",
+        "w": [int(v) for v in w],
+        "bias": int(bias),
+        "n_buckets": int(n_buckets),
+    }, sort_keys=True))
+
+
+def load_model(spark, path: str) -> tuple[list, int, int]:
+    """(w, bias, n_buckets) from `save_model`'s sidecar; loud refusal on
+    a missing file or a different model kind."""
+    import json
+
+    from etl_edi_data_scrapper_spark.fsutil import read_text
+
+    raw = read_text(spark, path)
+    if raw is None:
+        raise FileNotFoundError(f"no classifier model at {path}")
+    d = json.loads(raw)
+    if d.get("kind") != "integer_perceptron_v1":
+        raise ValueError(
+            f"{path}: expected kind 'integer_perceptron_v1', "
+            f"got {d.get('kind')!r}"
+        )
+    return [int(v) for v in d["w"]], int(d["bias"]), int(d["n_buckets"])
+
+
+def classify_corpus(
+    docs: DataFrame,
+    w: list,
+    bias: int,
+    n_buckets: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Score RAW documents with an already-trained (possibly loaded)
+    model: featurize + classify, zero training jobs — the deploy path a
+    persisted model exists for. Returns (id, clf_score, clf_keep)."""
+    feat = featurize(docs, id_col=id_col, text_col=text_col,
+                     n_buckets=n_buckets)
+    return classify(feat, w, bias).select(id_col, "clf_score", "clf_keep")

@@ -195,3 +195,43 @@ def test_driver_numpy_fit_equals_distributed_fit(spark):
     y = np.asarray([langs.index(r[0]) for r in rows], dtype=np.int64)
     w_n, b_n = np_multiclass_fit(x, y, langs, n_epochs=2)
     assert w_d == w_n and b_d == b_n
+
+
+def test_lang_model_persistence_roundtrip_bit_exact(spark, tmp_path):
+    """r14: save_lang_model/load_lang_model round-trip the multiclass
+    integer model and its featurization geometry exactly;
+    classify_lang_corpus under the loaded model reproduces the training
+    run's predictions bit-for-bit."""
+    from etl_edi_data_scrapper_spark.functions.lang_classifier import (
+        classify_lang_corpus,
+        fit_lang_classifier,
+        load_lang_model,
+        save_lang_model,
+    )
+
+    rows = [
+        (1, "the cat sat on the mat with the dog", "en"),
+        (2, "the dog and the cat are friends there", "en"),
+        (3, "el gato y el perro son amigos aqui", "es"),
+        (4, "la casa es grande y el sol brilla", "es"),
+        (5, "the house is big and the sun shines", "en"),
+        (6, "el sol y la luna brillan en el cielo", "es"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    scored, (w, b) = fit_lang_classifier(
+        docs, langs=["en", "es"], n_epochs=3, return_model=True
+    )
+    want = {r.doc_id: (r.lang_clf_pred, r.lang_clf_score)
+            for r in scored.collect()}
+
+    path = str(tmp_path / "lang_model.json")
+    save_lang_model(spark, path, w, b, n_buckets=64)
+    w2, b2, nb, n = load_lang_model(spark, path)
+    assert (w2, b2, nb, n) == (w, b, 64, 3)
+    got = {
+        r.doc_id: (r.lang_clf_pred, r.lang_clf_score)
+        for r in classify_lang_corpus(
+            docs.select("doc_id", "text"), w2, b2, nb, n=n
+        ).collect()
+    }
+    assert got == want

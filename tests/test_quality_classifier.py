@@ -219,3 +219,48 @@ def test_target_keep_budget_threshold(spark):
 
     with pytest.raises(ValueError, match="target_keep"):
         fit_reference_classifier(docs, ref, n_buckets=B, target_keep=1.5)
+
+
+def test_model_persistence_roundtrip_bit_exact(spark, docs, tmp_path):
+    """r14 learn→persist→reuse: save_model/load_model round-trip the
+    integer model exactly, and classify_corpus under the loaded model
+    reproduces the training run's verdicts bit-for-bit; wrong-kind and
+    missing files refuse loudly."""
+    from pyspark.sql import functions as F
+
+    from etl_edi_data_scrapper_spark.functions.quality_classifier import (
+        classify_corpus,
+        fit_reference_classifier,
+        load_model,
+        save_model,
+    )
+
+    scored, (w, bias) = fit_reference_classifier(
+        docs, F.col("doc_id").isin([1, 2, 5]), n_buckets=B, n_epochs=5,
+        return_model=True,
+    )
+    want = {r.doc_id: (r.clf_score, r.clf_keep) for r in scored.collect()}
+
+    path = str(tmp_path / "clf_model.json")
+    save_model(spark, path, w, bias, B)
+    w2, bias2, nb = load_model(spark, path)
+    assert (w2, bias2, nb) == (w, bias, B)
+    got = {
+        r.doc_id: (r.clf_score, r.clf_keep)
+        for r in classify_corpus(docs, w2, bias2, nb).collect()
+    }
+    assert got == want
+
+    with pytest.raises(FileNotFoundError):
+        load_model(spark, str(tmp_path / "absent.json"))
+    bad = str(tmp_path / "bad.json")
+    save_model(spark, bad, w, bias, B)
+    import json as _json
+
+    from etl_edi_data_scrapper_spark.fsutil import read_text, write_text_atomic
+
+    d = _json.loads(read_text(spark, bad))
+    d["kind"] = "something_else"
+    write_text_atomic(spark, bad + "2", _json.dumps(d))
+    with pytest.raises(ValueError, match="kind"):
+        load_model(spark, bad + "2")
