@@ -213,6 +213,12 @@ def main(argv: list[str] | None = None, engine=None) -> int:
         help="enable the classifier stage: column marking reference docs",
     )
     pu.add_argument(
+        "--xent-lm", default=None,
+        help="persisted unigram reference LM (fit-lm output): the xent "
+        "stage scores against IT instead of self-fitting - fit once on "
+        "a curated reference, score every crawl (CCNet deploy shape)",
+    )
+    pu.add_argument(
         "--minhash-bands", default="4",
         help="LSH band count for the minhash stage, or 'auto': plan "
         "(bands, rows) from the verify threshold via the MMDS S-curve "
@@ -261,6 +267,16 @@ def main(argv: list[str] | None = None, engine=None) -> int:
                     help="memory bound for the auto-geometry planner")
     pe.add_argument("--family-size", type=int, default=None,
                     help="skip the duplication-profile probe and use this")
+
+    pf = sub.add_parser(
+        "fit-lm",
+        help="fit a unigram reference LM on a (curated) corpus and "
+        "persist it as parquet - the artifact curate --xent-lm scores "
+        "crawls against (the CCNet deploy shape)",
+    )
+    pf.add_argument("--docs", required=True, help="reference corpus parquet")
+    pf.add_argument("--output", required=True, help="LM parquet output dir")
+    pf.add_argument("--text-col", default="text")
 
     pb = sub.add_parser(
         "learn-bpe",
@@ -788,6 +804,19 @@ def main(argv: list[str] | None = None, engine=None) -> int:
         )
         return 0
 
+    if args.cmd == "fit-lm":
+        from etl_edi_data_scrapper_spark.functions.text import (
+            fit_unigram_lm,
+            save_unigram_lm,
+        )
+
+        docs = engine.spark.read.parquet(args.docs)
+        save_unigram_lm(fit_unigram_lm(docs, text_col=args.text_col),
+                        args.output)
+        n = engine.spark.read.parquet(args.output).count()
+        print(f"SUCCESS: Unigram LM fit | Terms: {n} | Output: {args.output}")
+        return 0
+
     if args.cmd == "learn-bpe":
         from etl_edi_data_scrapper_spark.functions.bpe import (
             learn_bpe_merges,
@@ -807,6 +836,7 @@ def main(argv: list[str] | None = None, engine=None) -> int:
         return 0
 
     if args.cmd == "curate":
+        from etl_edi_data_scrapper_spark.functions.text import load_unigram_lm
         from pyspark.sql import functions as F
 
         from etl_edi_data_scrapper_spark import sinks as sinkmod
@@ -868,6 +898,11 @@ def main(argv: list[str] | None = None, engine=None) -> int:
             url_gate=args.url_gate,
             clf_reference=clf_ref,
             clf_target_keep=args.clf_target_keep,
+            xent_lm=(
+                None if args.xent_lm is None
+                else load_unigram_lm(engine.spark, args.xent_lm)
+            ),
+            xent_lm_fingerprint=args.xent_lm,
             minhash_bands=(
                 "auto" if args.minhash_bands == "auto"
                 else int(args.minhash_bands)

@@ -437,12 +437,43 @@ def bigram_cross_entropy(
     )
 
 
+def fit_unigram_lm(df, text_col: str = "text"):
+    """(term, cnt) unigram counts over a corpus — the REFERENCE-LM
+    artifact for :func:`unigram_cross_entropy`'s ``lm=`` mode (r14).
+    CCNet's actual deploy shape fits the LM on a curated reference
+    (Wikipedia) ONCE and scores every crawl against it; this is that
+    fit, persistable with :func:`save_unigram_lm`. One tokenize + one
+    aggregate; counts are longs, so the artifact is engine-exact."""
+    tok = df.select(F.explode(tokens(text_col)).alias("term"))
+    return tok.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def save_unigram_lm(lm, path: str) -> None:
+    """Persist a `fit_unigram_lm` table as parquet (schema-pinned)."""
+    lm.select(
+        F.col("term").cast("string"), F.col("cnt").cast("long")
+    ).write.mode("overwrite").parquet(path)
+
+
+def load_unigram_lm(spark, path: str):
+    """Load a persisted unigram LM; loud refusal on a wrong schema."""
+    lm = spark.read.parquet(path)
+    missing = {"term", "cnt"} - set(lm.columns)
+    if missing:
+        raise ValueError(
+            f"{path}: not a unigram LM (missing columns {sorted(missing)}; "
+            f"has {lm.columns})"
+        )
+    return lm.select(F.col("term").cast("string"), F.col("cnt").cast("long"))
+
+
 def unigram_cross_entropy(
     df,
     id_col: str = "doc_id",
     text_col: str = "text",
     lo_milli: int = 2000,
     hi_milli: int = 6000,
+    lm=None,
 ):
     """Perplexity-proxy quality filter (the CCNet-style LM filter, without
     the external LM): fit a unigram model on THIS corpus (p(w) =
@@ -466,14 +497,30 @@ def unigram_cross_entropy(
     and broadcast back with the 1-row total riding along — same shape as
     TF-IDF, two shuffles total, no Python anywhere.
 
+    ``lm`` (r14): a `fit_unigram_lm` frame (or anything with (term,
+    cnt)) switches from self-fit to the CCNet deploy shape — score this
+    corpus against a REFERENCE model fit elsewhere. Out-of-vocabulary
+    terms score as hapax legomena (count 1 against the reference total:
+    the maximum surprisal any seen word could have, without inventing a
+    smoothing parameter the artifact doesn't carry) — deterministic and
+    integer-exact like everything else here. With ``lm`` fit on this
+    very corpus the result is IDENTICAL to self-fit (no OOV, same
+    counts) — pinned by test.
+
     Returns (id, n_tokens, xent_sum_micro, xent_milli, keep).
     """
     tok = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
     tf = tok.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
-    vocab = tf.groupBy("term").agg(F.sum("tf").alias("cnt"))
+    if lm is None:
+        vocab = tf.groupBy("term").agg(F.sum("tf").alias("cnt"))
+        join_type = "inner"
+    else:
+        vocab = lm.select("term", "cnt")
+        join_type = "left"
     total = vocab.agg(F.sum("cnt").alias("total_tokens"))
     scored = (
-        tf.join(F.broadcast(vocab), "term")
+        tf.join(F.broadcast(vocab), "term", join_type)
+        .withColumn("cnt", F.coalesce(F.col("cnt"), F.lit(1).cast("long")))
         .crossJoin(F.broadcast(total))
         .withColumn(
             "tok_micro",

@@ -23,7 +23,10 @@ final ``curate_keep`` is the AND of every selected stage's verdict):
             Includes the bad-words page rule (``c4_badwords_keep``) —
             placeholder list by default, swap the real one in via
             ``badwords=`` / ``--blocklist PATH``
-  xent      unigram cross-entropy band (corpus-fit LM)
+  xent      unigram cross-entropy band — corpus-self-fit LM by
+            default, or the CCNet deploy shape against a PERSISTED
+            reference LM (``xent_lm=`` / ``--xent-lm PATH``, built by
+            ``fit-lm``)
   bxent     bigram stupid-backoff cross-entropy band (md5-half fit) —
             the word-order signal xent cannot see
   exact     exact-duplicate drop (16-byte fingerprint shuffle, lowest
@@ -166,6 +169,8 @@ def curate_corpus(
     quality_min: float = 0.4,
     langs: tuple[str, ...] = ("en",),
     xent_band: tuple[int, int] = (2000, 6000),
+    xent_lm=None,
+    xent_lm_fingerprint: str | None = None,
     bxent_band: tuple[int, int] = (2000, 9000),
     minhash_threshold: float = 0.7,
     minhash_bands: int | str = 4,
@@ -239,6 +244,10 @@ def curate_corpus(
                 "quality_min": quality_min,
                 "langs": sorted(langs),
                 "xent_band": list(xent_band),
+                # a different reference LM moves every xent verdict: a
+                # resume mixing models would mix band regimes
+                "xent_lm": xent_lm_fingerprint
+                if xent_lm is not None else None,
                 "bxent_band": list(bxent_band),
                 "minhash_threshold": minhash_threshold,
                 # a different banding changes the candidate sets: a
@@ -401,6 +410,7 @@ def curate_corpus(
             lambda: unigram_cross_entropy(
                 stage_docs, id_col=id_col, text_col=text_col,
                 lo_milli=xent_band[0], hi_milli=xent_band[1],
+                lm=xent_lm,
             ).select(id_col, "xent_milli", F.col("keep").alias("xent_keep")),
         )
         out = out.join(x, id_col, stage_join)

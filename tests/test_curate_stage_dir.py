@@ -191,3 +191,25 @@ def test_minhash_bands_auto_equals_planned_explicit(spark):
         minhash_threshold=0.7,
     ))
     assert auto == explicit and len(auto) == 500
+
+
+def test_xent_reference_lm_stage(spark, tmp_path):
+    """r14: curate's xent stage under a reference LM (fit on the same
+    corpus) produces identical verdicts to self-fit; the LM path joins
+    the stage-dir fingerprint."""
+    from etl_edi_data_scrapper_spark.functions.text import (
+        fit_unigram_lm,
+        save_unigram_lm,
+        load_unigram_lm,
+    )
+    from etl_edi_data_scrapper_spark.plans.curate import curate_corpus
+
+    docs = _docs(spark)
+    path = str(tmp_path / "lm")
+    save_unigram_lm(fit_unigram_lm(docs), path)
+    with_lm = _collect(curate_corpus(
+        spark, docs, stages=("xent",),
+        xent_lm=load_unigram_lm(spark, path), xent_lm_fingerprint=path,
+    ))
+    self_fit = _collect(curate_corpus(spark, docs, stages=("xent",)))
+    assert with_lm == self_fit and len(with_lm) == 500

@@ -1398,3 +1398,66 @@ def test_video_kernel_decodes_when_pyav_present(spark):
     assert out[4].feature is None  # corrupt bytes → NULL row
     assert multimodal.video_keyframe_count(clip(128)) >= 1
     assert multimodal.video_keyframe_count(b"junk") is None
+
+
+def test_reference_lm_xent_and_persistence(spark, tmp_path):
+    """r14 (CCNet deploy shape): unigram_cross_entropy(lm=) scores
+    against a persisted reference LM. Fit on the SAME corpus, results
+    are IDENTICAL to self-fit (no OOV, same counts); an OOV-bearing doc
+    scores its unseen terms as hapax against the reference total (hand-
+    checked); save/load round-trips through parquet with a schema-
+    checked load; the fit-lm CLI builds the artifact."""
+    import math
+
+    from etl_edi_data_scrapper_spark.__main__ import main
+    from etl_edi_data_scrapper_spark.engine import Engine
+    from etl_edi_data_scrapper_spark.functions.text import (
+        fit_unigram_lm,
+        load_unigram_lm,
+        save_unigram_lm,
+        unigram_cross_entropy,
+    )
+
+    rows = [(1, "aa bb aa cc"), (2, "aa bb bb"), (3, "cc aa aa bb")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    self_fit = {r.doc_id: tuple(r) for r in unigram_cross_entropy(docs).collect()}
+    lm = fit_unigram_lm(docs)
+    via_lm = {
+        r.doc_id: tuple(r)
+        for r in unigram_cross_entropy(docs, lm=lm).collect()
+    }
+    assert via_lm == self_fit
+
+    path = str(tmp_path / "lm")
+    save_unigram_lm(lm, path)
+    loaded = load_unigram_lm(spark, path)
+    via_loaded = {
+        r.doc_id: tuple(r)
+        for r in unigram_cross_entropy(docs, lm=loaded).collect()
+    }
+    assert via_loaded == self_fit
+
+    # OOV doc: 'zz' is unseen -> hapax count 1 against the reference
+    # total (10 tokens: aa*5 bb*4 cc*... compute: aa appears 5? rows:
+    # doc1 aa,bb,aa,cc; doc2 aa,bb,bb; doc3 cc,aa,aa,bb -> aa=5 bb=4
+    # cc=2, total=11)
+    oov = spark.createDataFrame([(9, "zz aa")], "doc_id long, text string")
+    got = unigram_cross_entropy(oov, lm=loaded).collect()[0]
+    exp_zz = math.floor(-math.log(1.0 / 11.0) * 1_000_000)
+    exp_aa = math.floor(-math.log(5.0 / 11.0) * 1_000_000)
+    assert got.n_tokens == 2
+    assert got.xent_sum_micro == exp_zz + exp_aa
+
+    with pytest.raises(ValueError, match="not a unigram LM"):
+        docs.write.mode("overwrite").parquet(str(tmp_path / "junk"))
+        load_unigram_lm(spark, str(tmp_path / "junk"))
+
+    out_lm = str(tmp_path / "cli_lm")
+    eng = Engine(spark=spark)
+    assert main(
+        ["fit-lm", "--docs", f"/root/testdata/sf0.001/documents.parquet",
+         "--output", out_lm],
+        engine=eng,
+    ) == 0
+    assert load_unigram_lm(spark, out_lm).count() == 31  # synthetic vocab
