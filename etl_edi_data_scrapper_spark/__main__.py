@@ -219,6 +219,12 @@ def main(argv: list[str] | None = None, engine=None) -> int:
         "a curated reference, score every crawl (CCNet deploy shape)",
     )
     pu.add_argument(
+        "--bxent-lm", default=None,
+        help="persisted bigram reference LM (fit-lm --bigram output): "
+        "the bxent stage scores against IT instead of the md5-half "
+        "self-fit",
+    )
+    pu.add_argument(
         "--minhash-bands", default="4",
         help="LSH band count for the minhash stage, or 'auto': plan "
         "(bands, rows) from the verify threshold via the MMDS S-curve "
@@ -277,6 +283,11 @@ def main(argv: list[str] | None = None, engine=None) -> int:
     pf.add_argument("--docs", required=True, help="reference corpus parquet")
     pf.add_argument("--output", required=True, help="LM parquet output dir")
     pf.add_argument("--text-col", default="text")
+    pf.add_argument(
+        "--bigram", action="store_true",
+        help="fit the bigram stupid-backoff model (uni/ + big/ count "
+        "tables) instead of the unigram one - feeds curate --bxent-lm",
+    )
 
     pb = sub.add_parser(
         "learn-bpe",
@@ -805,12 +816,28 @@ def main(argv: list[str] | None = None, engine=None) -> int:
         return 0
 
     if args.cmd == "fit-lm":
+        docs = engine.spark.read.parquet(args.docs)
+        if args.bigram:
+            from etl_edi_data_scrapper_spark.functions.text import (
+                fit_bigram_lm,
+                save_bigram_lm,
+            )
+
+            save_bigram_lm(
+                fit_bigram_lm(docs, text_col=args.text_col), args.output
+            )
+            n = engine.spark.read.parquet(f"{args.output}/uni").count()
+            nb = engine.spark.read.parquet(f"{args.output}/big").count()
+            print(
+                f"SUCCESS: Bigram LM fit | Terms: {n} | Bigrams: {nb} | "
+                f"Output: {args.output}"
+            )
+            return 0
         from etl_edi_data_scrapper_spark.functions.text import (
             fit_unigram_lm,
             save_unigram_lm,
         )
 
-        docs = engine.spark.read.parquet(args.docs)
         save_unigram_lm(fit_unigram_lm(docs, text_col=args.text_col),
                         args.output)
         n = engine.spark.read.parquet(args.output).count()
@@ -836,7 +863,10 @@ def main(argv: list[str] | None = None, engine=None) -> int:
         return 0
 
     if args.cmd == "curate":
-        from etl_edi_data_scrapper_spark.functions.text import load_unigram_lm
+        from etl_edi_data_scrapper_spark.functions.text import (
+            load_bigram_lm,
+            load_unigram_lm,
+        )
         from pyspark.sql import functions as F
 
         from etl_edi_data_scrapper_spark import sinks as sinkmod
@@ -903,6 +933,11 @@ def main(argv: list[str] | None = None, engine=None) -> int:
                 else load_unigram_lm(engine.spark, args.xent_lm)
             ),
             xent_lm_fingerprint=args.xent_lm,
+            bxent_lm=(
+                None if args.bxent_lm is None
+                else load_bigram_lm(engine.spark, args.bxent_lm)
+            ),
+            bxent_lm_fingerprint=args.bxent_lm,
             minhash_bands=(
                 "auto" if args.minhash_bands == "auto"
                 else int(args.minhash_bands)

@@ -301,6 +301,7 @@ def bigram_cross_entropy(
     alpha_milli: int = 400,
     lo_milli: int = 2000,
     hi_milli: int = 9000,
+    lm=None,
 ):
     """Bigram stupid-backoff cross-entropy (the CCNet-family upgrade of
     :func:`unigram_cross_entropy` — Brants et al. 2007 "Large Language
@@ -332,19 +333,30 @@ def bigram_cross_entropy(
     plans as broadcast only while the model is small. Everything else is
     the standard explode → count shape; no Python anywhere.
 
+    ``lm`` (r14): a `fit_bigram_lm` pair (or `load_bigram_lm` result)
+    switches to the full CCNet deploy shape — no fit split at all, every
+    document scored under the external reference model (the md5-half
+    self-fit is the sandboxed stand-in for exactly this). Backoff and
+    add-1 smoothing already make the score OOV-total: unseen bigrams
+    back off to the unigram leg, unseen unigrams score add-1.
+
     Returns (id, n_tokens, bxent_sum_micro, bxent_milli, keep).
     """
     from etl_edi_data_scrapper_spark.functions.hashing import hex_word
 
     alpha = F.lit(alpha_milli).cast("double") / F.lit(1000.0)
-    fit = df.filter(
-        hex_word(F.md5(F.col(id_col).cast("string")), 1) % 100 < fit_pct
-    )
-    uni = (
-        fit.select(F.explode(tokens(text_col)).alias("term"))
-        .groupBy("term")
-        .agg(F.count(F.lit(1)).alias("ucnt"))
-    )
+    if lm is None:
+        fit = df.filter(
+            hex_word(F.md5(F.col(id_col).cast("string")), 1) % 100 < fit_pct
+        )
+        uni = (
+            fit.select(F.explode(tokens(text_col)).alias("term"))
+            .groupBy("term")
+            .agg(F.count(F.lit(1)).alias("ucnt"))
+        )
+    else:
+        uni, _lm_big = lm
+        uni = uni.select("term", "ucnt")
     totals = uni.agg(
         F.sum("ucnt").alias("total_fit"), F.count(F.lit(1)).alias("v_fit")
     )
@@ -362,7 +374,12 @@ def bigram_cross_entropy(
             id_col, F.col("bg.prev").alias("prev"), F.col("bg.cur").alias("cur")
         )
 
-    big = pairs_of(fit).groupBy("prev", "cur").agg(F.count(F.lit(1)).alias("bcnt"))
+    if lm is None:
+        big = pairs_of(fit).groupBy("prev", "cur").agg(
+            F.count(F.lit(1)).alias("bcnt")
+        )
+    else:
+        big = _lm_big.select("prev", "cur", "bcnt")
     ctx = big.groupBy("prev").agg(F.sum("bcnt").alias("ccnt"))
 
     # FAIL FAST when the md5-bucket fit half is empty (tiny or id-skewed
@@ -373,9 +390,12 @@ def bigram_cross_entropy(
         F.col("total_fit").isNull(),
         F.raise_error(
             F.lit(
-                "bigram_cross_entropy: the md5-bucket fit split is empty "
-                f"(fit_pct={int(fit_pct)}) — raise fit_pct or fit on a "
-                "larger corpus"
+                "bigram_cross_entropy: the LM fit is empty ("
+                + ("reference lm= has no unigram rows"
+                   if lm is not None
+                   else f"md5-bucket split, fit_pct={int(fit_pct)} — "
+                   "raise fit_pct or fit on a larger corpus")
+                + ")"
             )
         ),
     ).otherwise(F.col("total_fit"))
@@ -434,6 +454,67 @@ def bigram_cross_entropy(
             (F.col("bxent_milli") >= lo_milli) & (F.col("bxent_milli") <= hi_milli),
         )
         .select(id_col, "n_tokens", "bxent_sum_micro", "bxent_milli", "keep")
+    )
+
+
+def fit_bigram_lm(df, id_col: str = "doc_id", text_col: str = "text"):
+    """(uni, big) count tables over a reference corpus — the persistable
+    model :func:`bigram_cross_entropy`'s ``lm=`` mode scores against
+    (r14). The context totals and vocabulary size are derived by
+    aggregation at score time, so the artifact is just the two count
+    tables; counts are longs, engine-exact."""
+    tok = tokens(text_col)
+    uni = (
+        df.select(F.explode(tok).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("ucnt"))
+    )
+    bg = F.when(
+        F.size(tok) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(tok) - 2),
+            lambda i: F.struct(tok[i].alias("prev"), tok[i + 1].alias("cur")),
+        ),
+    ).otherwise(F.array().cast("array<struct<prev string, cur string>>"))
+    big = (
+        df.select(F.explode(bg).alias("bg"))
+        .select(F.col("bg.prev").alias("prev"), F.col("bg.cur").alias("cur"))
+        .groupBy("prev", "cur")
+        .agg(F.count(F.lit(1)).alias("bcnt"))
+    )
+    return uni, big
+
+
+def save_bigram_lm(lm, path: str) -> None:
+    """Persist a `fit_bigram_lm` pair as parquet under ``path/uni`` and
+    ``path/big`` (schema-pinned)."""
+    uni, big = lm
+    uni.select(
+        F.col("term").cast("string"), F.col("ucnt").cast("long")
+    ).write.mode("overwrite").parquet(f"{path}/uni")
+    big.select(
+        F.col("prev").cast("string"), F.col("cur").cast("string"),
+        F.col("bcnt").cast("long"),
+    ).write.mode("overwrite").parquet(f"{path}/big")
+
+
+def load_bigram_lm(spark, path: str):
+    """Load a persisted bigram LM pair; loud refusal on wrong schemas."""
+    uni = spark.read.parquet(f"{path}/uni")
+    big = spark.read.parquet(f"{path}/big")
+    if {"term", "ucnt"} - set(uni.columns) or {"prev", "cur", "bcnt"} - set(
+        big.columns
+    ):
+        raise ValueError(
+            f"{path}: not a bigram LM (uni has {uni.columns}, "
+            f"big has {big.columns})"
+        )
+    return (
+        uni.select(F.col("term").cast("string"), F.col("ucnt").cast("long")),
+        big.select(
+            F.col("prev").cast("string"), F.col("cur").cast("string"),
+            F.col("bcnt").cast("long"),
+        ),
     )
 
 

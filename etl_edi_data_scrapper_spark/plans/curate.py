@@ -27,8 +27,10 @@ final ``curate_keep`` is the AND of every selected stage's verdict):
             default, or the CCNet deploy shape against a PERSISTED
             reference LM (``xent_lm=`` / ``--xent-lm PATH``, built by
             ``fit-lm``)
-  bxent     bigram stupid-backoff cross-entropy band (md5-half fit) —
-            the word-order signal xent cannot see
+  bxent     bigram stupid-backoff cross-entropy band — md5-half
+            self-fit by default, or against a PERSISTED reference LM
+            (``bxent_lm=`` / ``--bxent-lm PATH``, built by ``fit-lm
+            --bigram``); the word-order signal xent cannot see
   exact     exact-duplicate drop (16-byte fingerprint shuffle, lowest
             doc id is canonical)
   minhash   MinHash-LSH candidate generation + exact-Jaccard verify;
@@ -171,6 +173,8 @@ def curate_corpus(
     xent_band: tuple[int, int] = (2000, 6000),
     xent_lm=None,
     xent_lm_fingerprint: str | None = None,
+    bxent_lm=None,
+    bxent_lm_fingerprint: str | None = None,
     bxent_band: tuple[int, int] = (2000, 9000),
     minhash_threshold: float = 0.7,
     minhash_bands: int | str = 4,
@@ -248,6 +252,8 @@ def curate_corpus(
                 # resume mixing models would mix band regimes
                 "xent_lm": xent_lm_fingerprint
                 if xent_lm is not None else None,
+                "bxent_lm": bxent_lm_fingerprint
+                if bxent_lm is not None else None,
                 "bxent_band": list(bxent_band),
                 "minhash_threshold": minhash_threshold,
                 # a different banding changes the candidate sets: a
@@ -424,6 +430,7 @@ def curate_corpus(
             lambda: bigram_cross_entropy(
                 stage_docs, id_col=id_col, text_col=text_col,
                 lo_milli=bxent_band[0], hi_milli=bxent_band[1],
+                lm=bxent_lm,
             ).select(id_col, "bxent_milli", F.col("keep").alias("bxent_keep")),
         )
         out = out.join(b, id_col, stage_join)

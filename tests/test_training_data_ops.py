@@ -1461,3 +1461,57 @@ def test_reference_lm_xent_and_persistence(spark, tmp_path):
         engine=eng,
     ) == 0
     assert load_unigram_lm(spark, out_lm).count() == 31  # synthetic vocab
+
+
+def test_bigram_reference_lm_and_persistence(spark, tmp_path):
+    """r14: bigram_cross_entropy(lm=) under a model fit on the SAME
+    md5-half split reproduces the self-fit results exactly (the deploy
+    shape generalizes the sandboxed self-fit); the two-table artifact
+    round-trips through parquet with a schema-checked load; the
+    fit-lm --bigram CLI builds it."""
+    from etl_edi_data_scrapper_spark.__main__ import main
+    from etl_edi_data_scrapper_spark.engine import Engine
+    from etl_edi_data_scrapper_spark.functions.hashing import hex_word
+    from etl_edi_data_scrapper_spark.functions.text import (
+        bigram_cross_entropy,
+        fit_bigram_lm,
+        load_bigram_lm,
+        save_bigram_lm,
+    )
+    from pyspark.sql import functions as F
+
+    rows = [(i, "the cat sat on the mat and the dog ran %d" % (i % 3))
+            for i in range(20)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    self_fit = {r.doc_id: tuple(r)
+                for r in bigram_cross_entropy(docs).collect()}
+    half = docs.filter(
+        hex_word(F.md5(F.col("doc_id").cast("string")), 1) % 100 < 50
+    )
+    lm = fit_bigram_lm(half)
+    via_lm = {r.doc_id: tuple(r)
+              for r in bigram_cross_entropy(docs, lm=lm).collect()}
+    assert via_lm == self_fit
+
+    path = str(tmp_path / "blm")
+    save_bigram_lm(lm, path)
+    loaded = load_bigram_lm(spark, path)
+    via_loaded = {r.doc_id: tuple(r)
+                  for r in bigram_cross_entropy(docs, lm=loaded).collect()}
+    assert via_loaded == self_fit
+
+    with pytest.raises(ValueError, match="not a bigram LM"):
+        docs.write.mode("overwrite").parquet(str(tmp_path / "junk2/uni"))
+        docs.write.mode("overwrite").parquet(str(tmp_path / "junk2/big"))
+        load_bigram_lm(spark, str(tmp_path / "junk2"))
+
+    out_lm = str(tmp_path / "cli_blm")
+    eng = Engine(spark=spark)
+    assert main(
+        ["fit-lm", "--docs", "/root/testdata/sf0.001/documents.parquet",
+         "--output", out_lm, "--bigram"],
+        engine=eng,
+    ) == 0
+    uni, big = load_bigram_lm(spark, out_lm)
+    assert uni.count() == 31 and big.count() > 31
