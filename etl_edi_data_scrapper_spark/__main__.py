@@ -34,6 +34,13 @@
         fold a per-batch-partial rollup's history into one partial per
         day. Offline only; compact past the replay horizon.
 
+    python -m etl_edi_data_scrapper_spark fit-lm --docs PATH \
+        --output DIR [--bigram]
+        fit a unigram (or bigram stupid-backoff) reference LM on a
+        curated corpus and persist it as parquet — the artifact
+        curate --xent-lm / --bxent-lm scores crawls against (the CCNet
+        deploy shape: fit once, score every crawl).
+
     python -m etl_edi_data_scrapper_spark learn-bpe --docs PATH \
         --output merges.txt [--n-merges N --min-count C]
         learn a BPE merge table from the corpus (Sennrich 2016 over the

@@ -839,7 +839,7 @@ def _np_encode_mse(x, cbs, R=None) -> float:
     return float(err / x.shape[0])
 
 
-def _np_adc_recall(ev, cbs, R=None, ids=None, n_queries: int = 128,
+def _np_adc_recall(ev, cbs, R=None, n_queries: int = 128,
                    k: int = 10) -> float:
     """Standalone ADC recall@k of already-fitted codebooks on the
     held-out split — the DEPLOYMENT metric `opq_train_auto` decides on.

@@ -390,12 +390,12 @@ def bigram_cross_entropy(
         F.col("total_fit").isNull(),
         F.raise_error(
             F.lit(
-                "bigram_cross_entropy: the LM fit is empty ("
-                + ("reference lm= has no unigram rows"
-                   if lm is not None
-                   else f"md5-bucket split, fit_pct={int(fit_pct)} — "
-                   "raise fit_pct or fit on a larger corpus")
-                + ")"
+                "bigram_cross_entropy: the reference lm= has no "
+                "unigram rows"
+                if lm is not None
+                else "bigram_cross_entropy: the md5-bucket fit split "
+                f"is empty (fit_pct={int(fit_pct)}) — raise fit_pct "
+                "or fit on a larger corpus"
             )
         ),
     ).otherwise(F.col("total_fit"))
