@@ -122,6 +122,33 @@ def dsir_log_weights(
     pre-quantized. Positive ⇒ the document looks more like the target
     corpus than the source average.
     """
+    return dsir_score(
+        source,
+        fit_dsir_ratios(
+            source, target, id_col=id_col, text_col=text_col,
+            n_buckets=n_buckets, smoothing=smoothing,
+        ),
+        id_col=id_col,
+        text_col=text_col,
+        n_buckets=n_buckets,
+    )
+
+
+def fit_dsir_ratios(
+    source: DataFrame,
+    target: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 4096,
+    smoothing: int = 1,
+) -> DataFrame:
+    """The persistable DSIR model (r14): per-bucket
+    ``ratio_micro = log p_target(b) − log p_source(b)`` in integer
+    micro-nats — ≤ ``n_buckets`` rows, the whole importance model. In
+    Xie 2023's deploy shape both distributions are FIXED references
+    (target = curated text, source = a raw-pool sample), so the ratio
+    table is fit once and every pool shard scores against it
+    (:func:`dsir_score`); persist with :func:`save_dsir_ratios`."""
     src_counts = _bucket_counts(source, id_col, text_col, n_buckets)
     tgt_counts = _bucket_counts(target, id_col, text_col, n_buckets)
     # outer join: a bucket can be observed in only one corpus; the absent
@@ -144,7 +171,7 @@ def dsir_log_weights(
             * F.lit(MICRO)
         ).cast("long")
 
-    ratios = (
+    return (
         ratios.crossJoin(F.broadcast(src_total))
         .crossJoin(F.broadcast(tgt_total))
         .select(
@@ -155,13 +182,83 @@ def dsir_log_weights(
             ).alias("ratio_micro"),
         )
     )
+
+
+def dsir_score(
+    docs: DataFrame,
+    ratios: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 4096,
+) -> DataFrame:
+    """Score documents under an already-fit (possibly loaded) DSIR
+    ratio table: featurize + one broadcast join + one aggregate, zero
+    fitting jobs. ``n_buckets`` MUST be the table's recorded geometry
+    (`load_dsir_ratios` returns it) — a mismatched hash space scores
+    garbage silently, which is why the artifact carries it. Note: a
+    bucket unseen in BOTH fit corpora has no ratio row and its grams
+    drop from the sum (inner join) — identical to `dsir_log_weights`,
+    where such buckets cannot occur in the scored corpus by
+    construction; under a reference table they can, and dropping them
+    (ratio 0: "no evidence either way") is the conservative choice."""
+    counts = _bucket_counts(docs, id_col, text_col, n_buckets)
     return (
-        src_counts.join(F.broadcast(ratios), "bucket")
+        counts.join(F.broadcast(ratios), "bucket")
         .groupBy(id_col)
         .agg(
             F.sum("tf").cast("long").alias("n_grams"),
             F.sum(F.col("tf") * F.col("ratio_micro")).cast("long").alias("logw_sum_micro"),
         )
+    )
+
+
+def save_dsir_ratios(
+    spark, ratios: DataFrame, path: str, n_buckets: int, smoothing: int = 1
+) -> None:
+    """Persist a DSIR ratio table: parquet + a `_meta.json` sidecar
+    recording the featurization geometry (kind, n_buckets, smoothing) —
+    scoring under the wrong hash space must be impossible to do
+    silently."""
+    import json
+
+    from etl_edi_data_scrapper_spark.fsutil import write_text_atomic
+
+    ratios.select(
+        F.col("bucket").cast("int"), F.col("ratio_micro").cast("long")
+    ).write.mode("overwrite").parquet(f"{path}/ratios")
+    write_text_atomic(spark, f"{path}/_meta.json", json.dumps({
+        "kind": "dsir_ratios_v1",
+        "n_buckets": int(n_buckets),
+        "smoothing": int(smoothing),
+    }, sort_keys=True))
+
+
+def load_dsir_ratios(spark, path: str):
+    """(ratios, n_buckets) from `save_dsir_ratios`; loud refusal on a
+    missing/foreign sidecar or wrong schema."""
+    import json
+
+    from etl_edi_data_scrapper_spark.fsutil import read_text
+
+    raw = read_text(spark, f"{path}/_meta.json")
+    if raw is None:
+        raise FileNotFoundError(f"no DSIR ratio table at {path}")
+    meta = json.loads(raw)
+    if meta.get("kind") != "dsir_ratios_v1":
+        raise ValueError(
+            f"{path}: expected kind 'dsir_ratios_v1', got {meta.get('kind')!r}"
+        )
+    ratios = spark.read.parquet(f"{path}/ratios")
+    missing = {"bucket", "ratio_micro"} - set(ratios.columns)
+    if missing:
+        raise ValueError(
+            f"{path}: ratio table missing columns {sorted(missing)}"
+        )
+    return (
+        ratios.select(
+            F.col("bucket").cast("int"), F.col("ratio_micro").cast("long")
+        ),
+        int(meta["n_buckets"]),
     )
 
 

@@ -178,3 +178,47 @@ def test_dsir_resample_n_keep_exceeding_corpus_keeps_all(spark):
     rows = dsir_resample(src, tgt, n_keep=1000, n_buckets=N_BUCKETS).collect()
     assert len(rows) == len(SOURCE)
     assert all(r["dsir_keep"] for r in rows)
+
+
+def test_dsir_ratio_table_persistence_and_score_parity(spark, tmp_path):
+    """r14: fit_dsir_ratios + dsir_score reproduce dsir_log_weights
+    exactly (the refactor is a pure factoring); the ratio table
+    round-trips through its parquet+meta artifact and the load returns
+    the recorded hash-space geometry; foreign/missing sidecars refuse."""
+    import pytest
+
+    from etl_edi_data_scrapper_spark.functions.importance import (
+        dsir_log_weights,
+        dsir_score,
+        fit_dsir_ratios,
+        load_dsir_ratios,
+        save_dsir_ratios,
+    )
+
+    src = spark.createDataFrame(
+        [(i, "raw crawl junk text %d with noise" % (i % 5)) for i in range(30)],
+        "doc_id long, text string",
+    )
+    tgt = spark.createDataFrame(
+        [(100 + i, "curated formal reference prose sample") for i in range(10)],
+        "doc_id long, text string",
+    )
+    B = 256
+    want = {r.doc_id: (r.n_grams, r.logw_sum_micro)
+            for r in dsir_log_weights(src, tgt, n_buckets=B).collect()}
+
+    ratios = fit_dsir_ratios(src, tgt, n_buckets=B)
+    got = {r.doc_id: (r.n_grams, r.logw_sum_micro)
+           for r in dsir_score(src, ratios, n_buckets=B).collect()}
+    assert got == want
+
+    path = str(tmp_path / "dsir")
+    save_dsir_ratios(spark, ratios, path, n_buckets=B)
+    loaded, nb = load_dsir_ratios(spark, path)
+    assert nb == B
+    got2 = {r.doc_id: (r.n_grams, r.logw_sum_micro)
+            for r in dsir_score(src, loaded, n_buckets=nb).collect()}
+    assert got2 == want
+
+    with pytest.raises(FileNotFoundError):
+        load_dsir_ratios(spark, str(tmp_path / "absent"))
