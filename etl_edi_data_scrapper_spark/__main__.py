@@ -238,6 +238,18 @@ def main(argv: list[str] | None = None, engine=None) -> int:
         "(closed-form, zero jobs)",
     )
     pu.add_argument(
+        "--clf-model", default=None,
+        help="persisted classifier model (JSON sidecar from "
+        "--clf-model-out or save_model): the classifier stage scores "
+        "under IT with zero training jobs - mutually exclusive with "
+        "--clf-reference-col",
+    )
+    pu.add_argument(
+        "--clf-model-out", default=None,
+        help="with --clf-reference-col: persist the freshly trained "
+        "classifier model to this path for later --clf-model runs",
+    )
+    pu.add_argument(
         "--clf-target-keep", type=float, default=None,
         help="with the classifier stage: instead of the fixed score>0 "
         "cutoff, keep ~this fraction of documents - the threshold is the "
@@ -895,6 +907,17 @@ def main(argv: list[str] | None = None, engine=None) -> int:
             if args.clf_reference_value is None:
                 p.error("--clf-reference-value required with --clf-reference-col")
             clf_ref = F.col(args.clf_reference_col) == args.clf_reference_value
+        if args.clf_model is not None and args.clf_reference_col is not None:
+            p.error("--clf-model and --clf-reference-col are mutually exclusive")
+        if args.clf_model_out is not None and args.clf_reference_col is None:
+            p.error("--clf-model-out requires --clf-reference-col")
+        clf_model = None
+        if args.clf_model is not None:
+            from etl_edi_data_scrapper_spark.functions.quality_classifier import (
+                load_model,
+            )
+
+            clf_model = load_model(engine.spark, args.clf_model)
         bench = (
             engine.spark.read.parquet(args.benchmark)
             if args.benchmark is not None
@@ -935,6 +958,9 @@ def main(argv: list[str] | None = None, engine=None) -> int:
             url_gate=args.url_gate,
             clf_reference=clf_ref,
             clf_target_keep=args.clf_target_keep,
+            clf_model=clf_model,
+            clf_model_fingerprint=args.clf_model,
+            clf_model_out=args.clf_model_out,
             xent_lm=(
                 None if args.xent_lm is None
                 else load_unigram_lm(engine.spark, args.xent_lm)

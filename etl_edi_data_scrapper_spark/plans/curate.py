@@ -68,8 +68,11 @@ final ``curate_keep`` is the AND of every selected stage's verdict):
             unflagged docs pass through untouched, no false negatives
             (the bloom has none by construction). ``decon_keep`` drops
             docs whose text is entirely benchmark leak.
-  classifier (opt-in: needs --clf-reference-col) integer-perceptron
-            model filter, reference docs as the positive class
+  classifier (opt-in: --clf-reference-col trains here with the
+            reference docs as the positive class, or --clf-model scores
+            under a PERSISTED integer-perceptron model with zero
+            training jobs; --clf-model-out exports the freshly trained
+            model)
 
 Every stage is the same Spark-first machinery the hash-checked gate
 queries run — this module only composes and labels it. Scale shape is
@@ -182,6 +185,9 @@ def curate_corpus(
     spans_min_len: int = 8,
     clf_reference=None,
     clf_target_keep: float | None = None,
+    clf_model=None,
+    clf_model_fingerprint: str | None = None,
+    clf_model_out: str | None = None,
     badwords: tuple[str, ...] | None = None,
     url_col: str | None = None,
     url_idna: bool = False,
@@ -265,6 +271,8 @@ def curate_corpus(
                 # a different keep-budget moves the clf threshold: a
                 # resume mixing cutoffs would mix verdict regimes
                 "clf_target_keep": clf_target_keep,
+                "clf_model": clf_model_fingerprint
+                if clf_model is not None else None,
                 "badwords": sorted(badwords) if badwords else None,
                 "url_col": url_col,
                 # idna rewrites every IDN row's canonical key: a resume
@@ -598,15 +606,59 @@ def curate_corpus(
         out = out.join(d, id_col, stage_join)
         keeps.append(F.col("decon_keep"))
 
-    if clf_reference is not None:
+    if clf_reference is not None and clf_model is not None:
+        raise ValueError(
+            "pass clf_reference (train here) OR clf_model (score under a "
+            "persisted model), not both"
+        )
+    if clf_model is not None:
         from etl_edi_data_scrapper_spark.functions.quality_classifier import (
-            fit_reference_classifier,
+            classify_corpus,
         )
 
-        clf = _staged("clf", lambda: fit_reference_classifier(
-            stage_docs, clf_reference, id_col=id_col, text_col=text_col,
-            target_keep=clf_target_keep,
-        ))
+        w_m, bias_m, nb_m = clf_model
+
+        def _clf_scored() -> DataFrame:
+            scored = classify_corpus(
+                stage_docs, w_m, bias_m, nb_m,
+                id_col=id_col, text_col=text_col,
+            )
+            if clf_target_keep is not None:
+                thr = scored.agg(F.expr(
+                    f"percentile(clf_score, {1.0 - clf_target_keep})"
+                ).alias("t")).first()["t"]
+                scored = scored.withColumn(
+                    "clf_keep", F.col("clf_score") > F.lit(float(thr))
+                )
+            return scored
+
+        clf = _staged("clf", _clf_scored)
+        out = out.join(clf, id_col, stage_join)
+        keeps.append(F.col("clf_keep"))
+    elif clf_reference is not None:
+        from etl_edi_data_scrapper_spark.functions.quality_classifier import (
+            fit_reference_classifier,
+            save_model,
+        )
+
+        def _clf_fit() -> DataFrame:
+            if clf_model_out is None:
+                return fit_reference_classifier(
+                    stage_docs, clf_reference, id_col=id_col,
+                    text_col=text_col, target_keep=clf_target_keep,
+                )
+            scored, (w0, b0) = fit_reference_classifier(
+                stage_docs, clf_reference, id_col=id_col,
+                text_col=text_col, target_keep=clf_target_keep,
+                return_model=True,
+            )
+            # the pipeline fit uses the module default hash space (64
+            # buckets) — recorded in the sidecar so later --clf-model
+            # runs featurize identically
+            save_model(spark, clf_model_out, w0, b0, 64)
+            return scored
+
+        clf = _staged("clf", _clf_fit)
         out = out.join(clf, id_col, stage_join)
         keeps.append(F.col("clf_keep"))
 

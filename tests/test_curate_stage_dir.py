@@ -213,3 +213,47 @@ def test_xent_reference_lm_stage(spark, tmp_path):
     ))
     self_fit = _collect(curate_corpus(spark, docs, stages=("xent",)))
     assert with_lm == self_fit and len(with_lm) == 500
+
+
+def test_clf_model_export_and_reuse(spark, sf_dir, tmp_path, capsys):
+    """r14 deploy loop: curate trains + exports the classifier
+    (--clf-model-out), a later curate run scores under the persisted
+    model (--clf-model) with identical clf verdicts and zero training
+    jobs; mixing the two modes errors."""
+    from etl_edi_data_scrapper_spark.__main__ import main
+    from etl_edi_data_scrapper_spark.engine import Engine
+
+    eng = Engine(spark=spark)
+    docs = f"{sf_dir}/documents.parquet"
+    model = str(tmp_path / "clf.json")
+    out1, out2 = str(tmp_path / "v1"), str(tmp_path / "v2")
+    assert main(
+        ["curate", "--docs", docs, "--output", out1,
+         "--stages", "quality",
+         "--clf-reference-col", "source", "--clf-reference-value", "src0",
+         "--clf-model-out", model],
+        engine=eng,
+    ) == 0
+    capsys.readouterr()
+    assert main(
+        ["curate", "--docs", docs, "--output", out2,
+         "--stages", "quality", "--clf-model", model],
+        engine=eng,
+    ) == 0
+    capsys.readouterr()
+    a = {r.doc_id: (r.clf_score, r.clf_keep)
+         for r in spark.read.parquet(out1).collect()}
+    b = {r.doc_id: (r.clf_score, r.clf_keep)
+         for r in spark.read.parquet(out2).collect()}
+    assert a == b and len(a) == 500
+
+    import pytest as _pytest
+
+    with _pytest.raises(SystemExit):
+        main(
+            ["curate", "--docs", docs, "--output", str(tmp_path / "v3"),
+             "--stages", "quality", "--clf-model", model,
+             "--clf-reference-col", "source",
+             "--clf-reference-value", "src0"],
+            engine=eng,
+        )
