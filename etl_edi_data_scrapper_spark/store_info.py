@@ -3,7 +3,9 @@
 Three store families grew sidecar conventions — the URL dedup store's
 ``_canon_meta.json`` (canonicalization regime), streaming checkpoints'
 ``__incarnation__`` stamp (replay-epoch fencing), and the persisted
-ANN index's ``_meta.json`` (encoding flags) — each with its own ad-hoc
+ANN index's ``_meta.json`` (encoding flags), and the r14 fit artifacts
+(classifier / language models, DSIR ratio tables, unigram / bigram
+reference LMs) — each with its own ad-hoc
 reader. ``describe_store`` is the one audit surface over all of them:
 it identifies the layout, reads the sidecar(s), and counts rows/files,
 so operational drift (a legacy regime, a stranded compaction, a
@@ -68,6 +70,11 @@ def _data_files(spark: SparkSession, path: str) -> int:
         if not name.startswith(("_", ".")):
             n += 1
     return n
+
+
+def _is_file(spark: SparkSession, path: str) -> bool:
+    fs, p = fsutil._fs(spark, path)
+    return bool(fs.exists(p) and fs.getFileStatus(p).isFile())
 
 
 def _read_json_sidecar(spark: SparkSession, path: str) -> dict | None:
@@ -157,6 +164,61 @@ def describe_store(spark: SparkSession, path: str) -> dict[str, Any]:
             out["crashed_compaction_dirs"] = leftovers
         return out
 
+    # --- r14 fit artifacts: every one carries a 'kind' ------------------
+    # model JSON sidecar files (quality / language classifier) — only
+    # attempted when the path IS a file (read_text on a dir raises), and
+    # non-JSON file contents just fall through to the refusal
+    file_meta = None
+    if _is_file(spark, path):
+        try:
+            file_meta = _read_json_sidecar(spark, path)
+        except ValueError:
+            file_meta = None
+    if isinstance(file_meta, dict) and file_meta.get("kind") in (
+        "integer_perceptron_v1", "multiclass_integer_perceptron_v1",
+    ):
+        out["type"] = (
+            "classifier-model"
+            if file_meta["kind"] == "integer_perceptron_v1"
+            else "lang-classifier-model"
+        )
+        out["kind"] = file_meta["kind"]
+        out["n_buckets"] = file_meta.get("n_buckets")
+        if "w" in file_meta and isinstance(file_meta["w"], dict):
+            out["classes"] = sorted(file_meta["w"])
+        return out
+
+    # DSIR ratio table: _meta.json kind + ratios/ parquet
+    dsir_meta = _read_json_sidecar(spark, f"{path}/_meta.json")
+    if (
+        isinstance(dsir_meta, dict)
+        and dsir_meta.get("kind") == "dsir_ratios_v1"
+        and _exists(spark, f"{path}/ratios")
+    ):
+        out["type"] = "dsir-ratios"
+        out["meta"] = dsir_meta
+        out["buckets_with_evidence"] = spark.read.parquet(
+            f"{path}/ratios"
+        ).count()
+        return out
+
+    # bigram reference LM: uni/ + big/ count tables
+    if _exists(spark, f"{path}/uni") and _exists(spark, f"{path}/big"):
+        from pyspark.sql import functions as F
+
+        uni = spark.read.parquet(f"{path}/uni")
+        big = spark.read.parquet(f"{path}/big")
+        if {"term", "ucnt"} <= set(uni.columns) and {
+            "prev", "cur", "bcnt"
+        } <= set(big.columns):
+            out["type"] = "bigram-lm"
+            out["terms"] = uni.count()
+            out["bigrams"] = big.count()
+            out["total_tokens"] = int(
+                uni.agg(F.sum("ucnt").alias("t")).first()["t"] or 0
+            )
+            return out
+
     # --- ivf-flat index: centroids + assigned, no codes/meta ------------
     if all(
         _exists(spark, f"{path}/{d}") for d in ("centroids", "assigned")
@@ -187,8 +249,9 @@ def describe_store(spark: SparkSession, path: str) -> dict[str, Any]:
     if df is None and canon_meta is None:
         raise ValueError(
             f"{path!r} matches no known store layout (ivfpq-index, "
-            "url-store, bloom-store, neardup-store, stream-checkpoint) — "
-            "refusing to guess."
+            "ivf-index, url-store, bloom-store, neardup-store, "
+            "stream-checkpoint, classifier-model, lang-classifier-model, "
+            "dsir-ratios, unigram-lm, bigram-lm) — refusing to guess."
         )
     cols = set(df.columns) if df is not None else set()
 
@@ -239,6 +302,15 @@ def describe_store(spark: SparkSession, path: str) -> dict[str, Any]:
         out["bands"] = df.select("band").distinct().count()
         if id_cols:
             out["docs"] = df.select(id_cols[0]).distinct().count()
+        out["data_files"] = _data_files(spark, path)
+        return out
+
+    if cols == {"term", "cnt"}:
+        out["type"] = "unigram-lm"
+        out["terms"] = df.count()
+        out["total_tokens"] = int(
+            df.agg(F.sum("cnt").alias("t")).first()["t"] or 0
+        )
         out["data_files"] = _data_files(spark, path)
         return out
 

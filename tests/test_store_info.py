@@ -166,3 +166,73 @@ def test_store_info_ivf_flat_index(spark, tmp_path, capsys):
     assert info["type"] == "ivf-index"
     assert info["rows"] == 10 and info["cells"] == 2
     assert info["keeps_float_vectors"] is True
+
+
+def test_store_info_fit_artifacts(spark, tmp_path, capsys):
+    """r14: the fit artifacts are store-info-auditable — classifier and
+    language models (kind-carrying JSON files), the DSIR ratio table
+    (kind sidecar + ratios/), unigram and bigram reference LMs — each
+    built through its OWN write path, never hand-crafted."""
+    from pyspark.sql import functions as F
+
+    from etl_edi_data_scrapper_spark.functions.importance import (
+        fit_dsir_ratios,
+        save_dsir_ratios,
+    )
+    from etl_edi_data_scrapper_spark.functions.lang_classifier import (
+        save_lang_model,
+    )
+    from etl_edi_data_scrapper_spark.functions.quality_classifier import (
+        save_model,
+    )
+    from etl_edi_data_scrapper_spark.functions.text import (
+        fit_bigram_lm,
+        fit_unigram_lm,
+        save_bigram_lm,
+        save_unigram_lm,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma delta %d" % (i % 3)) for i in range(12)],
+        "doc_id long, text string",
+    )
+
+    clf = str(tmp_path / "clf.json")
+    save_model(spark, clf, [1, -2, 3], 4, 3)
+    rc, out = _cli(spark, ["store-info", "--store", clf], capsys)
+    info = json.loads(out)
+    assert rc == 0 and info["type"] == "classifier-model"
+    assert info["n_buckets"] == 3
+
+    lang = str(tmp_path / "lang.json")
+    save_lang_model(spark, lang, {"en": [1, 2], "es": [3, 4]},
+                    {"en": 0, "es": 1}, n_buckets=2)
+    rc, out = _cli(spark, ["store-info", "--store", lang], capsys)
+    info = json.loads(out)
+    assert rc == 0 and info["type"] == "lang-classifier-model"
+    assert info["classes"] == ["en", "es"]
+
+    dsir = str(tmp_path / "dsir")
+    save_dsir_ratios(
+        spark, fit_dsir_ratios(docs, docs, n_buckets=64), dsir, n_buckets=64
+    )
+    rc, out = _cli(spark, ["store-info", "--store", dsir], capsys)
+    info = json.loads(out)
+    assert rc == 0 and info["type"] == "dsir-ratios"
+    assert info["meta"]["n_buckets"] == 64
+    assert info["buckets_with_evidence"] > 0
+
+    ulm = str(tmp_path / "ulm")
+    save_unigram_lm(fit_unigram_lm(docs), ulm)
+    rc, out = _cli(spark, ["store-info", "--store", ulm], capsys)
+    info = json.loads(out)
+    assert rc == 0 and info["type"] == "unigram-lm"
+    assert info["terms"] == 7 and info["total_tokens"] == 60
+
+    blm = str(tmp_path / "blm")
+    save_bigram_lm(fit_bigram_lm(docs), blm)
+    rc, out = _cli(spark, ["store-info", "--store", blm], capsys)
+    info = json.loads(out)
+    assert rc == 0 and info["type"] == "bigram-lm"
+    assert info["terms"] == 7 and info["bigrams"] > 0
+    assert info["total_tokens"] == 60
