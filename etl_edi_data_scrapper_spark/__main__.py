@@ -293,6 +293,36 @@ def main(argv: list[str] | None = None, engine=None) -> int:
     pe.add_argument("--family-size", type=int, default=None,
                     help="skip the duplication-profile probe and use this")
 
+    pl = sub.add_parser(
+        "fit-langid",
+        help="train the multiclass integer-perceptron language ID on a "
+        "labeled corpus and persist the model (JSON sidecar)",
+    )
+    pl.add_argument("--docs", required=True, help="labeled corpus parquet")
+    pl.add_argument("--output", required=True, help="model JSON output path")
+    pl.add_argument("--id-col", default="doc_id")
+    pl.add_argument("--text-col", default="text")
+    pl.add_argument("--label-col", default="lang")
+    pl.add_argument(
+        "--langs", default=None,
+        help="comma list of class labels; default: every distinct value "
+        "observed in --label-col (sorted)",
+    )
+    pl.add_argument("--n-buckets", type=int, default=64)
+    pl.add_argument("--epochs", type=int, default=2)
+
+    pg = sub.add_parser(
+        "langid",
+        help="score a corpus under a persisted fit-langid model (zero "
+        "training jobs); one (id, lang_clf_pred, lang_clf_score) row "
+        "per document",
+    )
+    pg.add_argument("--docs", required=True, help="corpus parquet path/dir")
+    pg.add_argument("--model", required=True, help="fit-langid model JSON")
+    pg.add_argument("--output", required=True, help="result parquet dir")
+    pg.add_argument("--id-col", default="doc_id")
+    pg.add_argument("--text-col", default="text")
+
     pf = sub.add_parser(
         "fit-lm",
         help="fit a unigram reference LM on a (curated) corpus and "
@@ -831,6 +861,58 @@ def main(argv: list[str] | None = None, engine=None) -> int:
         print(
             f"SUCCESS: ANN query | Results: {n} | k: {args.k} | "
             f"nprobe: {nprobe}{tier}"
+        )
+        return 0
+
+    if args.cmd == "fit-langid":
+        from pyspark.sql import functions as F
+
+        from etl_edi_data_scrapper_spark.functions.lang_classifier import (
+            fit_lang_classifier,
+            save_lang_model,
+        )
+
+        docs = engine.spark.read.parquet(args.docs)
+        if args.langs is not None:
+            langs = [s.strip() for s in args.langs.split(",") if s.strip()]
+        else:
+            langs = sorted(
+                r[0]
+                for r in docs.select(args.label_col).distinct().collect()
+                if r[0] is not None
+            )
+        if not langs:
+            p.error(f"no class labels found in --label-col {args.label_col}")
+        _, (w, b) = fit_lang_classifier(
+            docs, langs=langs, id_col=args.id_col, text_col=args.text_col,
+            label_col=args.label_col, n_buckets=args.n_buckets,
+            n_epochs=args.epochs, return_model=True,
+        )
+        save_lang_model(engine.spark, args.output, w, b,
+                        n_buckets=args.n_buckets)
+        print(
+            f"SUCCESS: Language ID trained | Classes: {len(langs)} "
+            f"({','.join(langs)}) | Output: {args.output}"
+        )
+        return 0
+
+    if args.cmd == "langid":
+        from etl_edi_data_scrapper_spark import sinks as sinkmod
+        from etl_edi_data_scrapper_spark.functions.lang_classifier import (
+            classify_lang_corpus,
+            load_lang_model,
+        )
+
+        docs = engine.spark.read.parquet(args.docs)
+        w, b, nb, n = load_lang_model(engine.spark, args.model)
+        out = classify_lang_corpus(
+            docs, w, b, nb, n=n, id_col=args.id_col, text_col=args.text_col
+        )
+        sinkmod.write_parquet(out, args.output, mode="overwrite")
+        nrows = engine.spark.read.parquet(args.output).count()
+        print(
+            f"SUCCESS: Language ID scored | Docs: {nrows} | "
+            f"Classes: {len(w)}"
         )
         return 0
 

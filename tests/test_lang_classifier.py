@@ -235,3 +235,57 @@ def test_lang_model_persistence_roundtrip_bit_exact(spark, tmp_path):
         ).collect()
     }
     assert got == want
+
+
+def test_cli_fit_langid_and_score(spark, tmp_path, capsys):
+    """r14 operational surface: `fit-langid` trains + persists on a
+    labeled corpus (classes auto-derived from the label column when not
+    given), `langid` scores any corpus under the model with zero
+    training jobs — predictions equal the library fit bit-for-bit."""
+    from etl_edi_data_scrapper_spark.__main__ import main
+    from etl_edi_data_scrapper_spark.engine import Engine
+    from etl_edi_data_scrapper_spark.functions.lang_classifier import (
+        fit_lang_classifier,
+    )
+
+    rows = [
+        (1, "the cat sat on the mat with the dog", "en"),
+        (2, "the dog and the cat are friends there", "en"),
+        (3, "el gato y el perro son amigos aqui", "es"),
+        (4, "la casa es grande y el sol brilla", "es"),
+        (5, "the house is big and the sun shines", "en"),
+        (6, "el sol y la luna brillan en el cielo", "es"),
+    ]
+    docs_path = str(tmp_path / "docs")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string"
+    ).write.parquet(docs_path)
+
+    model = str(tmp_path / "langid.json")
+    eng = Engine(spark=spark)
+    assert main(
+        ["fit-langid", "--docs", docs_path, "--output", model,
+         "--epochs", "3"],
+        engine=eng,
+    ) == 0
+    printed = capsys.readouterr().out
+    assert "Classes: 2 (en,es)" in printed  # auto-derived, sorted
+
+    out = str(tmp_path / "scored")
+    assert main(
+        ["langid", "--docs", docs_path, "--model", model, "--output", out],
+        engine=eng,
+    ) == 0
+    assert "SUCCESS: Language ID scored | Docs: 6" in capsys.readouterr().out
+
+    docs = spark.read.parquet(docs_path)
+    want = {
+        r.doc_id: (r.lang_clf_pred, r.lang_clf_score)
+        for r in fit_lang_classifier(docs, langs=["en", "es"],
+                                     n_epochs=3).collect()
+    }
+    got = {
+        r.doc_id: (r.lang_clf_pred, r.lang_clf_score)
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got == want
