@@ -289,3 +289,58 @@ def test_cli_fit_langid_and_score(spark, tmp_path, capsys):
         for r in spark.read.parquet(out).collect()
     }
     assert got == want
+
+
+def test_sparse_fit_and_grouped_scoring_match_dense_path(spark):
+    """r14 optimization parity: `fit_lang_classifier` now featurizes the
+    fit sample as sparse (id, bucket, tf) triplets and scores with
+    `_score_corpus_grouped`'s single hash aggregate. Both must be
+    result-identical to the dense path (`char_trigram_featurize` +
+    `multiclass_classify`) — same model, same predictions, same scores."""
+    from etl_edi_data_scrapper_spark.functions.lang_classifier import (
+        char_trigram_bucket_counts,
+    )
+
+    docs = _confusable_docs() + [(100, "", "es"), (101, None, "pt")]
+    df = spark.createDataFrame(docs, "doc_id long, text string, lang string")
+    scored, (w, b) = fit_lang_classifier(
+        df, langs=["es", "pt"], n_epochs=2, return_model=True
+    )
+    # the sparse triplets are exactly the dense features' nonzero entries
+    dense = {
+        r.doc_id: list(r.features)
+        for r in char_trigram_featurize(df).collect()
+    }
+    trip = char_trigram_bucket_counts(df).collect()
+    sparse: dict[int, list[int]] = {d: [0] * N_BUCKETS for d in dense}
+    for r in trip:
+        sparse[r[0]][r[1]] = r[2]
+    assert sparse == dense
+    # the model equals a dense-featurized numpy fit over the same sample
+    import numpy as np
+
+    from etl_edi_data_scrapper_spark.functions.lang_classifier import (
+        np_multiclass_fit,
+    )
+
+    rows = sorted(
+        (hashlib.md5(str(d).encode()).hexdigest(), d) for d, _, _ in docs
+    )
+    x = np.asarray([dense[d] + [1] for _, d in rows], dtype=np.int64)
+    y = np.asarray(
+        [["es", "pt"].index(dict((d, lg) for d, _, lg in docs)[d]) for _, d in rows],
+        dtype=np.int64,
+    )
+    w_ref, b_ref = np_multiclass_fit(x, y, ["es", "pt"], n_epochs=2)
+    assert w == w_ref and b == b_ref
+    # and the grouped scorer equals the dense classifier under that model
+    feat = char_trigram_featurize(df)
+    want = {
+        r.doc_id: (r.lang_clf_pred, r.lang_clf_score)
+        for r in multiclass_classify(feat, w, b).collect()
+    }
+    got = {
+        r.doc_id: (r.lang_clf_pred, r.lang_clf_score)
+        for r in scored.collect()
+    }
+    assert got == want
