@@ -14,6 +14,8 @@ Scale design (the point of these):
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -805,6 +807,7 @@ def connected_components(
     max_iters: int = 25,
     pointer_jump: bool = True,
     strict: bool = True,
+    driver_max_edges: int | None = None,
 ) -> DataFrame:
     """Duplicate CLUSTERS from near-dup pairs: min-label connected
     components over the undirected pair graph. Returns
@@ -824,6 +827,20 @@ def connected_components(
     localCheckpoint'ed, truncating lineage so plans stay flat. Deterministic under any partitioning. ``strict`` raises if
     ``max_iters`` rounds pass without a fixpoint (a silent partial
     clustering is a wrong dedup decision).
+
+    ``driver_max_edges`` (r14, default from ``EDI_CC_DRIVER_MAX_EDGES``,
+    200k): when the MEASURED directed-edge count (one count over the
+    already-materialized edge checkpoint) is at or under the bound, the
+    components are solved with a driver-side union-find instead of the
+    iterative propagation. Same contract — min-label per component, same
+    column names/types — but one bounded collect (≤ driver_max_edges
+    two-field rows, the same bounded-driver-state class as kmeans'
+    centroid round-trip) replaces 3-4 shuffle jobs PER PROPAGATION
+    ROUND. The iterative path is unchanged and takes over beyond the
+    bound (the r13 300× smoke's 382M-edge set never collects).
+    Value-identical by construction (union-find and min-label
+    propagation both compute the unique min id per component; pinned by
+    `test_driver_union_find_matches_iterative_labels`).
     """
     # Eager localCheckpoint (not persist) everywhere below: each round's
     # plan references the previous round's frame TWICE (neighbour join +
@@ -866,6 +883,60 @@ def connected_components(
         .select(F.col("e.src").alias("src"), F.col("e.dst").alias("dst"))
         .localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
     )
+    # measured gate: the edge blocks are already on local disk, so this
+    # count is one cheap scan of materialized partitions — no lineage
+    # re-execution — and it buys skipping every propagation round when
+    # the graph is small (the steady-state shape of incremental dedup)
+    if driver_max_edges is None:
+        driver_max_edges = int(os.environ.get("EDI_CC_DRIVER_MAX_EDGES", "200000"))
+    if driver_max_edges > 0 and edges.count() <= driver_max_edges:
+        from pyspark.sql.types import BooleanType, StructField, StructType
+
+        parent: dict = {}
+
+        def find(x):
+            root = x
+            while parent[root] != root:
+                root = parent[root]
+            while parent[x] != root:  # path compression
+                parent[x], x = root, parent[x]
+            return root
+
+        for r in edges.collect():
+            s, d = r[0], r[1]
+            if s not in parent:
+                parent[s] = s
+            if d not in parent:
+                parent[d] = d
+            rs, rd = find(s), find(d)
+            if rs != rd:
+                parent[rd] = rs
+        comp_min: dict = {}
+        for node in parent:
+            root = find(node)
+            cur = comp_min.get(root)
+            if cur is None or node < cur:
+                comp_min[root] = node
+        node_t = edges.schema["src"].dataType
+        schema = StructType(
+            [
+                StructField(out_id, node_t, False),
+                StructField("cluster_id", node_t, False),
+                StructField("is_canonical", BooleanType(), False),
+            ]
+        )
+        rows = sorted(
+            (node, comp_min[find(node)]) for node in parent
+        )
+        # the frame is bounded (≤ 2·driver_max_edges short rows), so hint
+        # broadcast: downstream doc⋈comps joins then skip shuffling the
+        # corpus side entirely (the iterative path below stays unhinted —
+        # its label frame is unbounded)
+        return F.broadcast(
+            edges.sparkSession.createDataFrame(
+                [(n, lbl, n == lbl) for n, lbl in rows], schema
+            )
+        )
     labels = (
         edges.select(F.col("src").alias("node"))
         .distinct()

@@ -288,6 +288,13 @@ def dsir_resample(
         source, target, id_col=id_col, text_col=text_col,
         n_buckets=n_buckets, smoothing=smoothing,
     ).withColumn("key_micro", F.col("logw_sum_micro") + gumbel_micro(F.col(id_col), seed))
+    # the weight subtree (featurize source + fit ratios, itself two
+    # featurizations and an outer join) feeds BOTH the top-k and the
+    # final left join below — without a checkpoint the whole fit pipeline
+    # executes three times in one plan (top-k + broadcast build + probe
+    # side). Lazy local checkpoint: computed once on first evaluation,
+    # one (id, counts) row per source doc — linear, spillable state
+    weighted = weighted.localCheckpoint(eager=False)
     top = (
         weighted.orderBy(F.desc("key_micro"), F.asc(id_col))
         .limit(n_keep)

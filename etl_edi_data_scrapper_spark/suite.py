@@ -3165,6 +3165,13 @@ def q_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     cq = counts.withColumn(
         "sqrt_micro", F.floor(F.sqrt("n_docs") * 1000000).cast("long")
     )
+    # cq (one row per language) feeds the normalizer aggregate AND the
+    # rate table, and rates itself lands in two joins below — without
+    # checkpoints the corpus groupBy re-executes once per reference
+    # (r14 before-plan: 40 parquet scans of `documents`, 110 Exchanges
+    # in one 1,566-line plan). Two lazy checkpoints of dimension-sized
+    # frames collapse that to one scan per distinct pass.
+    cq = cq.localCheckpoint(eager=False)
     z = cq.agg(F.sum("sqrt_micro").cast("long").alias("z_micro"))
     rates = (
         cq.crossJoin(F.broadcast(z))
@@ -3182,7 +3189,7 @@ def q_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.expr(f"(({budget} * 100 * sqrt_micro) DIV z_micro) DIV n_docs"),
             ),
         )
-    )
+    ).localCheckpoint(eager=False)  # reused by the kept filter AND the final join
     kept = (
         docs.join(F.broadcast(rates.select("lang", "rate_pct")), "lang")
         .filter(hex_word(F.md5(F.col("doc_id").cast("string")), 1) % 100 < F.col("rate_pct"))
@@ -4917,6 +4924,15 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
     )
+    # r14 measured A/B (idle host, min-of-3): checkpointing every reused
+    # frame (queries/exact/exact_l2/all five legs) REGRESSED 5.79→7.02 s
+    # — nine lazy-checkpoint materializations are nine sequential job
+    # barriers, and AQE's runtime exchange reuse already dedups the
+    # identical subtrees the 1,902-line before-plan shows duplicated. The
+    # kept subset: `assigned` (the one linear frame whose k-argmin encode
+    # feeds BOTH the ivf leg and the ivfpq re-encode — at 100 TB that is
+    # the corpus-sized recompute) and broadcast hints on the bounded
+    # recall-join sides (plan-level, no barrier).
     exact = cosine_topk(queries, emb, k=5).select("q_id", "vec_id")
     centroids, assigned = ivf_index(emb, n_centroids=16)
     # PQ legs (r11): judged against the metric PQ approximates — exact
@@ -4959,7 +4975,9 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     for method, approx in legs.items():
         base_exact = exact_l2 if method in ("pq", "ivfpq") else exact
         j = base_exact.join(
-            approx.withColumn("__hit", F.lit(1)), ["q_id", "vec_id"], "left"
+            F.broadcast(approx.withColumn("__hit", F.lit(1))),
+            ["q_id", "vec_id"],
+            "left",
         )
         recall = (
             F.count("__hit").cast("double") / F.count(F.lit(1)).cast("double")

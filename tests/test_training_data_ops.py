@@ -392,13 +392,49 @@ def test_connected_components_pointer_jump_long_chain(spark):
 
     # path 0-1-2-...-40: diameter 40. Plain propagation moves the min one
     # hop per round; pointer jumping collapses it in O(log n) rounds.
+    # driver_max_edges=0 pins the ITERATIVE path (the r14 driver
+    # union-find gate would otherwise solve this tiny graph without
+    # iterating, which is exactly what this test must not exercise).
     pairs = spark.createDataFrame([(i, i + 1) for i in range(40)], "a long, b long")
-    out = connected_components(pairs, max_iters=10).collect()
+    out = connected_components(pairs, max_iters=10, driver_max_edges=0).collect()
     assert {r.cluster_id for r in out} == {0}
     assert sum(r.is_canonical for r in out) == 1
     # without jumping, 10 rounds cannot close a 40-diameter chain → strict raises
     with pytest.raises(RuntimeError, match="converge"):
-        connected_components(pairs, max_iters=10, pointer_jump=False)
+        connected_components(
+            pairs, max_iters=10, pointer_jump=False, driver_max_edges=0
+        )
+
+
+def test_driver_union_find_matches_iterative_labels(spark):
+    from etl_edi_data_scrapper_spark.functions.dedup import connected_components
+
+    # adversarial mix: a long chain, a clique, a star, singleton pair,
+    # and ids deliberately out of insertion order so the min-label rule
+    # (not first-seen) decides the canonical
+    edges = (
+        [(i + 1, i) for i in range(100, 120)]  # chain, min id 100 arrives last
+        + [(a, b) for a in (7, 9, 11) for b in (9, 11, 13) if a < b]  # clique-ish
+        + [(500, 3), (501, 3), (502, 3)]  # star centred below its leaves
+        + [(900, 901)]
+    )
+    pairs = spark.createDataFrame(edges, "a long, b long")
+    driver = {
+        (r.doc_id, r.cluster_id, r.is_canonical)
+        for r in connected_components(pairs, driver_max_edges=10**6).collect()
+    }
+    iterative = {
+        (r.doc_id, r.cluster_id, r.is_canonical)
+        for r in connected_components(pairs, driver_max_edges=0).collect()
+    }
+    assert driver == iterative
+    # schema parity: same names, same types, so either path drops into
+    # the same downstream joins
+    d_schema = connected_components(pairs, driver_max_edges=10**6).schema
+    i_schema = connected_components(pairs, driver_max_edges=0).schema
+    assert [(f.name, f.dataType) for f in d_schema] == [
+        (f.name, f.dataType) for f in i_schema
+    ]
 
 
 def test_real_decode_kernel_rejects_odd_dim():
