@@ -406,6 +406,14 @@ def fit_lang_classifier(
         .limit(max_fit_rows)
         .select(F.col(id_col), F.col(label_col))
     )
+    # Arrow transfer + vectorized densify (r14): the row-at-a-time
+    # .collect() of the (id, label, bucket, tf) triplets was ~2.3 s of
+    # every plan build at sf0.1 (≈300k pickled rows); toPandas rides the
+    # session's Arrow path and the scatter-assign densification is one
+    # numpy op. Row mapping is pandas.factorize's first-occurrence order
+    # — the same assignment the old dict loop made — and the batch
+    # perceptron is row-order independent regardless, so the model is
+    # bit-identical (pinned by the sparse==dense parity test).
     trip = char_trigram_bucket_counts(
         docs.select(F.col(id_col), F.col(text_col)).join(
             F.broadcast(sample_ids), on=id_col
@@ -414,20 +422,22 @@ def fit_lang_classifier(
         text_col=text_col,
         n_buckets=n_buckets,
         extra=(label_col,),
-    ).collect()
-    if trip:
+    ).toPandas()
+    if len(trip):
+        import pandas as pd
+
         lang_pos = {lg: i for i, lg in enumerate(langs)}
-        row_of: dict = {}
-        labels: list[int] = []
-        for r in trip:
-            if r[0] not in row_of:
-                row_of[r[0]] = len(labels)
-                labels.append(lang_pos[r[1]])
-        x = np.zeros((len(labels), n_buckets + 1), dtype=np.int64)
+        codes, _uniques = pd.factorize(trip[id_col])
+        n_docs = len(_uniques)
+        # first occurrence of each code 0..n_docs-1 carries the doc's label
+        _, first_row = np.unique(codes, return_index=True)
+        y_idx = np.asarray(
+            [lang_pos[v] for v in trip[label_col].to_numpy()[first_row]],
+            dtype=np.int64,
+        )
+        x = np.zeros((n_docs, n_buckets + 1), dtype=np.int64)
         x[:, n_buckets] = 1
-        for r in trip:
-            x[row_of[r[0]], r[2]] = r[3]
-        y_idx = np.asarray(labels, dtype=np.int64)
+        x[codes, trip["bucket"].to_numpy()] = trip["tf"].to_numpy()
         w, b = np_multiclass_fit(x, y_idx, langs, n_epochs=n_epochs)
     else:
         w = {lg: [0] * n_buckets for lg in langs}
