@@ -164,12 +164,15 @@ def _score_corpus_grouped(
             "gram"
         ),
     ).select(id_col, hashed_bucket(F.col("gram"), n_buckets).alias("bucket"))
+    # one parsed expression per class: the per-element F.lit loop cost a
+    # py4j round trip per weight (K×64 per plan build) — the parsed tree
+    # is identical (same element_at over a long-array literal; parity
+    # pinned by the sparse==dense test)
     aggs = [
-        F.sum(
-            F.element_at(
-                F.array(*[F.lit(int(v)).cast("long") for v in w[lg]]),
-                (F.col("bucket") + 1).cast("int"),
-            )
+        F.expr(
+            "sum(element_at(array("
+            + ",".join(f"{int(v)}L" for v in w[lg])
+            + "), CAST(bucket + 1 AS INT)))"
         ).alias(f"__s_{i}")
         for i, lg in enumerate(langs)
     ]

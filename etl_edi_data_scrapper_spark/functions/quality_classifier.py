@@ -83,14 +83,14 @@ def featurize(
 
 
 def _score(w: list[int], bias: int):
-    w_lit = F.array(*[F.lit(int(x)).cast("long") for x in w])
-    return (
-        F.aggregate(
-            F.zip_with(F.col("features"), w_lit, lambda c, wv: c * wv),
-            F.lit(0).cast("long"),
-            lambda acc, v: acc + v,
-        )
-        + F.lit(int(bias)).cast("long")
+    # one parsed expression: the per-element F.lit loop cost a py4j round
+    # trip per weight, rebuilt every epoch (seconds of pure driver chatter
+    # across a fit) — the parsed tree is identical (same zip_with fold,
+    # same long discipline; parity pinned by the model tests)
+    arr = "array(" + ",".join(f"{int(x)}L" for x in w) + ")"
+    return F.expr(
+        f"aggregate(zip_with(features, {arr}, (c, wv) -> c * wv), "
+        f"CAST(0 AS BIGINT), (acc, v) -> acc + v) + {int(bias)}L"
     )
 
 
