@@ -21,6 +21,9 @@ from pyspark.sql import functions as F
 
 from etl_edi_data_scrapper_spark.functions.hashing import HEX as _HEX
 from etl_edi_data_scrapper_spark.functions.hashing import hex_word as _hex_word
+from etl_edi_data_scrapper_spark.functions.hashing import (
+    hex_word_sql as _hex_word_sql,
+)
 from etl_edi_data_scrapper_spark.functions.text import normalize_text, tokens
 
 
@@ -71,12 +74,17 @@ def minhash_signatures(
     """
     df = df.repartition(df.sparkSession.sparkContext.defaultParallelism, id_col)
     sh = df.select(F.col(id_col), F.explode(shingles(text_col, shingle_n)).alias("s"))
-    h = F.md5(F.col("s"))
+    # parsed expressions (r14): the per-nibble/per-hash Column DSL loops
+    # cost one py4j round trip per node (~0.5 s of plan build per call);
+    # the SQL text parses the identical tree — same instr arithmetic,
+    # same integer typing (values pinned by the gate oracles)
     words = sh.select(
-        F.col(id_col), _hex_word(h, 1).alias("w1"), _hex_word(h, 9).alias("w2")
+        F.col(id_col),
+        F.expr(_hex_word_sql("md5(s)", 1)).alias("w1"),
+        F.expr(_hex_word_sql("md5(s)", 9)).alias("w2"),
     )
     aggs = [
-        F.min((F.col("w1") + F.lit(j) * F.col("w2")) % F.lit(2**32)).alias(f"h{j}")
+        F.expr(f"min((w1 + {j} * w2) % 4294967296)").alias(f"h{j}")
         for j in range(n_hashes)
     ]
     return words.groupBy(id_col).agg(*aggs)
@@ -463,27 +471,34 @@ def simhash_bit_sums(
     df = df.repartition(df.sparkSession.sparkContext.defaultParallelism, id_col)
     tok = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("t"))
     tok = tok.withColumn("h", F.md5(F.col("t")))
+    # parsed expressions (r14): the per-bit Column DSL loop cost one py4j
+    # round trip per node (1.5 s of plan build at bits=64); the SQL text
+    # parses the identical tree — floor (not cast: double→int casts round
+    # in some engines), same instr nibble arithmetic (values pinned by the
+    # simhash gate oracles)
     aggs = []
     for i in range(bits):
-        nibble = _hex_val(F.substring(F.col("h"), i // 4 + 1, 1))
-        # floor (not cast) — double→int casts round in some engines
-        bit = F.floor(nibble / (2 ** (3 - i % 4))).cast("int") % 2
-        contrib = F.when(bit == 1, 1).otherwise(-1)
-        aggs.append(F.sum(contrib).alias(f"b{i}"))
+        nib = f"(instr('{_HEX}', substring(h, {i // 4 + 1}, 1)) - 1)"
+        bit = f"(CAST(floor({nib} / {2 ** (3 - i % 4)}) AS INT) % 2)"
+        aggs.append(
+            F.expr(f"sum(CASE WHEN {bit} = 1 THEN 1 ELSE -1 END)").alias(f"b{i}")
+        )
     return tok.groupBy(id_col).agg(*aggs)
 
 
 def _sign_bits_long(lo_bit: int, n_bits: int) -> Column:
     """Recombine ``n_bits`` sign bits (b_{lo_bit+j} > 0 → bit j) into one
     long — the ONE place the sign convention lives for every signature
-    shape (single-long, hi/lo halves, combined)."""
-    return sum(
-        (
-            F.when(F.col(f"b{lo_bit + j}") > 0, F.lit(2**j)).otherwise(F.lit(0))
-            for j in range(n_bits)
-        ),
-        F.lit(0),
-    ).cast("long")
+    shape (single-long, hi/lo halves, combined). One parsed expression
+    (r14): the per-bit when/otherwise DSL chain cost a py4j round trip
+    per node; the text parses the identical 0-seeded integer sum (same
+    int→long literal promotion — 2^j sits in an INT literal below bit 31
+    and a BIGINT one above, exactly like F.lit)."""
+    terms = " + ".join(
+        f"CASE WHEN b{lo_bit + j} > 0 THEN {2**j} ELSE 0 END"
+        for j in range(n_bits)
+    )
+    return F.expr(f"CAST(0 + {terms} AS BIGINT)")
 
 
 def _block_pairs(
