@@ -897,7 +897,7 @@ def estimate_family_size(
     if dim is None:
         dim = int(df.select(F.size(F.col(vec_col))).first()[0])
     sizes = (
-        df.select(hyperplane_signature(F.col(vec_col), n_planes, dim).alias("sig"))
+        df.select(hyperplane_signature(vec_col, n_planes, dim).alias("sig"))
         .groupBy("sig")
         .agg(F.count(F.lit(1)).alias("sz"))
     )
@@ -942,7 +942,7 @@ def cross_shard_bridge_pairs(
     out = None
     for t in range(int(n_tables)):
         sig = hyperplane_signature_table(
-            F.col(vec_col), n_planes, dim, table=t
+            vec_col, n_planes, dim, table=t
         )
         blocked = df.select(F.col(id_col), F.col(vec_col)).withColumn("__sig", sig)
         pairs = embedding_near_pairs(

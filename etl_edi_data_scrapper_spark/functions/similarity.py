@@ -52,7 +52,7 @@ def cosine_topk(
 
 
 def hyperplane_signature(
-    vec: Column, n_planes: int, dim: int, plane_offset: int = 0
+    vec: Column | str, n_planes: int, dim: int, plane_offset: int = 0
 ) -> Column:
     """Sign signature under `n_planes` deterministic pseudo-random
     hyperplanes. Plane weights are md5-derived: w[p][d] = hexval(md5('p:d'))
@@ -64,19 +64,42 @@ def hyperplane_signature(
     `clustering.cross_shard_bridge_pairs`.
 
     Returns a string key '0|1|...' usable directly as an LSH bucket id.
+
+    Pass ``vec`` as a COLUMN NAME where possible (r14): the name form
+    builds the whole signature as one parsed expression — the per-plane
+    Column-DSL construction (an array literal + three lambda nodes per
+    plane, each a py4j round trip) measured ~0.35 s of plan build per
+    call at 5 planes × dim 64. The parsed tree is identical (same
+    zip_with/aggregate fold, same weights), pinned by test.
     """
     import hashlib
 
-    bits = []
-    for p in range(plane_offset, plane_offset + n_planes):
-        weights = [
+    def plane_weights(p: int) -> list[float]:
+        return [
             float(int(hashlib.md5(f"{p}:{d}".encode()).hexdigest()[0], 16)) - 7.5
             for d in range(dim)
         ]
+
+    if isinstance(vec, str):
+        from etl_edi_data_scrapper_spark.functions.clustering import _dlit
+
+        vec_sql = "`" + vec.replace("`", "``") + "`"
+        bits_sql = []
+        for p in range(plane_offset, plane_offset + n_planes):
+            arr = "array(" + ",".join(_dlit(x) for x in plane_weights(p)) + ")"
+            dot = (
+                f"aggregate(zip_with({vec_sql}, {arr}, "
+                "(x, w) -> CAST(x AS DOUBLE) * w), 0.0D, (acc, v) -> acc + v)"
+            )
+            bits_sql.append(f"CASE WHEN {dot} >= 0 THEN '1' ELSE '0' END")
+        return F.expr("concat_ws('', " + ", ".join(bits_sql) + ")")
+
+    bits = []
+    for p in range(plane_offset, plane_offset + n_planes):
         # array-literal zip_with keeps the expression tree small (one node
         # per plane, not per dimension — 64-term chained sums choke codegen)
         dot = F.aggregate(
-            F.zip_with(vec, F.lit(weights), lambda x, w: x.cast("double") * w),
+            F.zip_with(vec, F.lit(plane_weights(p)), lambda x, w: x.cast("double") * w),
             F.lit(0.0),
             lambda acc, v: acc + v,
         )
@@ -108,7 +131,7 @@ def lsh_topk(
     qb = queries.select(
         F.col(q_id),
         F.col(q_vec),
-        hyperplane_signature(F.col(q_vec), n_planes, dim).alias("bucket"),
+        hyperplane_signature(q_vec, n_planes, dim).alias("bucket"),
     ).withColumn("__nq", norm_expr(F.col(q_vec)))
     if multiprobe:
         variants = [F.col("bucket")] + [
@@ -122,7 +145,7 @@ def lsh_topk(
         qb = qb.withColumn("bucket", F.explode(F.array(*variants)))
     qb = F.broadcast(qb)
     cb = corpus.select(
-        F.col(c_id), F.col(c_vec), hyperplane_signature(F.col(c_vec), n_planes, dim).alias("bucket")
+        F.col(c_id), F.col(c_vec), hyperplane_signature(c_vec, n_planes, dim).alias("bucket")
     ).withColumn("__nc", norm_expr(F.col(c_vec)))
     sim = (dot_expr(F.col(q_vec), F.col(c_vec)) / (F.col("__nq") * F.col("__nc"))).alias("cosine")
     w = W.partitionBy(q_id).orderBy(F.col("cosine").desc(), F.col(c_id))
@@ -1004,6 +1027,19 @@ def apply_rotation(
     return df.withColumn(out_col or vec_col, _rot(F.col(vec_col)))
 
 
+def _darr_sql(v) -> str:
+    """A (possibly nested) double-array literal as SQL text. `F.lit` of a
+    nested Python list converts element-by-element through py4j (r12
+    study: 2.0 → 42.5 s of plan build as the code budget grows); one
+    parsed string builds the identical array<...<double>> literal in
+    milliseconds (exact: repr round-trips doubles — see clustering._dlit)."""
+    from etl_edi_data_scrapper_spark.functions.clustering import _dlit
+
+    if isinstance(v, (list, tuple)):
+        return "array(" + ",".join(_darr_sql(x) for x in v) + ")"
+    return _dlit(v)
+
+
 def _sq_dist(a: Column, b: Column) -> Column:
     """Σ (a_i − b_i)² with the elementwise cast/multiply order mirrored by
     the DuckDB oracles (list_zip + list_transform + list_sum)."""
@@ -1104,7 +1140,7 @@ def pq_encode(
         dists = F.transform(cb_s, lambda cvec: _sq_dist(sub, cvec))
         return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
 
-    return corpus.withColumn(out_col, F.transform(F.lit(cbs), per_sub))
+    return corpus.withColumn(out_col, F.transform(F.expr(_darr_sql(cbs)), per_sub))
 
 
 def pq_decode(
@@ -1117,7 +1153,7 @@ def pq_decode(
     subspace, concatenated) — the PQ analogue of `dequantize_embeddings`;
     reconstruction error is the per-subspace quantization error."""
     cbs = _collect_codebooks(codebooks)
-    cb_lit = F.lit(cbs)
+    cb_lit = F.expr(_darr_sql(cbs))
     return df.withColumn(
         out_col,
         F.flatten(
@@ -1146,7 +1182,7 @@ def _adc_tables(
         sub = F.slice(F.col(q_vec), s * d_sub + 1, F.lit(d_sub))
         return F.transform(cb_s, lambda cvec: _sq_dist(sub, cvec))
 
-    return queries.withColumn("__tab", F.transform(F.lit(cbs), tab_for))
+    return queries.withColumn("__tab", F.transform(F.expr(_darr_sql(cbs)), tab_for))
 
 
 def _adc_expr(m_sub: int, codes_col: str = "codes") -> Column:
