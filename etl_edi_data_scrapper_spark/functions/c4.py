@@ -82,7 +82,9 @@ def add_c4_badwords(
     # 'foo\tbadword' must match the blocklist (RE2-safe; the DuckDB
     # oracle runs the identical pattern)
     toks = F.split(F.lower(F.col(text_col)), "\\s+")
-    arr = F.array(*[F.lit(w.lower()) for w in words])
+    from etl_edi_data_scrapper_spark.functions.hashing import str_array_sql
+
+    arr = F.expr(str_array_sql(w.lower() for w in words))
     hits = F.size(
         F.filter(
             toks,

@@ -27,6 +27,18 @@ def hex_word(h: Column, start: int) -> Column:
     return v
 
 
+def str_array_sql(values) -> str:
+    """A string-array literal as SQL text (one parsed expression instead
+    of one py4j round trip per element — see hex_val_sql). Single quotes
+    are doubled per the SQL string-literal rule; backslashes are escaped
+    because Spark's parser treats them as escape introducers even inside
+    single quotes."""
+    def q(s: str) -> str:
+        return "'" + s.replace("\\", "\\\\").replace("'", "''") + "'"
+
+    return "array(" + ",".join(q(str(v)) for v in values) + ")"
+
+
 def hex_val_sql(c_sql: str) -> str:
     """`hex_val` as SQL text (r14: building these per-nibble through the
     Column DSL costs one py4j round trip per node — a parsed string is

@@ -39,8 +39,12 @@ def token_count(c: Column | str) -> Column:
 
 def stopword_hits(toks: Column, words: tuple[str, ...]) -> Column:
     """# tokens found in a dictionary — the building block for both quality
-    scoring and language ID. array_contains-free: filter + size (codegen'd)."""
-    arr = F.array(*[F.lit(w) for w in words])
+    scoring and language ID. array_contains-free: filter + size (codegen'd).
+    The word array parses from SQL text (r14): one py4j round trip per
+    word across 5 languages was ~0.1 s of plan build per lang_scores."""
+    from etl_edi_data_scrapper_spark.functions.hashing import str_array_sql
+
+    arr = F.expr(str_array_sql(words))
     return F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
 
 

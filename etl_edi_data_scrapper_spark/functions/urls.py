@@ -170,7 +170,9 @@ def registered_domain(host: Column) -> Column:
     labels = F.split(host, r"\.")
     n = F.size(labels)
     last2 = F.concat_ws(".", F.element_at(labels, -2), F.element_at(labels, -1))
-    tlds = F.array(*[F.lit(t) for t in MULTI_LABEL_TLDS])
+    from etl_edi_data_scrapper_spark.functions.hashing import str_array_sql
+
+    tlds = F.expr(str_array_sql(MULTI_LABEL_TLDS))
     need3 = F.array_contains(tlds, last2) & (n >= 3)
     last3 = F.concat_ws(
         ".", F.element_at(labels, -3), F.element_at(labels, -2), F.element_at(labels, -1)
@@ -340,7 +342,9 @@ def flag_blocked_domains(
     registered domain passes ``domain_col=`` and skips the extraction
     (with a PSL that is the whole per-depth join chain, done twice
     otherwise — r10 review)."""
-    arr = F.array(*[F.lit(d.lower()) for d in domains])
+    from etl_edi_data_scrapper_spark.functions.hashing import str_array_sql
+
+    arr = F.expr(str_array_sql(d.lower() for d in domains))
     if domain_col is not None:
         return df.withColumn(
             out_col,

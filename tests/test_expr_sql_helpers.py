@@ -1,0 +1,44 @@
+"""r14 optimization: SQL-text builders replace per-element py4j Column-DSL
+construction (one round trip per literal). These pin the parsed expressions
+against their DSL reference forms — values must match exactly, including
+adversarial string content and the hex-word integer fold."""
+
+from pyspark.sql import functions as F
+
+from etl_edi_data_scrapper_spark.functions.hashing import (
+    hex_val,
+    hex_val_sql,
+    hex_word,
+    hex_word_sql,
+    str_array_sql,
+)
+
+
+def test_str_array_sql_escaping_and_unicode(spark):
+    words = ("it's", 'a "b"', "back\\slash", "的", "plain", "semi;colon")
+    row = (
+        spark.range(1)
+        .select(
+            F.expr(str_array_sql(words)).alias("n"),
+            F.array(*[F.lit(w) for w in words]).alias("o"),
+        )
+        .first()
+    )
+    assert list(row.n) == list(row.o) == list(words)
+
+
+def test_hex_word_sql_matches_dsl_fold(spark):
+    df = spark.range(200).select(
+        F.md5(F.col("id").cast("string")).alias("h")
+    )
+    got = df.select(
+        hex_word(F.col("h"), 1).alias("o1"),
+        F.expr(hex_word_sql("h", 1)).alias("n1"),
+        hex_word(F.col("h"), 9).alias("o9"),
+        F.expr(hex_word_sql("h", 9)).alias("n9"),
+        hex_val(F.substring("h", 3, 1)).alias("ov"),
+        F.expr(hex_val_sql("substring(h, 3, 1)")).alias("nv"),
+    ).collect()
+    for r in got:
+        assert r.o1 == r.n1 and r.o9 == r.n9 and r.ov == r.nv
+        assert 0 <= r.n1 < 2**32
