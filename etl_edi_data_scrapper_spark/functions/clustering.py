@@ -305,7 +305,12 @@ def assign_clusters_ivf(
         f"named_struct('d', {_sqdist_sql(vec_sql, c)}, 'c', {i})"
         for i, c in enumerate(coarse)
     )
-    ranked = f"array_sort(array({coarse_scored}))"
+    # hoist the coarse ranking into ONE named column instead of inlining
+    # its full text (all coarse-centroid literals) into every CASE branch
+    # — the inlined form grew the SQL text O(n_probe × cells × coarse ×
+    # dim) (r14 advice). Values are unchanged: each probe reads the same
+    # ranked array by name; the helper column is dropped below.
+    ranked = "`__ivf_ranked`"
 
     def cell_best(cell: int) -> str:
         members = cells[cell]
@@ -324,8 +329,14 @@ def assign_clusters_ivf(
         for cell in range(1, len(coarse)):
             best = f"CASE WHEN {cj} = {cell} THEN {cell_best(cell)} ELSE {best} END"
         probes.append(best)
-    return df.withColumn(
-        "cluster", F.expr(f"array_sort(array({','.join(probes)}))[0].c")
+    return (
+        df.withColumn(
+            "__ivf_ranked", F.expr(f"array_sort(array({coarse_scored}))")
+        )
+        .withColumn(
+            "cluster", F.expr(f"array_sort(array({','.join(probes)}))[0].c")
+        )
+        .drop("__ivf_ranked")
     )
 
 

@@ -64,6 +64,11 @@ def get_spark(
         # PHP-permissive cast semantics (malformed → NULL, not error); the
         # cleaning exprs rely on this, mirroring intval/floatval behavior.
         .config("spark.sql.ansi.enabled", "false")
+        # the parsed-SQL literal paths (hashing.str_array_sql, clustering
+        # _dlit/_sqdist_sql, similarity._darr_sql) escape for the DEFAULT
+        # parser mode; pin it so a Hive-compat session can't silently
+        # reinterpret doubled backslashes in word-list literals (r14 advice)
+        .config("spark.sql.parser.escapedStringLiterals", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # default 100 entries thrashes on a many-query workload (each query
         # holds several whole-stage-codegen units); evictions force Janino

@@ -20,7 +20,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
@@ -3161,6 +3161,26 @@ def q_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     budget = 200
     docs = _t(spark, sf_dir, "documents")
+    # r15 (guide §2.6 job overlap): the DSIR leg's fit pipeline ends in
+    # its own lazy checkpoint (importance.py `weighted`) that is
+    # INDEPENDENT of the cq/rates chain below, yet under AQE each
+    # localCheckpoint(eager=False) materializes its upstream stages at
+    # BUILD time — built sequentially, three independent pipelines
+    # serialize (r14 finding). Submitting the DSIR construction from a
+    # driver thread lets its checkpoint jobs back-fill the executor
+    # slots the cq/rates barriers leave idle. Pure submission-order
+    # change: same frames, same values, no caching across invocations.
+    from concurrent.futures import ThreadPoolExecutor
+
+    pool = ThreadPoolExecutor(max_workers=1)
+    dsir_fut = pool.submit(
+        dsir_resample,
+        docs.select("doc_id", "text"),
+        docs.filter(F.col("lang") == "fr").select("doc_id", "text"),
+        n_keep=200,
+        n_buckets=256,
+        seed=0,
+    )
     counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
     cq = counts.withColumn(
         "sqrt_micro", F.floor(F.sqrt("n_docs") * 1000000).cast("long")
@@ -3200,13 +3220,8 @@ def q_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("doc_id").alias("hi_kept"),
         )
     )
-    dsir = dsir_resample(
-        docs.select("doc_id", "text"),
-        docs.filter(F.col("lang") == "fr").select("doc_id", "text"),
-        n_keep=200,
-        n_buckets=256,
-        seed=0,
-    )
+    dsir = dsir_fut.result()
+    pool.shutdown(wait=False)
     dsir_by_lang = (
         dsir.filter("dsir_keep")
         .join(docs.select("doc_id", "lang"), "doc_id")
@@ -4929,12 +4944,15 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     # — nine lazy-checkpoint materializations are nine sequential job
     # barriers, and AQE's runtime exchange reuse already dedups the
     # identical subtrees the 1,902-line before-plan shows duplicated. The
-    # kept subset: `assigned` (the one linear frame whose k-argmin encode
-    # feeds BOTH the ivf leg and the ivfpq re-encode — at 100 TB that is
-    # the corpus-sized recompute) and broadcast hints on the bounded
-    # recall-join sides (plan-level, no barrier).
+    # r15 kept subset: `queries` (5 rows, one bounded job, removes seven
+    # re-statements of the filtered scan) and `assigned` (the one
+    # corpus-sized frame whose k-argmin assignment feeds BOTH the ivf leg
+    # and the ivfpq re-encode — at 100 TB that is the corpus-sized
+    # recompute; verdict r14 item 1).
+    queries = queries.localCheckpoint(eager=False)
     exact = cosine_topk(queries, emb, k=5).select("q_id", "vec_id")
     centroids, assigned = ivf_index(emb, n_centroids=16)
+    assigned = assigned.localCheckpoint(eager=False)
     # PQ legs (r11): judged against the metric PQ approximates — exact
     # squared-L2 top-k — so the recall row isolates quantization loss
     wl2 = W.partitionBy("q_id").orderBy(F.col("__d").asc(), F.col("vec_id"))
@@ -4971,49 +4989,78 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             queries, centroids, enc_assigned, cbs, k=5, nprobe=4
         ).select("q_id", "vec_id"),
     }
-    recs = {}
+    # r15 restructure (verdict item 1): the r14 shape stated each
+    # (base_exact ⋈ leg → agg) subtree SEVEN times (five recall rows +
+    # two more for the monotone row) — 64 `embeddings` scans / 116
+    # Exchanges in the before-plan. Value-identical single pass:
+    #   1. union the five approx legs into ONE method-tagged bounded
+    #      frame (each leg is n_queries×k rows by construction; each leg
+    #      subtree now stated exactly once),
+    #   2. replicate each exact baseline per consuming method with one
+    #      explode of a literal method array (exact and exact_l2 each
+    #      stated exactly once),
+    #   3. one broadcast left join on (method, q_id, vec_id) + ONE
+    #      global conditional aggregate: per-method hits/total are
+    #      count(CASE WHEN method=m ...) over the same joined rows the
+    #      per-method aggregates counted — identical longs, identical
+    #      double divisions,
+    #   4. all six output rows (five thresholds + the monotone gate)
+    #      explode from one literal struct array over that single
+    #      aggregate row — no re-statement, no checkpoint barrier, the
+    #      whole pipeline stays visible in one explain.
+    approx_all = None
     for method, approx in legs.items():
-        base_exact = exact_l2 if method in ("pq", "ivfpq") else exact
-        j = base_exact.join(
-            F.broadcast(approx.withColumn("__hit", F.lit(1))),
-            ["q_id", "vec_id"],
-            "left",
+        tagged = approx.select(
+            F.lit(method).alias("method"), "q_id", "vec_id"
+        ).withColumn("__hit", F.lit(1))
+        approx_all = (
+            tagged if approx_all is None else approx_all.unionByName(tagged)
         )
-        recall = (
-            F.count("__hit").cast("double") / F.count(F.lit(1)).cast("double")
+    cos_methods = [m for m in legs if m not in ("pq", "ivfpq")]
+    l2_methods = [m for m in legs if m in ("pq", "ivfpq")]
+    base_all = exact.withColumn(
+        "method", F.explode(F.array(*[F.lit(m) for m in cos_methods]))
+    ).select("method", "q_id", "vec_id").unionByName(
+        exact_l2.withColumn(
+            "method", F.explode(F.array(*[F.lit(m) for m in l2_methods]))
+        ).select("method", "q_id", "vec_id")
+    )
+    j = base_all.join(
+        F.broadcast(approx_all), ["method", "q_id", "vec_id"], "left"
+    )
+    aggs = []
+    for m in legs:
+        aggs.append(
+            F.count(F.when(F.col("method") == m, F.col("__hit"))).alias(f"h_{m}")
         )
-        recs[method] = j.agg(
-            F.count("__hit").alias("hits"),
-            F.count(F.lit(1)).alias("total"),
-            recall.alias("recall"),
+        aggs.append(
+            F.count(F.when(F.col("method") == m, F.lit(1))).alias(f"t_{m}")
         )
-    outs = [
-        recs[m].select(
+    one = j.agg(*aggs)
+
+    def rec(m: str) -> Column:
+        return F.col(f"h_{m}").cast("double") / F.col(f"t_{m}").cast("double")
+
+    entries = [
+        F.struct(
             F.lit(m).alias("method"),
-            "hits",
-            "total",
-            "recall",
-            (F.col("recall") >= F.lit(t)).alias("meets_threshold"),
+            F.col(f"h_{m}").alias("hits"),
+            F.col(f"t_{m}").alias("total"),
+            rec(m).alias("recall"),
+            (rec(m) >= F.lit(t)).alias("meets_threshold"),
         )
         for m, t in _RECALL_THRESHOLDS.items()
     ]
-    p1 = recs["lsh_p1"].select(
-        F.col("hits").alias("h1"), F.col("recall").alias("rec1")
+    entries.append(
+        F.struct(
+            F.lit("lsh_monotone").alias("method"),
+            F.col("h_lsh_p1").alias("hits"),
+            F.col("h_lsh_p0").alias("total"),
+            (rec("lsh_p1") - rec("lsh_p0")).alias("recall"),
+            (rec("lsh_p1") >= rec("lsh_p0")).alias("meets_threshold"),
+        )
     )
-    p0 = recs["lsh_p0"].select(
-        F.col("hits").alias("h0"), F.col("recall").alias("rec0")
-    )
-    mono = p1.crossJoin(p0).select(
-        F.lit("lsh_monotone").alias("method"),
-        F.col("h1").alias("hits"),
-        F.col("h0").alias("total"),
-        (F.col("rec1") - F.col("rec0")).alias("recall"),
-        (F.col("rec1") >= F.col("rec0")).alias("meets_threshold"),
-    )
-    out = outs[0]
-    for o in outs[1:]:
-        out = out.unionByName(o)
-    return out.unionByName(mono)
+    return one.select(F.explode(F.array(*entries)).alias("e")).select("e.*")
 
 
 @register(

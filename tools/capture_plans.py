@@ -1,7 +1,8 @@
-"""Capture .explain("formatted") for every suite query into plans/r14/.
+"""Capture .explain("formatted") for every suite query into plans/<round>/.
 
 Usage: python tools/capture_plans.py <suffix> [query ...]
-  suffix: 'before' or 'after' (file becomes plans/r14/<query>_<suffix>.txt)
+  suffix: 'before' or 'after' (file becomes plans/<round>/<query>_<suffix>.txt)
+  round: $EDI_PLANS_ROUND, default 'r15'
 
 Plan-building some queries runs bounded driver jobs (kmeans fits,
 codebook samples), so this spins up one SparkSession at the bench core
@@ -21,7 +22,9 @@ def main() -> int:
     only = set(sys.argv[2:])
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     out_dir = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r14"
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "plans",
+        os.environ.get("EDI_PLANS_ROUND", "r15"),
     )
     os.makedirs(out_dir, exist_ok=True)
 
