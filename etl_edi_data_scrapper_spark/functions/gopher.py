@@ -209,14 +209,17 @@ def add_gopher_line_features(df: DataFrame, text_col: str = "text") -> DataFrame
         "line": (f"__gopher_lnsrt_{text_col}", r"\n"),
         "para": (f"__gopher_pgsrt_{text_col}", r"\n{2,}"),
     }
-    out = df
-    for col, pat in segs.values():
-        out = out.withColumn(
-            col,
-            F.array_sort(
+    # ONE batched withColumns (r15): every chained withColumn runs the
+    # analyzer over the whole accumulated plan — batching the independent
+    # helper columns into one call halves the per-build analysis passes
+    out = df.withColumns(
+        {
+            col: F.array_sort(
                 F.filter(F.split(F.col(text_col), pat), lambda x: x != F.lit(""))
-            ),
-        )
+            )
+            for col, pat in segs.values()
+        }
+    )
     feats: dict[str, F.Column] = {}
     keep = F.lit(True)
     thresholds = {
@@ -270,18 +273,30 @@ def add_gopher_features(
     narrow projections (tokens → sorted gram arrays → folds); helper
     columns are dropped."""
     toks = "__gopher_toks"
+    # batched withColumns per dependency tier (r15): toks → sorted-gram
+    # arrays → (top folds + dup-start arrays) → features. Each chained
+    # withColumn re-ran the analyzer over the growing plan (11 passes per
+    # build); three tiered calls build the identical columns in 3.
     out = df.withColumn(toks, F.expr(f"split({text_col}, ' ')"))
-    sp_cols = {}
-    for n in sorted(set(top_ns) | set(dup_ns)):
-        sp_cols[n] = f"__gopher_sp{n}"
-        out = out.withColumn(sp_cols[n], F.expr(_sorted_grams(toks, n)))
+    sp_cols = {
+        n: f"__gopher_sp{n}" for n in sorted(set(top_ns) | set(dup_ns))
+    }
+    out = out.withColumns(
+        {col: F.expr(_sorted_grams(toks, n)) for n, col in sp_cols.items()}
+    )
     # materialize each top fold as its own column: the feature arithmetic
     # references it three times, and an inline fold would run three times
-    # per row (HOFs are interpreted — nothing deduplicates them)
-    tf_cols = {}
-    for n in top_ns:
-        tf_cols[n] = f"__gopher_tf{n}"
-        out = out.withColumn(tf_cols[n], F.expr(_top_fold(sp_cols[n])))
+    # per row (HOFs are interpreted — nothing deduplicates them); the
+    # dup-start arrays likewise must be column attributes (the char fold
+    # probes them inside its lambda)
+    tf_cols = {n: f"__gopher_tf{n}" for n in top_ns}
+    dp_cols = {n: f"__gopher_dp{n}" for n in dup_ns}
+    out = out.withColumns(
+        {
+            **{tf_cols[n]: F.expr(_top_fold(sp_cols[n])) for n in top_ns},
+            **{dp_cols[n]: F.expr(_dup_positions(sp_cols[n])) for n in dup_ns},
+        }
+    )
 
     feats: dict[str, F.Column] = {}
     keep = F.lit(True)
@@ -295,10 +310,7 @@ def add_gopher_features(
         feats[f"top{n}_frac_micro"] = c
         keep = keep & (c <= F.lit(TOP_NGRAM_MAX_MICRO[n]))
     for n in dup_ns:
-        # materialize the ascending dup-start array: the char fold probes
-        # it inside its lambda, so it must be a column attribute
-        dp_col = f"__gopher_dp{n}"
-        out = out.withColumn(dp_col, F.expr(_dup_positions(sp_cols[n])))
+        dp_col = dp_cols[n]
         c = F.expr(
             f"CASE WHEN size({toks}) < {max(n, 2)} THEN 0L ELSE "
             f"{_char_covered_fold(dp_col, toks, n)} * 1000000L "

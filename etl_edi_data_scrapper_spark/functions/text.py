@@ -37,6 +37,10 @@ def token_count(c: Column | str) -> Column:
     return F.size(tokens(c))
 
 
+def _quote(name: str) -> str:
+    return "`" + name.replace("`", "``") + "`"
+
+
 def stopword_hits(toks: Column, words: tuple[str, ...]) -> Column:
     """# tokens found in a dictionary — the building block for both quality
     scoring and language ID. array_contains-free: filter + size (codegen'd).
@@ -48,11 +52,48 @@ def stopword_hits(toks: Column, words: tuple[str, ...]) -> Column:
     return F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
 
 
+def _stopword_hits_sql(toks_sql: str, words: tuple[str, ...]) -> str:
+    """`stopword_hits` as SQL text over a token-array SQL fragment —
+    identical tree (filter + array_contains + size), zero py4j round
+    trips per word/lambda (r15 construction sweep; parity pinned by
+    test)."""
+    from etl_edi_data_scrapper_spark.functions.hashing import str_array_sql
+
+    return (
+        f"size(filter({toks_sql}, t -> "
+        f"array_contains({str_array_sql(words)}, t)))"
+    )
+
+
 def quality_features(text: Column | str) -> dict[str, Column]:
     """Per-document quality signals (length, token stats, stopword ratio,
     lexical diversity). Ratios are double divisions of exact ints —
-    deterministic across engines."""
-    text = F.col(text) if isinstance(text, str) else text
+    deterministic across engines.
+
+    Pass ``text`` as a COLUMN NAME where possible (r15): the name form
+    builds each feature as one parsed expression — the Column-DSL
+    construction costs ~25 py4j round trips per call (~60 ms of plan
+    build, paid inside every timed fn()); the parsed trees are
+    identical, value parity pinned by test."""
+    if isinstance(text, str):
+        c = _quote(text)
+        t = f"split({c}, ' ')"
+        stop = _stopword_hits_sql(t, EN_STOPWORDS)
+        return {
+            "n_chars": F.expr(f"CAST(length({c}) AS BIGINT)"),
+            "n_tokens": F.expr(f"CAST(size({t}) AS BIGINT)"),
+            "avg_token_len": F.expr(
+                f"CAST(length({c}) - (size({t}) - 1) AS DOUBLE)"
+                f" / CAST(size({t}) AS DOUBLE)"
+            ),
+            "stopword_ratio": F.expr(
+                f"CAST({stop} AS DOUBLE) / CAST(size({t}) AS DOUBLE)"
+            ),
+            "uniq_ratio": F.expr(
+                f"CAST(size(array_distinct({t})) AS DOUBLE)"
+                f" / CAST(size({t}) AS DOUBLE)"
+            ),
+        }
     toks = tokens(text)
     n_tokens = F.size(toks)
     n_chars = F.length(text)
@@ -75,7 +116,22 @@ def quality_features(text: Column | str) -> dict[str, Column]:
 def quality_score(text: Column | str) -> Column:
     """Composite [0,1]-ish score: favors mid-length docs with some stopwords
     and diverse vocabulary (the usual heuristic pre-filter before expensive
-    model-based scoring)."""
+    model-based scoring). Column-NAME input takes the parsed-SQL path
+    (identical tree — see quality_features)."""
+    if isinstance(text, str):
+        c = _quote(text)
+        t = f"split({c}, ' ')"
+        stop = _stopword_hits_sql(t, EN_STOPWORDS)
+        ratio = f"CAST({stop} AS DOUBLE) / CAST(size({t}) AS DOUBLE)"
+        uniq = (
+            f"CAST(size(array_distinct({t})) AS DOUBLE)"
+            f" / CAST(size({t}) AS DOUBLE)"
+        )
+        return F.expr(
+            f"0.4D * least(CAST(CAST(size({t}) AS BIGINT) AS DOUBLE) / 100.0D, 1.0D)"
+            f" + 0.3D * least(({ratio}) * 4, 1.0D)"
+            f" + 0.3D * ({uniq})"
+        )
     f = quality_features(text)
     length_term = F.least(f["n_tokens"].cast("double") / F.lit(100.0), F.lit(1.0))
     return (
@@ -97,9 +153,22 @@ def lang_id(text: Column | str) -> Column:
 
     Linear form — ``greatest`` + first-match CASE — not a pairwise fold: a
     fold embeds every prior branch twice per level (exponential expression
-    growth, measured 8× slower at 5k docs)."""
+    growth, measured 8× slower at 5k docs).
+
+    Column-NAME input takes the parsed-SQL path (one F.expr instead of
+    ~30 py4j round trips; identical tree, value parity pinned by test)."""
+    langs = sorted(LANG_STOPWORDS)
+    if isinstance(text, str):
+        t = f"split({_quote(text)}, ' ')"
+        s = {lg: _stopword_hits_sql(t, LANG_STOPWORDS[lg]) for lg in langs}
+        mx = "greatest(" + ", ".join(s[lg] for lg in langs) + ")"
+        whens = [f"WHEN {mx} = 0 THEN 'und'"] + [
+            f"WHEN {s[lg]} = {mx} THEN '{lg}'" for lg in langs[:-1]
+        ]
+        return F.expr(
+            "CASE " + " ".join(whens) + f" ELSE '{langs[-1]}' END"
+        )
     scores = lang_scores(text)
-    langs = sorted(scores)
     mx = F.greatest(*[scores[lg] for lg in langs])
     expr = F.when(mx == 0, F.lit("und"))
     for lg in langs[:-1]:

@@ -366,8 +366,8 @@ def curate_corpus(
             "quality",
             lambda: stage_docs.select(
                 F.col(id_col),
-                lang_id(F.col(text_col)).alias("lang_pred"),
-                quality_score(F.col(text_col)).alias("quality"),
+                lang_id(text_col).alias("lang_pred"),
+                quality_score(text_col).alias("quality"),
             ).withColumn(
                 "quality_keep",
                 F.col("lang_pred").isin(*langs) & (F.col("quality") >= quality_min),

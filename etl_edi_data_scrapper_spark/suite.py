@@ -823,20 +823,20 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism
     )
-    feats = quality_features(F.col("text"))
+    feats = quality_features("text")
     quality = add_gopher_features(
         docs.select(
             "doc_id",
             "lang",
             "text",
-            lang_id(F.col("text")).alias("lang_pred"),
+            lang_id("text").alias("lang_pred"),
             fingerprint(F.col("text")).alias("fingerprint"),
             feats["n_chars"].alias("n_chars"),
             feats["n_tokens"].alias("n_tokens"),
             feats["avg_token_len"].alias("avg_token_len"),
             feats["stopword_ratio"].alias("stopword_ratio"),
             feats["uniq_ratio"].alias("uniq_ratio"),
-            quality_score(F.col("text")).alias("quality"),
+            quality_score("text").alias("quality"),
         )
     ).drop("text")
     xent = unigram_cross_entropy(docs).select(
@@ -2668,8 +2668,8 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig = docs.select(
         "doc_id",
         "text",
-        lang_id(F.col("text")).alias("lang_pred"),
-        quality_score(F.col("text")).alias("quality"),
+        lang_id("text").alias("lang_pred"),
+        quality_score("text").alias("quality"),
         fingerprint(F.col("text")).alias("fp"),
     )
     w = W.partitionBy("fp")
@@ -3421,7 +3421,7 @@ def q_quality_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_edi_data_scrapper_spark.functions.text import quality_score
 
     docs = _t(spark, sf_dir, "documents")
-    q = docs.select(quality_score(F.col("text")).alias("quality"))
+    q = docs.select(quality_score("text").alias("quality"))
     bucket = F.least(F.floor(F.col("quality") * 10), F.lit(9)).cast("long")
     return q.groupBy(bucket.alias("bucket")).agg(
         F.count(F.lit(1)).alias("n"),

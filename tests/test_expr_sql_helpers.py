@@ -42,3 +42,53 @@ def test_hex_word_sql_matches_dsl_fold(spark):
     for r in got:
         assert r.o1 == r.n1 and r.o9 == r.n9 and r.ov == r.nv
         assert 0 <= r.n1 < 2**32
+
+
+def test_text_helpers_sql_match_dsl_bitexact(spark):
+    """r15: lang_id / quality_features / quality_score column-NAME forms
+    parse to value-identical expressions vs the Column-DSL forms —
+    including doubles compared bit-exactly and adversarial texts (empty,
+    single token, unicode stopwords, ties between language scores)."""
+    import math
+    import struct
+
+    from etl_edi_data_scrapper_spark.functions.text import (
+        lang_id,
+        quality_features,
+        quality_score,
+    )
+
+    texts = [
+        "the quick brown fox and the lazy dog is in it",
+        "der la le 的 el the und est y",  # cross-language tie bait
+        "one",
+        "",
+        "a a a a a a a a",
+        "el la los las y es en un",
+        "的 是 在 了 和 有 我 不",
+        "x " * 500,
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    fd = quality_features(F.col("text"))
+    fs = quality_features("text")
+    rows = df.select(
+        lang_id(F.col("text")).alias("l_dsl"),
+        lang_id("text").alias("l_sql"),
+        quality_score(F.col("text")).alias("q_dsl"),
+        quality_score("text").alias("q_sql"),
+        *[fd[k].alias(f"d_{k}") for k in fd],
+        *[fs[k].alias(f"s_{k}") for k in fs],
+    ).collect()
+
+    def bits(x):
+        if x is None:
+            return None
+        if isinstance(x, float):
+            return struct.pack("<d", x)
+        return x
+
+    for r in rows:
+        assert r.l_dsl == r.l_sql
+        assert bits(r.q_dsl) == bits(r.q_sql)
+        for k in fd:
+            assert bits(r[f"d_{k}"]) == bits(r[f"s_{k}"]), k
