@@ -103,6 +103,30 @@ def _spread_small_scan(
     return df.repartition(sc.defaultParallelism)
 
 
+# size-aware execution gate for the k<=64 expr strategies (r15, verdict
+# item 3): higher-order-function folds run INTERPRETED (outside
+# whole-stage codegen), so their per-row cost at scale dwarfs the Arrow
+# boundary — measured at factor 300 (tools/arrow_expr_study.py, 600k x
+# 64-dim rows): assign_clusters k=8 expr 35.7 s vs pandas 2.9 s (12x).
+# At gate scale (sf0.1, ~1 MB) the expr path wins (no JVM<->Python
+# boundary, ~0.1 s vs ~0.5 s fixed Arrow cost). The crossover sits near
+# rows x k x dim interpreted-fold time ~= the Arrow fixed cost; the
+# per-entry work multiplier keeps the gate honest for larger models.
+# Both strategies are bit-compatible (parity-pinned), so this gate is
+# execution-only — plans at the oracle SFs are unchanged.
+_EXPR_EXEC_MAX_BYTES = int(
+    __import__("os").environ.get("EDI_EXPR_EXEC_MAX_BYTES", str(8 << 20))
+)
+
+
+def expr_exec_ok(df: DataFrame, work_multiplier: float = 1.0) -> bool:
+    """True when the INTERPRETED expr strategy is the right execution for
+    this input size: estimated bytes x work multiplier at or under
+    ``_EXPR_EXEC_MAX_BYTES`` (8 MiB default, env EDI_EXPR_EXEC_MAX_BYTES).
+    Unknown stats read as huge -> Arrow (the safe side at scale)."""
+    return _plan_size_bytes(df) * max(1.0, work_multiplier) <= _EXPR_EXEC_MAX_BYTES
+
+
 def _sqdist(vec: Column, centroid: list[float]) -> Column:
     lit = F.array(*[F.lit(float(x)) for x in centroid])
     return F.aggregate(
@@ -161,9 +185,17 @@ def assign_clusters(
     build alone dominates `kmeans_fit` (r12 ANN study: k=256 fits
     crawled). ``'pandas'`` computes the same argmin in numpy over Arrow
     batches — same tie rule (argmin → first minimum = lowest id), no
-    extra rows, no shuffle. ``'auto'``: expr at or under 64 centroids."""
+    extra rows, no shuffle. ``'auto'`` (r15): expr at or under 64
+    centroids AND a small input (see ``expr_exec_ok`` — the interpreted
+    fold measured 12× slower than Arrow at factor-300 geometry even at
+    k=8); Arrow otherwise. Bit-compatible either way."""
     if strategy == "auto":
-        strategy = "expr" if len(centroids) <= 64 else "pandas"
+        strategy = (
+            "expr"
+            if len(centroids) <= 64
+            and expr_exec_ok(df, work_multiplier=len(centroids) / 8.0)
+            else "pandas"
+        )
     if strategy == "pandas":
         import numpy as np
 
@@ -253,7 +285,14 @@ def assign_clusters_ivf(
     n_probe = max(1, min(n_probe, len(coarse)))
 
     if strategy == "auto":
-        strategy = "expr" if k <= 64 else "pandas"
+        # r15: size-aware like assign_clusters — routed per-row work is
+        # O(√k + probe·k/√k) distance folds vs the flat k=8 baseline
+        routed_ops = (k ** 0.5) * (1 + n_probe)
+        strategy = (
+            "expr"
+            if k <= 64 and expr_exec_ok(df, work_multiplier=routed_ops / 8.0)
+            else "pandas"
+        )
     if strategy == "pandas":
         # the CASE-routing EXPRESSION is n_probe × k scoring nodes with a
         # dim-wide literal each: at the r12 factor-300 smoke's k=2400 the

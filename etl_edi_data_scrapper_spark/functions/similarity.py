@@ -201,9 +201,18 @@ def ivf_index(
                 F.col(c_vec).alias("centroid_vec"),
             )
         )
+    from etl_edi_data_scrapper_spark.functions.clustering import expr_exec_ok
+
     return centroids, ivf_assign(
         corpus, centroids, c_id=c_id, c_vec=c_vec,
-        strategy="expr" if n_centroids <= 64 else "pandas",
+        # r15 size-aware gate (see clustering.expr_exec_ok): the known
+        # cell count still skips ivf_assign's LIMIT-bounded probe
+        strategy=(
+            "expr"
+            if n_centroids <= 64
+            and expr_exec_ok(corpus, work_multiplier=n_centroids / 8.0)
+            else "pandas"
+        ),
     )
 
 
@@ -232,7 +241,17 @@ def ivf_assign(
     that know their cell count — `ivf_index`, `append_to_ivfpq_index` —
     pass the strategy explicitly and skip the probe)."""
     if strategy == "auto":
-        strategy = "expr" if centroids.limit(65).count() <= 64 else "pandas"
+        from etl_edi_data_scrapper_spark.functions.clustering import (
+            expr_exec_ok,
+        )
+
+        n_cells = centroids.limit(65).count()
+        strategy = (
+            "expr"
+            if n_cells <= 64
+            and expr_exec_ok(corpus, work_multiplier=n_cells / 8.0)
+            else "pandas"
+        )
     if strategy == "pandas":
         import numpy as np
 
@@ -1095,8 +1114,20 @@ def pq_encode(
     d_sub = len(cbs[0][0])
     n_entries = len(cbs) * len(cbs[0])
     if strategy == "auto":
+        from etl_edi_data_scrapper_spark.functions.clustering import (
+            expr_exec_ok,
+        )
+
+        # r15: size-aware (interpreted per-row fold work is n_entries ×
+        # d_sub ops vs the 512-ops/row floor calibration — see
+        # clustering.expr_exec_ok and tools/arrow_expr_study.py)
         strategy = (
-            "literal" if n_entries <= _EXPR_MODEL_MAX_ENTRIES else "pandas"
+            "literal"
+            if n_entries <= _EXPR_MODEL_MAX_ENTRIES
+            and expr_exec_ok(
+                corpus, work_multiplier=(n_entries * d_sub) / 512.0
+            )
+            else "pandas"
         )
     if strategy == "pandas":
         import numpy as np
@@ -1379,9 +1410,17 @@ def pq_adc_topk(
     geometry (≤ 512 codebook entries), pandas above."""
     cbs = _collect_codebooks(codebooks)
     if strategy == "auto":
+        from etl_edi_data_scrapper_spark.functions.clustering import (
+            expr_exec_ok,
+        )
+
+        # r15: size-aware — the expr path additionally shuffles the FULL
+        # Q × N scored cross product through its window, so a big encoded
+        # frame must route to the Arrow map-side-combine path
         strategy = (
             "expr"
             if len(cbs) * len(cbs[0]) <= _EXPR_MODEL_MAX_ENTRIES
+            and expr_exec_ok(encoded, work_multiplier=float(len(cbs)))
             else "pandas"
         )
     if strategy == "pandas":
@@ -1463,9 +1502,18 @@ def ivfpq_topk(
     rows."""
     cbs = _collect_codebooks(codebooks)
     if strategy == "auto":
+        from etl_edi_data_scrapper_spark.functions.clustering import (
+            expr_exec_ok,
+        )
+
+        # r15: size-aware, same rationale as pq_adc_topk (the routed
+        # join still fans each probed cell's codes through the window)
         strategy = (
             "expr"
             if len(cbs) * len(cbs[0]) <= _EXPR_MODEL_MAX_ENTRIES
+            and expr_exec_ok(
+                encoded_assigned, work_multiplier=float(len(cbs))
+            )
             else "pandas"
         )
     if strategy == "pandas":

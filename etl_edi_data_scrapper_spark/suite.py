@@ -4972,8 +4972,23 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     # encode/ADC/IVFADC all inline it as a literal (one bounded job per
     # plan build — value-identical to collecting pq_codebooks, pinned)
     cbs = sample_codebooks_local(emb, m_sub=8, n_codes=16, dim=64)
-    enc = pq_encode(emb.select("vec_id", "embedding"), cbs)
-    enc_assigned = pq_encode(assigned, cbs)
+    # r15: resolve the expr/Arrow execution strategy from the RAW corpus
+    # scan (known stats) — the checkpointed `assigned` reads as
+    # unknown-size, which would mis-route the gate-scale bench to Arrow
+    # (clustering.expr_exec_ok treats unknown as huge). Bit-compatible
+    # either way; this only pins WHERE the size is measured.
+    from etl_edi_data_scrapper_spark.functions.clustering import expr_exec_ok
+
+    enc_strategy = (
+        "literal" if expr_exec_ok(emb, work_multiplier=2.0) else "pandas"
+    )
+    adc_strategy = (
+        "expr" if expr_exec_ok(emb, work_multiplier=8.0) else "pandas"
+    )
+    enc = pq_encode(
+        emb.select("vec_id", "embedding"), cbs, strategy=enc_strategy
+    )
+    enc_assigned = pq_encode(assigned, cbs, strategy=enc_strategy)
     legs = {
         "lsh_p0": lsh_topk(
             queries, emb, k=5, n_planes=5, multiprobe=False
@@ -4984,9 +4999,12 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ivf": ivf_topk(queries, centroids, assigned, k=5, nprobe=4).select(
             "q_id", "vec_id"
         ),
-        "pq": pq_adc_topk(queries, cbs, enc, k=5).select("q_id", "vec_id"),
+        "pq": pq_adc_topk(
+            queries, cbs, enc, k=5, strategy=adc_strategy
+        ).select("q_id", "vec_id"),
         "ivfpq": ivfpq_topk(
-            queries, centroids, enc_assigned, cbs, k=5, nprobe=4
+            queries, centroids, enc_assigned, cbs, k=5, nprobe=4,
+            strategy=adc_strategy,
         ).select("q_id", "vec_id"),
     }
     # r15 restructure (verdict item 1): the r14 shape stated each

@@ -1605,3 +1605,47 @@ def test_cli_ann_index_n_centroids_auto(spark, sf_dir, tmp_path, capsys):
         engine=eng,
     ) == 0
     assert spark.read.parquet(out).count() == 500 * 2
+
+
+def test_expr_exec_size_gate_routes_auto_strategies(spark, tmp_path):
+    """r15: the auto strategies are size-aware (tools/arrow_expr_study.py:
+    the interpreted fold measured 12-13x slower than Arrow at factor-300
+    geometry) — small inputs keep the zero-Python expr path, big ones
+    route to the bit-compatible Arrow path. A frame with UNKNOWN stats
+    (e.g. a local/Arrow-built relation) must read as huge → Arrow, the
+    safe side at scale."""
+    from etl_edi_data_scrapper_spark.functions import clustering
+    from etl_edi_data_scrapper_spark.functions.clustering import (
+        assign_clusters,
+        expr_exec_ok,
+    )
+
+    local = spark.createDataFrame(
+        [(i, [float(i), float(i % 3)]) for i in range(50)],
+        "vec_id long, embedding array<double>",
+    )
+    path = str(tmp_path / "gate_corpus.parquet")
+    local.write.parquet(path)
+    corpus = spark.read.parquet(path)  # scan stats = file bytes (tiny)
+    cents = [[0.0, 0.0], [10.0, 1.0]]
+    assert expr_exec_ok(corpus)
+    assert not expr_exec_ok(corpus, work_multiplier=1e12)
+
+    def has_python_eval(df):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        return "ArrowEvalPython" in plan or "BatchEvalPython" in plan
+
+    small_auto = assign_clusters(corpus, "embedding", cents, strategy="auto")
+    assert not has_python_eval(small_auto)  # small input -> expr
+
+    old = clustering._EXPR_EXEC_MAX_BYTES
+    clustering._EXPR_EXEC_MAX_BYTES = 0  # force the "big input" branch
+    try:
+        big_auto = assign_clusters(corpus, "embedding", cents, strategy="auto")
+        assert has_python_eval(big_auto)  # big input -> Arrow
+        # bit-compatible: same assignments either way
+        a = {(r.vec_id, r.cluster) for r in small_auto.collect()}
+        b = {(r.vec_id, r.cluster) for r in big_auto.collect()}
+        assert a == b
+    finally:
+        clustering._EXPR_EXEC_MAX_BYTES = old
