@@ -3231,9 +3231,15 @@ def q_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("logw_sum_micro").cast("long").alias("dsir_logw_micro"),
         )
     )
+    # r15: kept and dsir_by_lang are dimension-grain BY CONSTRUCTION
+    # (groupBy(lang) → ≤ #languages rows); without hints the planner
+    # reads their post-aggregate estimates as corpus-sized and plans two
+    # SortMergeJoins against the 5-row rates frame (checkpointed →
+    # unknown stats, so no auto-broadcast). Hints make both joins
+    # BroadcastHashJoin at ANY scale — guide §3.1.
     return (
-        rates.join(kept, "lang", "left")
-        .join(dsir_by_lang, "lang", "left")
+        rates.join(F.broadcast(kept), "lang", "left")
+        .join(F.broadcast(dsir_by_lang), "lang", "left")
         .select(
             "lang",
             "n_docs",
